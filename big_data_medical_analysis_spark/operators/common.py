@@ -1,0 +1,72 @@
+"""Shared helpers for operator modules: exact-arithmetic aggregation and
+timestamp rendering conventions that keep the Spark plan and the DuckDB
+oracle bit-identical.
+
+Floating-point sums are order-dependent, and Spark and DuckDB will not sum
+600k doubles in the same order — so any oracle that hashes a raw ``SUM(double)``
+is flaky by construction. The engine's convention: scale each value to an
+integer *before* aggregating (``round(x * 10^k)`` is deterministic per row
+because both engines see identical IEEE doubles and round half-away-from-zero),
+aggregate exactly in int64, and divide once at the end. The same discipline
+is what you'd want at 100 TB anyway — money in integer cents.
+
+Timestamps are rendered with an explicit format on both sides
+(Spark ``date_format`` ↔ DuckDB ``strftime``) rather than relying on engine
+default casts, which differ in fractional-second padding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Render formats (Spark pattern ↔ DuckDB strftime pattern)
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+DATE_FMT_SPARK = "yyyy-MM-dd"
+DATE_FMT_DUCK = "%Y-%m-%d"
+
+
+def cents(col: Column | str, scale: int = 100) -> Column:
+    """``round(col * scale)`` as int64 — exact-sum building block.
+
+    DuckDB twin: ``CAST(round(col * scale) AS BIGINT)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * F.lit(scale)).cast("long")
+
+
+def money_sum(col: Column | str, scale: int = 100) -> Column:
+    """Order-independent SUM over doubles via integer scaling.
+
+    DuckDB twin: ``CAST(sum(CAST(round(col*scale) AS BIGINT)) AS DOUBLE)/scale``.
+    """
+    return F.sum(cents(col, scale)).cast("double") / F.lit(float(scale))
+
+
+def money_avg(col: Column | str, scale: int = 100, ndigits: int = 6) -> Column:
+    """Order-independent AVG: exact integer sum / count, rounded.
+
+    DuckDB twin:
+    ``round(CAST(sum(CAST(round(col*scale) AS BIGINT)) AS DOUBLE)/scale/count(*), n)``.
+    """
+    avg = F.sum(cents(col, scale)).cast("double") / F.lit(float(scale)) / F.count(F.lit(1))
+    return F.round(avg, ndigits)
+
+
+def ts_str(col: Column | str) -> Column:
+    """Microsecond-precision timestamp → string (UTC session).
+
+    DuckDB twin: ``strftime(col, '%Y-%m-%d %H:%M:%S.%f')``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c, TS_FMT_SPARK)
+
+
+def date_str(col: Column | str) -> Column:
+    """Date-precision timestamp → 'YYYY-MM-DD' string.
+
+    DuckDB twin: ``strftime(col, '%Y-%m-%d')``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c, DATE_FMT_SPARK)

@@ -1,0 +1,931 @@
+"""Relational core: scans, joins, aggregates, windows, sorts, set ops,
+scalar-function suites (SURVEY.md §2.3 inventory).
+
+The reference's only relational operators are projection/filter/groupBy-count/
+distinct/dropDuplicates (``src/preprocessing_pipeline.py:280-283``,
+``utils/preprocessing_testing_utils.py:55-58``); everything else here is the
+capability extension mandated by the north star. Every query is Catalyst-
+native (no Python in the hot path), declared so that filters and projections
+push down to the parquet scan, and dimension joins are explicitly broadcast.
+
+Scale notes per operator are in the docstrings: the correctness harness runs
+these at sf0.01, but the plans are shaped for a 1000-executor cluster — fact-
+to-fact joins shuffle on their keys (AQE handles skew), dims broadcast, and
+aggregates are partial+final hash aggregates with exact int64 accumulators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from big_data_medical_analysis_spark.operators.common import (
+    date_str,
+    money_avg,
+    money_sum,
+    ts_str,
+)
+from big_data_medical_analysis_spark.operators.common import cents
+from big_data_medical_analysis_spark.registry import register
+from big_data_medical_analysis_spark.sources.readers import read_table
+
+# ---------------------------------------------------------------------------
+# Aggregation family
+# ---------------------------------------------------------------------------
+
+_PRICING_SUMMARY_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
+  round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*), 6) AS avg_qty,
+  round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*), 6) AS avg_price,
+  round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("pricing_summary", oracle=_PRICING_SUMMARY_SQL, category="aggregation")
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filtered scan → 8-way hash aggregate.
+
+    Scale: the shipdate filter pushes down to the parquet scan; the aggregate
+    is a partial (map-side) + final HashAggregate over a 6-value grouping key,
+    so the shuffle carries 6 rows per map task no matter the input size.
+    """
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        money_sum("l_quantity").alias("sum_qty"),
+        money_sum("l_extendedprice").alias("sum_base_price"),
+        money_sum(disc_price, 10000).alias("sum_disc_price"),
+        money_sum(charge, 1000000).alias("sum_charge"),
+        money_avg("l_quantity").alias("avg_qty"),
+        money_avg("l_extendedprice").alias("avg_price"),
+        money_avg("l_discount").alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+_EVENT_TYPE_STATS_SQL = """
+SELECT
+  event_type,
+  count(*) AS n_events,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value,
+  round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*), 6) AS avg_value,
+  min(value) AS min_value,
+  max(value) AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("event_type_stats", oracle=_EVENT_TYPE_STATS_SQL, category="aggregation")
+def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate hash aggregate (count/sum/avg/min/max) per event type."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money_sum("value").alias("total_value"),
+        money_avg("value").alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+_DISTINCT_USERS_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("distinct_users_by_type", oracle=_DISTINCT_USERS_SQL, category="aggregation")
+def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate: exact COUNT(DISTINCT) — expands to a two-phase
+    aggregate (distinct on (type, user) then count), shuffling the distinct
+    pairs, which is the scalable plan for high-cardinality distincts."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
+
+
+@register("approx_distinct_users", oracle=None, category="aggregation")
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the 100 TB path for distinct
+    counts (constant-size sketch per group, no distinct shuffle). No oracle:
+    sketch estimates are engine-specific; driver records rows-only."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )
+
+
+_LABEL_DISTRIBUTION_SQL = """
+SELECT o_orderstatus AS label, count(*) AS n
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("label_distribution", oracle=_LABEL_DISTRIBUTION_SQL, category="aggregation")
+def label_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core distributional audit — ``groupBy(label).count()``
+    (utils/preprocessing_testing_utils.py:55-58) — on the driver tables."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_DISTINCT_LABELS_SQL = "SELECT DISTINCT o_orderstatus AS label FROM orders"
+
+
+@register("distinct_labels", oracle=_DISTINCT_LABELS_SQL, category="aggregation")
+def distinct_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column distinct — the reference enumerates label values the same way
+    before building sampling fractions (src/preprocessing_pipeline.py:174)."""
+    return read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("label")
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube
+# ---------------------------------------------------------------------------
+
+_REVENUE_ROLLUP_SQL = """
+SELECT
+  n_name,
+  o_orderstatus,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+  count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, o_orderstatus)
+"""
+
+
+@register("revenue_rollup", oracle=_REVENUE_ROLLUP_SQL, category="aggregation")
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (nation → nation×status → grand total).
+
+    Scale: customer and nation are broadcast; the expand+aggregate runs
+    map-side-partial so the 3× row expansion never hits the shuffle raw.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    joined = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    ).join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    return joined.rollup("n_name", "o_orderstatus").agg(
+        money_sum("o_totalprice").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+_QTY_CUBE_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+  count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("qty_cube", oracle=_QTY_CUBE_SQL, category="aggregation")
+def qty_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping combinations."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        money_sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@register("revenue_grouping_sets", oracle=_GROUPING_SETS_SQL, category="aggregation")
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL entry point (temp view + spark.sql):
+    the engine exposes both the DataFrame builder and SQL over the same
+    Catalyst pipeline."""
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT
+          l_returnflag,
+          l_linestatus,
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join family
+# ---------------------------------------------------------------------------
+
+_NATION_ORDER_COHORTS_SQL = """
+SELECT
+  n_name,
+  o_orderstatus,
+  count(*) AS n_lineitems,
+  count(DISTINCT o_orderkey) AS n_orders,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+  round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*), 6) AS avg_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name, o_orderstatus
+"""
+
+
+@register("nation_order_cohorts", oracle=_NATION_ORDER_COHORTS_SQL, category="join")
+def nation_order_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query (SURVEY.md §7.1): per-label cohort profile — the
+    reference's "label distribution per partition" question
+    (utils/preprocessing_testing_utils.py:55-58) recast on the star schema.
+
+    Plan shape: lineitem⋈orders is the one true shuffle (both sides large,
+    hash-partitioned on orderkey); customer and nation are broadcast so the
+    fact stream is never re-shuffled; final aggregate is partial+final.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
+    return joined.groupBy("n_name", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        money_sum(disc_price, 10000).alias("revenue"),
+        money_avg("l_quantity").alias("avg_qty"),
+    )
+
+
+_TOP_ORDERS_SQL = """
+SELECT
+  o_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@register("top_orders_by_segment", oracle=_TOP_ORDERS_SQL, category="join")
+def top_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact join → agg → top-k.
+
+    The segment filter reduces customer before broadcast; revenue is an exact
+    int64 sum so the DESC order (and thus the LIMIT set) is deterministic,
+    with o_orderkey as the tie-break.
+    """
+    customer = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(money_sum(disc_price, 10000).alias("revenue"))
+        .select(
+            "o_orderkey",
+            date_str("o_orderdate").alias("order_date"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+_REGIONAL_REVENUE_SQL = """
+SELECT
+  r_name,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+  count(*) AS n_lineitems
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY r_name
+"""
+
+
+@register("regional_revenue", oracle=_REGIONAL_REVENUE_SQL, category="join")
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: snowflake join chain region←nation←customer←orders←lineitem.
+
+    region/nation/customer broadcast (dims), so the only shuffle is
+    lineitem⋈orders on orderkey.
+    """
+    region = read_table(spark, sf_dir, "region")
+    nation = read_table(spark, sf_dir, "nation")
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dims = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("r_name")
+        .agg(
+            money_sum(disc_price, 10000).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_CUSTOMER_ORDER_STATS_SQL = """
+SELECT
+  c_custkey,
+  count(o_orderkey) AS n_orders,
+  CAST(sum(COALESCE(CAST(round(o_totalprice * 100) AS BIGINT), 0)) AS DOUBLE) / 100.0 AS total_spent
+FROM customer
+LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+"""
+
+
+@register("customer_order_stats", oracle=_CUSTOMER_ORDER_STATS_SQL, category="join")
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving order-less customers (count 0, total 0.0)."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            (
+                F.sum(F.coalesce(cents("o_totalprice"), F.lit(0))).cast("double")
+                / F.lit(100.0)
+            ).alias("total_spent"),
+        )
+    )
+
+
+_SEMI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+@register("customers_with_orders", oracle=_SEMI_JOIN_SQL, category="join")
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): emits each matching left row exactly once,
+    never materializing the right side's payload."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+_ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+@register("customers_without_orders", oracle=_ANTI_JOIN_SQL, category="join")
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS)."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_FULL_OUTER_SQL = """
+WITH c AS (
+  SELECT c_nationkey AS nationkey, count(*) AS n_customers
+  FROM customer GROUP BY c_nationkey
+), s AS (
+  SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+  FROM supplier GROUP BY s_nationkey
+)
+SELECT
+  COALESCE(c.nationkey, s.nationkey) AS nationkey,
+  c.n_customers,
+  s.n_suppliers
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+"""
+
+
+@register("nation_activity_full_outer", oracle=_FULL_OUTER_SQL, category="join")
+def nation_activity_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of per-nation customer counts vs supplier counts
+    (supplier covers few nations → null-padded rows on both sides)."""
+    c = (
+        read_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        read_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return c.join(s, c.nationkey == s.nationkey, "full_outer").select(
+        F.coalesce(c.nationkey, s.nationkey).alias("nationkey"),
+        "n_customers",
+        "n_suppliers",
+    )
+
+
+_RANGE_JOIN_SQL = """
+SELECT
+  a.user_id,
+  a.event_id AS first_event_id,
+  b.event_id AS next_event_id,
+  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 60 SECOND
+"""
+
+
+@register("event_pairs_range_join", oracle=_RANGE_JOIN_SQL, category="join")
+def event_pairs_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join: pairs of same-user events within 60 seconds.
+
+    Scale: the equi-key (user_id) makes this a hash join with a range
+    residual — per-user event lists are small, so the quadratic term is
+    bounded per key instead of per table. Pure inequality joins (no equi key)
+    would need bucketized timestamps; documented in operators/asof notes.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    return a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 60 SECONDS")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_id").alias("first_event_id"),
+        F.col("b.event_id").alias("next_event_id"),
+        (F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))).alias("gap_us"),
+    )
+
+
+_ASOF_SQL = """
+SELECT
+  p.event_id,
+  p.user_id,
+  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+  strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS signup_ts,
+  epoch_us(p.ts) - epoch_us(s.ts) AS wait_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+"""
+
+
+@register("purchase_asof_signup", oracle=_ASOF_SQL, category="join")
+def purchase_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (nearest prior event) — Spark has no native primitive
+    (SURVEY.md §7.3), so it is composed as union + last-non-null window:
+    tag both streams, sort by (ts, side) within user, and carry the latest
+    signup forward with ``last(..., ignorenulls=True)``.
+
+    Scale: one shuffle on user_id + a linear per-partition window pass —
+    strictly better than the range-join formulation (no quadratic residual),
+    and the same shape works in streaming with applyInPandasWithState.
+    Equal timestamps count as "prior" (side 0 sorts before side 1), matching
+    DuckDB ASOF's >= semantics.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("side"),
+        F.col("ts").alias("s_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("timestamp").alias("s_ts"),
+    )
+    merged = signups.unionByName(purchases)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        merged.withColumn("signup_ts", F.last("s_ts", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            ts_str("ts").alias("purchase_ts"),
+            ts_str("signup_ts").alias("signup_ts"),
+            (F.unix_micros("ts") - F.unix_micros("signup_ts")).alias("wait_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+_TOPK_PARTS_SQL = """
+SELECT * FROM (
+  SELECT
+    p_brand,
+    p_partkey,
+    p_retailprice,
+    row_number() OVER w AS rn,
+    rank() OVER w AS rnk,
+    dense_rank() OVER w AS drnk,
+    ntile(4) OVER w AS quartile
+  FROM part
+  WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+) WHERE rn <= 3
+"""
+
+
+@register("topk_parts_per_brand", oracle=_TOPK_PARTS_SQL, category="window")
+def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking windows (row_number/rank/dense_rank/ntile) + top-k per group.
+
+    The unique (price DESC, partkey) sort makes every rank deterministic.
+    Scale: one shuffle on p_brand, linear pass per partition; for skewed
+    groups the top-k-per-group pattern can pre-aggregate with a partial
+    bounded heap via AQE, but rank-filter is the canonical form.
+    """
+    part = read_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+_EVENT_DELTAS_SQL = """
+SELECT
+  event_id,
+  user_id,
+  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+  epoch_us(ts) - epoch_us(lag(ts) OVER w) AS delta_us,
+  lag(event_type) OVER w AS prev_type,
+  lead(event_type) OVER w AS next_type,
+  first_value(event_type) OVER w AS first_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("user_event_deltas", oracle=_EVENT_DELTAS_SQL, category="window")
+def user_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows (lag/lead/first_value) — per-user event gaps in exact
+    integer microseconds."""
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        ts_str("ts").alias("ts_str"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("delta_us"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.first("event_type").over(w).alias("first_type"),
+    )
+
+
+_MOVING_TOTALS_SQL = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+    AS moving_total
+FROM orders
+"""
+
+
+@register("moving_order_totals", oracle=_MOVING_TOTALS_SQL, category="window")
+def moving_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS frame: 3-order moving spend per customer, summed in exact cents."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        date_str("o_orderdate").alias("order_date"),
+        (F.sum(cents("o_totalprice")).over(w).cast("double") / F.lit(100.0)).alias(
+            "moving_total"
+        ),
+    )
+
+
+_RANGE_FRAME_SQL = """
+SELECT
+  p_partkey,
+  p_brand,
+  p_size,
+  CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT))
+       OVER (PARTITION BY p_brand ORDER BY p_size
+             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+    AS nearby_price_sum
+FROM part
+"""
+
+
+@register("brand_price_range_frame", oracle=_RANGE_FRAME_SQL, category="window")
+def brand_price_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric key: total retail price of same-brand parts
+    within 5 size units below (value-based frame → peers included, identical
+    in both engines)."""
+    part = read_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy("p_size").rangeBetween(-5, W.currentRow)
+    return part.select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        (F.sum(cents("p_retailprice")).over(w).cast("double") / F.lit(100.0)).alias(
+            "nearby_price_sum"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit
+# ---------------------------------------------------------------------------
+
+_TOP_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+ORDER BY c_acctbal DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("top_customers_by_balance", oracle=_TOP_CUSTOMERS_SQL, category="sort")
+def top_customers_by_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans orderBy+limit as TakeOrderedAndProject —
+    per-partition bounded heaps + driver merge, no global sort. Ties broken
+    by the unique key so the k-set is deterministic."""
+    return (
+        read_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+_UNION_SQL = """
+SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+UNION
+SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+@register("segment_nations_union", oracle=_UNION_SQL, category="setop")
+def segment_nations_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two segment filters — union + dedup aggregate."""
+    customer = read_table(spark, sf_dir, "customer")
+    a = customer.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    b = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    return a.union(b).distinct()
+
+
+_INTERSECT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+"""
+
+
+@register("nations_with_both", oracle=_INTERSECT_SQL, category="setop")
+def nations_with_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nations that have both customers and suppliers."""
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+_EXCEPT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey FROM supplier
+"""
+
+
+@register("nations_customers_only", oracle=_EXCEPT_SQL, category="setop")
+def nations_customers_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: nations with customers but no suppliers — the engine-side
+    replacement for the reference's driver-side ``set.intersection`` shard
+    audit (utils/preprocessing_testing_utils.py:60-80)."""
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.subtract(s)  # EXCEPT DISTINCT
+
+
+# ---------------------------------------------------------------------------
+# Scalar function suites
+# ---------------------------------------------------------------------------
+
+_STRING_FNS_SQL = """
+SELECT
+  p_partkey,
+  upper(p_name) AS name_upper,
+  substring(p_name, 1, 4) AS name_prefix,
+  string_split(p_name, ' ')[1] AS first_word,
+  len(string_split(p_name, ' ')) AS n_tokens,
+  regexp_replace(p_name, 'widget', 'gadget') AS renamed,
+  length(p_name) AS name_len,
+  lpad(p_brand, 10, '_') AS brand_padded,
+  CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INTEGER) AS brand_num,
+  concat(p_brand, ':', p_type) AS brand_type
+FROM part
+"""
+
+
+@register("part_string_functions", oracle=_STRING_FNS_SQL, category="scalar")
+def part_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function suite (upper/substring/split/regexp/length/lpad/concat)
+    — pure column expressions, replacing the reference's in-UDF path mangling
+    (``path.replace("/", "_")``, src/preprocessing_pipeline.py:48,:120)."""
+    part = read_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.size(F.split(F.col("p_name"), " ")).alias("n_tokens"),
+        F.regexp_replace("p_name", "widget", "gadget").alias("renamed"),
+        F.length("p_name").alias("name_len"),
+        F.lpad("p_brand", 10, "_").alias("brand_padded"),
+        F.regexp_extract("p_brand", "([0-9]+)", 1).cast("int").alias("brand_num"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+_MONTHLY_REVENUE_SQL = """
+SELECT
+  strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
+  count(*) AS n_orders,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("monthly_revenue", oracle=_MONTHLY_REVENUE_SQL, category="scalar")
+def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function suite: date_trunc to month + formatted rendering,
+    grouped revenue."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "order_month"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+_JSON_PROPS_SQL = """
+SELECT
+  CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+  count(*) AS n,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+FROM events
+GROUP BY 1
+"""
+
+
+@register("event_props_json", oracle=_JSON_PROPS_SQL, category="scalar")
+def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over events.props (get_json_object) + bucket agg."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum("value").alias("total_value"),
+        )
+    )
+
+
+_ARRAY_OPS_SQL = """
+SELECT
+  vec_id,
+  len(embedding) AS dim,
+  round(embedding[1]::DOUBLE, 6) AS first_val,
+  CAST(list_sum(list_transform(embedding[1:8],
+       x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT))) AS DOUBLE) / 1000000.0
+    AS head_sum
+FROM embeddings
+"""
+
+
+@register("embedding_array_ops", oracle=_ARRAY_OPS_SQL, category="scalar")
+def embedding_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order-function suite (size/element_at/slice/transform/
+    aggregate) over the vector column — all Catalyst expressions, no UDF.
+    The fold scales each float-exact double to int64 before summing so the
+    result is bit-identical across engines."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    head_sum = F.aggregate(
+        F.slice("embedding", 1, 8),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.round(x.cast("double") * 1000000).cast("long"),
+    ).cast("double") / F.lit(1000000.0)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        head_sum.alias("head_sum"),
+    )
