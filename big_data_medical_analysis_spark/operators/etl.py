@@ -1,1 +1,215 @@
-"""Placeholder — filled in as operators land."""
+"""Reference-surface ETL operators, corrected per SURVEY.md §2.2.
+
+The reference's pipeline operators — dedup guard, random client split,
+Bernoulli stratified sampling, explode fan-out, partitioned CSV writes
+(``src/preprocessing_pipeline.py:158-240, 273-283, 145-153, 198-204``) —
+re-expressed with the semantic hazards removed:
+
+- the dedup guard is a single declarative plan, not a count-then-maybe-drop
+  driver branch;
+- client splits are deterministic by construction (``pmod(xxhash64(key), n)``)
+  instead of ``randomSplit`` + post-hoc disjointness audit (SURVEY §2.2.3);
+- the exact stratified partitioner complements the reference's Bernoulli
+  ``sampleBy`` (SURVEY §2.2.4);
+- writers are explicit terminal jobs on partitioned Parquet, not per-client
+  CSV re-executions of shared lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from big_data_medical_analysis_spark.registry import register
+from big_data_medical_analysis_spark.sources.readers import read_table
+
+# ---------------------------------------------------------------------------
+# Dedup guard (reference: src/preprocessing_pipeline.py:280-283)
+# ---------------------------------------------------------------------------
+
+_DEDUP_GUARD_SQL = """
+SELECT l_returnflag, count(*) AS n_after_dedup
+FROM (
+  SELECT DISTINCT * FROM (
+    SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem
+  )
+)
+GROUP BY l_returnflag
+"""
+
+
+@register("dedup_guard", oracle=_DEDUP_GUARD_SQL, category="etl")
+def dedup_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a deliberately doubled input (every row duplicated
+    once), proving ``dropDuplicates`` semantics: the reference guards its
+    split the same way (``groupBy("Path").count().filter("count>1")`` then
+    ``dropDuplicates``, src/preprocessing_pipeline.py:280-283) but as a
+    driver-side branch; here it is one declarative plan.
+
+    Scale: full-row dedup is a hash aggregate on all columns — at 100 TB you
+    dedup on a key or content hash instead (see dedup.py); this query is the
+    exact-semantics baseline.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    doubled = li.unionAll(li)
+    return (
+        doubled.dropDuplicates()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_after_dedup"))
+    )
+
+
+_KEY_DEDUP_SQL = """
+SELECT count(*) AS n_keys
+FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)
+"""
+
+
+@register("key_dedup_count", oracle=_KEY_DEDUP_SQL, category="etl")
+def key_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-based ``dropDuplicates([keys])`` — first-row-per-key aggregate,
+    the scalable form of the reference's Path dedup."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.dropDuplicates(["l_orderkey", "l_linenumber"])
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic client split (replaces randomSplit, SURVEY §2.2.3)
+# ---------------------------------------------------------------------------
+
+
+def assign_client(df: DataFrame, key_cols: list[str], n_clients: int) -> DataFrame:
+    """Add a ``client`` column: ``pmod(xxhash64(key...), n)``.
+
+    Deterministic by construction — disjoint and complete regardless of
+    partition layout, unlike ``randomSplit`` (which the reference has to
+    audit post-hoc, utils/preprocessing_testing_utils.py:60-80). At 100 TB
+    this composes with a single partitioned write instead of N filtered
+    re-executions of the parent lineage.
+    """
+    return df.withColumn(
+        "client", F.pmod(F.xxhash64(*key_cols), F.lit(n_clients)).cast("int")
+    )
+
+
+@register("deterministic_client_split", oracle=None, category="etl")
+def deterministic_client_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Client-shard sizes under the deterministic hash split (4 clients on
+    orders). No oracle: xxhash64 is engine-specific; disjointness/completeness
+    are property-tested in tests/test_etl.py."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        assign_client(orders, ["o_orderkey"], 4)
+        .groupBy("client")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_EXACT_STRATIFIED_SQL = """
+SELECT c_mktsegment, bucket, count(*) AS n
+FROM (
+  SELECT
+    c_mktsegment,
+    (row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) - 1) % 4
+      AS bucket
+  FROM customer
+)
+GROUP BY c_mktsegment, bucket
+"""
+
+
+@register("exact_stratified_split", oracle=_EXACT_STRATIFIED_SQL, category="etl")
+def exact_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact disjoint stratified partitioner (SURVEY §2.2.4): round-robin by
+    ``row_number`` within each stratum — every bucket gets ⌈n/4⌉ or ⌊n/4⌋
+    rows per stratum, unlike Bernoulli ``sampleBy`` which only approximates
+    fractions. One shuffle on the stratum key."""
+    customer = read_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_custkey")
+    return (
+        customer.withColumn("bucket", (F.row_number().over(w) - 1) % 4)
+        .groupBy("c_mktsegment", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register("stratified_sample_by", oracle=None, category="etl")
+def stratified_sample_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-compatible Bernoulli stratified sample
+    (``df.sampleBy(label, fractions, seed=42)``,
+    src/preprocessing_pipeline.py:176,:229) — per-stratum row counts.
+    No oracle: Bernoulli draws are engine-RNG-specific; per-stratum fraction
+    tolerance is property-tested."""
+    orders = read_table(spark, sf_dir, "orders")
+    sampled = orders.sampleBy(
+        "o_orderstatus", fractions={"O": 0.7, "F": 0.3, "P": 0.5}, seed=42
+    )
+    return sampled.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+@register("random_split_shards", oracle=None, category="etl")
+def random_split_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-compatible ``randomSplit([0.25]*4, seed=42)``
+    (src/preprocessing_pipeline.py:198-199) — shard sizes. The input is
+    deduped and hash-repartitioned first, as the reference does (:273,:280),
+    because randomSplit's disjointness depends on a deterministic partition
+    layout. No oracle (engine RNG)."""
+    orders = read_table(spark, sf_dir, "orders").repartition(16, "o_orderkey")
+    shards = orders.randomSplit([0.25] * 4, seed=42)
+    tagged = None
+    for i, shard in enumerate(shards):
+        s = shard.select(F.lit(i).alias("shard"))
+        tagged = s if tagged is None else tagged.unionAll(s)
+    return tagged.groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Explode fan-out (reference: split→explode, src/preprocessing_pipeline.py:145-148)
+# ---------------------------------------------------------------------------
+
+_EXPLODE_SQL = """
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split(p_name, ' ')) AS token FROM part)
+GROUP BY token
+"""
+
+
+@register("explode_part_tokens", oracle=_EXPLODE_SQL, category="etl")
+def explode_part_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator fan-out: split → explode → aggregate, the reference's
+    1-row→9-rows augmentation expansion (split at :145, explode at :148) as
+    a real ArrayType pipeline instead of a comma-joined string."""
+    part = read_table(spark, sf_dir, "part")
+    return (
+        part.select(F.explode(F.split("p_name", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Writers: explicit terminal jobs (reference: per-client CSV writes :203-204)
+# ---------------------------------------------------------------------------
+
+
+def write_client_shards(
+    df: DataFrame, key_cols: list[str], n_clients: int, out_dir: str
+) -> None:
+    """Single partitioned-parquet write of all client shards.
+
+    Replaces the reference's loop of N ``df.write.csv`` jobs — each of which
+    re-executed the shared upstream lineage (src/preprocessing_pipeline.py:
+    199-204) — with ONE job partitioned by client id.
+    """
+    assign_client(df, key_cols, n_clients).write.mode("overwrite").partitionBy(
+        "client"
+    ).parquet(out_dir)
+
+
+def write_partitioned(df: DataFrame, partition_cols: list[str], out_dir: str) -> None:
+    """Partitioned parquet sink — the engine's native layout for partition
+    pruning at scale (vs the reference's flat CSV, :180,:204,:233)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(out_dir)

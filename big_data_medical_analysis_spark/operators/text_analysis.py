@@ -1,1 +1,213 @@
-"""Placeholder — filled in as operators land."""
+"""Text-analysis operators for the LLM-data pipeline (SURVEY.md §2.3):
+tokenization, quality scoring, language ID, fingerprinting, token counting.
+
+All pure Catalyst column expressions — no Python in the hot path — so they
+whole-stage-codegen and scale linearly with one scan and one (optional)
+aggregate shuffle. Ratios are integer-ratio doubles (deterministic) and
+hashes are md5 (identical across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_medical_analysis_spark.registry import register
+from big_data_medical_analysis_spark.sources.readers import read_table
+
+# ---------------------------------------------------------------------------
+# Token statistics
+# ---------------------------------------------------------------------------
+
+_TOKEN_STATS_SQL = """
+SELECT
+  lang,
+  count(*) AS n_docs,
+  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+  round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 6)
+    AS avg_tokens,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("doc_token_stats", oracle=_TOKEN_STATS_SQL, category="text")
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + per-language corpus statistics."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens).alias("total_tokens"),
+        F.round(F.sum(n_tokens).cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_tokens"
+        ),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+_QUALITY_SQL = """
+SELECT
+  doc_id,
+  len(string_split(text, ' ')) AS n_tokens,
+  length(text) AS text_len,
+  round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        / len(string_split(text, ' ')), 6) AS avg_token_len,
+  round(CAST(len(list_filter(string_split(text, ' '),
+        t -> list_contains(['the','a','and','of','to','in','is'], t))) AS DOUBLE)
+        / len(string_split(text, ' ')), 6) AS stopword_ratio,
+  len(string_split(text, ' ')) >= 20 AS long_enough,
+  CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces
+FROM documents
+"""
+
+
+@register("doc_quality_scores", oracle=_QUALITY_SQL, category="text")
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features per document: token count, mean token length,
+    stopword ratio, length gate — the standard pre-training corpus filters,
+    as pure expressions (a 100 TB scan with zero shuffle)."""
+    docs = read_table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    n_tokens = F.size(tokens)
+    stopwords = F.array(*[F.lit(w) for w in ["the", "a", "and", "of", "to", "in", "is"]])
+    n_stop = F.size(F.filter(tokens, lambda t: F.array_contains(stopwords, t)))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("text_len"),
+        F.round(
+            (F.length("text") - n_tokens + 1).cast("double") / n_tokens, 6
+        ).alias("avg_token_len"),
+        F.round(n_stop.cast("double") / n_tokens, 6).alias("stopword_ratio"),
+        (n_tokens >= 20).alias("long_enough"),
+        (F.length("text") - F.length(F.regexp_replace("text", " ", ""))).alias(
+            "n_spaces"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language identification (n-gram/stopword heuristic)
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS: dict[str, list[str]] = {
+    # Deterministic marker-token dictionaries; the corpus is synthetic, so
+    # the point is engine-parity of the scoring pipeline, not linguistics.
+    "en": ["the", "a", "and", "of", "to"],
+    "de": ["der", "die", "das", "und", "zu"],
+    "es": ["el", "la", "de", "y", "que"],
+    "fr": ["le", "les", "et", "une", "dans"],
+    "zh": ["de5", "shi4", "bu4", "le5", "wo3"],
+}
+
+_LANGS = list(_LANG_MARKERS)
+
+
+def _lang_score_sql(lang: str) -> str:
+    toks = ", ".join(f"'{t}'" for t in _LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(string_split(text, ' '), "
+        f"t -> list_contains([{toks}], t)))"
+    )
+
+
+_LANG_ID_SQL = (
+    "SELECT doc_id, lang, "
+    + ", ".join(f"{_lang_score_sql(lg)} AS score_{lg}" for lg in _LANGS)
+    + ", CASE "
+    + " ".join(
+        f"WHEN score_{lg} = greatest({', '.join('score_' + x for x in _LANGS)}) "
+        f"THEN '{lg}'"
+        for lg in _LANGS
+    )
+    + " END AS predicted_lang FROM documents"
+)
+
+
+@register("language_id_markers", oracle=_LANG_ID_SQL, category="text")
+def language_id_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: marker-token hit counts per language, argmax
+    with a fixed tie-break order (first language in declaration order wins,
+    mirroring the SQL CASE chain)."""
+    docs = read_table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(
+                F.filter(
+                    tokens,
+                    lambda t, lg=lg: F.array_contains(
+                        F.array(*[F.lit(w) for w in _LANG_MARKERS[lg]]), t
+                    ),
+                )
+            ).alias(f"score_{lg}")
+            for lg in _LANGS
+        ],
+    )
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in _LANGS])
+    pred = F.when(F.col(f"score_{_LANGS[0]}") == best, F.lit(_LANGS[0]))
+    for lg in _LANGS[1:]:
+        pred = pred.when(F.col(f"score_{lg}") == best, F.lit(lg))
+    return scored.withColumn("predicted_lang", pred)
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting
+# ---------------------------------------------------------------------------
+
+_FINGERPRINT_SQL = """
+SELECT
+  doc_id,
+  md5(text) AS fingerprint,
+  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS normalized_fp,
+  substr(md5(text), 1, 8) AS shard_prefix
+FROM documents
+"""
+
+
+@register("doc_fingerprints", oracle=_FINGERPRINT_SQL, category="text")
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: raw md5 + whitespace/case-normalized md5 —
+    md5 is bit-identical across engines, so fingerprints are portable keys
+    for cross-system dedup."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("fingerprint"),
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias(
+            "normalized_fp"
+        ),
+        F.substring(F.md5("text"), 1, 8).alias("shard_prefix"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regex token counting (BPE-ish pre-tokenizer)
+# ---------------------------------------------------------------------------
+
+_REGEX_TOKENS_SQL = """
+SELECT
+  doc_id,
+  len(regexp_extract_all(text, '[a-z]+')) AS n_word_tokens,
+  len(regexp_extract_all(text, '[0-9]+')) AS n_number_tokens,
+  len(regexp_extract_all(text, '[a-z]{4,}')) AS n_long_words
+FROM documents
+"""
+
+
+@register("regex_token_counts", oracle=_REGEX_TOKENS_SQL, category="text")
+def regex_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-class token counting (a BPE-style pre-tokenizer's split rule) —
+    ``regexp_count`` stays in codegen; patterns restricted to constructs with
+    identical semantics in Java regex and RE2."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("[a-z]+")).alias("n_word_tokens"),
+        F.regexp_count("text", F.lit("[0-9]+")).alias("n_number_tokens"),
+        F.regexp_count("text", F.lit("[a-z]{4,}")).alias("n_long_words"),
+    )
