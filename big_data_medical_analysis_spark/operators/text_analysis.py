@@ -133,21 +133,17 @@ def language_id_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirroring the SQL CASE chain)."""
     docs = read_table(spark, sf_dir, "documents")
     tokens = F.split("text", " ")
-    scored = docs.select(
-        "doc_id",
-        "lang",
-        *[
-            F.size(
-                F.filter(
-                    tokens,
-                    lambda t, lg=lg: F.array_contains(
-                        F.array(*[F.lit(w) for w in _LANG_MARKERS[lg]]), t
-                    ),
-                )
-            ).alias(f"score_{lg}")
-            for lg in _LANGS
-        ],
-    )
+
+    def _score(lg: str):
+        # The marker array is hoisted out of the lambda: PySpark inspects the
+        # lambda's arity, so it must take exactly one parameter (a default
+        # `lg=lg` parameter would be bound to the element-index Column).
+        markers = F.array(*[F.lit(w) for w in _LANG_MARKERS[lg]])
+        return F.size(
+            F.filter(tokens, lambda t: F.array_contains(markers, t))
+        ).alias(f"score_{lg}")
+
+    scored = docs.select("doc_id", "lang", *[_score(lg) for lg in _LANGS])
     best = F.greatest(*[F.col(f"score_{lg}") for lg in _LANGS])
     pred = F.when(F.col(f"score_{_LANGS[0]}") == best, F.lit(_LANGS[0]))
     for lg in _LANGS[1:]:
