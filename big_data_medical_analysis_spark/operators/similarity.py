@@ -1,1 +1,300 @@
-"""Placeholder — filled in as operators land."""
+"""Similarity search over the ``embeddings`` vector table (SURVEY.md §2.3,
+north-star "similarity" pillar).
+
+Three tiers, mirroring how a 100 TB pipeline actually deploys ANN:
+
+1. ``cosine_topk`` — exact brute-force cosine top-k for a small probe set.
+   Pure Catalyst higher-order functions (``zip_with`` + ``aggregate``), no
+   UDF: the probe set is broadcast, the candidate scan is a single linear
+   pass, and only the tiny probe×candidate score table shuffles for the
+   ranking window. This is the correctness baseline every ANN variant is
+   validated against.
+2. ``embedding_near_dup_pairs`` — thresholded all-pairs *within a blocking
+   key* (label). Blocked all-pairs is the exact-semantics mid-tier: the
+   quadratic term is bounded per block, so cost is Σ|block|², not N².
+3. ``ann_brp_lsh`` — ``BucketedRandomProjectionLSH`` candidate pairs: the
+   at-scale path. Vectors are bucketed by random hyperplane projections and
+   only same-bucket pairs are compared — never an all-pairs cross join.
+   Engine-RNG hashing ⇒ rows-only correctness check (registry contract);
+   recall against planted near-duplicates is asserted in
+   ``tests/test_similarity.py``.
+
+Determinism convention: every score that reaches an oracle hash is computed
+on int64-scaled components (``round(x·10⁶)``) so dot products and squared
+norms are *exact* integers; the only float ops are one ``sqrt`` and one
+division per pair — bit-identical across engines (IEEE-754). See
+``operators/common.py`` for the same convention on money columns.
+
+Reference parity: the reference has no similarity surface at all (its only
+"similarity" is Python set intersection over collected paths,
+``utils/preprocessing_testing_utils.py:60-80``); this module is mandated by
+SURVEY §2.3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from big_data_medical_analysis_spark.registry import register
+from big_data_medical_analysis_spark.sources.readers import read_table
+
+_SCALE = 1_000_000
+
+N_PROBES = 10
+TOP_K = 5
+# The synthetic embeddings are near-random (within-label cosine q99 ≈ 0.30);
+# 0.25 exercises a real selective threshold instead of returning zero pairs.
+NEAR_DUP_COS = 0.25
+
+
+def _iscaled(x: Column) -> Column:
+    """float component → exact int64 (= round(x·10⁶))."""
+    return F.round(x.cast("double") * _SCALE).cast("long")
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two float vectors (order-independent)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: _iscaled(x) * _iscaled(y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def int_norm2(a: Column) -> Column:
+    """Exact int64 squared norm of a float vector."""
+    return F.aggregate(
+        F.transform(a, lambda x: _iscaled(x) * _iscaled(x)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(dot: Column, n2a: Column, n2b: Column) -> Column:
+    """cos = dot / (√n2a·√n2b), rounded to 6 dp.
+
+    ``n2a·n2b`` would overflow int64 (~10²⁹ for 64-dim unit-ish vectors at
+    10⁶ scaling), so each norm is √'d separately in double space.
+    """
+    return F.round(
+        dot.cast("double")
+        / (F.sqrt(n2a.cast("double")) * F.sqrt(n2b.cast("double"))),
+        6,
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. Exact brute-force cosine top-k
+# ---------------------------------------------------------------------------
+
+_COSINE_SQL = f"""
+WITH scaled AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x::DOUBLE * {_SCALE}) AS BIGINT))
+           AS iv
+  FROM embeddings
+), normed AS (
+  SELECT vec_id, iv,
+         list_sum(list_transform(iv, x -> x * x)) AS n2
+  FROM scaled
+), pairs AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         round(
+           CAST(list_sum(list_transform(list_zip(p.iv, c.iv),
+                                        z -> z[1] * z[2])) AS DOUBLE)
+           / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))), 6)
+           AS cos_sim
+  FROM normed p JOIN normed c ON c.vec_id <> p.vec_id
+  WHERE p.vec_id < {N_PROBES}
+)
+SELECT probe_id, cand_id, cos_sim,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY probe_id ORDER BY cos_sim DESC, cand_id) AS rnk
+  FROM pairs
+)
+WHERE rnk <= {TOP_K}
+"""
+
+
+@register("cosine_topk", oracle=_COSINE_SQL, category="similarity")
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: {N_PROBES} probe vectors × full candidate scan.
+
+    Plan shape (the one you want at 100 TB): the probe set is a broadcast
+    nested-loop against a single linear candidate scan — the big side never
+    shuffles to score. Only the probe×candidate score table (|probes|·N rows,
+    with |probes| small) shuffles for the per-probe ranking window.
+    Deterministic ties: (cos_sim DESC, cand_id).
+    """
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", int_norm2("embedding").alias("n2")
+    )
+    probes = F.broadcast(
+        emb.filter(F.col("vec_id") < N_PROBES).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("p_emb"),
+            F.col("n2").alias("p_n2"),
+        )
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("n2").alias("c_n2"),
+    )
+    pairs = probes.join(cands, F.col("cand_id") != F.col("probe_id")).select(
+        "probe_id",
+        "cand_id",
+        cosine(
+            int_dot("p_emb", "c_emb"), F.col("p_n2"), F.col("c_n2")
+        ).alias("cos_sim"),
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("probe_id", "cand_id", "cos_sim", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Blocked near-duplicate pairs (exact, bounded quadratic)
+# ---------------------------------------------------------------------------
+
+_NEAR_DUP_SQL = f"""
+WITH scaled AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(round(x::DOUBLE * {_SCALE}) AS BIGINT))
+           AS iv
+  FROM embeddings
+), normed AS (
+  SELECT vec_id, label, iv,
+         list_sum(list_transform(iv, x -> x * x)) AS n2
+  FROM scaled
+)
+SELECT a.label AS label,
+       a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(
+         CAST(list_sum(list_transform(list_zip(a.iv, b.iv),
+                                      z -> z[1] * z[2])) AS DOUBLE)
+         / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))), 6)
+         AS cos_sim
+FROM normed a JOIN normed b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(
+        CAST(list_sum(list_transform(list_zip(a.iv, b.iv),
+                                     z -> z[1] * z[2])) AS DOUBLE)
+        / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))), 6)
+      >= {NEAR_DUP_COS}
+"""
+
+
+@register("embedding_near_dup_pairs", oracle=_NEAR_DUP_SQL, category="similarity")
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-duplicate pairs above a cosine threshold, *blocked by
+    label*: the quadratic term is Σ|block|² not N², so the equi-join on the
+    block key shuffles once and each block's pairs are generated locally.
+    At 100 TB the block key comes from a coarse clusterer or LSH bucket
+    (``ann_brp_lsh``); same plan shape either way.
+    """
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", int_norm2("embedding").alias("n2")
+    )
+    a = emb.select(
+        F.col("label"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("n2").alias("n2_a"),
+    )
+    b = emb.select(
+        F.col("label").alias("label_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("n2").alias("n2_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("label") == F.col("label_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select(
+            "label",
+            "vec_a",
+            "vec_b",
+            cosine(int_dot("emb_a", "emb_b"), F.col("n2_a"), F.col("n2_b")).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= NEAR_DUP_COS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. Approximate nearest neighbours: bucketed random-projection LSH
+# ---------------------------------------------------------------------------
+
+
+def brp_lsh_pairs(
+    emb: DataFrame,
+    dist_threshold: float,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate pairs from ``BucketedRandomProjectionLSH.approxSimilarityJoin``.
+
+    The at-scale ANN path: each vector is hashed by ``num_hash_tables``
+    random projections into buckets of width ``bucket_length``; the join
+    explodes vectors by hash table, shuffles on (table, bucket), and compares
+    only co-bucketed pairs — no all-pairs cross join ever materializes.
+    Output: (vec_a, vec_b, eucl_dist) for pairs under ``dist_threshold``.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = emb.select(
+        "vec_id", "label", array_to_vector("embedding").alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(vecs)
+    joined = model.approxSimilarityJoin(
+        vecs, vecs, dist_threshold, distCol="eucl_dist"
+    )
+    return (
+        joined.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetA.label").alias("label_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            F.col("datasetB.label").alias("label_b"),
+            F.round("eucl_dist", 6).alias("eucl_dist"),
+        )
+    )
+
+
+@register("ann_brp_lsh", oracle=None, category="similarity")
+def ann_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRP-LSH candidate-pair profile: pair counts per (label_a, label_b).
+
+    Rows-only check (LSH hash functions are engine-RNG; fixed seed makes the
+    run deterministic but not oracle-expressible). Recall against exact
+    near-dup pairs is property-tested in tests/test_similarity.py.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = brp_lsh_pairs(emb, dist_threshold=8.0)
+    return (
+        pairs.groupBy("label_a", "label_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.min("eucl_dist"), 6).alias("min_dist"),
+        )
+    )

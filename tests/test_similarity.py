@@ -1,0 +1,79 @@
+"""Property tests for the similarity pillar (operators/similarity.py).
+
+The LSH recall test plants known near-duplicates and asserts the bucketed
+candidate join recovers them — the check an oracle can't express
+(engine-RNG hashing), mirroring SURVEY.md §5.2's invariant-test strategy.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_medical_analysis_spark.operators import similarity as S
+from big_data_medical_analysis_spark.sources.readers import read_table
+
+
+def test_cosine_topk_shape_and_bounds(spark, sf_dir):
+    df = S.cosine_topk(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == S.N_PROBES * S.TOP_K
+    for r in rows:
+        assert -1.000001 <= r.cos_sim <= 1.000001
+        assert 1 <= r.rnk <= S.TOP_K
+        assert r.cand_id != r.probe_id
+    # per-probe scores are non-increasing in rank
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r.probe_id, []).append((r.rnk, r.cos_sim))
+    for scores in by_probe.values():
+        ordered = [s for _, s in sorted(scores)]
+        assert ordered == sorted(ordered, reverse=True)
+
+
+def test_cosine_self_similarity_is_one(spark, sf_dir):
+    """cos(v, v) == 1.0 under the int-scaled convention (sanity of the
+    exact-arithmetic dot/norm identities)."""
+    emb = read_table(spark, sf_dir, "embeddings").limit(20)
+    df = emb.select(
+        S.cosine(
+            S.int_dot("embedding", "embedding"),
+            S.int_norm2("embedding"),
+            S.int_norm2("embedding"),
+        ).alias("c")
+    )
+    for r in df.collect():
+        assert r.c == pytest.approx(1.0, abs=1e-6)
+
+
+def test_brp_lsh_recall_on_planted_near_dups(spark):
+    """Plant exact duplicates and tiny perturbations of base vectors; the
+    BRP-LSH candidate join must recover every planted pair (distance ~0 ⇒
+    same bucket in every hash table)."""
+    import random
+
+    rng = random.Random(7)
+    dim = 16
+    rows = []
+    planted = []
+    for i in range(40):
+        v = [rng.uniform(-1, 1) for _ in range(dim)]
+        rows.append((i, i % 4, v))
+    # ids 100+i: near-copies of vector i (perturbed by 1e-3)
+    for i in range(10):
+        v = [x + 1e-3 for x in rows[i][2]]
+        rows.append((100 + i, rows[i][1], v))
+        planted.append((i, 100 + i))
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    pairs = S.brp_lsh_pairs(df, dist_threshold=0.1, bucket_length=1.0)
+    found = {(r.vec_a, r.vec_b) for r in pairs.collect()}
+    for p in planted:
+        assert p in found, f"planted near-dup {p} not recovered by LSH"
+
+
+def test_near_dup_pairs_symmetric_free_and_thresholded(spark, sf_dir):
+    df = S.embedding_near_dup_pairs(spark, sf_dir)
+    rows = df.collect()
+    for r in rows:
+        assert r.vec_a < r.vec_b  # canonical orientation, no (b,a) twins
+        assert r.cos_sim >= S.NEAR_DUP_COS
