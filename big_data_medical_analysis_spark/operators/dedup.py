@@ -1,1 +1,334 @@
-"""Placeholder — filled in as operators land."""
+"""Deduplication pillar over the ``documents`` table (SURVEY.md §2.3,
+north-star "dedup" pillar): exact content-hash dedup, n-gram Jaccard,
+SimHash, and banded MinHash-LSH near-duplicate candidates.
+
+The tiering is how 100 TB training-data dedup actually works:
+
+1. **Exact** (``docs_exact_dedup``): group by a normalized content hash,
+   keep a deterministic representative (min doc_id). Zero joins — one hash
+   aggregate; the hash is the shuffle key, so the reduce side only ever sees
+   ~|unique| rows. The reference's own dedup is the key-based special case
+   (``dropDuplicates(["Path"])``, src/preprocessing_pipeline.py:280-283).
+2. **SimHash** (``simhash_near_dup``): one 32-bit bit-majority fingerprint
+   per doc from md5 token hashes — a single linear scan with *no* list
+   columns surviving it — then cheap integer Hamming-distance pairing within
+   a block. Fully oracle-checked: md5 is bit-identical across engines and
+   everything else is integer arithmetic.
+3. **n-gram Jaccard** (``ngram_jaccard_pairs``): exact trigram-shingle
+   Jaccard for a probe set against same-language candidates — the exactness
+   baseline the approximate tiers are validated against.
+4. **MinHash-LSH** (``minhash_lsh_candidates``): shingle → HashingTF →
+   banded MinHash candidate pairs via ``approxSimilarityJoin`` — the
+   at-scale path: only same-band pairs are compared, never all-pairs.
+   Engine-RNG hash families ⇒ rows-only check; recall on planted duplicates
+   is property-tested in tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_medical_analysis_spark.registry import register
+from big_data_medical_analysis_spark.sources.readers import read_table
+
+# Calibrated against the synthetic corpus: same-language docs share heavy
+# vocabulary, so a 16-bit simhash saturates (88% of pairs within distance 3);
+# 32 bits with hdist ≤ 2 isolates the genuinely near-duplicate tail, matching
+# the token-Jaccard ≥ 0.8 population.
+SIMHASH_BITS = 32
+SIMHASH_MAX_HDIST = 2
+JACCARD_THRESHOLD = 0.8
+N_JACCARD_PROBES = 50
+
+
+def normalized_fingerprint(text: Column | str) -> Column:
+    """Whitespace/case-normalized md5 — the portable content key
+    (same convention as text_analysis.doc_fingerprints)."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))
+
+
+# ---------------------------------------------------------------------------
+# 1. Exact content-hash dedup
+# ---------------------------------------------------------------------------
+
+_EXACT_DEDUP_SQL = """
+SELECT fp, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+FROM (
+  SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp, doc_id
+  FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+)
+GROUP BY fp
+"""
+
+
+@register("docs_exact_dedup", oracle=_EXACT_DEDUP_SQL, category="dedup")
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized content hash over a deliberately doubled
+    input (the corpus itself has no exact dups): one hash aggregate keyed on
+    the fingerprint, with min(doc_id) as the deterministic representative.
+
+    This is the 100 TB-shaped exact dedup: the 32-byte fingerprint is the
+    shuffle key (not the document body), partial aggregation collapses
+    copies map-side, and representative selection is an aggregate — never a
+    window over the full corpus.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    doubled = docs.unionAll(docs)
+    return (
+        doubled.select(
+            normalized_fingerprint("text").alias("fp"), "doc_id"
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. SimHash near-dup (linear fingerprint + integer Hamming pairing)
+# ---------------------------------------------------------------------------
+
+
+def _token_hashes(text: Column | str) -> Column:
+    """Distinct whitespace tokens → int64 hashes (first 8 md5 hex chars).
+
+    md5 is the only engine-portable hash in both Spark and DuckDB; the
+    32-bit prefix is plenty for bit-majority voting.
+    """
+    toks = F.array_distinct(F.split(text, " "))
+    return F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
+
+
+def simhash(hashes: Column) -> Column:
+    """Bit-majority SimHash over pre-materialized token hashes.
+
+    bit b of the fingerprint is set iff more than half the token hashes have
+    bit b set. SIMHASH_BITS filtered counts over one in-memory array column —
+    a single projection, no explode, no shuffle.
+    """
+    n = F.size(hashes)
+
+    def _bit_set(mask: int):
+        # One-arg lambda via closure: a `m=...` default parameter would make
+        # PySpark treat this as a 2-arg (value, index) lambda and bind the
+        # index Column to m (the language_id_markers arity trap).
+        mask_lit = F.lit(mask)
+        return lambda x: x.bitwiseAND(mask_lit) != 0
+
+    bits = []
+    for b in range(SIMHASH_BITS):
+        mask = 1 << b
+        nb = F.size(F.filter(hashes, _bit_set(mask)))
+        bits.append(F.when(nb * 2 > n, F.lit(mask)).otherwise(F.lit(0)))
+    out = bits[0]
+    for bexpr in bits[1:]:
+        out = out + bexpr
+    return out.cast("long")
+
+
+def _simhash_bit_sql() -> str:
+    terms = []
+    for b in range(SIMHASH_BITS):
+        mask = 1 << b
+        terms.append(
+            f"CASE WHEN 2 * len(list_filter(hs, x -> (x & {mask}) <> 0)) > len(hs) "
+            f"THEN {mask} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+_SIMHASH_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id, lang,
+         list_transform(list_distinct(string_split(text, ' ')),
+                        t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT))
+           AS hs
+  FROM documents
+), fp AS (
+  SELECT doc_id, lang, CAST({_simhash_bit_sql()} AS BIGINT) AS simhash
+  FROM hashed
+)
+SELECT a.lang AS lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hdist
+FROM fp a JOIN fp b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HDIST}
+"""
+
+
+@register("simhash_near_dup", oracle=_SIMHASH_SQL, category="dedup")
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: Hamming distance ≤ SIMHASH_MAX_HDIST
+    on a 32-bit bit-majority fingerprint, blocked by language.
+
+    Fingerprinting is one linear projection; pairing carries only
+    (doc_id, lang, int64) — the document bodies never reach the join. At
+    100 TB you block on fingerprint bands (pigeonhole: distance ≤ 3 over 4
+    bands ⇒ one band matches exactly) instead of a metadata key; the plan
+    shape is identical.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "lang", _token_hashes("text").alias("hs")
+    ).select("doc_id", "lang", simhash(F.col("hs")).alias("simhash"))
+    a = fp.select(
+        "lang", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")
+    )
+    b = fp.select(
+        F.col("lang").alias("lang_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sh_b"),
+    )
+    hdist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("lang") == F.col("lang_b")) & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("lang", "doc_a", "doc_b", hdist.alias("hdist"))
+        .filter(F.col("hdist") <= SIMHASH_MAX_HDIST)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. Exact n-gram Jaccard (probe set vs same-language candidates)
+# ---------------------------------------------------------------------------
+
+
+def shingles(text: Column | str, n: int = 1) -> Column:
+    """Distinct word n-gram shingles as an array<string> column.
+
+    n=1 (token sets) is the default for the registered queries: the synthetic
+    corpus's planted near-duplicates are word-order permutations, which any
+    n≥2 shingle destroys (trigram Jaccard tops out at 0.03 where token-set
+    Jaccard hits 1.0). Real pipelines pick n per dup-model; the operator is
+    n-generic.
+    """
+    if n == 1:
+        return F.array_distinct(F.split(text, " "))
+    toks = F.split(text, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
+    )
+    return F.array_distinct(grams)
+
+
+_JACCARD_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, lang,
+         list_distinct(string_split(text, ' ')) AS grams
+  FROM documents
+)
+SELECT a.doc_id AS probe_id, b.doc_id AS cand_id,
+       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+             6) AS jaccard
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+WHERE a.doc_id < {N_JACCARD_PROBES}
+  AND round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+            6) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("ngram_jaccard_pairs", oracle=_JACCARD_SQL, category="dedup")
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-shingle Jaccard: {N_JACCARD_PROBES} probe docs against
+    all same-language candidates, keeping pairs ≥ {JACCARD_THRESHOLD}.
+
+    The exactness baseline for the approximate tiers. Probe-bounded so the
+    pair count is |probes|·|block|, linear in corpus size; at 100 TB the
+    probe side is whatever LSH candidate generation emits.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", "lang", shingles("text").alias("grams"))
+    a = sh.filter(F.col("doc_id") < N_JACCARD_PROBES).select(
+        F.col("doc_id").alias("probe_id"),
+        F.col("lang"),
+        F.col("grams").alias("grams_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("cand_id"),
+        F.col("lang").alias("lang_b"),
+        F.col("grams").alias("grams_b"),
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size("grams_a") + F.size("grams_b") - inter
+    return (
+        F.broadcast(a)
+        .join(
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("probe_id") != F.col("cand_id")),
+        )
+        .select(
+            "probe_id",
+            "cand_id",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. MinHash-LSH banded candidates (the at-scale approximate path)
+# ---------------------------------------------------------------------------
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    jaccard_dist_threshold: float = 0.2,
+    num_hash_tables: int = 5,
+    num_features: int = 1 << 18,
+    seed: int = 42,
+) -> DataFrame:
+    """Shingle → HashingTF → MinHashLSH banded candidate pairs.
+
+    ``approxSimilarityJoin`` explodes each doc by hash table, shuffles on
+    (table, minhash band) and compares only co-bucketed pairs — candidate
+    generation is linear-ish in corpus size, never all-pairs. Output:
+    (doc_a, doc_b, jaccard_dist) under the distance threshold.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = docs.select(
+        "doc_id", shingles("text").alias("grams")
+    ).filter(F.size("grams") > 0)
+    tf = HashingTF(
+        inputCol="grams", outputCol="features", numFeatures=num_features
+    )
+    feats = tf.transform(sh)
+    lsh = MinHashLSH(
+        inputCol="features",
+        outputCol="hashes",
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(
+        feats, feats, jaccard_dist_threshold, distCol="jaccard_dist"
+    )
+    return (
+        joined.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+    )
+
+
+@register("minhash_lsh_candidates", oracle=None, category="dedup")
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs on token shingles
+    (Jaccard distance < 0.2). Rows-only check: MinHash families are
+    engine-RNG (fixed seed ⇒ deterministic run, not oracle-expressible);
+    recall against exact Jaccard is property-tested in tests/test_dedup.py.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(docs)

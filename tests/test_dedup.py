@@ -1,0 +1,95 @@
+"""Property tests for the dedup pillar (operators/dedup.py).
+
+MinHash-LSH recall is the check no oracle can express (engine-RNG hash
+families): plant exact and near duplicates, assert the banded candidate join
+recovers them. Exact-tier invariants (idempotence, representative
+determinism) generalize the reference's dedup guard
+(src/preprocessing_pipeline.py:280-283).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_medical_analysis_spark.operators import dedup as D
+from big_data_medical_analysis_spark.sources.readers import read_table
+
+
+def test_exact_dedup_counts(spark, sf_dir):
+    df = D.docs_exact_dedup(spark, sf_dir)
+    rows = df.collect()
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs  # corpus has no dups → one group per doc
+    for r in rows:
+        assert r.n_copies == 2  # doubled input collapses to 2 copies per fp
+
+
+def test_exact_dedup_idempotent(spark, sf_dir):
+    """dropDuplicates twice == once (SURVEY §5.2.2)."""
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "fp", D.normalized_fingerprint("text")
+    )
+    once = docs.unionAll(docs).dropDuplicates(["fp"])
+    twice = once.dropDuplicates(["fp"])
+    assert once.count() == twice.count() == docs.count()
+
+
+def test_minhash_recall_on_planted_dups(spark):
+    """Exact copies and 90%-overlap edits must appear in the LSH candidate
+    set: identical shingle sets hash to identical minhash signatures in
+    every band, so recall on true duplicates is structural, not sampled."""
+    rows = []
+    planted = []
+    for i in range(30):
+        toks = [f"d{i}w{j}" for j in range(30)]
+        rows.append((i, " ".join(toks)))
+    # 200+i: exact copy of doc i
+    for i in range(5):
+        rows.append((200 + i, rows[i][1]))
+        planted.append((i, 200 + i))
+    # 300+i: doc i with 3 of 30 tokens replaced (J = 27/33 ≈ 0.82 → dist 0.18)
+    for i in range(5):
+        toks = rows[i][1].split(" ")
+        toks[:3] = [f"edit{i}a", f"edit{i}b", f"edit{i}c"]
+        rows.append((300 + i, " ".join(toks)))
+        planted.append((i, 300 + i))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = D.minhash_candidate_pairs(docs, jaccard_dist_threshold=0.25)
+    found = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    for p in planted:
+        assert p in found, f"planted dup {p} missed by MinHash-LSH"
+
+
+def test_simhash_identical_token_sets_distance_zero(spark):
+    """Word-order permutations have identical token sets → identical
+    simhash (the dup model this corpus plants)."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "epsilon delta gamma beta alpha"),  # permutation of 1
+        (3, "zeta eta theta iota kappa"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = docs.select(
+        "doc_id",
+        D.simhash(D._token_hashes("text")).alias("sh"),
+    ).collect()
+    by_id = {r.doc_id: r.sh for r in fp}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[3]
+
+
+def test_jaccard_pairs_agree_with_simhash_tail(spark, sf_dir):
+    """Every probe pair at token-Jaccard 1.0 must be simhash-identical
+    (distance 0) — the two tiers agree on true duplicates."""
+    jac = {
+        (r.probe_id, r.cand_id)
+        for r in D.ngram_jaccard_pairs(spark, sf_dir).collect()
+        if r.jaccard == 1.0
+    }
+    sim0 = {
+        (r.doc_a, r.doc_b)
+        for r in D.simhash_near_dup(spark, sf_dir).filter(F.col("hdist") == 0).collect()
+    }
+    sim0 |= {(b, a) for a, b in sim0}
+    for p in jac:
+        assert p in sim0, f"J=1.0 pair {p} not simhash-identical"
