@@ -1,1 +1,221 @@
-"""Placeholder — filled in as operators land."""
+"""Streaming pillar over the ``events`` table (SURVEY.md §2.3 rows 20-22):
+tumbling / sliding / session windows, watermarks, and stateful dedup.
+
+Spark's windowed aggregations are *mode-agnostic*: the same
+``groupBy(window(...))`` logical plan executes as a batch hash aggregate or
+as an incremental stateful operator under Structured Streaming. The engine
+exploits that directly —
+
+- each aggregation core is a plain ``DataFrame -> DataFrame`` function;
+- the **batch** form is registered as an oracle-checked query (DuckDB
+  ``time_bucket`` / gaps-and-islands twins), proving the window semantics;
+- the **stream** form wraps the same core behind ``readStream`` +
+  ``withWatermark``; tests/test_streaming.py proves batch ≡ stream on
+  on-time data and exercises watermark late-row drop and
+  ``dropDuplicatesWithinWatermark`` — semantics no batch oracle can express.
+
+Scale design: streaming state is keyed by (window, group) — bounded by the
+watermark horizon, not by stream length. Sliding windows fan each event into
+window/slide copies *inside the aggregate* (no materialized explode), and
+session windows shuffle once on the session key. The reference has no
+streaming surface at all; this pillar is mandated by the north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_medical_analysis_spark.operators.common import (
+    TS_FMT_DUCK,
+    money_sum,
+    ts_str,
+)
+from big_data_medical_analysis_spark.registry import register
+from big_data_medical_analysis_spark.sources.readers import read_table
+
+TUMBLE_LEN = "6 hours"
+SLIDE_WIN = "1 day"
+SLIDE_STEP = "6 hours"
+SESSION_GAP = "4 hours"
+WATERMARK = "30 minutes"
+
+
+# ---------------------------------------------------------------------------
+# Aggregation cores (mode-agnostic: batch DataFrame or streaming DataFrame)
+# ---------------------------------------------------------------------------
+
+
+def tumbling_agg(events: DataFrame) -> DataFrame:
+    """Per (6h tumbling window × event_type) counts and exact value sums."""
+    return (
+        events.groupBy(F.window("ts", TUMBLE_LEN).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum("value").alias("total_value"),
+        )
+        .select(
+            ts_str(F.col("w.start")).alias("window_start"),
+            ts_str(F.col("w.end")).alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_agg(events: DataFrame) -> DataFrame:
+    """1-day windows sliding every 6h: each event lands in 4 overlapping
+    windows — fanned out inside the aggregate, not via a materialized
+    explode."""
+    return (
+        events.groupBy(F.window("ts", SLIDE_WIN, SLIDE_STEP).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum("value").alias("total_value"),
+        )
+        .select(
+            ts_str(F.col("w.start")).alias("window_start"),
+            ts_str(F.col("w.end")).alias("window_end"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_agg(events: DataFrame) -> DataFrame:
+    """Per-user session windows (gap = 4h): window extends to
+    last_event + gap; a new event at ≥ gap from the session end starts a
+    new session. One shuffle on the session key (user_id)."""
+    return (
+        events.groupBy(
+            F.session_window("ts", SESSION_GAP).alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            ts_str(F.col("w.start")).alias("session_start"),
+            ts_str(F.col("w.end")).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch-registered, oracle-checked forms
+# ---------------------------------------------------------------------------
+
+_TUMBLING_SQL = f"""
+SELECT
+  strftime(time_bucket(INTERVAL 6 HOUR, ts), '{TS_FMT_DUCK}') AS window_start,
+  strftime(time_bucket(INTERVAL 6 HOUR, ts) + INTERVAL 6 HOUR, '{TS_FMT_DUCK}')
+    AS window_end,
+  event_type,
+  count(*) AS n,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@register("tumbling_event_counts", oracle=_TUMBLING_SQL, category="streaming")
+def tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6h windows × event_type (batch form of the streaming core;
+    tests prove the stream form emits identical finalized windows)."""
+    return tumbling_agg(read_table(spark, sf_dir, "events"))
+
+
+_SLIDING_SQL = f"""
+SELECT
+  strftime(wstart, '{TS_FMT_DUCK}') AS window_start,
+  strftime(wstart + INTERVAL 24 HOUR, '{TS_FMT_DUCK}') AS window_end,
+  count(*) AS n,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+FROM (
+  SELECT time_bucket(INTERVAL 6 HOUR, ts) - k.k * INTERVAL 6 HOUR AS wstart,
+         value
+  FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k
+)
+GROUP BY wstart
+"""
+
+
+@register("sliding_event_stats", oracle=_SLIDING_SQL, category="streaming")
+def sliding_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 day every 6h). The oracle expands the 4-way window
+    membership explicitly (each event belongs to exactly window/slide = 4
+    windows); Spark does the same fan-out inside the aggregate."""
+    return sliding_agg(read_table(spark, sf_dir, "events"))
+
+
+_SESSION_SQL = f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+)
+SELECT user_id,
+       strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
+       strftime(max(ts) + INTERVAL 4 HOUR, '{TS_FMT_DUCK}') AS session_end,
+       count(*) AS n_events
+FROM numbered
+GROUP BY user_id, sess_id
+"""
+
+
+@register("session_windows", oracle=_SESSION_SQL, category="streaming")
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows, gap 4h. The oracle is the classic
+    gaps-and-islands formulation (lag + cumulative new-session flags) —
+    Spark's ``session_window`` must produce byte-identical sessions."""
+    return session_agg(read_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming forms (used by tests/test_streaming.py; no batch oracle exists
+# for watermark drop / stateful dedup semantics)
+# ---------------------------------------------------------------------------
+
+
+def read_event_stream(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source event stream (JSON lines, explicit schema — schema
+    inference is disabled in the data plane, same rule as batch readers)."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .json(input_dir)
+    )
+
+
+def tumbling_stream(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
+    """Watermarked tumbling aggregation: append-mode emits each window once,
+    when the watermark passes its end; rows later than the watermark are
+    dropped from state, not merged."""
+    return tumbling_agg(events.withWatermark("ts", watermark))
+
+
+def dedup_stream(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
+    """Stateful exact dedup on event_id with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key only until the
+    watermark passes it — the 100 TB-safe form of streaming dedup (state is
+    O(events per watermark horizon), not O(stream))."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

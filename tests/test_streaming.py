@@ -1,0 +1,156 @@
+"""Streaming semantics tests (streaming/windows.py): batch ≡ stream on
+on-time data, watermark late-row drop, and dropDuplicatesWithinWatermark —
+the checks no batch oracle can express (SURVEY §5.2.3).
+
+Determinism: file-source streams with controlled file arrival —
+``processAllAvailable()`` between writes gives exact batch boundaries, so
+watermark advancement is scripted, not timing-dependent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from datetime import datetime
+
+from big_data_medical_analysis_spark.streaming import windows as SW
+
+
+def _write_events(dirpath: str, name: str, rows: list[tuple]) -> None:
+    """rows: (event_id, ts_str, user_id, event_type, value)."""
+    os.makedirs(dirpath, exist_ok=True)
+    path = os.path.join(dirpath, name)
+    with open(path + ".tmp", "w") as f:
+        for eid, ts, uid, etype, value in rows:
+            f.write(
+                json.dumps(
+                    {
+                        "event_id": eid,
+                        "ts": ts,
+                        "user_id": uid,
+                        "event_type": etype,
+                        "value": value,
+                        "props": "{}",
+                    }
+                )
+                + "\n"
+            )
+    os.rename(path + ".tmp", path)  # atomic: the file source never sees partials
+
+
+def test_tumbling_stream_matches_batch_and_drops_late(spark, tmp_path):
+    indir = str(tmp_path / "in")
+    qname = "t_" + uuid.uuid4().hex[:8]
+
+    on_time = [
+        (1, "2024-01-01 01:00:00.000000", 1, "click", 1.0),
+        (2, "2024-01-01 02:00:00.000000", 1, "click", 2.0),
+        (3, "2024-01-01 07:00:00.000000", 2, "view", 3.0),
+        (4, "2024-01-01 13:00:00.000000", 1, "click", 4.0),
+    ]
+    _write_events(indir, "a.json", on_time)
+
+    stream = SW.tumbling_stream(SW.read_event_stream(spark, indir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 0: watermark ends at 12:30
+
+        # batch 1: a LATE row (below watermark) + an advancer
+        late_plus = [
+            (5, "2024-01-01 01:30:00.000000", 1, "click", 100.0),  # dropped
+            (6, "2024-01-02 01:00:00.000000", 2, "view", 5.0),
+        ]
+        _write_events(indir, "b.json", late_plus)
+        q.processAllAvailable()
+
+        # batch 2: sentinel pushes the watermark past every real window
+        _write_events(
+            indir, "c.json", [(7, "2024-01-03 00:00:00.000000", 9, "x", 0.0)]
+        )
+        q.processAllAvailable()
+
+        emitted = {
+            (r.window_start, r.event_type): (r.n, r.total_value)
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+    finally:
+        q.stop()
+
+    # the late row (event 5) must NOT appear anywhere: window [00:00,06:00)
+    # was finalized with exactly the two on-time clicks
+    assert emitted[("2024-01-01 00:00:00.000000", "click")] == (2, 3.0)
+    assert emitted[("2024-01-01 06:00:00.000000", "view")] == (1, 3.0)
+    assert emitted[("2024-01-01 12:00:00.000000", "click")] == (1, 4.0)
+    assert emitted[("2024-01-02 00:00:00.000000", "view")] == (1, 5.0)
+
+    # batch ≡ stream on on-time data: the batch core over the on-time rows
+    # restricted to finalized windows equals the emitted set exactly
+    batch_df = SW.tumbling_agg(
+        spark.createDataFrame(
+            [
+                (e, datetime.strptime(ts, "%Y-%m-%d %H:%M:%S.%f"), u, t, v, "{}")
+                for e, ts, u, t, v in on_time + late_plus[1:]
+            ],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+    )
+    batch = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in batch_df.collect()
+        if r.window_end <= "2024-01-02 23:30:00.000000"  # final watermark
+    }
+    assert batch == emitted
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    indir = str(tmp_path / "in")
+    qname = "d_" + uuid.uuid4().hex[:8]
+
+    # batch 0: duplicate event_id within the watermark horizon → dropped
+    _write_events(
+        indir,
+        "a.json",
+        [
+            (1, "2024-01-01 01:00:00.000000", 1, "click", 1.0),
+            (1, "2024-01-01 01:02:00.000000", 1, "click", 1.0),  # dup, dropped
+            (2, "2024-01-01 01:30:00.000000", 1, "view", 2.0),
+            (3, "2024-01-01 05:00:00.000000", 2, "x", 0.0),  # watermark → 04:30
+        ],
+    )
+    stream = SW.dedup_stream(SW.read_event_stream(spark, indir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 1: event_id=1 re-occurs AFTER its state was evicted by the
+        # watermark → emitted again (bounded-state semantics, by design)
+        _write_events(
+            indir,
+            "b.json",
+            [(1, "2024-01-01 06:00:00.000000", 1, "click", 9.0)],
+        )
+        q.processAllAvailable()
+        rows = spark.sql(f"SELECT event_id, value FROM {qname}").collect()
+    finally:
+        q.stop()
+
+    counts: dict[int, int] = {}
+    for r in rows:
+        counts[r.event_id] = counts.get(r.event_id, 0) + 1
+    assert counts[2] == 1 and counts[3] == 1
+    # in-horizon duplicate dropped (not 2 in batch 0), post-eviction
+    # re-occurrence emitted (total 2 across the stream)
+    assert counts[1] == 2
+    values_of_1 = sorted(r.value for r in rows if r.event_id == 1)
+    assert values_of_1 == [1.0, 9.0]
