@@ -1,1 +1,326 @@
-"""Placeholder — filled in as operators land."""
+"""Multimodal (image) pipeline — the reference's core capability
+(``/root/reference/src/preprocessing_pipeline.py``), rebuilt content-in-column
+with the §2.2 hazards removed.
+
+Reference behavior re-expressed:
+
+- image read (cv2.imread inside a UDF, ``:39,:113``) → ``binaryFile`` source
+  or a deterministic synthetic generator; bytes are a first-class
+  ``BinaryType`` column with typed (width, height) metadata.
+- normalize (histogram equalization, ``:33-61``) → a *pure* Arrow pandas UDF
+  bytes→bytes; no filesystem side effects inside the expression.
+- augment (9 variants: 3 rotations + 3 shifts + 3 noise draws, ``:65-134``)
+  → a pure pandas UDF returning ``array<binary>`` + ``explode``. The
+  reference seeds ``np.random`` globally, so every lazy recomputation
+  produces *different* images under the same paths (§2.2.1); here every
+  variant is seeded by a per-row content-derived key, so recompute ≡ compute
+  (property-tested in tests/test_multimodal.py).
+- image write (cv2.imwrite side effect, ``:51,:121``) → an explicit terminal
+  sink job (``write_images``), never an expression.
+
+Image model: raw 8-bit grayscale (H×W bytes). The container has no image
+codec libraries, so JPEG/PNG decode is STUBBED (``decode_jpeg`` raises
+NotImplementedError); everything Spark-side — schema, Arrow batch shape,
+UDF signatures, explode fan-out, partitioning — is real and tested, and the
+raw-grayscale path runs end-to-end.
+
+Scale design: images travel *in the column* through Arrow batches
+(maxRecordsPerBatch bounds executor memory: 10k rows × 1 KiB ≈ 10 MiB per
+batch; at real image sizes you lower the batch size, not the design). The
+9× fan-out happens AFTER the per-image UDFs, so normalize/augment run once
+per source image, and the pipeline is cache-safe because it is
+deterministic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from big_data_medical_analysis_spark.registry import register
+from big_data_medical_analysis_spark.sources.readers import read_table
+
+IMG_SIDE = 32  # synthetic images are 32×32 grayscale
+N_VARIANTS = 9  # reference fan-out: 3 rotations + 3 shifts + 3 noise draws
+
+
+# ---------------------------------------------------------------------------
+# Pure image kernels (numpy only; each is a function of (bytes, ints) alone)
+# ---------------------------------------------------------------------------
+
+
+def decode_gray(content: bytes, height: int, width: int) -> np.ndarray:
+    """Raw 8-bit grayscale decode: bytes → (H, W) uint8 array."""
+    return np.frombuffer(content, dtype=np.uint8).reshape(height, width)
+
+
+def decode_jpeg(content: bytes) -> np.ndarray:
+    """STUB — the container ships no image codec (no cv2/PIL/tf). The
+    Spark-side plumbing is codec-agnostic: swap this for cv2.imdecode in a
+    real deployment (reference: src/preprocessing_pipeline.py:39)."""
+    raise NotImplementedError("no image codec available in this environment")
+
+
+def equalize_hist(img: np.ndarray) -> np.ndarray:
+    """Histogram equalization (cv2.equalizeHist equivalent, pure numpy):
+    map each gray level through the normalized cumulative histogram
+    (reference: src/preprocessing_pipeline.py:44)."""
+    hist = np.bincount(img.ravel(), minlength=256)
+    cdf = hist.cumsum()
+    nonzero = cdf > 0
+    if not nonzero.any():
+        return img
+    cdf_min = cdf[nonzero][0]
+    total = cdf[-1]
+    if total == cdf_min:  # constant image: equalization is the identity
+        return img
+    lut = np.round((cdf - cdf_min) * 255.0 / (total - cdf_min)).clip(0, 255)
+    return lut.astype(np.uint8)[img]
+
+
+def _row_seed(content: bytes, variant: int) -> int:
+    """Deterministic per-(row, variant) seed from image content — the fix
+    for the reference's global-RNG hazard (§2.2.1)."""
+    h = hashlib.md5(content + bytes([variant])).digest()
+    return int.from_bytes(h[:4], "little")
+
+
+def augment_variants(img: np.ndarray, content: bytes) -> list[bytes]:
+    """9 deterministic variants of one image (reference :65-134):
+    3 rotations, 3 seeded circular shifts (the ±3px translate), 3 seeded
+    gaussian-noise draws. Pure function of the input bytes."""
+    out: list[bytes] = []
+    for k in (1, 2, 3):  # rotations (90/180/270° — codec-free rotation)
+        out.append(np.ascontiguousarray(np.rot90(img, k)).tobytes())
+    for v in (3, 4, 5):  # shifts: dx, dy ∈ [-3, 3] from the row seed
+        rng = np.random.RandomState(_row_seed(content, v))
+        dx, dy = rng.randint(-3, 4, size=2)
+        out.append(np.roll(np.roll(img, dy, axis=0), dx, axis=1).tobytes())
+    for v in (6, 7, 8):  # gaussian noise, σ=10, seeded per (row, variant)
+        rng = np.random.RandomState(_row_seed(content, v))
+        noise = rng.normal(0.0, 10.0, img.shape)
+        out.append((img.astype(np.float64) + noise).clip(0, 255).astype(np.uint8).tobytes())
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Arrow pandas UDFs (bytes→bytes / bytes→array<bytes>; pure, vectorized)
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(T.BinaryType())
+def normalize_image(content: pd.Series, height: pd.Series, width: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            equalize_hist(decode_gray(c, h, w)).tobytes()
+            for c, h, w in zip(content, height, width)
+        ]
+    )
+
+
+@pandas_udf(T.ArrayType(T.BinaryType()))
+def augment_image(content: pd.Series, height: pd.Series, width: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            augment_variants(decode_gray(c, h, w), c)
+            for c, h, w in zip(content, height, width)
+        ]
+    )
+
+
+@pandas_udf(T.StructType([
+    T.StructField("p_min", T.IntegerType()),
+    T.StructField("p_max", T.IntegerType()),
+    T.StructField("p_mean", T.DoubleType()),
+]))
+def image_stats(content: pd.Series, height: pd.Series, width: pd.Series) -> pd.DataFrame:
+    mins, maxs, means = [], [], []
+    for c, h, w in zip(content, height, width):
+        img = decode_gray(c, h, w)
+        mins.append(int(img.min()))
+        maxs.append(int(img.max()))
+        means.append(round(float(img.mean()), 6))
+    return pd.DataFrame({"p_min": mins, "p_max": maxs, "p_mean": means})
+
+
+# ---------------------------------------------------------------------------
+# Synthetic source (deterministic; stands in for binaryFile over a real
+# image corpus, which SURVEY §5.2 mandates for tests)
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(T.BinaryType())
+def _synth_content(img_id: pd.Series) -> pd.Series:
+    side = IMG_SIDE
+    out = []
+    for i in img_id:
+        rng = np.random.RandomState(int(i) % (2**31))
+        # low-contrast image (values 64..191) so equalization must stretch it
+        out.append((rng.randint(64, 192, size=(side, side)).astype(np.uint8)).tobytes())
+    return pd.Series(out)
+
+
+def synth_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic grayscale corpus keyed off documents.doc_id:
+    (img_id, label, width, height, content). Content derives only from
+    img_id, so any recompute — or any other engine — reproduces it."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("img_id"),
+        (F.col("doc_id") % 5).cast("int").alias("label"),
+        F.lit(IMG_SIDE).alias("width"),
+        F.lit(IMG_SIDE).alias("height"),
+        _synth_content(F.col("doc_id")).alias("content"),
+    )
+
+
+def normalize_pipeline(images: DataFrame) -> DataFrame:
+    """normalize stage: adds ``norm_content`` (pure bytes→bytes)."""
+    return images.withColumn(
+        "norm_content", normalize_image("content", "height", "width")
+    )
+
+
+def augment_pipeline(images: DataFrame) -> DataFrame:
+    """normalize → augment → explode: the reference's intended chain
+    (its actual code augments the RAW image by mistake, §2.2.2). 1 row in,
+    9 rows out, each tagged with its variant index."""
+    normalized = normalize_pipeline(images)
+    augmented = normalized.withColumn(
+        "variants", augment_image("norm_content", "height", "width")
+    )
+    return augmented.select(
+        "img_id",
+        "label",
+        "width",
+        "height",
+        F.posexplode("variants").alias("variant", "aug_content"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries (rows-only: content derives from numpy RNG, which no
+# SQL oracle can express; determinism is property-tested instead)
+# ---------------------------------------------------------------------------
+
+
+@register("image_decode_stats", oracle=None, category="multimodal")
+def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + per-image pixel stats (struct-returning pandas UDF), then
+    per-label aggregate of normalized-image contrast: histogram equalization
+    must stretch every non-constant image to the full [0, 255] range —
+    the reference's test_normalization check (utils/preprocessing_testing_
+    utils.py:16-26) as an aggregate over the whole corpus instead of a
+    driver spot-check of row 1."""
+    imgs = normalize_pipeline(synth_images(spark, sf_dir))
+    stats = imgs.withColumn(
+        "s", image_stats("norm_content", "height", "width")
+    ).select("img_id", "label", "s.p_min", "s.p_max", "s.p_mean")
+    return (
+        stats.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("p_min").alias("min_pixel"),
+            F.max("p_max").alias("max_pixel"),
+            F.round(F.avg("p_mean"), 4).alias("avg_mean_pixel"),
+            F.sum((F.col("p_min") == 0).cast("long")).alias("n_full_low"),
+            F.sum((F.col("p_max") == 255).cast("long")).alias("n_full_high"),
+        )
+    )
+
+
+@register("image_augment_fanout", oracle=None, category="multimodal")
+def image_augment_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full normalize → augment → explode chain, aggregated per variant:
+    every variant must appear exactly n_images times (the reference's 9×
+    augmentation grid, src/preprocessing_pipeline.py:77-98)."""
+    exploded = augment_pipeline(synth_images(spark, sf_dir))
+    return (
+        exploded.groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("img_id").alias("n_images"),
+            F.avg(F.length("aug_content")).alias("avg_bytes"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sinks / blob ingestion
+# ---------------------------------------------------------------------------
+
+
+def write_images(df: DataFrame, out_dir: str) -> int:
+    """Explicit image sink: one file per (img_id, variant) under out_dir.
+
+    The reference writes files as a UDF side effect *inside* the expression
+    graph (cv2.imwrite, :51,:121), so every lazy recompute rewrites them.
+    Here the write is a terminal ``foreachPartition`` job — executed exactly
+    once, distributed, no driver collect. Returns the row count written.
+    """
+    cols = df.columns
+    variant_col = "variant" if "variant" in cols else None
+    content_col = "aug_content" if "aug_content" in cols else (
+        "norm_content" if "norm_content" in cols else "content"
+    )
+
+    def _write_part(rows):
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        for r in rows:
+            v = r[variant_col] if variant_col else 0
+            path = os.path.join(out_dir, f"img_{r['img_id']}_v{v}.gray")
+            with open(path, "wb") as f:
+                f.write(bytes(r[content_col]))
+
+    df.foreachPartition(_write_part)
+    return df.count()
+
+
+def read_pickle_blobs(spark: SparkSession, path: str, glob: str = "*.pkl") -> DataFrame:
+    """Pickle blob ingestion (reference: utils/pkl_to_png_converter.py:12-23
+    unpickles GradCAM dicts driver-side): binaryFile scan + a deserializing
+    UDF that surfaces the payload's keys and tensor shape as typed columns.
+
+    SECURITY NOTE: pickle executes code on load; at scale you gate this on
+    a trusted-source allowlist. The deserializer is deliberately minimal.
+    """
+    from big_data_medical_analysis_spark.sources.readers import read_binary_dir
+
+    @pandas_udf(T.StructType([
+        T.StructField("keys", T.ArrayType(T.StringType())),
+        T.StructField("shape", T.ArrayType(T.IntegerType())),
+    ]))
+    def _unpickle_meta(content: pd.Series) -> pd.DataFrame:
+        import pickle
+
+        keys_out, shape_out = [], []
+        for blob in content:
+            obj = pickle.loads(bytes(blob))
+            if isinstance(obj, dict):
+                keys = sorted(str(k) for k in obj)
+                arr = next(
+                    (v for v in obj.values() if hasattr(v, "shape")), None
+                )
+                shape = [int(d) for d in arr.shape] if arr is not None else []
+            else:
+                keys, shape = [type(obj).__name__], list(
+                    getattr(obj, "shape", [])
+                )
+            keys_out.append(keys)
+            shape_out.append(shape)
+        return pd.DataFrame({"keys": keys_out, "shape": shape_out})
+
+    blobs = read_binary_dir(spark, path, glob=glob)
+    return blobs.select(
+        "path",
+        "length",
+        _unpickle_meta("content").alias("meta"),
+    ).select("path", "length", "meta.keys", "meta.shape")
