@@ -1,0 +1,254 @@
+"""Arrow-vectorized Python UDF surface (SURVEY §2.1 rows 32/34/35, §2.3
+"UDF surface"): scalar pandas UDF, ``mapInPandas`` per-row ML transform,
+``applyInPandas`` grouped-map (fed-avg local training stand-in), and a
+grouped one-row pandas UDAF.
+
+The reference crosses the Python boundary with row-pickled ``udf(...)``
+(``src/preprocessing_pipeline.py:57,:129`` — no Arrow, no returnType) and
+does its per-client training outside Spark entirely (TFF simulation,
+``src/federated_learning_pipeline.py:124-153``). Here every crossing is
+Arrow-batched, and the fed-avg control flow is the Spark-native split: the
+*driver* orchestrates rounds while ``groupBy(client).applyInPandas`` runs
+local training distributed — the same control/data split as TFF's
+simulation, but each client's work is an executor task.
+
+Scale notes: scalar pandas UDFs and mapInPandas stream Arrow batches
+(``maxRecordsPerBatch`` bounds memory); applyInPandas materializes ONE GROUP
+per call — safe here because a "client" shard is a deliberate partition of
+bounded size, which is exactly when grouped-map is the right tool. Where a
+built-in expression exists (both oracle queries below), the UDF is the
+*demonstration* of the boundary, not the recommendation — the docstrings say
+which form wins at 100 TB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from big_data_medical_analysis_spark.operators.etl import assign_client
+from big_data_medical_analysis_spark.registry import register
+from big_data_medical_analysis_spark.sources.readers import read_table
+
+def round_half_away(arr: np.ndarray, ndigits: int) -> np.ndarray:
+    """Round half AWAY from zero, matching SQL round() — ``np.round`` is
+    half-to-even and the float32 corpus does hit exact .5 ties."""
+    s = arr * (10.0**ndigits)
+    return np.copysign(np.floor(np.abs(s) + 0.5), s) / (10.0**ndigits)
+
+
+# ---------------------------------------------------------------------------
+# 1. Scalar pandas UDF (Arrow batches, JVM⇄Python)
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(T.LongType())
+def _disc_price_e4(ep: pd.Series, disc: pd.Series) -> pd.Series:
+    """extendedprice·(1−discount) in exact 10⁻⁴ units. Both inputs carry ≤2
+    decimals, so the product is an exact multiple of 10⁻⁴ — scaling by 10⁴
+    and rounding recovers the integer exactly (no half-even/half-up
+    ambiguity for either numpy or SQL engines)."""
+    return (
+        (ep.astype("float64") * (1.0 - disc.astype("float64")) * 10_000.0)
+        .round()
+        .astype("int64")
+    )
+
+
+_PANDAS_DISC_SQL = """
+SELECT
+  l_returnflag,
+  count(*) AS n,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+       AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("pandas_udf_revenue", oracle=_PANDAS_DISC_SQL, category="udf")
+def pandas_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF in an aggregation pipeline: the UDF emits exact
+    int64 10⁻⁴-units per row; Spark sums them JVM-side. Oracle-checked
+    against the pure-SQL formulation — proving the Arrow boundary is
+    value-exact, not just approximately right.
+
+    At 100 TB you'd use the built-in expression (pricing_summary does);
+    this query exists to pin the UDF surface's correctness.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn(
+            "rev_e4", _disc_price_e4("l_extendedprice", "l_discount")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("rev_e4").cast("double") / F.lit(10_000.0)).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. mapInPandas: per-row ML transform (TF decode/resize equivalent)
+# ---------------------------------------------------------------------------
+
+_L2_SQL = """
+SELECT
+  vec_id,
+  list_transform(embedding,
+    x -> round(x::DOUBLE * 1000000.0
+               / sqrt(CAST(list_sum(list_transform(embedding,
+                        y -> CAST(round(y::DOUBLE * 1000000) AS BIGINT)
+                             * CAST(round(y::DOUBLE * 1000000) AS BIGINT)))
+                      AS DOUBLE)),
+               6)) AS unit_vec
+FROM embeddings
+"""
+
+
+@register("embeddings_l2_normalize", oracle=_L2_SQL, category="udf")
+def embeddings_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInPandas`` per-row vector transform (the reference's TF
+    decode/resize map, src/federated_learning_pipeline.py:36-40, as an
+    Arrow-batched Spark stage): L2-normalize each embedding in numpy.
+
+    Oracle-checked against DuckDB list HOFs. The squared norm is summed in
+    *int64-scaled* space (the module convention): float sums are
+    order-dependent and numpy's SIMD accumulation need not match a SQL
+    engine's sequential fold — integer sums are exact in any order.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+
+    def _l2(batches):
+        for pdf in batches:
+            out_vecs = []
+            for vec in pdf["embedding"]:
+                arr = np.asarray(vec, dtype=np.float64)
+                s = arr * 1_000_000.0
+                iscaled = np.copysign(np.floor(np.abs(s) + 0.5), s).astype(np.int64)
+                norm = float(np.sqrt(float((iscaled * iscaled).sum())))
+                out_vecs.append(
+                    round_half_away(arr * 1_000_000.0 / norm, 6).tolist()
+                )
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "unit_vec": out_vecs}
+            )
+
+    return emb.mapInPandas(_l2, "vec_id long, unit_vec array<double>")
+
+
+# ---------------------------------------------------------------------------
+# 3. applyInPandas grouped-map: federated-averaging local training
+# ---------------------------------------------------------------------------
+
+_FIT_SCHEMA = "client int, n long, w0 double, w1 double"
+
+
+def _local_fit(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Closed-form OLS of l_extendedprice on l_quantity for one client shard
+    — the 'local training' stand-in for the reference's per-client
+    MobileNetV2 fit (src/federated_learning_pipeline.py:124-133). Pure
+    function of the shard; float64 lstsq is deterministic."""
+    x = pdf["l_quantity"].to_numpy(dtype=np.float64)
+    y = pdf["l_extendedprice"].to_numpy(dtype=np.float64)
+    a = np.stack([np.ones_like(x), x], axis=1)
+    w, *_ = np.linalg.lstsq(a, y, rcond=None)
+    return pd.DataFrame(
+        {
+            "client": [int(pdf["client"].iloc[0])],
+            "n": [len(pdf)],
+            "w0": [round(float(w[0]), 6)],
+            "w1": [round(float(w[1]), 6)],
+        }
+    )
+
+
+def client_local_fits(
+    spark: SparkSession, sf_dir: str, n_clients: int = 4
+) -> DataFrame:
+    """One grouped-map training pass: deterministic client assignment
+    (pmod(xxhash64), etl.assign_client) → ``applyInPandas`` per-client OLS."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    shards = assign_client(li, ["l_orderkey", "l_linenumber"], n_clients)
+    return shards.groupBy("client").applyInPandas(_local_fit, _FIT_SCHEMA)
+
+
+def fedavg_weights(fits: DataFrame) -> tuple[float, float, int]:
+    """Driver-side weighted average of client weights — the server step of
+    federated averaging (reference's build_weighted_fed_avg server update,
+    src/federated_learning_pipeline.py:128-133). The collect is K rows (one
+    per client), never data rows."""
+    rows = fits.collect()
+    total = sum(r.n for r in rows)
+    w0 = sum(r.w0 * r.n for r in rows) / total
+    w1 = sum(r.w1 * r.n for r in rows) / total
+    return w0, w1, total
+
+
+@register("fedavg_client_weights", oracle=None, category="udf")
+def fedavg_client_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-client OLS weights from one ``applyInPandas`` round (rows-only:
+    lstsq is not SQL-expressible; the weighted-average server step and its
+    agreement with a direct numpy fit are property-tested in
+    tests/test_udf_surface.py)."""
+    return client_local_fits(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# 4. Grouped pandas UDAF (one row per group): per-label centroid
+# ---------------------------------------------------------------------------
+
+_CENTROID_SQL = """
+SELECT label, CAST(i - 1 AS INTEGER) AS dim_idx,
+       round(CAST(sum(CAST(round(v::DOUBLE * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / count(*), 6) AS centroid
+FROM (
+  SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+)
+GROUP BY label, i
+"""
+
+
+@register("label_centroids", oracle=_CENTROID_SQL, category="udf")
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDAF via ``applyInPandas`` returning ONE row per group: the
+    per-label embedding centroid, int-scaled for exact cross-engine sums,
+    then posexploded to (label, dim_idx, centroid) for the oracle compare.
+
+    At 100 TB the same result comes from ``posexplode`` + a built-in
+    partial-aggregating groupBy (no group materialization); the UDAF form
+    is the API-surface demonstration.
+    """
+    emb = read_table(spark, sf_dir, "embeddings").select("label", "embedding")
+
+    def _centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+        )
+        # round half-AWAY-from-zero to match SQL round() — np.round is
+        # half-to-even and the float32 corpus does hit exact .5 at 10⁻⁶
+        s = mat * 1_000_000.0
+        scaled = (
+            np.copysign(np.floor(np.abs(s) + 0.5), s).astype(np.int64).sum(axis=0)
+        )
+        mean = scaled / 1_000_000.0 / len(pdf)
+        m6 = mean * 1_000_000.0
+        cent = np.copysign(np.floor(np.abs(m6) + 0.5), m6) / 1_000_000.0
+        return pd.DataFrame(
+            {"label": [int(pdf["label"].iloc[0])], "centroid": [cent.tolist()]}
+        )
+
+    cents = emb.groupBy("label").applyInPandas(
+        _centroid, "label int, centroid array<double>"
+    )
+    return cents.select(
+        "label", F.posexplode("centroid").alias("dim_idx", "centroid")
+    )

@@ -61,6 +61,7 @@ def _load_all() -> None:
         relational,
         similarity,
         text_analysis,
+        udf_surface,
     )
     from big_data_medical_analysis_spark.streaming import windows  # noqa: F401
 
