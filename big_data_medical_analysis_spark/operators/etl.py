@@ -126,11 +126,53 @@ def exact_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact disjoint stratified partitioner (SURVEY §2.2.4): round-robin by
     ``row_number`` within each stratum — every bucket gets ⌈n/4⌉ or ⌊n/4⌋
     rows per stratum, unlike Bernoulli ``sampleBy`` which only approximates
-    fractions. One shuffle on the stratum key."""
+    fractions.
+
+    SCALE WARNING: the window partitions on the *raw stratum key*, so with S
+    strata this runs as S window tasks each holding 1/S of the table — at
+    100 TB that is one task per 20 TB. This is the exactness *baseline*; the
+    at-scale form is ``salted_stratified_split`` below (salted sub-buckets,
+    exact within ±S rows per stratum, parallelism S×SALT)."""
     customer = read_table(spark, sf_dir, "customer")
     w = W.partitionBy("c_mktsegment").orderBy("c_custkey")
     return (
         customer.withColumn("bucket", (F.row_number().over(w) - 1) % 4)
+        .groupBy("c_mktsegment", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+N_SALT = 8
+
+
+def assign_stratified_bucket(
+    df: DataFrame,
+    stratum_col: str,
+    key_cols: list[str],
+    n_buckets: int,
+    n_salt: int = N_SALT,
+) -> DataFrame:
+    """De-skewed exact stratified bucketing: salt each stratum into
+    ``n_salt`` deterministic sub-buckets (``pmod(xxhash64(key), n_salt)``),
+    round-robin by ``row_number`` *within (stratum, salt)*.
+
+    Each sub-bucket's round-robin is balanced within ±1, so a stratum's
+    buckets differ by at most ``n_salt`` rows — exactness to ±n_salt with
+    window parallelism S×n_salt instead of S. This is the form whose tasks
+    stay bounded at 100 TB (tune n_salt ≈ cluster cores / strata)."""
+    salt = F.pmod(F.xxhash64(*key_cols), F.lit(n_salt))
+    w = W.partitionBy(F.col(stratum_col), salt).orderBy(*key_cols)
+    return df.withColumn("bucket", (F.row_number().over(w) - 1) % n_buckets)
+
+
+@register("salted_stratified_split", oracle=None, category="etl")
+def salted_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(stratum, bucket) sizes under the salted exact partitioner.
+    No oracle (xxhash64 salting is engine-specific); the ±N_SALT balance
+    bound is property-tested in tests/test_etl.py."""
+    customer = read_table(spark, sf_dir, "customer")
+    return (
+        assign_stratified_bucket(customer, "c_mktsegment", ["c_custkey"], 4)
         .groupBy("c_mktsegment", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -154,10 +196,18 @@ def stratified_sample_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 def random_split_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-compatible ``randomSplit([0.25]*4, seed=42)``
     (src/preprocessing_pipeline.py:198-199) — shard sizes. The input is
-    deduped and hash-repartitioned first, as the reference does (:273,:280),
-    because randomSplit's disjointness depends on a deterministic partition
-    layout. No oracle (engine RNG)."""
-    orders = read_table(spark, sf_dir, "orders").repartition(16, "o_orderkey")
+    hash-repartitioned first, as the reference does (:273,:280), because
+    randomSplit's disjointness depends on a deterministic partition layout.
+
+    The repartitioned parent is ``localCheckpoint``-ed before splitting:
+    randomSplit derives N child plans from ONE parent, and without
+    materialization each child re-executes the scan + shuffle (the
+    reference's own recompute hazard, SURVEY §2.2.1 — it re-runs its UDF
+    lineage per action). Checkpointing makes the 4 shard counts read
+    materialized partitions instead of re-scanning 4×. No oracle (engine
+    RNG)."""
+    orders = read_table(spark, sf_dir, "orders").repartition("o_orderkey")
+    orders = orders.localCheckpoint(eager=True)
     shards = orders.randomSplit([0.25] * 4, seed=42)
     tagged = None
     for i, shard in enumerate(shards):

@@ -1,0 +1,108 @@
+"""Property tests promised by operators/etl.py: the reference's invariant
+checks (disjointness/completeness of splits, stratified-sample fraction
+tolerance, explode fan-out — utils/preprocessing_testing_utils.py) as real
+pytest properties over the engine's operators (SURVEY §5.2.2).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_medical_analysis_spark.operators import etl as E
+from big_data_medical_analysis_spark.sources.readers import read_table
+
+
+def test_assign_client_partitions_the_keyspace(spark, sf_dir):
+    """Client buckets partition the keyspace: every row gets exactly one
+    client in [0, n) and shard counts sum to the parent count (the
+    disjointness + completeness audit the reference runs post-hoc on
+    randomSplit, utils/preprocessing_testing_utils.py:60-80 — here true by
+    construction, verified anyway)."""
+    orders = read_table(spark, sf_dir, "orders")
+    n_clients = 4
+    tagged = E.assign_client(orders, ["o_orderkey"], n_clients)
+    counts = {r.client: r.n for r in tagged.groupBy("client").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) <= set(range(n_clients))
+    assert sum(counts.values()) == orders.count()
+    assert tagged.filter(F.col("client").isNull()).count() == 0
+
+
+def test_assign_client_is_deterministic(spark, sf_dir):
+    """Same key → same client on recompute (randomSplit can't promise this
+    without a pinned partition layout; pmod(xxhash64) always can)."""
+    orders = read_table(spark, sf_dir, "orders")
+    a = E.assign_client(orders, ["o_orderkey"], 4).select("o_orderkey", "client")
+    b = E.assign_client(orders, ["o_orderkey"], 4).select("o_orderkey", "client")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_exact_stratified_split_balance(spark, sf_dir):
+    """Every stratum's bucket sizes differ by at most 1."""
+    rows = E.exact_stratified_split(spark, sf_dir).collect()
+    by_stratum: dict[str, list[int]] = {}
+    for r in rows:
+        by_stratum.setdefault(r.c_mktsegment, []).append(r.n)
+    assert by_stratum
+    for sizes in by_stratum.values():
+        assert max(sizes) - min(sizes) <= 1
+
+
+def test_salted_stratified_split_balance(spark, sf_dir):
+    """Salted variant: bucket sizes within a stratum differ by ≤ N_SALT
+    (each of the N_SALT sub-buckets is balanced within ±1)."""
+    rows = E.salted_stratified_split(spark, sf_dir).collect()
+    by_stratum: dict[str, list[int]] = {}
+    total = 0
+    for r in rows:
+        by_stratum.setdefault(r.c_mktsegment, []).append(r.n)
+        total += r.n
+    for sizes in by_stratum.values():
+        assert max(sizes) - min(sizes) <= E.N_SALT
+    assert total == read_table(spark, sf_dir, "customer").count()
+
+
+def test_stratified_sample_by_fraction_tolerance(spark):
+    """Bernoulli sampleBy hits each stratum's requested fraction within
+    tolerance on a decently sized input (sf0.01 orders, ~15k rows)."""
+    sf = "/root/testdata/sf0.01"
+    orders = read_table(spark, sf, "orders")
+    fractions = {"O": 0.7, "F": 0.3, "P": 0.5}
+    sampled = orders.sampleBy("o_orderstatus", fractions=fractions, seed=42)
+    base = {r.o_orderstatus: r.n for r in orders.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r.o_orderstatus: r.n for r in sampled.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for status, frac in fractions.items():
+        if base.get(status, 0) < 100:
+            continue  # too small for a tolerance check
+        observed = got.get(status, 0) / base[status]
+        assert observed == pytest.approx(frac, abs=0.05)
+
+
+def test_explode_fanout_counts(spark, sf_dir):
+    """Explode row count == Σ array sizes (the reference's 9× augmentation
+    fan-out invariant, generalized)."""
+    part = read_table(spark, sf_dir, "part")
+    arrays = part.select(F.split("p_name", " ").alias("toks"))
+    expected = arrays.agg(F.sum(F.size("toks")).alias("s")).collect()[0].s
+    exploded_n = arrays.select(F.explode("toks")).count()
+    assert exploded_n == expected
+
+
+def test_random_split_shards_complete(spark, sf_dir):
+    """randomSplit shards are complete: sizes sum to the parent count."""
+    rows = E.random_split_shards(spark, sf_dir).collect()
+    assert sum(r.n for r in rows) == read_table(spark, sf_dir, "orders").count()
+
+
+def test_write_client_shards_roundtrip(spark, sf_dir, tmp_path):
+    """Write-then-read round trip (reference's files-vs-rows reconciliation,
+    src/preprocessing_pipeline.py:296-303): one partitioned write, read back
+    row-complete with intact client partitioning."""
+    out = str(tmp_path / "shards")
+    orders = read_table(spark, sf_dir, "orders")
+    E.write_client_shards(orders, ["o_orderkey"], 4, out)
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    clients = sorted(r.client for r in back.select("client").distinct().collect())
+    assert clients == [0, 1, 2, 3]
