@@ -36,12 +36,25 @@ HEADLINE = [
 ]
 # Extended headline set — appended as the operator families land.
 OPTIONAL = [
+    # dedup pillar
     "docs_exact_dedup",
+    "simhash_near_dup",
     "minhash_lsh_candidates",
+    # similarity pillar
     "cosine_topk",
+    "ann_brp_lsh",
+    # text pillar
     "doc_token_stats",
+    "tfidf_top_terms",
+    # streaming (batch forms)
     "tumbling_event_counts",
+    "sliding_event_stats",
     "session_windows",
+    # Arrow UDF surface
+    "pandas_udf_revenue",
+    "label_centroids",
+    # multimodal pillar
+    "image_augment_fanout",
 ]
 
 

@@ -929,3 +929,54 @@ def embedding_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
         head_sum.alias("head_sum"),
     )
+
+
+_MAP_FNS_SQL = """
+SELECT
+  event_id,
+  len(json_keys(props)) AS n_keys,
+  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+  CAST(json_extract_string(props, '$.k') AS INTEGER) AS rt_val,
+  'k,z' AS all_keys,
+  2 AS n_merged
+FROM events
+"""
+
+
+@register("event_props_map", oracle=_MAP_FNS_SQL, category="scalar")
+def event_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function suite (SURVEY §2.3 scalar row): ``from_json`` to a real
+    MapType, then map_keys / element_at / map_entries→map_from_entries
+    round-trip / map_concat — all Catalyst map expressions. The oracle pins
+    the same facts via DuckDB's JSON functions (DuckDB has no MAP from
+    JSON, so the invariants — key set, round-trip value, merged size — are
+    asserted as literals)."""
+    ev = read_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    rt = F.map_from_entries(F.map_entries(m))
+    merged = F.map_concat(
+        m, F.create_map(F.lit("z"), (F.col("event_id") % 7).cast("int"))
+    )
+    return ev.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, "k").alias("k_val"),
+        F.element_at(rt, "k").alias("rt_val"),
+        F.concat_ws(",", F.array_sort(F.map_keys(merged))).alias("all_keys"),
+        F.size(merged).alias("n_merged"),
+    )
+
+
+@register("partition_size_profile", oracle=None, category="etl")
+def partition_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition introspection (reference: rdd.glom().map(len) at
+    src/preprocessing_pipeline.py:275-277) done DataFrame-native:
+    ``spark_partition_id()`` + groupBy — a distributed aggregate instead of
+    collecting every partition to the driver. Rows-only: the hash layout is
+    engine-internal. The balance property (no empty partitions after a hash
+    repartition on a high-cardinality key) is asserted in tests."""
+    orders = read_table(spark, sf_dir, "orders").repartition(8, "o_orderkey")
+    return (
+        orders.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

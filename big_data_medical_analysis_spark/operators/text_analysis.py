@@ -9,7 +9,7 @@ hashes are md5 (identical across engines).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from big_data_medical_analysis_spark.registry import register
@@ -82,7 +82,7 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_token_len"),
         F.round(n_stop.cast("double") / n_tokens, 6).alias("stopword_ratio"),
         (n_tokens >= 20).alias("long_enough"),
-        (F.length("text") - F.length(F.regexp_replace("text", " ", ""))).alias(
+        (F.length("text") - F.length(F.replace("text", F.lit(" ")))).alias(
             "n_spaces"
         ),
     )
@@ -206,4 +206,124 @@ def regex_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit("[a-z]+")).alias("n_word_tokens"),
         F.regexp_count("text", F.lit("[0-9]+")).alias("n_number_tokens"),
         F.regexp_count("text", F.lit("[a-z]{4,}")).alias("n_long_words"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-grams and TF-IDF
+# ---------------------------------------------------------------------------
+
+MIN_BIGRAM_N = 20
+
+_NGRAM_SQL = f"""
+SELECT lang, bigram, count(*) AS n
+FROM (
+  SELECT lang,
+         unnest(list_transform(
+           range(1, greatest(len(string_split(text, ' ')), 1)),
+           i -> concat_ws(' ', string_split(text, ' ')[i],
+                          string_split(text, ' ')[i+1]))) AS bigram
+  FROM documents
+)
+GROUP BY lang, bigram
+HAVING count(*) >= {MIN_BIGRAM_N}
+"""
+
+
+@register("ngram_stats", oracle=_NGRAM_SQL, category="text")
+def ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram frequency per language (n-grams built with array HOFs —
+    sequence + transform — not the quadratic explode-join): one generate +
+    one aggregate shuffle, with the HAVING floor keeping output bounded
+    regardless of corpus size."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= MIN_BIGRAM_N)
+    )
+
+
+N_TFIDF_DOCS = 50
+TFIDF_TOP_K = 3
+
+_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM toks GROUP BY term
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6)
+           AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+  WHERE tf.doc_id < {N_TFIDF_DOCS}
+)
+SELECT doc_id, term, tfidf, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+)
+WHERE rnk <= {TFIDF_TOP_K}
+"""
+
+
+@register("tfidf_top_terms", oracle=_TFIDF_SQL, category="text")
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact TF-IDF (smoothed idf = ln((N+1)/(df+1))+1), top-{TFIDF_TOP_K}
+    terms per probe document with deterministic (score, term) tie-break.
+
+    Plan: one explode feeding two aggregations (per-doc tf, corpus df); the
+    df side is re-joined by term. At 100 TB the df table is millions of
+    terms — small enough to broadcast, which Spark chooses via AQE; the
+    probe filter prunes the tf side before the join. The HashingTF/IDF
+    estimator pair (engine-hashed, oracle-free) is exercised by
+    dedup.minhash_candidate_pairs.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = (
+        toks.filter(F.col("doc_id") < N_TFIDF_DOCS)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = toks.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    n_docs = docs.count()
+    scored = tf.join(df_t, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf")
+            * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+            6,
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tfidf", "rnk")
     )

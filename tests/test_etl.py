@@ -106,3 +106,16 @@ def test_write_client_shards_roundtrip(spark, sf_dir, tmp_path):
     assert back.count() == orders.count()
     clients = sorted(r.client for r in back.select("client").distinct().collect())
     assert clients == [0, 1, 2, 3]
+
+
+def test_partition_size_profile_balanced(spark, sf_dir):
+    """Hash repartition on a high-cardinality key leaves no empty
+    partitions and stays roughly balanced (promised by
+    partition_size_profile's docstring)."""
+    from big_data_medical_analysis_spark.registry import queries
+
+    rows = queries()["partition_size_profile"](spark, sf_dir).collect()
+    sizes = [r.n_rows for r in rows]
+    assert len(sizes) == 8
+    assert min(sizes) > 0
+    assert max(sizes) < 2 * (sum(sizes) / len(sizes))
