@@ -263,3 +263,33 @@ def write_partitioned(df: DataFrame, partition_cols: list[str], out_dir: str) ->
     """Partitioned parquet sink — the engine's native layout for partition
     pruning at scale (vs the reference's flat CSV, :180,:204,:233)."""
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(out_dir)
+
+
+N_BATCH_SHARDS = 64
+
+
+@register("seeded_shuffle_batches", oracle=None, category="etl")
+def seeded_shuffle_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded shuffle + fixed-size batching (SURVEY §2.1 row 33 — the
+    reference's ``dataset.shuffle(buffer).batch(32)``), the distributed way:
+    rows are dealt into N_BATCH_SHARDS deterministic shards
+    (``pmod(xxhash64(key), N)``), locally ordered by ``rand(seed)``, and
+    sliced into 32-row batches per shard. A *globally* contiguous batch
+    numbering would need row_number over an unpartitioned window — one task
+    holding the whole table; sharded batching keeps every window task at
+    1/N of the data and only underfills ≤ N tail batches. Output: batch-size
+    histogram. No oracle (engine RNG); batch-size property below."""
+    orders = read_table(spark, sf_dir, "orders")
+    shard = F.pmod(F.xxhash64("o_orderkey"), F.lit(N_BATCH_SHARDS))
+    w = W.partitionBy(shard).orderBy(F.rand(42), F.col("o_orderkey"))
+    batched = orders.withColumn(
+        "batch",
+        shard * F.lit(1_000_000_000)
+        + ((F.row_number().over(w) - 1) / 32).cast("long"),
+    )
+    return (
+        batched.groupBy("batch")
+        .agg(F.count(F.lit(1)).alias("batch_size"))
+        .groupBy("batch_size")
+        .agg(F.count(F.lit(1)).alias("n_batches"))
+    )

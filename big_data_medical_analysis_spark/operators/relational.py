@@ -980,3 +980,49 @@ def partition_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy(F.spark_partition_id().alias("partition_id"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+_MATH_FNS_SQL = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  abs(l_discount - 0.05) AS abs_delta,
+  CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_ceil,
+  CAST(floor(l_quantity / 7.0) AS BIGINT) AS qty_floor,
+  CAST(l_quantity AS BIGINT) % 5 AS qty_mod,
+  round(sqrt(l_extendedprice), 6) AS price_sqrt,
+  round(ln(l_extendedprice + 1.0), 6) AS price_ln,
+  round(exp(l_discount), 6) AS disc_exp,
+  round(pow(1.0 + l_tax, 2), 6) AS tax_sq,
+  CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+  greatest(l_quantity, 25.0) AS qty_hi,
+  least(l_quantity, 25.0) AS qty_lo
+FROM lineitem
+WHERE l_orderkey < 100
+"""
+
+
+@register("math_functions", oracle=_MATH_FNS_SQL, category="scalar")
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone math-function suite (SURVEY §2.3 scalar row): abs / ceil /
+    floor / mod / sqrt / ln / exp / pow / sign / greatest / least as pure
+    codegen expressions. Transcendentals are rounded to 6 dp — IEEE-754
+    doubles make sqrt/ln/exp/pow bit-comparable across engines at that
+    precision; trig is deliberately excluded (libm vs StrictMath can differ
+    in the last ulp with no decimal-rounding refuge)."""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_delta"),
+        F.ceil(F.col("l_quantity") / 7.0).alias("qty_ceil"),
+        F.floor(F.col("l_quantity") / 7.0).alias("qty_floor"),
+        (F.col("l_quantity").cast("long") % 5).alias("qty_mod"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1.0), 6).alias("price_ln"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.round(F.pow(F.col("l_tax") + 1.0, 2), 6).alias("tax_sq"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.greatest("l_quantity", F.lit(25.0)).alias("qty_hi"),
+        F.least("l_quantity", F.lit(25.0)).alias("qty_lo"),
+    )

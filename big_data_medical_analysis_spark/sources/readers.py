@@ -38,12 +38,16 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # Runtime-settable SQLConfs; set defensively in case the session was
-        # not built by get_spark (e.g. the driver's own harness session).
+        # SESSION-WIDE side effect, deliberate: both confs are runtime
+        # SQLConfs that the engine profile (session.py) already pins; they
+        # are re-asserted here because the driver's harness hands us a
+        # vanilla session that cannot read events.parquet (TIMESTAMP(NANOS))
+        # or render instants portably without them. They are idempotent
+        # under get_spark sessions; under a foreign session, note that any
+        # LATER query inherits UTC rendering — which is exactly the engine's
+        # contract (all oracle comparisons assume UTC), so inheriting it is
+        # correct, not accidental.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # ts is an instant (TimestampType): rendering and window bucketing
-        # must be UTC to match the oracle's UTC-naive values regardless of
-        # the host timezone.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         raw = spark.read.schema(schemas.EVENTS_PHYSICAL).parquet(path)
         return raw.withColumn(

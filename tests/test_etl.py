@@ -119,3 +119,14 @@ def test_partition_size_profile_balanced(spark, sf_dir):
     assert len(sizes) == 8
     assert min(sizes) > 0
     assert max(sizes) < 2 * (sum(sizes) / len(sizes))
+
+
+def test_seeded_shuffle_batches_sizes(spark, sf_dir):
+    """Batches are full (32 rows) except ≤ N_BATCH_SHARDS tails, and batch
+    row totals cover the table exactly."""
+    rows = E.seeded_shuffle_batches(spark, sf_dir).collect()
+    total = sum(r.batch_size * r.n_batches for r in rows)
+    assert total == read_table(spark, sf_dir, "orders").count()
+    n_partial = sum(r.n_batches for r in rows if r.batch_size < 32)
+    assert n_partial <= E.N_BATCH_SHARDS
+    assert max(r.batch_size for r in rows) <= 32
