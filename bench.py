@@ -86,6 +86,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # round-over-round comparability: the original 11-query
+                # relational headline vs the pillar extensions added later
+                "headline_total": round(
+                    sum(times[n] for n in HEADLINE if n in times), 3
+                ),
+                "optional_total": round(
+                    sum(t for n, t in times.items() if n not in HEADLINE), 3
+                ),
             }
         )
     )

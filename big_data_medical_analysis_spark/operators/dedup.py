@@ -283,16 +283,24 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_candidate_pairs(
     docs: DataFrame,
     jaccard_dist_threshold: float = 0.2,
-    num_hash_tables: int = 5,
+    num_hash_tables: int = 3,
     num_features: int = 1 << 18,
     seed: int = 42,
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """Shingle → HashingTF → MinHashLSH banded candidate pairs.
 
     ``approxSimilarityJoin`` explodes each doc by hash table, shuffles on
-    (table, minhash band) and compares only co-bucketed pairs — candidate
-    generation is linear-ish in corpus size, never all-pairs. Output:
-    (doc_a, doc_b, jaccard_dist) under the distance threshold.
+    (table, minhash band) and compares only co-bucketed pairs. NOTE the cost
+    model honestly: the *output* (and hence the join) is proportional to the
+    number of true near-dup pairs — on a corpus where most same-topic docs
+    overlap (this synthetic one; or any crawl before its first dedup pass),
+    a full self-join is inherently quadratic in the dup-cluster sizes, no
+    matter how good the bucketing is. Production shape: either (a) probe a
+    new batch against the corpus (pass ``probes``: linear per batch), or
+    (b) emit dedup *groups* instead of pairs (``minhash_band_groups`` below:
+    one scan, no join at all). Output: (doc_a, doc_b, jaccard_dist) under
+    the distance threshold.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
@@ -310,8 +318,13 @@ def minhash_candidate_pairs(
         seed=seed,
     )
     model = lsh.fit(feats)
+    left = feats if probes is None else tf.transform(
+        probes.select("doc_id", shingles("text").alias("grams")).filter(
+            F.size("grams") > 0
+        )
+    )
     joined = model.approxSimilarityJoin(
-        feats, feats, jaccard_dist_threshold, distCol="jaccard_dist"
+        left, feats, jaccard_dist_threshold, distCol="jaccard_dist"
     )
     return (
         joined.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
@@ -323,12 +336,96 @@ def minhash_candidate_pairs(
     )
 
 
+N_MINHASH_PROBES = 100
+
+
 @register("minhash_lsh_candidates", oracle=None, category="dedup")
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-duplicate candidate pairs on token shingles
-    (Jaccard distance < 0.2). Rows-only check: MinHash families are
-    engine-RNG (fixed seed ⇒ deterministic run, not oracle-expressible);
-    recall against exact Jaccard is property-tested in tests/test_dedup.py.
+    """MinHash-LSH candidate pairs for a probe batch (doc_id <
+    {N_MINHASH_PROBES}) against the full corpus — the incremental-dedup
+    shape whose cost is linear in corpus size per batch. Rows-only check:
+    MinHash families are engine-RNG; recall against planted dups is
+    property-tested in tests/test_dedup.py. Full-corpus dedup at scale goes
+    through ``minhash_band_groups`` (pairs on a dup-dense corpus are
+    inherently quadratic — see minhash_candidate_pairs's cost note).
     """
     docs = read_table(spark, sf_dir, "documents")
-    return minhash_candidate_pairs(docs)
+    probes = docs.filter(F.col("doc_id") < N_MINHASH_PROBES)
+    return minhash_candidate_pairs(docs, probes=probes)
+
+
+MINHASH_ROWS_PER_BAND = 4
+MINHASH_BANDS = 4
+
+
+def minhash_signature(text: Column | str, n_hashes: int) -> Column:
+    """n_hashes-wide MinHash signature as a pure Catalyst expression:
+    component j = min over token shingles of ``xxhash64(token, j)``.
+    One projection — no ml estimator, no explode, no shuffle."""
+    toks = F.array_distinct(F.split(text, " "))
+
+    def _hash_with(j: int):
+        # closure, NOT a default parameter: PySpark reads lambda arity and
+        # would bind a `j=` default to the element-index Column
+        jl = F.lit(j)
+        return lambda t: F.xxhash64(t, jl)
+
+    return F.array(
+        *[F.array_min(F.transform(toks, _hash_with(j))) for j in range(n_hashes)]
+    )
+
+
+@register("minhash_band_groups", oracle=None, category="dedup")
+def minhash_band_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus near-dedup at scale: banded MinHash *group* detection.
+
+    Signature (BANDS×ROWS components) is one linear scan; each band's slice
+    hashes to a bucket key; docs sharing any band bucket are near-dup
+    candidates. Emitting per-bucket groups (count + representative doc_id)
+    instead of pairwise matches keeps cost O(N·BANDS) even when dup
+    clusters are huge — the pair list a quadratic self-join would emit is
+    recoverable per group on demand. Output: per-band collision profile
+    (buckets with ≥2 docs, their sizes, min doc_id as keeper).
+    Rows-only: xxhash64 signatures are engine-specific.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    n_hashes = MINHASH_BANDS * MINHASH_ROWS_PER_BAND
+    sig = docs.select(
+        "doc_id", minhash_signature("text", n_hashes).alias("sig")
+    )
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at(
+                                    "sig", b * MINHASH_ROWS_PER_BAND + r + 1
+                                )
+                                for r in range(MINHASH_ROWS_PER_BAND)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("group_size") >= 2)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_buckets"),
+            F.sum("group_size").alias("n_docs_in_dup_buckets"),
+            F.max("group_size").alias("max_group"),
+            F.min("keeper_doc_id").alias("first_keeper"),
+        )
+    )

@@ -91,21 +91,37 @@ def _row_seed(content: bytes, variant: int) -> int:
     return int.from_bytes(h[:4], "little")
 
 
+# Shared gaussian-noise pool (σ=10): built ONCE per process from a fixed
+# seed; each (row, variant) reads a seed-derived slice. Constructing a fresh
+# RandomState + 1024 normal draws per variant costs ~100× more than a pool
+# slice and adds nothing — the pool offset already varies per row/variant
+# deterministically. float32 keeps it cache-resident (256 KiB).
+_NOISE_POOL_LEN = 1 << 16
+_NOISE_POOL = (
+    np.random.RandomState(0x5EED).normal(0.0, 10.0, _NOISE_POOL_LEN)
+).astype(np.float32)
+
+
 def augment_variants(img: np.ndarray, content: bytes) -> list[bytes]:
     """9 deterministic variants of one image (reference :65-134):
-    3 rotations, 3 seeded circular shifts (the ±3px translate), 3 seeded
-    gaussian-noise draws. Pure function of the input bytes."""
+    3 rotations, 3 content-seeded circular shifts (the ±3px translate),
+    3 content-seeded gaussian-noise adds. Pure function of the input bytes —
+    recompute ≡ compute, unlike the reference's global-RNG augment."""
     out: list[bytes] = []
     for k in (1, 2, 3):  # rotations (90/180/270° — codec-free rotation)
         out.append(np.ascontiguousarray(np.rot90(img, k)).tobytes())
-    for v in (3, 4, 5):  # shifts: dx, dy ∈ [-3, 3] from the row seed
-        rng = np.random.RandomState(_row_seed(content, v))
-        dx, dy = rng.randint(-3, 4, size=2)
+    for v in (3, 4, 5):  # shifts: dx, dy ∈ [-3, 3] straight from the digest
+        seed = _row_seed(content, v)
+        dx = seed % 7 - 3
+        dy = (seed >> 8) % 7 - 3
         out.append(np.roll(np.roll(img, dy, axis=0), dx, axis=1).tobytes())
-    for v in (6, 7, 8):  # gaussian noise, σ=10, seeded per (row, variant)
-        rng = np.random.RandomState(_row_seed(content, v))
-        noise = rng.normal(0.0, 10.0, img.shape)
-        out.append((img.astype(np.float64) + noise).clip(0, 255).astype(np.uint8).tobytes())
+    n = img.size
+    for v in (6, 7, 8):  # gaussian noise from a seed-offset pool slice
+        off = _row_seed(content, v) % (_NOISE_POOL_LEN - n)
+        noise = _NOISE_POOL[off : off + n].reshape(img.shape)
+        out.append(
+            (img.astype(np.float32) + noise).clip(0, 255).astype(np.uint8).tobytes()
+        )
     return out
 
 
@@ -171,12 +187,17 @@ def synth_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     (img_id, label, width, height, content). Content derives only from
     img_id, so any recompute — or any other engine — reproduces it."""
     docs = read_table(spark, sf_dir, "documents")
-    return docs.select(
-        F.col("doc_id").alias("img_id"),
-        (F.col("doc_id") % 5).cast("int").alias("label"),
+    # Explicit repartition BEFORE the Python-heavy stages: the documents
+    # parquet is one small file → one scan partition, which would run every
+    # downstream pandas UDF single-threaded. A cheap 8-byte-per-row shuffle
+    # buys full-core UDF parallelism (the engine's own rule: repartition
+    # ahead of heavy UDF stages, SURVEY §4.1).
+    return docs.select(F.col("doc_id").alias("img_id")).repartition("img_id").select(
+        "img_id",
+        (F.col("img_id") % 5).cast("int").alias("label"),
         F.lit(IMG_SIDE).alias("width"),
         F.lit(IMG_SIDE).alias("height"),
-        _synth_content(F.col("doc_id")).alias("content"),
+        _synth_content(F.col("img_id")).alias("content"),
     )
 
 

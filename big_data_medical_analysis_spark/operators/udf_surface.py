@@ -80,9 +80,14 @@ def pandas_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB you'd use the built-in expression (pricing_summary does);
     this query exists to pin the UDF surface's correctness.
     """
-    li = read_table(spark, sf_dir, "lineitem")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    # repartition before the Python stage: the sf0.1 parquet is a single
+    # ~20 MiB scan split, which would run the UDF on one core
     return (
-        li.withColumn(
+        li.repartition("l_returnflag", "l_extendedprice")
+        .withColumn(
             "rev_e4", _disc_price_e4("l_extendedprice", "l_discount")
         )
         .groupBy("l_returnflag")

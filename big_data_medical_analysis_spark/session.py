@@ -22,6 +22,10 @@ from pyspark.sql import SparkSession
 # Tuned for the local[32] test harness; on a real cluster these are
 # overridden by spark-submit conf. AQE handles the runtime delta.
 _DEFAULTS: dict[str, str] = {
+    # --- heap: local[N] puts driver+executors in ONE JVM; the 1g default
+    # OOMs long before the 128 GiB box does. Only effective at JVM launch
+    # (getOrCreate), inert when attaching to an existing session. ---
+    "spark.driver.memory": "24g",
     # --- adaptive execution: the 100 TB insurance policy ---
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
