@@ -17,7 +17,7 @@ default casts, which differ in fractional-second padding.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Render formats (Spark pattern ↔ DuckDB strftime pattern)
@@ -25,6 +25,28 @@ TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
 DATE_FMT_SPARK = "yyyy-MM-dd"
 DATE_FMT_DUCK = "%Y-%m-%d"
+
+
+def fan_out(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition to the session's default parallelism with an EXPLICIT
+    partition count, ahead of CPU-heavy per-row stages (pandas UDFs, wide
+    hash/HOF expression projections).
+
+    Why explicit: ``repartition(col)`` with no count leaves the exchange
+    AQE-coalescible; a stage whose shuffle payload is a few KB but whose
+    per-row compute is expensive gets coalesced to ONE task, serializing the
+    work (observed on the single-file documents/embeddings scans). Spark
+    honors a user-specified partition count, so the explicit form pins it.
+
+    At 100 TB inputs already arrive in thousands of scan splits and this
+    extra exchange of narrow keys is noise next to the per-row decode/hash
+    cost it parallelizes; keyed form keeps hash co-location, keyless form is
+    round-robin for key-free projections.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if cols:
+        return df.repartition(n, *cols)
+    return df.repartition(n)
 
 
 def cents(col: Column | str, scale: int = 100) -> Column:

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from big_data_medical_analysis_spark.operators.common import fan_out
 from big_data_medical_analysis_spark.registry import register
 from big_data_medical_analysis_spark.sources.readers import read_table
 
@@ -172,7 +173,9 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape is identical.
     """
     docs = read_table(spark, sf_dir, "documents")
-    fp = docs.select(
+    # fan_out: the 32-bit-majority projection is the expensive stage; pin it
+    # to full parallelism instead of the single scan split of a small file.
+    fp = fan_out(docs, "doc_id").select(
         "doc_id", "lang", _token_hashes("text").alias("hs")
     ).select("doc_id", "lang", simhash(F.col("hs")).alias("simhash"))
     a = fp.select(
@@ -184,9 +187,14 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("simhash").alias("sh_b"),
     )
     hdist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+    # Broadcast the (id, lang, int64) fingerprint side: 5 lang keys would
+    # otherwise cap the shuffle join at 5 effective tasks. Fingerprints are
+    # ~24 bytes/doc, broadcastable far beyond this corpus size; at 100 TB
+    # you band the fingerprint instead (docstring above) — still no
+    # full-table shuffle of document bodies.
     return (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("lang") == F.col("lang_b")) & (F.col("doc_a") < F.col("doc_b")),
         )
         .select("lang", "doc_a", "doc_b", hdist.alias("hdist"))
@@ -246,7 +254,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe side is whatever LSH candidate generation emits.
     """
     docs = read_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", "lang", shingles("text").alias("grams"))
+    # fan_out the candidate side: the probe side broadcasts, so candidate
+    # scan parallelism is the only parallelism this join has.
+    sh = fan_out(docs, "doc_id").select(
+        "doc_id", "lang", shingles("text").alias("grams")
+    )
     a = sh.filter(F.col("doc_id") < N_JACCARD_PROBES).select(
         F.col("doc_id").alias("probe_id"),
         F.col("lang"),
@@ -304,7 +316,7 @@ def minhash_candidate_pairs(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    sh = docs.select(
+    sh = fan_out(docs, "doc_id").select(
         "doc_id", shingles("text").alias("grams")
     ).filter(F.size("grams") > 0)
     tf = HashingTF(
@@ -390,7 +402,7 @@ def minhash_band_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = read_table(spark, sf_dir, "documents")
     n_hashes = MINHASH_BANDS * MINHASH_ROWS_PER_BAND
-    sig = docs.select(
+    sig = fan_out(docs, "doc_id").select(
         "doc_id", minhash_signature("text", n_hashes).alias("sig")
     )
     banded = sig.select(

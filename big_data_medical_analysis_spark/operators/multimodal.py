@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+from big_data_medical_analysis_spark.operators.common import fan_out
 from big_data_medical_analysis_spark.registry import register
 from big_data_medical_analysis_spark.sources.readers import read_table
 
@@ -187,12 +188,12 @@ def synth_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     (img_id, label, width, height, content). Content derives only from
     img_id, so any recompute — or any other engine — reproduces it."""
     docs = read_table(spark, sf_dir, "documents")
-    # Explicit repartition BEFORE the Python-heavy stages: the documents
-    # parquet is one small file → one scan partition, which would run every
-    # downstream pandas UDF single-threaded. A cheap 8-byte-per-row shuffle
-    # buys full-core UDF parallelism (the engine's own rule: repartition
-    # ahead of heavy UDF stages, SURVEY §4.1).
-    return docs.select(F.col("doc_id").alias("img_id")).repartition("img_id").select(
+    # fan_out BEFORE the Python-heavy stages: the documents parquet is one
+    # small file → one scan partition, which would run every downstream
+    # pandas UDF single-threaded. The count must be explicit — a bare
+    # repartition("img_id") exchange of 8-byte rows gets AQE-coalesced back
+    # to one task, re-serializing the UDF chain it was meant to spread.
+    return fan_out(docs.select(F.col("doc_id").alias("img_id")), "img_id").select(
         "img_id",
         (F.col("img_id") % 5).cast("int").alias("label"),
         F.lit(IMG_SIDE).alias("width"),
@@ -211,17 +212,44 @@ def normalize_pipeline(images: DataFrame) -> DataFrame:
 def augment_pipeline(images: DataFrame) -> DataFrame:
     """normalize → augment → explode: the reference's intended chain
     (its actual code augments the RAW image by mistake, §2.2.2). 1 row in,
-    9 rows out, each tagged with its variant index."""
-    normalized = normalize_pipeline(images)
-    augmented = normalized.withColumn(
-        "variants", augment_image("norm_content", "height", "width")
-    )
-    return augmented.select(
-        "img_id",
-        "label",
-        "width",
-        "height",
-        F.posexplode("variants").alias("variant", "aug_content"),
+    9 rows out, each tagged with its variant index.
+
+    Fused as ONE ``mapInPandas`` pass on purpose. The composable
+    formulation (``normalize_image`` column, then ``augment_image`` column,
+    then a JVM-side ``posexplode``) plans as a chain of ArrowEvalPython
+    nodes: every image crosses the Arrow boundary once per UDF, and the 9×
+    fan-out materializes as an ``array<binary>`` column that transits the
+    JVM a third time before exploding — measured 5-7× slower at sf0.1 and
+    strictly worse at scale, where it is 3 corpus-sized transfers vs 1.
+    Kernel parity with the scalar UDFs is byte-exact (same
+    ``equalize_hist``/``augment_variants`` calls — tests/test_multimodal.py).
+    """
+
+    def _gen(batches):
+        for pdf in batches:
+            out: dict[str, list] = {
+                "img_id": [], "label": [], "width": [], "height": [],
+                "variant": [], "aug_content": [],
+            }
+            for img_id, label, w, h, content in zip(
+                pdf["img_id"], pdf["label"], pdf["width"], pdf["height"],
+                pdf["content"],
+            ):
+                norm = equalize_hist(decode_gray(content, h, w))
+                nbytes = norm.tobytes()
+                for v, b in enumerate(augment_variants(norm, nbytes)):
+                    out["img_id"].append(img_id)
+                    out["label"].append(label)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["variant"].append(v)
+                    out["aug_content"].append(b)
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(
+        _gen,
+        "img_id long, label int, width int, height int, "
+        "variant int, aug_content binary",
     )
 
 

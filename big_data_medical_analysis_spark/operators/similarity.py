@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from big_data_medical_analysis_spark.operators.common import fan_out
 from big_data_medical_analysis_spark.registry import register
 from big_data_medical_analysis_spark.sources.readers import read_table
 
@@ -129,7 +130,10 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with |probes| small) shuffles for the per-probe ranking window.
     Deterministic ties: (cos_sim DESC, cand_id).
     """
-    emb = read_table(spark, sf_dir, "embeddings").select(
+    # fan_out: the probe side broadcasts, so the |probes|·N scoring loop runs
+    # at exactly the candidate scan's parallelism — one task for a
+    # single-file local corpus without it.
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", "embedding", int_norm2("embedding").alias("n2")
     )
     probes = F.broadcast(
@@ -199,7 +203,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the block key comes from a coarse clusterer or LSH bucket
     (``ann_brp_lsh``); same plan shape either way.
     """
-    emb = read_table(spark, sf_dir, "embeddings").select(
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", "label", "embedding", int_norm2("embedding").alias("n2")
     )
     a = emb.select(
@@ -214,9 +218,13 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("emb_b"),
         F.col("n2").alias("n2_b"),
     )
+    # Broadcast side b: a 5-value block key would cap a shuffle join at 5
+    # effective tasks (one per label). With b broadcast, pair generation runs
+    # at side a's full fan_out parallelism. At 100 TB, b is not the whole
+    # corpus but one LSH/cluster block — still broadcast-sized per block.
     return (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("label") == F.col("label_b"))
             & (F.col("vec_a") < F.col("vec_b")),
         )
@@ -289,7 +297,7 @@ def ann_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     run deterministic but not oracle-expressible). Recall against exact
     near-dup pairs is property-tested in tests/test_similarity.py.
     """
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"), "vec_id")
     # The corpus is unit-normalized: pairwise distance d = √(2(1−cos))
     # concentrates in [1.05, 1.41]; 1.15 (cos ≈ 0.34) admits ~0.3% of
     # pairs — a *selective* candidate set, which is the whole point of

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+from big_data_medical_analysis_spark.operators.common import fan_out
 from big_data_medical_analysis_spark.operators.etl import assign_client
 from big_data_medical_analysis_spark.registry import register
 from big_data_medical_analysis_spark.sources.readers import read_table
@@ -83,10 +84,11 @@ def pandas_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", "l_discount"
     )
-    # repartition before the Python stage: the sf0.1 parquet is a single
-    # ~20 MiB scan split, which would run the UDF on one core
+    # fan_out before the Python stage: the sf0.1 parquet is a single
+    # ~20 MiB scan split, which would run the UDF on one core — and the
+    # count must be explicit or AQE coalesces the small exchange right back.
     return (
-        li.repartition("l_returnflag", "l_extendedprice")
+        fan_out(li, "l_returnflag", "l_extendedprice")
         .withColumn(
             "rev_e4", _disc_price_e4("l_extendedprice", "l_discount")
         )
@@ -127,7 +129,7 @@ def embeddings_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-dependent and numpy's SIMD accumulation need not match a SQL
     engine's sequential fold — integer sums are exact in any order.
     """
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"), "vec_id")
 
     def _l2(batches):
         for pdf in batches:

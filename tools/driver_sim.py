@@ -63,6 +63,10 @@ fails = 0
 for name in sys.argv[1:] or ["purchase_asof_signup", "user_event_deltas", "pricing_summary"]:
     sdf = qs[name](spark, SF01)
     srows = [tuple(r) for r in sdf.collect()]
+    if name not in oracles:
+        # rows-only contract queries: the driver records count + schema only
+        print(f"rows {name}: spark={len(srows)} (no oracle)")
+        continue
     res = con.sql(oracles[name])
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()
