@@ -265,6 +265,20 @@ def write_partitioned(df: DataFrame, partition_cols: list[str], out_dir: str) ->
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(out_dir)
 
 
+def write_client_shards_csv(
+    df: DataFrame, key_cols: list[str], n_clients: int, out_dir: str
+) -> None:
+    """Reference-compatible per-client CSV sink (headered CSV per client,
+    src/preprocessing_pipeline.py:180,:203-204) — but as ONE partitioned
+    write job instead of the reference's N independent ``write.csv`` calls,
+    each of which re-executed the shared upstream lineage. Client dirs land
+    as ``client=<k>/part-*.csv``; a consumer globs exactly like the
+    reference's loader (src/federated_learning_pipeline.py:57-59)."""
+    assign_client(df, key_cols, n_clients).write.mode("overwrite").option(
+        "header", True
+    ).partitionBy("client").csv(out_dir)
+
+
 N_BATCH_SHARDS = 64
 
 

@@ -259,3 +259,64 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cents.select(
         "label", F.posexplode("centroid").alias("dim_idx", "centroid")
     )
+
+
+# ---------------------------------------------------------------------------
+# 5. Batch inference + metric aggregate (model evaluation)
+# ---------------------------------------------------------------------------
+
+_EVAL_SQL = """
+WITH scored AS (
+  SELECT label,
+         list_sum(list_transform(embedding,
+           (x, i) -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)
+                     * (CASE WHEN i % 2 = 1 THEN 1 ELSE -1 END))) AS s
+  FROM embeddings
+)
+SELECT label,
+       count(*) AS n,
+       CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+       round(CAST(sum(CASE WHEN (s > 0) = (label >= 2) THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS accuracy
+FROM scored
+GROUP BY label
+"""
+
+
+@pandas_udf(T.IntegerType())
+def _binary_predict(emb: pd.Series) -> pd.Series:
+    """Batch inference stand-in for the reference's ``model.evaluate``
+    forward pass (src/federated_learning_pipeline.py:155-171): a fixed
+    linear probe with alternating ±1 weights over the int-scaled embedding.
+    Deliberately deterministic and integer-exact so the whole eval pipeline
+    is oracle-checkable — the Spark-side shape (Arrow batch in, score out)
+    is identical for a real model."""
+    preds = []
+    for vec in emb:
+        arr = np.asarray(vec, dtype=np.float64) * 1_000_000.0
+        iscaled = np.copysign(np.floor(np.abs(arr) + 0.5), arr).astype(np.int64)
+        w = np.where(np.arange(iscaled.size) % 2 == 0, 1, -1).astype(np.int64)
+        preds.append(int((iscaled * w).sum() > 0))
+    return pd.Series(preds, dtype="int32")
+
+
+@register("model_eval_accuracy", oracle=_EVAL_SQL, category="udf")
+def model_eval_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model evaluation aggregate (SURVEY §2.1 row 35): batch inference via
+    a pandas UDF, then a JVM-side metric aggregate — per-label count,
+    positive-prediction count, and binary accuracy against the ``label >= 2``
+    target. The inference stage scales as a pure map (fan_out parallel, no
+    state); only per-label metric rows shuffle."""
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"), "vec_id")
+    scored = emb.withColumn("pred", _binary_predict("embedding"))
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pred").cast("long").alias("n_pred_pos"),
+        F.round(
+            F.sum(
+                ((F.col("pred") == 1) == (F.col("label") >= 2)).cast("long")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("accuracy"),
+    )

@@ -130,3 +130,31 @@ def test_seeded_shuffle_batches_sizes(spark, sf_dir):
     n_partial = sum(r.n_batches for r in rows if r.batch_size < 32)
     assert n_partial <= E.N_BATCH_SHARDS
     assert max(r.batch_size for r in rows) <= 32
+
+
+def test_write_client_shards_csv_roundtrip(spark, sf_dir, tmp_path):
+    """Reference-shaped CSV sink: headered part files under client=<k>/
+    dirs, glob-readable back to the full row count with partition-column
+    recovery (the reference's files-vs-rows reconciliation,
+    src/preprocessing_pipeline.py:296-303)."""
+    import glob as pyglob
+
+    out = str(tmp_path / "csv_shards")
+    cust = read_table(spark, sf_dir, "customer")
+    E.write_client_shards_csv(cust, ["c_custkey"], 4, out)
+    dirs = sorted(pyglob.glob(out + "/client=*"))
+    assert len(dirs) == 4
+    back = (
+        spark.read.option("header", True).option("inferSchema", True).csv(out)
+    )
+    assert back.count() == cust.count()
+    assert back.select("client").distinct().count() == 4
+    # shard assignment must match assign_client exactly
+    expect = E.assign_client(cust, ["c_custkey"], 4).select(
+        F.col("c_custkey").cast("long"), F.col("client").cast("int")
+    )
+    got = back.select(
+        F.col("c_custkey").cast("long"), F.col("client").cast("int")
+    )
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0

@@ -63,3 +63,29 @@ def test_round_half_away():
     arr = np.array([0.0000005, -0.0000005, 0.0000014, -0.0000016])
     out = U.round_half_away(arr, 6)
     assert out.tolist() == [0.000001, -0.000001, 0.000001, -0.000002]
+
+
+def test_model_eval_prediction_matches_expression(spark, sf_dir):
+    """Batch-inference UDF ≡ the equivalent Catalyst expression: the ±1
+    alternating linear probe computed via pandas UDF must agree row-for-row
+    with an int-scaled transform/aggregate HOF formulation."""
+    from big_data_medical_analysis_spark.operators.udf_surface import (
+        _binary_predict,
+    )
+    from big_data_medical_analysis_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    iscaled = F.transform(
+        "embedding",
+        lambda x, i: F.round(x.cast("double") * 1_000_000).cast("long")
+        * F.when(i % 2 == 0, F.lit(1)).otherwise(F.lit(-1)),
+    )
+    expr_pred = (
+        F.aggregate(iscaled, F.lit(0).cast("long"), lambda a, x: a + x) > 0
+    ).cast("int")
+    both = emb.select(
+        "vec_id",
+        _binary_predict("embedding").alias("udf_pred"),
+        expr_pred.alias("expr_pred"),
+    )
+    assert both.filter(F.col("udf_pred") != F.col("expr_pred")).count() == 0
