@@ -43,6 +43,7 @@ OPTIONAL = [
     # similarity pillar
     "cosine_topk",
     "ann_brp_lsh",
+    "ivf_topk",
     # text pillar
     "doc_token_stats",
     "tfidf_top_terms",
@@ -53,6 +54,7 @@ OPTIONAL = [
     # Arrow UDF surface
     "pandas_udf_revenue",
     "label_centroids",
+    "model_eval_accuracy",
     # multimodal pillar
     "image_augment_fanout",
 ]

@@ -311,3 +311,181 @@ def ann_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("eucl_dist"), 6).alias("min_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 4. IVF (inverted-file) ANN: coarse cells → probe nprobe cells → exact scan
+# ---------------------------------------------------------------------------
+
+N_IVF_PROBE_CELLS = 3
+
+
+def _int_dot_raw(a: Column, b: Column) -> Column:
+    """Exact int64 dot of two ALREADY int-scaled vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _int_norm2_raw(a: Column) -> Column:
+    """Exact int64 squared norm of an ALREADY int-scaled vector."""
+    return F.aggregate(
+        F.transform(a, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+_IVF_SQL = f"""
+WITH scaled AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(round(x::DOUBLE * {_SCALE}) AS BIGINT))
+           AS iv
+  FROM embeddings
+), exploded AS (
+  SELECT label, ix, i FROM (
+    SELECT label, unnest(iv) AS ix, generate_subscripts(iv, 1) AS i
+    FROM scaled
+  )
+), centc AS (
+  SELECT label, i,
+         CAST(round(CAST(sum(ix) AS DOUBLE) / count(*)) AS BIGINT) AS c
+  FROM exploded GROUP BY label, i
+), cent AS (
+  SELECT label, list(c ORDER BY i) AS cvec FROM centc GROUP BY label
+), cent2 AS (
+  SELECT label, cvec,
+         list_sum(list_transform(cvec, x -> x * x)) AS n2c
+  FROM cent
+), pn AS (
+  SELECT vec_id, iv, list_sum(list_transform(iv, x -> x * x)) AS n2
+  FROM scaled WHERE vec_id < {N_PROBES}
+), cell_scores AS (
+  SELECT p.vec_id AS probe_id, c.label,
+         round(CAST(list_sum(list_transform(list_zip(p.iv, c.cvec),
+                                            z -> z[1] * z[2])) AS DOUBLE)
+               / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.n2c AS DOUBLE))), 6)
+           AS cell_cos
+  FROM pn p, cent2 c
+), top_cells AS (
+  SELECT probe_id, label FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY cell_cos DESC, label) AS rn
+    FROM cell_scores
+  ) WHERE rn <= {N_IVF_PROBE_CELLS}
+), cn AS (
+  SELECT vec_id, label, iv, list_sum(list_transform(iv, x -> x * x)) AS n2
+  FROM scaled
+), pairs AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         round(CAST(list_sum(list_transform(list_zip(p.iv, c.iv),
+                                            z -> z[1] * z[2])) AS DOUBLE)
+               / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))), 6)
+           AS cos_sim
+  FROM pn p
+  JOIN top_cells t ON t.probe_id = p.vec_id
+  JOIN cn c ON c.label = t.label AND c.vec_id <> p.vec_id
+)
+SELECT probe_id, cand_id, cos_sim, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY probe_id ORDER BY cos_sim DESC, cand_id) AS rnk
+  FROM pairs
+)
+WHERE rnk <= {TOP_K}
+"""
+
+
+@register("ivf_topk", oracle=_IVF_SQL, category="similarity")
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k: rank coarse cells by probe↔centroid
+    cosine, then run the exact scorer over only the top
+    {N_IVF_PROBE_CELLS} cells' vectors.
+
+    The cell id here is the precomputed ``label`` column (the realistic IVF
+    deployment: assignments come from an offline clusterer and live next to
+    the vector); centroids are per-cell means computed engine-side with the
+    int-scaling convention, so the whole path — centroid build, cell
+    ranking, candidate scan — is deterministic and oracle-checked, unlike
+    engine-RNG LSH. At 100 TB: centroids are a broadcast-sized table
+    (cells × dims), cell ranking is a map over probes, and the candidate
+    scan reads only nprobe/cells of the corpus — the scan reduction is the
+    entire point of IVF. Tie-breaks: (cell_cos DESC, label), then
+    (cos_sim DESC, cand_id).
+    """
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"), "vec_id")
+    scaled = emb.select(
+        "vec_id", "label", F.transform("embedding", _iscaled).alias("iv")
+    )
+
+    # centroid build: one explode + two aggregates, all JVM-side
+    exploded = scaled.select("label", F.posexplode("iv").alias("i", "ix"))
+    centc = exploded.groupBy("label", "i").agg(
+        F.round(F.sum("ix").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("c")
+    )
+    cent = (
+        centc.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "c"))),
+                lambda s: s["c"],
+            ).alias("cvec")
+        )
+        .select("label", "cvec", _int_norm2_raw(F.col("cvec")).alias("n2c"))
+    )
+
+    probes = scaled.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("iv").alias("p_iv"),
+        _int_norm2_raw(F.col("iv")).alias("p_n2"),
+    )
+
+    # cell ranking: |probes| × |cells| rows, centroids broadcast
+    cell_scores = probes.crossJoin(F.broadcast(cent)).select(
+        "probe_id",
+        "label",
+        "p_iv",
+        "p_n2",
+        cosine(
+            _int_dot_raw(F.col("p_iv"), F.col("cvec")),
+            F.col("p_n2"),
+            F.col("n2c"),
+        ).alias("cell_cos"),
+    )
+    wc = W.partitionBy("probe_id").orderBy(F.desc("cell_cos"), F.asc("label"))
+    top_cells = (
+        cell_scores.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= N_IVF_PROBE_CELLS)
+        .select("probe_id", "label", "p_iv", "p_n2")
+    )
+
+    # candidate scan: only vectors in the selected cells are scored
+    cands = scaled.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("c_label"),
+        F.col("iv").alias("c_iv"),
+        _int_norm2_raw(F.col("iv")).alias("c_n2"),
+    )
+    pairs = F.broadcast(top_cells).join(
+        cands,
+        (F.col("label") == F.col("c_label"))
+        & (F.col("cand_id") != F.col("probe_id")),
+    ).select(
+        "probe_id",
+        "cand_id",
+        cosine(
+            _int_dot_raw(F.col("p_iv"), F.col("c_iv")),
+            F.col("p_n2"),
+            F.col("c_n2"),
+        ).alias("cos_sim"),
+    )
+    wk = W.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("probe_id", "cand_id", "cos_sim", "rnk")
+    )

@@ -219,3 +219,51 @@ def dedup_stream(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def running_user_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count + exact running value total, state carried across
+    micro-batches (the engine's arbitrary-stateful-processing surface —
+    semantics Spark's built-in windowed aggregates can't express, e.g.
+    unbounded per-key accumulators with custom merge logic).
+
+    State is one (n, total_cents) pair per user — int64 cents so recompute
+    order never changes the total. At scale, per-key state lives in the
+    state store keyed by the shuffle partitioning of ``user_id``; an
+    unbounded-keyspace deployment would add a timeout
+    (``GroupStateTimeout.EventTimeTimeout``) to bound it — fixed user
+    universe here, so NoTimeout is the honest choice.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total_cents long"
+
+    def _update(key, pdfs, state):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(
+                (pdf["value"].astype("float64") * 100.0)
+                .round()
+                .astype("int64")
+                .sum()
+            )
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -154,3 +154,49 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     assert counts[1] == 2
     values_of_1 = sorted(r.value for r in rows if r.event_id == 1)
     assert values_of_1 == [1.0, 9.0]
+
+
+def test_running_user_totals_stateful(spark, tmp_path):
+    """applyInPandasWithState carries per-user state across micro-batches:
+    each batch emits the cumulative (n_events, total_value) per touched
+    user, exactly."""
+    indir = str(tmp_path / "in")
+    qname = "s_" + uuid.uuid4().hex[:8]
+
+    _write_events(
+        indir,
+        "a.json",
+        [
+            (1, "2024-01-01 01:00:00.000000", 1, "click", 1.0),
+            (2, "2024-01-01 02:00:00.000000", 1, "click", 2.5),
+            (3, "2024-01-01 03:00:00.000000", 2, "view", 3.0),
+        ],
+    )
+    stream = SW.running_user_totals_stream(SW.read_event_stream(spark, indir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        after_b0 = {
+            (r.user_id): (r.n_events, r.total_value)
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+        _write_events(
+            indir,
+            "b.json",
+            [(4, "2024-01-01 04:00:00.000000", 1, "click", 4.0)],
+        )
+        q.processAllAvailable()
+        rows = spark.sql(f"SELECT * FROM {qname}").collect()
+    finally:
+        q.stop()
+
+    assert after_b0 == {1: (2, 3.5), 2: (1, 3.0)}
+    # update-mode memory sink appends each batch's updates: user 1 appears
+    # twice (cumulative 3.5 then 7.5), user 2 once
+    tuples = sorted((r.user_id, r.n_events, r.total_value) for r in rows)
+    assert tuples == [(1, 2, 3.5), (1, 3, 7.5), (2, 1, 3.0)]
