@@ -1,0 +1,83 @@
+"""Plan-shape regression tests (plans/inspect.py): the operator docstrings
+make physical-plan claims — filters pushed to the scan, dims broadcast,
+"one shuffle" budgets, pruned read schemas. These tests pin those claims to
+the actual pre-AQE physical plan, so a silent de-optimization (lost
+broadcast, filter stranded above the scan, a second exchange creeping in)
+fails here instead of at 100 TB.
+"""
+
+from __future__ import annotations
+
+from big_data_medical_analysis_spark import plans as P
+from big_data_medical_analysis_spark import registry
+
+QS = registry.queries()
+
+
+def test_pricing_summary_pushdown_and_single_shuffle(spark, sf_dir):
+    """TPC-H Q1 shape: the shipdate filter reaches the parquet scan, the
+    scan reads only the 7 consumed columns, and the whole multi-agg is one
+    partial+final shuffle."""
+    df = QS["pricing_summary"](spark, sf_dir)
+    assert P.exchange_count(df) == 1
+    pushed = " | ".join(P.pushed_filters(df))
+    assert "l_shipdate" in pushed and "LessThanOrEqual" in pushed
+    schemas = " | ".join(P.read_schemas(df))
+    assert "l_comment" not in schemas  # column pruning held
+
+
+def test_regional_revenue_snowflake_broadcast(spark, sf_dir):
+    """Snowflake collapse: every dim join broadcasts; the fact table
+    shuffles exactly once (for the final aggregate)."""
+    df = QS["regional_revenue"](spark, sf_dir)
+    assert P.exchange_count(df) == 1
+    assert P.broadcast_join_count(df) >= 3
+    assert not P.has_node(df, "SortMergeJoin")
+    # fact scan pruned to join key + the two revenue columns
+    schemas = P.read_schemas(df)
+    li = [s for s in schemas if "l_orderkey" in s]
+    assert li and "l_shipmode" not in li[0] and "l_comment" not in li[0]
+
+
+def test_top_orders_uses_topk_operator_and_pushdown(spark, sf_dir):
+    """Global top-k compiles to TakeOrderedAndProject (no full sort), and
+    both dim filters land in their scans."""
+    df = QS["top_orders_by_segment"](spark, sf_dir)
+    assert P.has_node(df, "TakeOrderedAndProject")
+    pushed = " | ".join(P.pushed_filters(df))
+    assert "c_mktsegment" in pushed and "o_orderdate" in pushed
+
+
+def test_cosine_topk_probe_broadcast(spark, sf_dir):
+    """The probe side broadcasts (nested-loop against the candidate scan);
+    the probe filter is pushed down; the big side never sort-merge joins."""
+    df = QS["cosine_topk"](spark, sf_dir)
+    assert P.has_node(df, "BroadcastNestedLoopJoin")
+    assert not P.has_node(df, "SortMergeJoin")
+    pushed = " | ".join(P.pushed_filters(df))
+    assert "LessThan(vec_id,10)" in pushed
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The union+window as-of join is linear: exactly one shuffle (on
+    user_id), with both event_type filters pushed to the scans."""
+    df = QS["purchase_asof_signup"](spark, sf_dir)
+    assert P.exchange_count(df) == 1
+    pushed = " | ".join(P.pushed_filters(df))
+    assert "EqualTo(event_type,signup)" in pushed
+    assert "EqualTo(event_type,purchase)" in pushed
+
+
+def test_window_aggs_single_shuffle(spark, sf_dir):
+    """Tumbling windows and per-group ranking each budget one shuffle."""
+    assert P.exchange_count(QS["tumbling_event_counts"](spark, sf_dir)) == 1
+    assert P.exchange_count(QS["topk_parts_per_brand"](spark, sf_dir)) == 1
+
+
+def test_fanout_exchange_is_pinned(spark, sf_dir):
+    """fan_out's explicit-count repartition survives into the plan as a
+    REPARTITION_BY_NUM exchange — the AQE-coalesce-proof form (a bare
+    repartition(col) would plan as REPARTITION_BY_COL and be coalescible
+    back to one task)."""
+    df = QS["simhash_near_dup"](spark, sf_dir)
+    assert "REPARTITION_BY_NUM" in P.physical_plan(df)
