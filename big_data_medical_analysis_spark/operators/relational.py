@@ -1026,3 +1026,102 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("l_quantity", F.lit(25.0)).alias("qty_hi"),
         F.least("l_quantity", F.lit(25.0)).alias("qty_lo"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew handling: explicit salted join
+# ---------------------------------------------------------------------------
+
+SKEW_SALT = 8
+
+_SALTED_JOIN_SQL = """
+WITH dim AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+)
+SELECT e.event_type,
+       count(*) AS n,
+       count(DISTINCT e.user_id) AS n_users,
+       CAST(sum(CASE WHEN CAST(e.ts AS DATE) = CAST(d.first_ts AS DATE)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_first_day
+FROM events e JOIN dim d ON e.user_id = d.user_id
+GROUP BY e.event_type
+"""
+
+
+@register("salted_skew_join", oracle=_SALTED_JOIN_SQL, category="join")
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit skew-salting join: the fact side gets a per-row salt
+    (``pmod(xxhash64(event_id), S)``), the dim side is replicated S× with
+    every salt value, and the join key becomes (user_id, salt) — each hot
+    user's rows spread over S shuffle partitions instead of one.
+
+    Salting never changes the join RESULT (every fact row still meets its
+    dim row exactly once), which is why this query carries a full oracle:
+    the DuckDB twin is the plain unsalted join. At 100 TB a power-law
+    user key puts the head user's entire history in one task; AQE's
+    skew-join split (enabled in the session profile) handles the sort-merge
+    case automatically, but explicit salting is the form that also works
+    where AQE can't re-plan — skewed aggregations and stream-static joins.
+    Cost: S× dim replication, the standard trade (dim is per-user rollup
+    rows, tiny next to the fact).
+
+    Semantics joined: events against each user's first-event rollup —
+    per event_type, how many events land on the user's first active day.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    salted_fact = ev.select(
+        "user_id", "event_type", "ts",
+        F.pmod(F.xxhash64("event_id"), F.lit(SKEW_SALT)).alias("salt"),
+    )
+    replicated_dim = dim.select(
+        "user_id", "first_ts",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(SKEW_SALT - 1).cast("long"))).alias("salt"),
+    )
+    joined = salted_fact.join(replicated_dim, ["user_id", "salt"])
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum(
+            (F.to_date("ts") == F.to_date("first_ts")).cast("long")
+        ).alias("n_first_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (dynamic-to-wide reshaping)
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+_PIVOT_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+FROM events
+GROUP BY 1
+"""
+
+
+@register("event_type_pivot", oracle=_PIVOT_SQL, category="aggregation")
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pivot`` with an EXPLICIT value list: long→wide reshape of daily
+    event counts. The explicit list matters twice at scale — it skips the
+    extra distinct-values job Spark otherwise runs to discover columns, and
+    it makes the output schema static (a dynamic pivot's schema depends on
+    the data, which breaks downstream contracts). Compiles to one
+    partial+final hash aggregate, same as the CASE-WHEN formulation."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "day"
+            )
+        )
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
