@@ -373,3 +373,213 @@ def read_pickle_blobs(spark: SparkSession, path: str, glob: str = "*.pkl") -> Da
         "length",
         _unpickle_meta("content").alias("meta"),
     ).select("path", "length", "meta.keys", "meta.shape")
+
+
+# ---------------------------------------------------------------------------
+# Resize / frame-sample / audio kernels (brief §multimodal: decode,
+# feature-extract, resize, frame-sample — codec-free deterministic forms;
+# swap the synth/decode step for a real codec in deployment)
+# ---------------------------------------------------------------------------
+
+
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Pure-numpy bilinear resize (align_corners=False convention, the
+    cv2.INTER_LINEAR / tf.image.resize default — reference resizes every
+    image to 224×224, src/federated_learning_pipeline.py:40). Deterministic:
+    same float64 arithmetic on every engine."""
+    h, w = img.shape
+    ys = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    f = img.astype(np.float64)
+    top = f[y0][:, x0] * (1 - wx) + f[y0][:, x1] * wx
+    bot = f[y1][:, x0] * (1 - wx) + f[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+RESIZE_SIDE = 16
+
+
+@pandas_udf(T.BinaryType())
+def resize_image(
+    content: pd.Series, height: pd.Series, width: pd.Series
+) -> pd.Series:
+    return pd.Series(
+        [
+            resize_bilinear(
+                decode_gray(c, h, w), RESIZE_SIDE, RESIZE_SIDE
+            ).tobytes()
+            for c, h, w in zip(content, height, width)
+        ]
+    )
+
+
+@register("image_resize_stats", oracle=None, category="multimodal")
+def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → bilinear resize → per-label stats: the reference's
+    224×224 resize step as a pure Arrow stage. Rows-only (content is
+    numpy-synthesized); mean preservation under resize is property-tested
+    in tests/test_multimodal.py."""
+    imgs = synth_images(spark, sf_dir)
+    resized = imgs.withColumn(
+        "small", resize_image("content", "height", "width")
+    )
+    stats = resized.withColumn(
+        "s",
+        image_stats("small", F.lit(RESIZE_SIDE), F.lit(RESIZE_SIDE)),
+    ).select("label", "s.p_min", "s.p_max", "s.p_mean")
+    return stats.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.round(F.avg("p_mean"), 4).alias("avg_mean_pixel"),
+        F.min("p_min").alias("min_pixel"),
+        F.max("p_max").alias("max_pixel"),
+    )
+
+
+# --- video: opaque multi-frame binary + frame sampling ---------------------
+
+N_FRAMES = 12
+FRAME_STRIDE = 4
+
+
+@pandas_udf(T.BinaryType())
+def _synth_clip(clip_id: pd.Series) -> pd.Series:
+    """Deterministic synthetic 'video': N_FRAMES raw grayscale frames
+    concatenated (frame f of clip c = seeded noise keyed by (c, f)) —
+    stands in for a real container format; only the decode step changes in
+    deployment."""
+    side = IMG_SIDE
+    out = []
+    for c in clip_id:
+        frames = []
+        for f in range(N_FRAMES):
+            rng = np.random.RandomState((int(c) * 131 + f) % (2**31))
+            frames.append(
+                rng.randint(0, 256, size=(side, side)).astype(np.uint8).tobytes()
+            )
+        out.append(b"".join(frames))
+    return pd.Series(out)
+
+
+def synth_clips(spark: SparkSession, sf_dir: str, n_clips: int = 200) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    base = fan_out(
+        docs.select(F.col("doc_id").alias("clip_id")).filter(
+            F.col("clip_id") < n_clips
+        ),
+        "clip_id",
+    )
+    return base.select(
+        "clip_id",
+        F.lit(IMG_SIDE).alias("width"),
+        F.lit(IMG_SIDE).alias("height"),
+        F.lit(N_FRAMES).alias("n_frames"),
+        _synth_clip(F.col("clip_id")).alias("content"),
+    )
+
+
+def sample_frames(clips: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Frame sampling as ONE mapInPandas pass: every ``stride``-th frame of
+    each clip becomes a row (clip_id, frame_idx, frame). Same
+    boundary-crossing discipline as augment_pipeline — the clip bytes cross
+    into Python once; frames are sliced there, never materialized as an
+    intermediate array column."""
+
+    def _gen(batches):
+        for pdf in batches:
+            out: dict[str, list] = {"clip_id": [], "frame_idx": [], "frame": []}
+            for clip_id, w, h, nf, content in zip(
+                pdf["clip_id"], pdf["width"], pdf["height"],
+                pdf["n_frames"], pdf["content"],
+            ):
+                fsize = int(w) * int(h)
+                for idx in range(0, int(nf), stride):
+                    out["clip_id"].append(clip_id)
+                    out["frame_idx"].append(idx)
+                    out["frame"].append(
+                        bytes(content[idx * fsize : (idx + 1) * fsize])
+                    )
+            yield pd.DataFrame(out)
+
+    return clips.mapInPandas(_gen, "clip_id long, frame_idx int, frame binary")
+
+
+@register("video_frame_sample", oracle=None, category="multimodal")
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling pipeline profile: every clip contributes exactly
+    ceil(N_FRAMES/stride) sampled frames of frame-sized bytes. Rows-only;
+    exact fan-out is property-tested."""
+    frames = sample_frames(synth_clips(spark, sf_dir))
+    return frames.groupBy("frame_idx").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.avg(F.length("frame")).alias("avg_bytes"),
+    )
+
+
+# --- audio: opaque PCM binary + feature extraction -------------------------
+
+AUDIO_SAMPLES = 2048
+
+
+@pandas_udf(T.BinaryType())
+def _synth_pcm(clip_id: pd.Series) -> pd.Series:
+    """Deterministic synthetic int16 little-endian PCM keyed by clip_id."""
+    out = []
+    for c in clip_id:
+        rng = np.random.RandomState((int(c) * 977) % (2**31))
+        wave = (rng.standard_normal(AUDIO_SAMPLES) * 3000.0).astype("<i2")
+        out.append(wave.tobytes())
+    return pd.Series(out)
+
+
+def decode_mp3(content: bytes) -> np.ndarray:
+    """STUB — no audio codec ships in this container; swap for
+    soundfile/librosa decode in deployment. The pipeline below operates on
+    raw PCM, which any real decoder would produce."""
+    raise NotImplementedError("no audio codec available in this environment")
+
+
+@pandas_udf(T.StructType([
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("peak", T.IntegerType()),
+]))
+def audio_features(content: pd.Series) -> pd.DataFrame:
+    """Feature extraction over raw PCM bytes: sample count, RMS amplitude,
+    absolute peak — int64-exact sums under the hood."""
+    ns, rms, peak = [], [], []
+    for blob in content:
+        pcm = np.frombuffer(blob, dtype="<i2").astype(np.int64)
+        ns.append(int(pcm.size))
+        rms.append(round(float(np.sqrt((pcm * pcm).sum() / max(pcm.size, 1))), 6))
+        peak.append(int(np.abs(pcm).max()) if pcm.size else 0)
+    return pd.DataFrame({"n_samples": ns, "rms": rms, "peak": peak})
+
+
+@register("audio_clip_stats", oracle=None, category="multimodal")
+def audio_clip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCM feature-extraction profile over a deterministic synthetic corpus:
+    per (clip_id % 4) cohort, count / avg RMS / max peak. Rows-only."""
+    docs = read_table(spark, sf_dir, "documents")
+    clips = fan_out(
+        docs.select(F.col("doc_id").alias("clip_id")).filter(
+            F.col("clip_id") < 500
+        ),
+        "clip_id",
+    ).select("clip_id", _synth_pcm(F.col("clip_id")).alias("content"))
+    feats = clips.withColumn("f", audio_features("content")).select(
+        (F.col("clip_id") % 4).alias("cohort"),
+        "f.n_samples", "f.rms", "f.peak",
+    )
+    return feats.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.round(F.avg("rms"), 4).alias("avg_rms"),
+        F.max("peak").alias("max_peak"),
+        F.min("n_samples").alias("min_samples"),
+    )

@@ -10,6 +10,7 @@ import os
 import pickle
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -106,3 +107,49 @@ def test_read_pickle_blobs(spark, tmp_path):
 def test_decode_jpeg_is_stubbed():
     with pytest.raises(NotImplementedError):
         M.decode_jpeg(b"\xff\xd8\xff")
+
+
+def test_resize_bilinear_properties():
+    """Bilinear resize: shape contract, constant-image invariance, and
+    approximate mean preservation (downsampling averages, so the global
+    mean moves only slightly)."""
+    flat = np.full((32, 32), 99, dtype=np.uint8)
+    assert (M.resize_bilinear(flat, 16, 16) == 99).all()
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(32, 32)).astype(np.uint8)
+    small = M.resize_bilinear(img, 16, 16)
+    assert small.shape == (16, 16)
+    assert abs(float(small.mean()) - float(img.mean())) < 8.0
+    # determinism
+    assert (M.resize_bilinear(img, 16, 16) == small).all()
+
+
+def test_video_frame_sample_fanout(spark, sf_dir):
+    """Every clip emits exactly ceil(N_FRAMES/stride) frames, each of
+    frame-sized bytes, at the sampled indices."""
+    clips = M.synth_clips(spark, sf_dir, n_clips=20)
+    frames = M.sample_frames(clips)
+    rows = frames.collect()
+    expected_idx = list(range(0, M.N_FRAMES, M.FRAME_STRIDE))
+    per_clip: dict[int, list[int]] = {}
+    for r in rows:
+        per_clip.setdefault(r.clip_id, []).append(r.frame_idx)
+        assert len(r.frame) == M.IMG_SIDE * M.IMG_SIDE
+    assert len(per_clip) == 20
+    for idxs in per_clip.values():
+        assert sorted(idxs) == expected_idx
+
+
+def test_audio_features_exact():
+    """RMS/peak computed int64-exact on a known PCM blob."""
+    pcm = np.array([3, -4, 0, 5], dtype="<i2")
+    out = M.audio_features.func(pd.Series([pcm.tobytes()]))
+    assert int(out["n_samples"][0]) == 4
+    assert int(out["peak"][0]) == 5
+    # the UDF rounds to 6 dp
+    assert abs(float(out["rms"][0]) - np.sqrt((9 + 16 + 0 + 25) / 4)) < 1e-6
+
+
+def test_decode_mp3_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        M.decode_mp3(b"ID3")
