@@ -158,3 +158,23 @@ def test_write_client_shards_csv_roundtrip(spark, sf_dir, tmp_path):
     )
     assert got.exceptAll(expect).count() == 0
     assert expect.exceptAll(got).count() == 0
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    """approx_count_distinct (HLL++) lands within its configured relative
+    error of the exact count — the contract that justifies its rows-only
+    correctness entry."""
+    from big_data_medical_analysis_spark import registry
+
+    qs = registry.queries()
+    approx = {
+        r.event_type: r.approx_users
+        for r in qs["approx_distinct_users"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.n_users
+        for r in qs["distinct_users_by_type"](spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(0.1 * n, 2)

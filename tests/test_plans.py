@@ -81,3 +81,39 @@ def test_fanout_exchange_is_pinned(spark, sf_dir):
     back to one task)."""
     df = QS["simhash_near_dup"](spark, sf_dir)
     assert "REPARTITION_BY_NUM" in P.physical_plan(df)
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir):
+    """Bucketed co-located join: both sides written bucketBy(8, key) —
+    the equi-join then plans with ZERO shuffle exchanges (bucket layout IS
+    the partitioning), the 100 TB answer for a fact⋈fact join too big to
+    broadcast and too hot to re-shuffle every query."""
+    from pyspark.sql import functions as F
+
+    from big_data_medical_analysis_spark.sources.readers import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+       .mode("overwrite").saveAsTable("li_bucketed"))
+    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+       .mode("overwrite").saveAsTable("orders_bucketed"))
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("li_bucketed").join(
+            spark.table("orders_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        assert P.exchange_count(j) == 0
+        assert P.has_node(j, "SortMergeJoin")
+        plain = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        assert j.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
