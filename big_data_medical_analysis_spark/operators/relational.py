@@ -1125,3 +1125,33 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0, _EVENT_TYPES)
     )
+
+
+_HOF_PRED_SQL = """
+SELECT
+  vec_id,
+  len(list_filter(embedding, x -> x::DOUBLE > 0.1)) > 0 AS has_big,
+  len(list_filter(embedding, x -> abs(x::DOUBLE) > 1.0)) = 0 AS all_unit,
+  len(list_filter(embedding, x -> x::DOUBLE > 0)) AS n_pos
+FROM embeddings
+"""
+
+
+@register("embedding_hof_predicates", oracle=_HOF_PRED_SQL, category="scalar")
+def embedding_hof_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate higher-order functions (exists / forall / filter+size) over
+    the vector column — pure Catalyst, no UDF; comparisons only, so no
+    float-sum ordering hazard."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.exists("embedding", lambda x: x.cast("double") > 0.1).alias(
+            "has_big"
+        ),
+        F.forall("embedding", lambda x: F.abs(x.cast("double")) <= 1.0).alias(
+            "all_unit"
+        ),
+        F.size(
+            F.filter("embedding", lambda x: x.cast("double") > 0)
+        ).alias("n_pos"),
+    )
