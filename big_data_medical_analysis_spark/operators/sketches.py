@@ -1,0 +1,116 @@
+"""Probabilistic sketch operators (SURVEY §2.3 "novel sketch" class, next to
+the built-in HLL++ in ``relational.approx_distinct_users``).
+
+Count-Min sketch over a key column, built with *engine-portable* hashing
+(md5 hex prefix, the same trick as ``dedup.simhash``): each of D depth rows
+hashes the key with a distinct salt into one of W buckets; a key's count
+estimate is the MIN over its D bucket totals. Classic guarantees:
+never an underestimate; overestimate ≤ εN with probability 1−δ for
+W = ⌈e/ε⌉, D = ⌈ln 1/δ⌉.
+
+Because the hash is md5 (not Spark's xxhash64), DuckDB can rebuild the
+identical sketch — so unlike most sketch implementations this one carries a
+FULL value oracle, and the no-underestimate property is additionally
+asserted in-query.
+
+Scale design: the sketch build is one explode(D) + hash aggregate over
+(depth, bucket) — D·W cells of state regardless of input size, the whole
+point of a sketch at 100 TB. The estimate join broadcasts the D·W-row
+sketch, never shuffling the keys being estimated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_medical_analysis_spark.registry import register
+from big_data_medical_analysis_spark.sources.readers import read_table
+
+CM_DEPTH = 4
+CM_WIDTH = 64
+
+
+def cm_bucket(key: Column | str, depth: Column | str) -> Column:
+    """Portable bucket hash: first 8 md5 hex chars of "key:depth" → int64,
+    mod W. Identical in DuckDB (used by the oracle)."""
+    k = F.col(key) if isinstance(key, str) else key
+    d = F.col(depth) if isinstance(depth, str) else depth
+    h = F.md5(F.concat(k.cast("string"), F.lit(":"), d.cast("string")))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(CM_WIDTH)
+    )
+
+
+def countmin_build(df: DataFrame, key: str) -> DataFrame:
+    """(depth, bucket, cnt) sketch cells for ``df[key]``."""
+    exploded = df.select(
+        F.col(key).alias("k"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))
+        ).alias("depth"),
+    )
+    return (
+        exploded.select("depth", cm_bucket("k", "depth").alias("bucket"))
+        .groupBy("depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+_CM_SQL = f"""
+WITH exploded AS (
+  SELECT user_id AS k, d.d AS depth
+  FROM events, (SELECT unnest(range({CM_DEPTH})) AS d) d
+), cells AS (
+  SELECT depth,
+         CAST(concat('0x', substr(md5(concat(CAST(k AS VARCHAR), ':',
+                                             CAST(depth AS VARCHAR))), 1, 8))
+              AS BIGINT) % {CM_WIDTH} AS bucket,
+         count(*) AS cnt
+  FROM exploded GROUP BY 1, 2
+), exact AS (
+  SELECT user_id, count(*) AS n_exact FROM events GROUP BY user_id
+), est AS (
+  SELECT e.user_id, e.n_exact, min(c.cnt) AS n_est
+  FROM exact e
+  JOIN cells c
+    ON c.bucket = CAST(concat('0x', substr(md5(concat(CAST(e.user_id AS VARCHAR),
+                                                      ':',
+                                                      CAST(c.depth AS VARCHAR))),
+                                           1, 8)) AS BIGINT) % {CM_WIDTH}
+  GROUP BY e.user_id, e.n_exact
+)
+SELECT user_id, n_exact, n_est, n_est >= n_exact AS never_under
+FROM est
+"""
+
+
+@register("countmin_user_counts", oracle=_CM_SQL, category="aggregation")
+def countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min estimate vs exact count for every events.user_id: build a
+    {CM_DEPTH}×{CM_WIDTH} sketch, estimate each key as min over its depth
+    buckets, and emit the no-underestimate flag (always true, by
+    construction). Portable md5 bucketing makes the whole sketch
+    value-oracle-checkable — DuckDB rebuilds identical cells."""
+    ev = read_table(spark, sf_dir, "events")
+    sketch = countmin_build(ev, "user_id")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    probes = exact.select(
+        "user_id",
+        "n_exact",
+        F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("depth"),
+    ).select(
+        "user_id", "n_exact", "depth",
+        cm_bucket("user_id", "depth").alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["depth", "bucket"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("cnt").alias("n_est"))
+    )
+    return est.select(
+        "user_id",
+        "n_exact",
+        "n_est",
+        (F.col("n_est") >= F.col("n_exact")).alias("never_under"),
+    )

@@ -60,6 +60,7 @@ def _load_all() -> None:
         multimodal,
         relational,
         similarity,
+        sketches,
         text_analysis,
         udf_surface,
     )
