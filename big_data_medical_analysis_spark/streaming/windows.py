@@ -267,3 +267,12 @@ def running_user_totals_stream(events: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def session_stream(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
+    """Watermarked session-window aggregation (append mode): a session is
+    emitted once, when the watermark passes its end (last event + gap);
+    events arriving within the gap — even in later micro-batches — merge
+    into the open session first. Same core as the batch form, so
+    tests/test_streaming.py can assert batch ≡ stream."""
+    return session_agg(events.withWatermark("ts", watermark))

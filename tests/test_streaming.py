@@ -200,3 +200,61 @@ def test_running_user_totals_stateful(spark, tmp_path):
     # twice (cumulative 3.5 then 7.5), user 2 once
     tuples = sorted((r.user_id, r.n_events, r.total_value) for r in rows)
     assert tuples == [(1, 2, 3.5), (1, 3, 7.5), (2, 1, 3.0)]
+
+
+def test_session_stream_merges_across_batches_and_matches_batch(spark, tmp_path):
+    """A session extended by a later micro-batch is emitted once, merged;
+    finalized sessions equal the batch session_agg over the same rows."""
+    indir = str(tmp_path / "in")
+    qname = "w_" + uuid.uuid4().hex[:8]
+
+    batch_a = [
+        (1, "2024-01-01 01:00:00.000000", 1, "click", 1.0),
+        (2, "2024-01-01 02:00:00.000000", 1, "click", 1.0),
+        (3, "2024-01-01 01:00:00.000000", 2, "view", 1.0),
+    ]
+    batch_b = [
+        (4, "2024-01-01 03:00:00.000000", 1, "click", 1.0),  # extends session
+    ]
+    sentinel = [(9, "2024-01-03 00:00:00.000000", 9, "x", 0.0)]
+
+    _write_events(indir, "a.json", batch_a)
+    stream = SW.session_stream(SW.read_event_stream(spark, indir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_events(indir, "b.json", batch_b)
+        q.processAllAvailable()
+        _write_events(indir, "c.json", sentinel)
+        q.processAllAvailable()
+        emitted = {
+            (r.user_id, r.session_start, r.session_end): r.n_events
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+    finally:
+        q.stop()
+
+    batch_df = SW.session_agg(
+        spark.createDataFrame(
+            [
+                (e, datetime.strptime(ts, "%Y-%m-%d %H:%M:%S.%f"), u, t, v, "{}")
+                for e, ts, u, t, v in batch_a + batch_b
+            ],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+    )
+    batch = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in batch_df.collect()
+    }
+    assert emitted == batch
+    # the cross-batch merge happened: user 1 is ONE 3-event session
+    assert emitted[
+        (1, "2024-01-01 01:00:00.000000", "2024-01-01 07:00:00.000000")
+    ] == 3
