@@ -270,25 +270,37 @@ def nation_order_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's "label distribution per partition" question
     (utils/preprocessing_testing_utils.py:55-58) recast on the star schema.
 
-    Plan shape: lineitem⋈orders is the one true shuffle (both sides large,
-    hash-partitioned on orderkey); customer and nation are broadcast so the
-    fact stream is never re-shuffled; final aggregate is partial+final.
+    Plan shape: lineitem is pre-aggregated per orderkey FIRST, which (a)
+    shrinks the join input from line-items to orders and (b) turns
+    ``count(DISTINCT o_orderkey)`` into a plain ``count(*)`` — the naive
+    distinct-agg formulation plans an Expand that doubles the fact stream
+    and shuffles it twice, the classic scale-killer on a wide rollup. The
+    orderkey partial-agg shuffle is then REUSED by the join (same key), so
+    total exchanges stay at two: per-order agg + the 25-group final agg.
+    Customer and nation broadcast as before.
     """
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
     customer = read_table(spark, sf_dir, "customer")
     nation = read_table(spark, sf_dir, "nation")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_li"),
+        F.sum(cents(disc_price, 10000)).alias("rev_e4"),
+        F.sum(cents("l_quantity", 100)).alias("qty_e2"),
+    )
     joined = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
     )
     return joined.groupBy("n_name", "o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n_lineitems"),
-        F.countDistinct("o_orderkey").alias("n_orders"),
-        money_sum(disc_price, 10000).alias("revenue"),
-        money_avg("l_quantity").alias("avg_qty"),
+        F.sum("n_li").alias("n_lineitems"),
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum("rev_e4").cast("double") / F.lit(10_000.0)).alias("revenue"),
+        F.round(
+            F.sum("qty_e2").cast("double") / F.lit(100.0) / F.sum("n_li"), 6
+        ).alias("avg_qty"),
     )
 
 
