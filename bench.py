@@ -57,6 +57,10 @@ OPTIONAL = [
     "model_eval_accuracy",
     # multimodal pillar
     "image_augment_fanout",
+    # skew handling / reshaping / sketches
+    "salted_skew_join",
+    "event_type_pivot",
+    "countmin_user_counts",
 ]
 
 
