@@ -311,15 +311,26 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_t = toks.groupBy("term").agg(
         F.count_distinct("doc_id").alias("df")
     )
-    n_docs = docs.count()
-    scored = tf.join(df_t, "term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("tf")
-            * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0),
-            6,
-        ).alias("tfidf"),
+    # Corpus size N stays in-plan: a 1-row aggregate broadcast-cross-joined
+    # into the scored side. No driver-side action at plan-build time — the
+    # whole query is lazy, and the extra scan Catalyst plans for the count
+    # is column-pruned to a count(*) over parquet row-group metadata.
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+                    + 1.0
+                ),
+                6,
+            ).alias("tfidf"),
+        )
     )
     w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (

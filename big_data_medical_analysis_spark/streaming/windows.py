@@ -179,6 +179,35 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_agg(read_table(spark, sf_dir, "events"))
 
 
+_RUNNING_TOTALS_SQL = """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@register(
+    "running_user_totals_batch", oracle=_RUNNING_TOTALS_SQL, category="streaming"
+)
+def running_user_totals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``running_user_totals_stream``'s final state: per-user
+    event count + exact int64-cents value total. The stream form carries the
+    same (n, total_cents) pair in the state store; tests/test_streaming.py
+    asserts the stream's last emission per user equals this aggregate, so the
+    driver-green row here pins the stateful operator's arithmetic too."""
+    return (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("total_value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming forms (used by tests/test_streaming.py; no batch oracle exists
 # for watermark drop / stateful dedup semantics)
@@ -235,6 +264,7 @@ def running_user_totals_stream(events: DataFrame) -> DataFrame:
     (``GroupStateTimeout.EventTimeTimeout``) to bound it — fixed user
     universe here, so NoTimeout is the honest choice.
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -245,11 +275,12 @@ def running_user_totals_stream(events: DataFrame) -> DataFrame:
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
+            # Half-away-from-zero, matching common.cents (Spark round) and
+            # udf_surface.round_half_away — pandas Series.round is
+            # half-to-even, which would drift 0.01 from the batch totals.
+            v = pdf["value"].to_numpy("float64") * 100.0
             cents += int(
-                (pdf["value"].astype("float64") * 100.0)
-                .round()
-                .astype("int64")
-                .sum()
+                (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64").sum()
             )
         state.update((n, cents))
         yield pd.DataFrame(

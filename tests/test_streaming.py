@@ -202,6 +202,49 @@ def test_running_user_totals_stateful(spark, tmp_path):
     assert tuples == [(1, 2, 3.5), (1, 3, 7.5), (2, 1, 3.0)]
 
 
+def test_running_totals_half_away_rounding_matches_batch(spark, tmp_path):
+    """Stream state uses half-away-from-zero cents like common.cents: 0.125
+    → 13 cents (half-to-even would give 12), -0.125 → -13. Final stream
+    emission per user equals the registered batch twin's money_sum."""
+    import pyspark.sql.functions as F
+
+    from big_data_medical_analysis_spark.operators.common import money_sum
+
+    indir = str(tmp_path / "in")
+    qname = "r_" + uuid.uuid4().hex[:8]
+    rows = [
+        (1, "2024-01-01 01:00:00.000000", 7, "click", 0.125),
+        (2, "2024-01-01 02:00:00.000000", 7, "click", 1.0),
+        (3, "2024-01-01 03:00:00.000000", 8, "view", -0.125),
+    ]
+    _write_events(indir, "a.json", rows)
+    stream = SW.running_user_totals_stream(SW.read_event_stream(spark, indir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+    finally:
+        q.stop()
+
+    assert got == {7: (2, 1.13), 8: (1, -0.13)}
+    batch = (
+        spark.createDataFrame(
+            [(uid, v) for _, _, uid, _, v in rows], "user_id long, value double"
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), money_sum("value").alias("tv"))
+    )
+    assert {r.user_id: (r.n, r.tv) for r in batch.collect()} == got
+
+
 def test_session_stream_merges_across_batches_and_matches_batch(spark, tmp_path):
     """A session extended by a later micro-batch is emitted once, merged;
     finalized sessions equal the batch session_agg over the same rows."""
