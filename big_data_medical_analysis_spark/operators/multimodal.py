@@ -18,11 +18,12 @@ Reference behavior re-expressed:
 - image write (cv2.imwrite side effect, ``:51,:121``) → an explicit terminal
   sink job (``write_images``), never an expression.
 
-Image model: raw 8-bit grayscale (H×W bytes). The container has no image
-codec libraries, so JPEG/PNG decode is STUBBED (``decode_jpeg`` raises
-NotImplementedError); everything Spark-side — schema, Arrow batch shape,
-UDF signatures, explode fan-out, partitioning — is real and tested, and the
-raw-grayscale path runs end-to-end.
+Image model: raw 8-bit grayscale (H×W bytes) between stages, with a REAL
+stdlib-only PNG codec (``encode_png``/``decode_png``: zlib + all five
+scanline filters) for encoded ingestion — ``read_png_dir`` decodes actual
+PNG files from a ``binaryFile`` scan and ``png_decode_stats`` exercises
+every filter branch in-query. Only JPEG remains stubbed (``decode_jpeg``;
+no JPEG codec ships in this container).
 
 Scale design: images travel *in the column* through Arrow batches
 (maxRecordsPerBatch bounds executor memory: 10k rows × 1 KiB ≈ 10 MiB per
@@ -62,10 +63,151 @@ def decode_gray(content: bytes, height: int, width: int) -> np.ndarray:
 
 
 def decode_jpeg(content: bytes) -> np.ndarray:
-    """STUB — the container ships no image codec (no cv2/PIL/tf). The
-    Spark-side plumbing is codec-agnostic: swap this for cv2.imdecode in a
-    real deployment (reference: src/preprocessing_pipeline.py:39)."""
-    raise NotImplementedError("no image codec available in this environment")
+    """STUB — no JPEG codec ships in this container (no cv2/PIL/tf); swap
+    for cv2.imdecode in deployment (reference:
+    src/preprocessing_pipeline.py:39). The *real* codec path here is
+    ``decode_png``/``encode_png`` below — a complete stdlib-only PNG
+    implementation, so the decode step of the pipeline is exercised on
+    genuinely encoded bytes, not only raw buffers."""
+    raise NotImplementedError("no JPEG codec in this environment; see decode_png")
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth_predict(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec 9.4): pick the neighbor
+    (left a / up b / up-left c) closest to a+b-c, ties a, then b."""
+    a16, b16, c16 = (x.astype(np.int16) for x in (a, b, c))
+    p = a16 + b16 - c16
+    pa, pb, pc = np.abs(p - a16), np.abs(p - b16), np.abs(p - c16)
+    return np.where(
+        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+    ).astype(np.uint8)
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Stdlib-only PNG encoder: 8-bit grayscale, one IDAT, any scanline
+    filter 0-4 (filtering subtracts *raw* neighbors, so it vectorizes).
+    Exists so the engine can exercise ``decode_png`` — and every one of its
+    five unfilter branches — on real encoded bytes inside a query."""
+    import zlib
+
+    if img.dtype != np.uint8 or img.ndim != 2:
+        raise ValueError("encode_png expects a 2-D uint8 array")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"bad filter type {filter_type}")
+    h, w = img.shape
+    zeros = np.zeros(w, dtype=np.uint8)
+    lines = []
+    for y in range(h):
+        cur = img[y]
+        left = np.concatenate(([0], cur[:-1])).astype(np.uint8)
+        up = img[y - 1] if y > 0 else zeros
+        upleft = (
+            np.concatenate(([0], up[:-1])).astype(np.uint8) if y > 0 else zeros
+        )
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = cur - left
+        elif filter_type == 2:
+            filt = cur - up
+        elif filter_type == 3:
+            filt = cur - (
+                (left.astype(np.uint16) + up.astype(np.uint16)) // 2
+            ).astype(np.uint8)
+        else:
+            filt = cur - _paeth_predict(left, up, upleft)
+        lines.append(bytes([filter_type]) + filt.astype(np.uint8).tobytes())
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 0, 0, 0, 0])  # bit depth 8, grayscale, deflate, adaptive, no interlace
+    )
+    idat = zlib.compress(b"".join(lines), 6)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """Stdlib-only PNG decoder (zlib inflate + scanline unfiltering, PNG
+    spec §9): 8-bit non-interlaced grayscale → (H, W) uint8. Handles all
+    five filter types and multi-IDAT streams; rejects what it can't decode
+    instead of guessing. Replaces the round-2 NotImplementedError stub —
+    the reference's decode step (src/preprocessing_pipeline.py:39) is now
+    real. Unfiltering Sub/Average/Paeth is inherently sequential in x
+    (each byte needs the *reconstructed* left neighbor), hence the per-byte
+    loop; per-image cost is O(pixels) and the outer pipeline parallelizes
+    per image, so the sequential inner loop is not a scale hazard."""
+    import zlib
+
+    if content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, idat, w, h = 8, [], None, None
+    while pos + 8 <= len(content):
+        ln = int.from_bytes(content[pos : pos + 4], "big")
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if ctype == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            bit_depth, color_type, interlace = data[8], data[9], data[12]
+            if (bit_depth, color_type, interlace) != (8, 0, 0):
+                raise ValueError(
+                    "decode_png supports 8-bit non-interlaced grayscale only; "
+                    f"got depth={bit_depth} color={color_type} interlace={interlace}"
+                )
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("malformed PNG (missing IHDR/IDAT)")
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (w + 1):
+        raise ValueError("PNG payload size mismatch")
+    out = np.empty((h, w), dtype=np.uint8)
+    prev = bytes(w)
+    for y in range(h):
+        f = raw[y * (w + 1)]
+        line = bytearray(raw[y * (w + 1) + 1 : (y + 1) * (w + 1)])
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for i in range(1, w):
+                line[i] = (line[i] + line[i - 1]) & 0xFF
+        elif f == 2:  # Up
+            line = bytearray(
+                (np.frombuffer(bytes(line), np.uint8) + np.frombuffer(prev, np.uint8)).tobytes()
+            )
+        elif f == 3:  # Average
+            for i in range(w):
+                left = line[i - 1] if i else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(w):
+                a = line[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        prev = bytes(line)
+        out[y] = np.frombuffer(prev, np.uint8)
+    return out
 
 
 def equalize_hist(img: np.ndarray) -> np.ndarray:
@@ -281,6 +423,79 @@ def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("p_min") == 0).cast("long")).alias("n_full_low"),
             F.sum((F.col("p_max") == 255).cast("long")).alias("n_full_high"),
         )
+    )
+
+
+@register("png_decode_stats", oracle=None, category="multimodal")
+def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec decode pipeline: every synthetic image is PNG-encoded
+    (filter type = img_id % 5, so all five unfilter branches run inside the
+    query) then decoded with the stdlib decoder and reduced to pixel stats —
+    encode → decode → stats fused into ONE mapInPandas pass, one Arrow
+    crossing per image (same discipline as augment_pipeline). Rows-only:
+    content is numpy-synthesized; byte-exact encode/decode parity with the
+    raw path is property-tested in tests/test_multimodal.py."""
+
+    def _gen(batches):
+        for pdf in batches:
+            out: dict[str, list] = {
+                "img_id": [], "label": [], "png_bytes": [],
+                "p_min": [], "p_max": [], "p_mean": [], "roundtrip_ok": [],
+            }
+            for img_id, label, w, h, content in zip(
+                pdf["img_id"], pdf["label"], pdf["width"], pdf["height"],
+                pdf["content"],
+            ):
+                img = decode_gray(content, h, w)
+                png = encode_png(img, int(img_id) % 5)
+                back = decode_png(png)
+                out["img_id"].append(img_id)
+                out["label"].append(label)
+                out["png_bytes"].append(len(png))
+                out["p_min"].append(int(back.min()))
+                out["p_max"].append(int(back.max()))
+                out["p_mean"].append(round(float(back.mean()), 6))
+                out["roundtrip_ok"].append(bool(np.array_equal(img, back)))
+            yield pd.DataFrame(out)
+
+    stats = synth_images(spark, sf_dir).mapInPandas(
+        _gen,
+        "img_id long, label int, png_bytes int, "
+        "p_min int, p_max int, p_mean double, roundtrip_ok boolean",
+    )
+    return stats.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.col("roundtrip_ok").cast("long")).alias("n_roundtrip_ok"),
+        F.round(F.avg("png_bytes"), 2).alias("avg_png_bytes"),
+        F.min("p_min").alias("min_pixel"),
+        F.max("p_max").alias("max_pixel"),
+        F.round(F.avg("p_mean"), 4).alias("avg_mean_pixel"),
+    )
+
+
+def read_png_dir(spark: SparkSession, path: str, glob: str = "*.png") -> DataFrame:
+    """PNG corpus ingestion: ``binaryFile`` scan → stdlib decode → typed
+    (path, width, height, content) rows with raw grayscale bytes — the
+    engine's equivalent of the reference's cv2.imread-over-a-directory
+    (src/preprocessing_pipeline.py:39,:113), with decode as a pure Arrow
+    stage instead of a side-effecting UDF."""
+    from big_data_medical_analysis_spark.sources.readers import read_binary_dir
+
+    def _gen(batches):
+        for pdf in batches:
+            out: dict[str, list] = {
+                "path": [], "width": [], "height": [], "content": [],
+            }
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                img = decode_png(bytes(blob))
+                out["path"].append(p)
+                out["width"].append(img.shape[1])
+                out["height"].append(img.shape[0])
+                out["content"].append(img.tobytes())
+            yield pd.DataFrame(out)
+
+    return read_binary_dir(spark, path, glob=glob).mapInPandas(
+        _gen, "path string, width int, height int, content binary"
     )
 
 
