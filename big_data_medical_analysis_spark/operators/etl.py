@@ -279,6 +279,41 @@ def write_client_shards_csv(
     ).partitionBy("client").csv(out_dir)
 
 
+_CSV_ROUNDTRIP_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_acctbal
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@register("csv_roundtrip_revenue", oracle=_CSV_ROUNDTRIP_SQL, category="etl")
+def csv_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV surface end to end (SURVEY §2.1 rows 1/3/8 in one driver-checked
+    query): customer → per-client headered CSV shards (one partitioned
+    write job, 4 clients) → multi-part glob scan with an explicit schema →
+    exact aggregate. The oracle aggregates the source parquet directly, so
+    a green row proves the CSV write+read preserved every row and every
+    value (doubles survive the text roundtrip via Java's shortest-repr
+    formatting; int64-cents summation keeps the hash order-independent)."""
+    import tempfile
+
+    from big_data_medical_analysis_spark.operators.common import money_sum
+    from big_data_medical_analysis_spark.schemas import CUSTOMER
+    from big_data_medical_analysis_spark.sources.readers import read_csv
+
+    out_dir = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    customer = read_table(spark, sf_dir, "customer")
+    write_client_shards_csv(customer, ["c_custkey"], 4, out_dir)
+    back = read_csv(spark, f"{out_dir}/client=*/*.csv", CUSTOMER)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        money_sum("c_acctbal").alias("total_acctbal"),
+    )
+
+
 N_BATCH_SHARDS = 64
 
 

@@ -178,3 +178,30 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
     assert set(approx) == set(exact)
     for et, n in exact.items():
         assert abs(approx[et] - n) <= max(0.1 * n, 2)
+
+
+def test_csv_roundtrip_revenue_matches_direct(spark, sf_dir):
+    """The CSV write->glob-read->aggregate query equals the same aggregate
+    computed directly on the parquet source: no row or value lost in the
+    text roundtrip."""
+    import pyspark.sql.functions as F
+
+    from big_data_medical_analysis_spark import registry
+    from big_data_medical_analysis_spark.operators.common import money_sum
+    from big_data_medical_analysis_spark.sources.readers import read_table
+
+    got = {
+        r.c_mktsegment: (r.n_customers, r.total_acctbal)
+        for r in registry.queries()["csv_roundtrip_revenue"](spark, sf_dir).collect()
+    }
+    want = {
+        r.c_mktsegment: (r.n_customers, r.total_acctbal)
+        for r in read_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money_sum("c_acctbal").alias("total_acctbal"),
+        )
+        .collect()
+    }
+    assert got == want
