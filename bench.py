@@ -57,6 +57,7 @@ OPTIONAL = [
     "model_eval_accuracy",
     # multimodal pillar
     "image_augment_fanout",
+    "png_decode_stats",
     # skew handling / reshaping / sketches
     "salted_skew_join",
     "event_type_pivot",
@@ -69,20 +70,13 @@ def main() -> None:
     spark = get_spark("bench")
     qs = registry.queries()
 
-    N_RUNS = 2
+    N_RUNS = 3
 
-    def run(name: str) -> float:
-        # min over N_RUNS full executions: single-sample walls at this scale
-        # are dominated by GC/scheduler luck (observed 0.7s vs 5.4s for the
-        # same plan back-to-back); the min is the reproducible capability
-        # number. Reported as "runs" in the JSON.
-        best = float("inf")
-        for _ in range(N_RUNS):
-            t0 = time.time()
-            df = qs[name](spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.time() - t0)
-        return best
+    def run_once(name: str) -> float:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        return time.time() - t0
 
     names = HEADLINE + [n for n in OPTIONAL if n in qs]
     # warm-up: JVM/codegen init on a small plan, then the Python worker pool
@@ -101,9 +95,22 @@ def main() -> None:
         _warm(F.col("id").cast("double"))
     ).write.mode("overwrite").format("noop").save()
 
-    times = {}
-    for name in names:
-        times[name] = round(run(name), 3)
+    # N_RUNS passes over the whole set, round-robin, NOT back-to-back per
+    # query: a transient load spike (GC pause, noisy neighbor on the bench
+    # box) then taints one pass, not every sample of one query — round 2's
+    # back-to-back min-of-2 recorded customer_order_stats at 4.7x its
+    # round-1 wall because both consecutive samples landed in the same bad
+    # window. The min over time-separated passes is the capability number;
+    # the per-query spread (max - min) is reported so a plan regression
+    # (tight spread, high min) is distinguishable from scheduler luck
+    # (wide spread).
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(N_RUNS):
+        for name in names:
+            samples[name].append(run_once(name))
+
+    times = {n: round(min(v), 3) for n, v in samples.items()}
+    spread = {n: round(max(v) - min(v), 3) for n, v in samples.items()}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -114,6 +121,11 @@ def main() -> None:
                 "unit": "sec",
                 "runs": N_RUNS,
                 "queries": times,
+                "spread": spread,
+                "pass_totals": [
+                    round(sum(samples[n][p] for n in names), 3)
+                    for p in range(N_RUNS)
+                ],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # round-over-round comparability: the original 11-query
                 # relational headline vs the pillar extensions added later
