@@ -39,6 +39,10 @@ from big_data_medical_analysis_spark.sources.readers import read_table
 # the token-Jaccard ≥ 0.8 population.
 SIMHASH_BITS = 32
 SIMHASH_MAX_HDIST = 2
+# bands for the pigeonhole pairing join; any value > SIMHASH_MAX_HDIST keeps
+# the banded candidate set lossless (a qualifying pair differs in at most
+# MAX_HDIST bands, so at least one of the BANDS bands matches exactly)
+SIMHASH_BANDS = 4
 JACCARD_THRESHOLD = 0.8
 N_JACCARD_PROBES = 50
 
@@ -164,13 +168,14 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HDIST}
 @register("simhash_near_dup", oracle=_SIMHASH_SQL, category="dedup")
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs: Hamming distance ≤ SIMHASH_MAX_HDIST
-    on a 32-bit bit-majority fingerprint, blocked by language.
+    on a 32-bit bit-majority fingerprint, blocked by language — paired via
+    the banded (pigeonhole) join, which is lossless at this threshold and
+    linear-shuffle at any corpus size.
 
     Fingerprinting is one linear projection; pairing carries only
-    (doc_id, lang, int64) — the document bodies never reach the join. At
-    100 TB you block on fingerprint bands (pigeonhole: distance ≤ 3 over 4
-    bands ⇒ one band matches exactly) instead of a metadata key; the plan
-    shape is identical.
+    (doc_id, lang, int64) — the document bodies never reach the join, and
+    nothing is broadcast: candidates come from an equi-join on
+    (lang, band_idx, band_val), so the same plan runs unchanged at 100 TB.
     """
     docs = read_table(spark, sf_dir, "documents")
     # fan_out: the 32-bit-majority projection is the expensive stage; pin it
@@ -178,27 +183,54 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = fan_out(docs, "doc_id").select(
         "doc_id", "lang", _token_hashes("text").alias("hs")
     ).select("doc_id", "lang", simhash(F.col("hs")).alias("simhash"))
-    a = fp.select(
-        "lang", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")
+    # Banded pairing — the 100 TB form, and EXACT by pigeonhole: a pair at
+    # Hamming distance ≤ SIMHASH_MAX_HDIST differs in at most
+    # SIMHASH_MAX_HDIST bands, so with SIMHASH_BANDS > SIMHASH_MAX_HDIST it
+    # matches at least one band exactly. Candidates come from an equi-join
+    # on (lang, band_idx, band_val) — a plain shuffle on a high-cardinality
+    # key, no broadcast of the corpus, no all-pairs comparison; work is
+    # Σ|band bucket|², concentrated exactly where near-duplicates are.
+    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    bands = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), band_width * i).bitwiseAND(
+                F.lit((1 << band_width) - 1)
+            )
+            for i in range(SIMHASH_BANDS)
+        ]
     )
-    b = fp.select(
+    banded = fp.select(
+        "doc_id",
+        "lang",
+        "simhash",
+        F.posexplode(bands).alias("band_idx", "band_val"),
+    )
+    a = banded.select(
+        "lang", "band_idx", "band_val",
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"),
+    )
+    b = banded.select(
         F.col("lang").alias("lang_b"),
+        F.col("band_idx").alias("band_idx_b"),
+        F.col("band_val").alias("band_val_b"),
         F.col("doc_id").alias("doc_b"),
         F.col("simhash").alias("sh_b"),
     )
-    hdist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
-    # Broadcast the (id, lang, int64) fingerprint side: 5 lang keys would
-    # otherwise cap the shuffle join at 5 effective tasks. Fingerprints are
-    # ~24 bytes/doc, broadcastable far beyond this corpus size; at 100 TB
-    # you band the fingerprint instead (docstring above) — still no
-    # full-table shuffle of document bodies.
-    return (
+    cand = (
         a.join(
-            F.broadcast(b),
-            (F.col("lang") == F.col("lang_b")) & (F.col("doc_a") < F.col("doc_b")),
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("band_idx") == F.col("band_idx_b"))
+            & (F.col("band_val") == F.col("band_val_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
         )
-        .select("lang", "doc_a", "doc_b", hdist.alias("hdist"))
-        .filter(F.col("hdist") <= SIMHASH_MAX_HDIST)
+        # a pair can collide in several bands; dedup before scoring
+        .select("lang", "doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hdist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+    return cand.select("lang", "doc_a", "doc_b", hdist.alias("hdist")).filter(
+        F.col("hdist") <= SIMHASH_MAX_HDIST
     )
 
 
