@@ -109,6 +109,7 @@ _PRIORITY: tuple[str, ...] = (
     # -- new this round --
     "csv_roundtrip_revenue",
     "png_decode_stats",
+    "wav_decode_stats",
     "running_user_totals_batch",
     # -- single green round (r2 only) --
     "docs_exact_dedup",

@@ -213,3 +213,56 @@ def test_png_decode_stats_query(spark, sf_dir):
     for r in rows:
         assert r.n_roundtrip_ok == r.n_images
         assert r.avg_png_bytes > 0
+
+
+def test_wav_roundtrip_and_chunk_tolerance():
+    """encode_wav → decode_wav is the identity; the decoder tolerates extra
+    RIFF chunks (e.g. LIST) before fmt/data, per the container spec."""
+    rng = np.random.RandomState(11)
+    pcm = (rng.standard_normal(777) * 5000).astype("<i2")
+    wav = M.encode_wav(pcm, 8000)
+    back, rate = M.decode_wav(wav)
+    assert rate == 8000 and np.array_equal(pcm, back)
+    # splice a LIST chunk (odd length → word-aligned) between WAVE and fmt
+    extra = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"
+    spliced = wav[:12] + extra + wav[12:]
+    spliced = spliced[:4] + (len(spliced) - 8).to_bytes(4, "little") + spliced[8:]
+    back2, rate2 = M.decode_wav(spliced)
+    assert rate2 == 8000 and np.array_equal(pcm, back2)
+
+
+def test_wav_decoder_rejects_unsupported():
+    with pytest.raises(ValueError):
+        M.decode_wav(b"not riff data....")
+    pcm = np.zeros(4, dtype="<i2")
+    wav = bytearray(M.encode_wav(pcm))
+    wav[22] = 2  # stereo
+    with pytest.raises(ValueError):
+        M.decode_wav(bytes(wav))
+
+
+def test_read_wav_dir_decodes_real_files(spark, tmp_path):
+    wavdir = tmp_path / "wavs"
+    wavdir.mkdir()
+    rng = np.random.RandomState(5)
+    originals = {}
+    for i in range(3):
+        pcm = (rng.standard_normal(100 + i) * 3000).astype("<i2")
+        (wavdir / f"c{i}.wav").write_bytes(M.encode_wav(pcm, 16_000))
+        originals[f"c{i}.wav"] = pcm
+    rows = M.read_wav_dir(spark, str(wavdir)).collect()
+    assert len(rows) == 3
+    for r in rows:
+        pcm = originals[r.path.rsplit("/", 1)[-1]]
+        assert r.sample_rate == 16_000
+        assert r.n_samples == pcm.size
+        assert bytes(r.pcm) == pcm.tobytes()
+
+
+def test_wav_decode_stats_query(spark, sf_dir):
+    rows = M.wav_decode_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_roundtrip_ok == r.n_clips
+        # 44-byte canonical header + 2 bytes/sample
+        assert r.min_wav_bytes == 44 + 2 * M.AUDIO_SAMPLES
