@@ -93,3 +93,85 @@ def test_jaccard_pairs_agree_with_simhash_tail(spark, sf_dir):
     sim0 |= {(b, a) for a, b in sim0}
     for p in jac:
         assert p in sim0, f"J=1.0 pair {p} not simhash-identical"
+
+
+def test_simhash_banding_lossless_vs_brute_force(spark):
+    """Pigeonhole property, end to end on the engine's own plan: for random
+    fingerprints, the banded pairing emits EXACTLY the pairs a brute-force
+    all-pairs comparison emits at hdist <= SIMHASH_MAX_HDIST. Seeded mix of
+    uniform fingerprints (mostly far) and planted near-twins (1-2 bit
+    flips) so both sides of the threshold are populated."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from big_data_medical_analysis_spark.operators import dedup as D
+
+    rng = np.random.RandomState(99)
+    fps = list(rng.randint(0, 1 << 32, size=60, dtype=np.uint64))
+    for i in range(0, 20, 2):  # plant near-twins of the first 10
+        flips = 1 << int(rng.randint(32)) | (
+            (1 << int(rng.randint(32))) if i % 4 else 0
+        )
+        fps.append(np.uint64(int(fps[i]) ^ int(flips)))
+    rows = [(i, "xx", int(f)) for i, f in enumerate(fps)]
+    fp = spark.createDataFrame(rows, "doc_id long, lang string, simhash long")
+
+    # brute force via cross join
+    a = fp.select("lang", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = fp.select(
+        F.col("lang").alias("lang_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sh_b"),
+    )
+    hd = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+    brute = {
+        (r.doc_a, r.doc_b, r.hdist)
+        for r in a.join(
+            b, (F.col("lang") == F.col("lang_b")) & (F.col("doc_a") < F.col("doc_b"))
+        )
+        .select("doc_a", "doc_b", hd.alias("hdist"))
+        .filter(F.col("hdist") <= D.SIMHASH_MAX_HDIST)
+        .collect()
+    }
+    assert brute  # planted twins must register
+
+    # banded path, same expressions as simhash_near_dup's pairing
+    band_width = D.SIMHASH_BITS // D.SIMHASH_BANDS
+    bands = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), band_width * i).bitwiseAND(
+                F.lit((1 << band_width) - 1)
+            )
+            for i in range(D.SIMHASH_BANDS)
+        ]
+    )
+    banded = fp.select(
+        "doc_id", "lang", "simhash", F.posexplode(bands).alias("band_idx", "band_val")
+    )
+    ba = banded.select(
+        "lang", "band_idx", "band_val",
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"),
+    )
+    bb = banded.select(
+        F.col("lang").alias("lang_b"),
+        F.col("band_idx").alias("band_idx_b"),
+        F.col("band_val").alias("band_val_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sh_b"),
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.hdist)
+        for r in ba.join(
+            bb,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("band_idx") == F.col("band_idx_b"))
+            & (F.col("band_val") == F.col("band_val_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("lang", "doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+        .select("doc_a", "doc_b", hd.alias("hdist"))
+        .filter(F.col("hdist") <= D.SIMHASH_MAX_HDIST)
+        .collect()
+    }
+    assert got == brute

@@ -266,3 +266,35 @@ def test_wav_decode_stats_query(spark, sf_dir):
         assert r.n_roundtrip_ok == r.n_clips
         # 44-byte canonical header + 2 bytes/sample
         assert r.min_wav_bytes == 44 + 2 * M.AUDIO_SAMPLES
+
+
+# --- hypothesis property tests: codecs hold for arbitrary inputs ----------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    img=arrays(
+        np.uint8,
+        st.tuples(st.integers(1, 24), st.integers(1, 24)),
+        elements=st.integers(0, 255),
+    ),
+    ft=st.integers(0, 4),
+)
+def test_png_roundtrip_property(img, ft):
+    assert np.array_equal(M.decode_png(M.encode_png(img, ft)), img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    pcm=arrays(
+        np.int16, st.integers(0, 512), elements=st.integers(-32768, 32767)
+    ),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_property(pcm, rate):
+    back, got_rate = M.decode_wav(M.encode_wav(pcm.astype("<i2"), rate))
+    assert got_rate == rate and np.array_equal(back, pcm)

@@ -117,3 +117,26 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+
+
+def test_simhash_banded_join_shape(spark, sf_dir):
+    """The SimHash pairing must stay the banded shuffle join: no broadcast
+    of the fingerprint corpus (either side grows with the corpus) and no
+    nested-loop comparison — the scale claim in dedup.simhash_near_dup's
+    docstring."""
+    df = QS["simhash_near_dup"](spark, sf_dir)
+    # never a nested-loop comparison
+    assert not P.has_node(df, "BroadcastNestedLoopJoin")
+    # the equi-join keys must include the high-cardinality band value (the
+    # old shape joined on 5-value lang alone). Whether Catalyst picks
+    # broadcast (fine at test scale: the banded side is tiny) or a shuffle
+    # join (what the same plan yields at scale) is its call — the key set
+    # is the scale property.
+    plan = P.physical_plan(df)
+    import re
+
+    join_lines = [
+        ln for ln in plan.splitlines()
+        if "HashJoin" in ln or "SortMergeJoin" in ln
+    ]
+    assert join_lines and any("band_val" in ln for ln in join_lines), plan
