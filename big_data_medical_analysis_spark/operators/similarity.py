@@ -489,3 +489,44 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("probe_id", "cand_id", "cos_sim", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# 4. int8 quantization — the ANN storage-scale path
+# ---------------------------------------------------------------------------
+
+_QUANT_SQL = """
+WITH scaled AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+           AS xi
+  FROM embeddings
+), s AS (
+  SELECT vec_id, label, xi,
+         list_max(list_transform(xi, x -> abs(x))) AS scale6
+  FROM scaled
+)
+SELECT vec_id, label, scale6,
+       list_transform(xi, x -> CAST(round(x * 127.0 / scale6) AS INTEGER)) AS q
+FROM s
+WHERE scale6 > 0
+"""
+
+
+@register("embedding_int8_quantize", oracle=_QUANT_SQL, category="similarity")
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/bandwidth scale
+    path for ANN (4× smaller than float32, int-SIMD distance kernels).
+    scale = max|component|, q_i = round(x_i·127/scale) ∈ [-127, 127]; no
+    clipping by construction. Pure Catalyst HOFs over int64-scaled
+    components (module convention), so the float division is the only
+    non-integer op and the oracle matches bit-for-bit. One linear scan, no
+    shuffle, no UDF."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    xi = F.transform(F.col("embedding"), _iscaled)
+    with_scale = emb.select("vec_id", "label", xi.alias("xi")).withColumn(
+        "scale6", F.array_max(F.transform("xi", F.abs))
+    ).filter(F.col("scale6") > 0)
+    q = F.transform("xi", lambda v: F.round(v * 127.0 / F.col("scale6")).cast("int"))
+    return with_scale.select("vec_id", "label", "scale6", q.alias("q"))

@@ -111,6 +111,7 @@ _PRIORITY: tuple[str, ...] = (
     "png_decode_stats",
     "wav_decode_stats",
     "running_user_totals_batch",
+    "embedding_int8_quantize",
     # -- single green round (r2 only) --
     "docs_exact_dedup",
     "simhash_near_dup",

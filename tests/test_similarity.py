@@ -77,3 +77,30 @@ def test_near_dup_pairs_symmetric_free_and_thresholded(spark, sf_dir):
     for r in rows:
         assert r.vec_a < r.vec_b  # canonical orientation, no (b,a) twins
         assert r.cos_sim >= S.NEAR_DUP_COS
+
+
+def test_int8_quantization_reconstruction_bound(spark, sf_dir):
+    """Dequantized components stay within half a quantization step of the
+    original scaled value: |xi - q_i*scale6/127| <= scale6/254 + 0.5, and
+    q never leaves [-127, 127]."""
+    from big_data_medical_analysis_spark import registry
+    from big_data_medical_analysis_spark.sources.readers import read_table
+
+    q_rows = {
+        r.vec_id: (r.scale6, list(r.q))
+        for r in registry.queries()["embedding_int8_quantize"](spark, sf_dir)
+        .collect()
+    }
+    orig = {
+        r.vec_id: list(r.embedding)
+        for r in read_table(spark, sf_dir, "embeddings").collect()
+    }
+    assert q_rows and set(q_rows) <= set(orig)
+    for vid, (scale6, q) in q_rows.items():
+        xs = orig[vid]
+        assert len(q) == len(xs)
+        step_half = scale6 / 254.0
+        for x, qi in zip(xs, q):
+            assert -127 <= qi <= 127
+            xi = round(x * 1_000_000)
+            assert abs(xi - qi * scale6 / 127.0) <= step_half + 0.5
