@@ -530,3 +530,97 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("scale6") > 0)
     q = F.transform("xi", lambda v: F.round(v * 127.0 / F.col("scale6")).cast("int"))
     return with_scale.select("vec_id", "label", "scale6", q.alias("q"))
+
+
+_QCOS_SQL = f"""
+WITH scaled AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x::DOUBLE * {_SCALE}) AS BIGINT))
+           AS xi
+  FROM embeddings
+), s AS (
+  SELECT vec_id, xi,
+         list_max(list_transform(xi, y -> abs(y))) AS scale6
+  FROM scaled
+), quant AS (
+  SELECT vec_id,
+         list_transform(xi, x -> CAST(round(x * 127.0 / scale6) AS BIGINT)) AS q
+  FROM s WHERE scale6 > 0
+), normed AS (
+  SELECT vec_id, q,
+         list_sum(list_transform(q, x -> x * x)) AS qn2
+  FROM quant
+), pairs AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         round(
+           CAST(list_sum(list_transform(list_zip(p.q, c.q),
+                                        z -> z[1] * z[2])) AS DOUBLE)
+           / (sqrt(CAST(p.qn2 AS DOUBLE)) * sqrt(CAST(c.qn2 AS DOUBLE))), 6)
+           AS qcos_sim
+  FROM normed p JOIN normed c ON c.vec_id <> p.vec_id
+  WHERE p.vec_id < {N_PROBES} AND c.qn2 > 0 AND p.qn2 > 0
+)
+SELECT probe_id, cand_id, qcos_sim,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY probe_id ORDER BY qcos_sim DESC, cand_id) AS rnk
+  FROM pairs
+)
+WHERE rnk <= {TOP_K}
+"""
+
+
+@register("quantized_cosine_topk", oracle=_QCOS_SQL, category="similarity")
+def quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k search over the int8-QUANTIZED vectors — the compressed-scan
+    path that pairs with ``embedding_int8_quantize``: per-vector scales
+    cancel in cosine, so scoring is a pure int8×int8 dot product (the
+    int-SIMD kernel at deployment; 4× less scan bandwidth than float32).
+    Same plan shape as ``cosine_topk``: probes broadcast, candidates one
+    linear pass, only the small score table shuffles for ranking. Recall
+    against the exact top-k is property-tested in tests/test_similarity.py."""
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"), "vec_id")
+    xi = F.transform(F.col("embedding"), _iscaled)
+    with_scale = emb.select("vec_id", xi.alias("xi")).withColumn(
+        "scale6", F.array_max(F.transform("xi", F.abs))
+    ).filter(F.col("scale6") > 0)
+    q = F.transform(
+        "xi", lambda v: F.round(v * 127.0 / F.col("scale6")).cast("long")
+    )
+    quant = with_scale.select("vec_id", q.alias("q")).withColumn(
+        "qn2",
+        F.aggregate(
+            F.transform("q", lambda v: v * v),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    ).filter(F.col("qn2") > 0)
+    probes = F.broadcast(
+        quant.filter(F.col("vec_id") < N_PROBES).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("q").alias("p_q"),
+            F.col("qn2").alias("p_qn2"),
+        )
+    )
+    cands = quant.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("q").alias("c_q"),
+        F.col("qn2").alias("c_qn2"),
+    )
+    qdot = F.aggregate(
+        F.zip_with("p_q", "c_q", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = probes.join(cands, F.col("cand_id") != F.col("probe_id")).select(
+        "probe_id",
+        "cand_id",
+        cosine(qdot, F.col("p_qn2"), F.col("c_qn2")).alias("qcos_sim"),
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("qcos_sim"), F.asc("cand_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("probe_id", "cand_id", "qcos_sim", "rnk")
+    )

@@ -112,6 +112,7 @@ _PRIORITY: tuple[str, ...] = (
     "wav_decode_stats",
     "running_user_totals_batch",
     "embedding_int8_quantize",
+    "quantized_cosine_topk",
     # -- single green round (r2 only) --
     "docs_exact_dedup",
     "simhash_near_dup",

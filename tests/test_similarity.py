@@ -104,3 +104,24 @@ def test_int8_quantization_reconstruction_bound(spark, sf_dir):
             assert -127 <= qi <= 127
             xi = round(x * 1_000_000)
             assert abs(xi - qi * scale6 / 127.0) <= step_half + 0.5
+
+
+def test_quantized_topk_recall_vs_exact(spark, sf_dir):
+    """int8-quantized top-k must substantially agree with the exact float
+    top-k (the quantization step is ~1/254 of the max component, far below
+    the cosine gaps in this corpus): mean recall@5 >= 0.6, and every probe
+    present in both."""
+    from big_data_medical_analysis_spark import registry
+
+    qs = registry.queries()
+    exact: dict[int, set] = {}
+    for r in qs["cosine_topk"](spark, sf_dir).collect():
+        exact.setdefault(r.probe_id, set()).add(r.cand_id)
+    approx: dict[int, set] = {}
+    for r in qs["quantized_cosine_topk"](spark, sf_dir).collect():
+        approx.setdefault(r.probe_id, set()).add(r.cand_id)
+    assert set(approx) == set(exact)
+    recalls = [
+        len(exact[p] & approx[p]) / len(exact[p]) for p in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6
