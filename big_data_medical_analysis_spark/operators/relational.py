@@ -1167,3 +1167,122 @@ def embedding_hof_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter("embedding", lambda x: x.cast("double") > 0)
         ).alias("n_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical moments and quantiles (exact, order-independent)
+# ---------------------------------------------------------------------------
+
+_MOMENTS_SQL = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS HUGEINT) AS px,
+         CAST(round(l_quantity * 100) AS HUGEINT) AS qx
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(px) AS sx, sum(px * px) AS sx2,
+         sum(qx) AS sy, sum(qx * qx) AS sy2,
+         sum(px * qx) AS sxy
+  FROM c GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS mean_price,
+       round((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 10000.0, 6)
+         AS var_price,
+       round(sqrt((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 100.0, 6)
+         AS stddev_price,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS corr_qty_price
+FROM s
+"""
+
+
+@register("lineitem_price_moments", oracle=_MOMENTS_SQL, category="aggregation")
+def lineitem_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance / stddev / correlation per returnflag via EXACT
+    integer sufficient statistics: Σx, Σx², Σy, Σy², Σxy over int64 cents,
+    accumulated in decimal(38,0) (Σx² at 100 TB overflows int64; 38 digits
+    does not), with the textbook closed forms applied in double only at the
+    end. Built-in stddev/corr aggregate FLOATS in partition order —
+    nondeterministic across partitionings and engines; integer sufficient
+    statistics are order-independent, map-side combinable, and
+    oracle-exact. One shuffle."""
+    li = read_table(spark, sf_dir, "lineitem")
+    px = cents("l_extendedprice").cast("decimal(38,0)")
+    qx = cents("l_quantity").cast("decimal(38,0)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(px).alias("sx"),
+        F.sum(px * px).alias("sx2"),
+        F.sum(qx).alias("sy"),
+        F.sum(qx * qx).alias("sy2"),
+        F.sum(px * qx).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sx2 = F.col("sx").cast("double"), F.col("sx2").cast("double")
+    sy, sy2 = F.col("sy").cast("double"), F.col("sy2").cast("double")
+    sxy = F.col("sxy").cast("double")
+    var_cents2 = (nd * sx2 - sx * sx) / (nd * (nd - 1.0))
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(sx / nd / 100.0, 6).alias("mean_price"),
+        F.round(var_cents2 / 10000.0, 6).alias("var_price"),
+        F.round(F.sqrt(var_cents2) / 100.0, 6).alias("stddev_price"),
+        F.round(
+            (nd * sxy - sx * sy)
+            / (
+                F.sqrt(nd * sx2 - sx * sx)
+                * F.sqrt(nd * sy2 - sy * sy)
+            ),
+            6,
+        ).alias("corr_qty_price"),
+    )
+
+
+_QUANTILES_SQL = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS px
+  FROM lineitem
+)
+SELECT l_returnflag,
+       round(quantile_cont(px, 0.25) / 100.0, 6) AS p25,
+       round(quantile_cont(px, 0.50) / 100.0, 6) AS p50,
+       round(quantile_cont(px, 0.75) / 100.0, 6) AS p75,
+       round(quantile_cont(px, 0.95) / 100.0, 6) AS p95
+FROM c GROUP BY l_returnflag
+"""
+
+
+@register("lineitem_price_quantiles", oracle=_QUANTILES_SQL, category="aggregation")
+def lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) of price per returnflag,
+    computed on int64 cents so the sort keys are exact integers and the
+    interpolated doubles are bit-identical across engines (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``). Exact percentile is a
+    per-group sort — the deliberate contrast to ``approx_distinct_users``'s
+    sketch tier; at 100 TB you reach for ``approx_percentile`` and accept
+    the error bound, or pre-bucket into a fixed histogram (both built-in).
+    One shuffle."""
+    li = read_table(spark, sf_dir, "lineitem")
+    px = cents("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(
+                F.percentile(px, F.lit(q)) / 100.0, 6
+            ).alias(f"p{int(q * 100)}")
+            for q in (0.25, 0.50, 0.75, 0.95)
+        ]
+    )

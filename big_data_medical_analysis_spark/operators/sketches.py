@@ -114,3 +114,102 @@ def countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_est",
         (F.col("n_est") >= F.col("n_exact")).alias("never_under"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (portable hashing ⇒ full value oracle, like Count-Min)
+# ---------------------------------------------------------------------------
+
+BF_BITS = 2048
+BF_HASHES = 5
+
+
+def bloom_bit(key: Column | str, i: Column | str) -> Column:
+    """Portable bit index: first 8 md5 hex chars of "key#i" → int64,
+    mod BF_BITS. Identical in DuckDB (used by the oracle)."""
+    k = F.col(key) if isinstance(key, str) else key
+    d = F.col(i) if isinstance(i, str) else i
+    h = F.md5(F.concat(k.cast("string"), F.lit("#"), d.cast("string")))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(BF_BITS)
+    )
+
+
+_BLOOM_SQL = f"""
+WITH members AS (
+  SELECT DISTINCT o_custkey AS k FROM orders
+), bits AS (
+  SELECT DISTINCT
+         CAST(concat('0x', substr(md5(concat(CAST(m.k AS VARCHAR), '#',
+                                             CAST(i.i AS VARCHAR))), 1, 8))
+              AS BIGINT) % {BF_BITS} AS bit
+  FROM members m, (SELECT unnest(range({BF_HASHES})) AS i) i
+), probe AS (
+  SELECT c.c_custkey, i.i,
+         CAST(concat('0x', substr(md5(concat(CAST(c.c_custkey AS VARCHAR), '#',
+                                             CAST(i.i AS VARCHAR))), 1, 8))
+              AS BIGINT) % {BF_BITS} AS bit
+  FROM customer c, (SELECT unnest(range({BF_HASHES})) AS i) i
+), hits AS (
+  SELECT p.c_custkey, count(b.bit) AS n_set
+  FROM probe p LEFT JOIN bits b ON p.bit = b.bit
+  GROUP BY p.c_custkey
+)
+SELECT h.c_custkey,
+       h.n_set = {BF_HASHES} AS maybe_member,
+       m.k IS NOT NULL AS is_member,
+       (h.n_set = {BF_HASHES}) OR m.k IS NULL AS no_false_negative
+FROM hits h LEFT JOIN members m ON h.c_custkey = m.k
+"""
+
+
+@register("bloom_customer_filter", oracle=_BLOOM_SQL, category="aggregation")
+def bloom_customer_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership filter: a {BF_BITS}-bit, {BF_HASHES}-hash filter
+    built over the distinct order-placing custkeys, probed by every
+    customer, emitted next to exact membership with the no-false-negative
+    flag (always true by construction; false positives are the εN the
+    filter trades for O(bits) state).
+
+    The sketch discipline of Count-Min applies: the bit set is ≤ BF_BITS
+    rows regardless of input size and is broadcast to the probe side — at
+    100 TB this is how a semi-join against a huge key set avoids shuffling
+    either table (Spark's own runtime bloom-join does exactly this
+    internally; here it's an explicit, oracle-checkable operator). Portable
+    md5 bit indexing ⇒ DuckDB rebuilds the identical filter."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    members = orders.select(F.col("o_custkey").alias("k")).distinct()
+    bits = (
+        members.select(
+            F.explode(F.sequence(F.lit(0), F.lit(BF_HASHES - 1))).alias("i"),
+            F.col("k"),
+        )
+        .select(bloom_bit("k", "i").alias("bit"))
+        .distinct()
+    )
+    probe = customer.select(
+        "c_custkey",
+        F.explode(F.sequence(F.lit(0), F.lit(BF_HASHES - 1))).alias("i"),
+    ).select("c_custkey", bloom_bit("c_custkey", "i").alias("bit"))
+    # mark each probe bit as set/unset (left join against the broadcast bit
+    # set; the join key survives on both sides, so a dedicated marker column
+    # distinguishes matched from unmatched)
+    probe_marked = probe.join(
+        F.broadcast(bits.withColumn("_set", F.lit(1))), "bit", "left_outer"
+    ).select("c_custkey", F.coalesce(F.col("_set"), F.lit(0)).alias("_set"))
+    hits = probe_marked.groupBy("c_custkey").agg(F.sum("_set").alias("n_set"))
+    exact = members.withColumnRenamed("k", "c_custkey").withColumn(
+        "_m", F.lit(1)
+    )
+    return (
+        hits.join(F.broadcast(exact), "c_custkey", "left_outer")
+        .select(
+            "c_custkey",
+            (F.col("n_set") == BF_HASHES).alias("maybe_member"),
+            F.col("_m").isNotNull().alias("is_member"),
+            ((F.col("n_set") == BF_HASHES) | F.col("_m").isNull()).alias(
+                "no_false_negative"
+            ),
+        )
+    )

@@ -113,6 +113,9 @@ _PRIORITY: tuple[str, ...] = (
     "running_user_totals_batch",
     "embedding_int8_quantize",
     "quantized_cosine_topk",
+    "bloom_customer_filter",
+    "lineitem_price_moments",
+    "lineitem_price_quantiles",
     # -- single green round (r2 only) --
     "docs_exact_dedup",
     "simhash_near_dup",

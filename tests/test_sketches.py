@@ -28,3 +28,58 @@ def test_countmin_never_underestimates(spark, sf_dir):
     }
     # every depth row sees every key exactly once
     assert set(total_per_depth.values()) == {ev.count()}
+
+
+def test_bloom_no_false_negatives_and_sane_fp_rate(spark, sf_dir):
+    """Every member is flagged maybe_member (no false negatives, the Bloom
+    guarantee); the false-positive rate over non-members stays within ~3x
+    of the theoretical (1 - e^(-kn/m))^k bound."""
+    import math
+
+    from big_data_medical_analysis_spark import registry
+    from big_data_medical_analysis_spark.operators import sketches as SK
+
+    rows = registry.queries()["bloom_customer_filter"](spark, sf_dir).collect()
+    assert rows
+    assert all(r.no_false_negative for r in rows)
+    members = [r for r in rows if r.is_member]
+    non_members = [r for r in rows if not r.is_member]
+    assert all(r.maybe_member for r in members)
+    if non_members:
+        n = len(members)
+        k, m = SK.BF_HASHES, SK.BF_BITS
+        theoretical = (1.0 - math.exp(-k * n / m)) ** k
+        fp = sum(r.maybe_member for r in non_members) / len(non_members)
+        assert fp <= max(3.0 * theoretical, 0.02)
+
+
+def test_moments_match_numpy(spark, sf_dir):
+    """Engine moments (exact integer sufficient statistics) agree with
+    numpy's float64 reference within 1e-4 relative."""
+    import numpy as np
+
+    from big_data_medical_analysis_spark import registry
+    from big_data_medical_analysis_spark.sources.readers import read_table
+
+    got = {
+        r.l_returnflag: r
+        for r in registry.queries()["lineitem_price_moments"](spark, sf_dir)
+        .collect()
+    }
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).collect()
+    by_flag: dict[str, list] = {}
+    for r in li:
+        by_flag.setdefault(r.l_returnflag, []).append(
+            (round(r.l_extendedprice * 100), round(r.l_quantity * 100))
+        )
+    for flag, pairs in by_flag.items():
+        px = np.array([p for p, _ in pairs], dtype=np.float64)
+        qx = np.array([q for _, q in pairs], dtype=np.float64)
+        g = got[flag]
+        assert g.n == len(pairs)
+        assert abs(g.mean_price - px.mean() / 100) / (px.mean() / 100) < 1e-4
+        assert abs(g.var_price - px.var(ddof=1) / 1e4) / (px.var(ddof=1) / 1e4) < 1e-4
+        ref_corr = np.corrcoef(qx, px)[0, 1]
+        assert abs(g.corr_qty_price - ref_corr) < 1e-4
