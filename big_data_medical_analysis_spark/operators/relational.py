@@ -1286,3 +1286,36 @@ def lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for q in (0.25, 0.50, 0.75, 0.95)
         ]
     )
+
+
+HIST_BIN_CENTS = 500_00  # $500 bins
+
+
+_HISTOGRAM_SQL = f"""
+SELECT l_returnflag,
+       CAST(floor(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  / {HIST_BIN_CENTS}) AS BIGINT) AS bin,
+       count(*) AS n,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS total_price
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
+@register("price_histogram", oracle=_HISTOGRAM_SQL, category="aggregation")
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width price histogram per returnflag ($500 bins on int64
+    cents): the constant-state alternative to exact percentiles at 100 TB —
+    one map-side-combinable aggregate whose state is (flags × bins) cells,
+    from which any quantile is reconstructed to bin precision. Exact
+    integer binning and summing: oracle matches bit-for-bit. One shuffle."""
+    li = read_table(spark, sf_dir, "lineitem")
+    px = cents("l_extendedprice")
+    return li.groupBy(
+        "l_returnflag",
+        F.floor(px / HIST_BIN_CENTS).alias("bin"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(px).cast("double") / 100.0).alias("total_price"),
+    )

@@ -116,6 +116,7 @@ _PRIORITY: tuple[str, ...] = (
     "bloom_customer_filter",
     "lineitem_price_moments",
     "lineitem_price_quantiles",
+    "price_histogram",
     # -- single green round (r2 only) --
     "docs_exact_dedup",
     "simhash_near_dup",

@@ -140,3 +140,24 @@ def test_simhash_banded_join_shape(spark, sf_dir):
         if "HashJoin" in ln or "SortMergeJoin" in ln
     ]
     assert join_lines and any("band_val" in ln for ln in join_lines), plan
+
+
+def test_moments_single_shuffle_and_pruned_scan(spark, sf_dir):
+    """Exact sufficient statistics must stay one partial+final aggregate
+    (map-side combinable) over a 3-column pruned scan."""
+    df = QS["lineitem_price_moments"](spark, sf_dir)
+    assert P.exchange_count(df) == 1
+    schemas = " | ".join(P.read_schemas(df))
+    assert "l_comment" not in schemas and "l_shipdate" not in schemas
+
+
+def test_histogram_single_shuffle(spark, sf_dir):
+    df = QS["price_histogram"](spark, sf_dir)
+    assert P.exchange_count(df) == 1
+
+
+def test_bloom_filter_broadcasts_bit_set(spark, sf_dir):
+    """The Bloom bit set and the exact-membership dim must broadcast: the
+    customer probe side never shuffles for the join."""
+    df = QS["bloom_customer_filter"](spark, sf_dir)
+    assert P.broadcast_join_count(df) >= 2
