@@ -58,10 +58,13 @@ OPTIONAL = [
     # multimodal pillar
     "image_augment_fanout",
     "png_decode_stats",
-    # skew handling / reshaping / sketches
+    # skew handling / reshaping / sketches / exact statistics
     "salted_skew_join",
     "event_type_pivot",
     "countmin_user_counts",
+    "bloom_customer_filter",
+    "lineitem_price_moments",
+    "quantized_cosine_topk",
 ]
 
 

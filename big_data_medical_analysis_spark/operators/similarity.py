@@ -521,15 +521,26 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale = max|component|, q_i = round(x_i·127/scale) ∈ [-127, 127]; no
     clipping by construction. Pure Catalyst HOFs over int64-scaled
     components (module convention), so the float division is the only
-    non-integer op and the oracle matches bit-for-bit. One linear scan, no
-    shuffle, no UDF."""
+    non-integer op and the oracle matches bit-for-bit. One linear scan plus
+    a fan_out exchange, no UDF.
+
+    The exchange after the scale6 projection is load-bearing: without it,
+    CollapseProject inlines scale6 into the q lambda's per-element body —
+    array_max(transform(xi)) recomputed d times per row, O(d²) (see
+    quantized_cosine_topk, where the same hazard measured 6×). The
+    zero-vector guard is a short-circuiting F.exists for the same reason:
+    a pushed-down scale6 > 0 expands the whole derivation inside the scan
+    filter."""
     emb = read_table(spark, sf_dir, "embeddings")
     xi = F.transform(F.col("embedding"), _iscaled)
-    with_scale = emb.select("vec_id", "label", xi.alias("xi")).withColumn(
-        "scale6", F.array_max(F.transform("xi", F.abs))
-    ).filter(F.col("scale6") > 0)
+    staged = fan_out(
+        emb.select("vec_id", "label", xi.alias("xi"))
+        .filter(F.exists("xi", lambda v: v != 0))
+        .withColumn("scale6", F.array_max(F.transform("xi", F.abs))),
+        "vec_id",
+    )
     q = F.transform("xi", lambda v: F.round(v * 127.0 / F.col("scale6")).cast("int"))
-    return with_scale.select("vec_id", "label", "scale6", q.alias("q"))
+    return staged.select("vec_id", "label", "scale6", q.alias("q"))
 
 
 _QCOS_SQL = f"""
@@ -580,30 +591,44 @@ def quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same plan shape as ``cosine_topk``: probes broadcast, candidates one
     linear pass, only the small score table shuffles for ranking. Recall
     against the exact top-k is property-tested in tests/test_similarity.py."""
-    emb = fan_out(read_table(spark, sf_dir, "embeddings"), "vec_id")
+    # CollapseProject hazard, measured: referencing a derived scalar column
+    # (scale6) inside a later transform lambda lets Catalyst inline it into
+    # the per-ELEMENT body — array_max(transform(xi)) recomputed d times per
+    # row, O(d²), and the pushed-down scale6>0 / qn2>0 guards expand the
+    # same way inside the scan filter (6× wall at sf0.1). Three fixes below:
+    # (1) the zero-vector guard is F.exists (one short-circuiting pass,
+    # equivalent to scale6 > 0; qn2 > 0 is implied — the max component maps
+    # to ±127); (2) a fan_out barrier after the scale6 projection pins it
+    # to once-per-row; (3) the candidate side gets its own barrier so the
+    # nested-loop join sees finished q vectors, per-pair work = the dot
+    # product alone. The broadcast exchange materializes the probe side.
     xi = F.transform(F.col("embedding"), _iscaled)
-    with_scale = emb.select("vec_id", xi.alias("xi")).withColumn(
-        "scale6", F.array_max(F.transform("xi", F.abs))
-    ).filter(F.col("scale6") > 0)
+    staged = fan_out(
+        read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", xi.alias("xi"))
+        .filter(F.exists("xi", lambda v: v != 0))
+        .withColumn("scale6", F.array_max(F.transform("xi", F.abs))),
+        "vec_id",
+    )
     q = F.transform(
         "xi", lambda v: F.round(v * 127.0 / F.col("scale6")).cast("long")
     )
-    quant = with_scale.select("vec_id", q.alias("q")).withColumn(
+    qdf = staged.select("vec_id", q.alias("q")).withColumn(
         "qn2",
         F.aggregate(
             F.transform("q", lambda v: v * v),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ),
-    ).filter(F.col("qn2") > 0)
+    )
     probes = F.broadcast(
-        quant.filter(F.col("vec_id") < N_PROBES).select(
+        qdf.filter(F.col("vec_id") < N_PROBES).select(
             F.col("vec_id").alias("probe_id"),
             F.col("q").alias("p_q"),
             F.col("qn2").alias("p_qn2"),
         )
     )
-    cands = quant.select(
+    cands = fan_out(qdf, "vec_id").select(
         F.col("vec_id").alias("cand_id"),
         F.col("q").alias("c_q"),
         F.col("qn2").alias("c_qn2"),
