@@ -132,9 +132,15 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # fan_out: the probe side broadcasts, so the |probes|·N scoring loop runs
     # at exactly the candidate scan's parallelism — one task for a
-    # single-file local corpus without it.
-    emb = fan_out(read_table(spark, sf_dir, "embeddings"), "vec_id").select(
-        "vec_id", "embedding", int_norm2("embedding").alias("n2")
+    # single-file local corpus without it. The n2 projection sits BELOW the
+    # exchange so the shuffled rows carry finished norms; above it,
+    # CollapseProject folds the aggregate into the nested-loop join and
+    # recomputes n2 per pair (see quantized_cosine_topk).
+    emb = fan_out(
+        read_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", int_norm2("embedding").alias("n2")
+        ),
+        "vec_id",
     )
     probes = F.broadcast(
         emb.filter(F.col("vec_id") < N_PROBES).select(
@@ -415,9 +421,14 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     entire point of IVF. Tie-breaks: (cell_cos DESC, label), then
     (cos_sim DESC, cand_id).
     """
-    emb = fan_out(read_table(spark, sf_dir, "embeddings"), "vec_id")
-    scaled = emb.select(
-        "vec_id", "label", F.transform("embedding", _iscaled).alias("iv")
+    # iv projection below the fan_out exchange: shuffled rows carry the
+    # scaled vectors, so downstream joins never re-derive them per pair
+    # (CollapseProject hazard — see quantized_cosine_topk).
+    scaled = fan_out(
+        read_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", F.transform("embedding", _iscaled).alias("iv")
+        ),
+        "vec_id",
     )
 
     # centroid build: one explode + two aggregates, all JVM-side
@@ -463,12 +474,16 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "label", "p_iv", "p_n2")
     )
 
-    # candidate scan: only vectors in the selected cells are scored
-    cands = scaled.select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("label").alias("c_label"),
-        F.col("iv").alias("c_iv"),
-        _int_norm2_raw(F.col("iv")).alias("c_n2"),
+    # candidate scan: only vectors in the selected cells are scored. Its own
+    # barrier materializes c_n2 so the join's per-pair work is the dot alone.
+    cands = fan_out(
+        scaled.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("c_label"),
+            F.col("iv").alias("c_iv"),
+            _int_norm2_raw(F.col("iv")).alias("c_n2"),
+        ),
+        "cand_id",
     )
     pairs = F.broadcast(top_cells).join(
         cands,
