@@ -178,11 +178,20 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, band_idx, band_val), so the same plan runs unchanged at 100 TB.
     """
     docs = read_table(spark, sf_dir, "documents")
-    # fan_out: the 32-bit-majority projection is the expensive stage; pin it
-    # to full parallelism instead of the single scan split of a small file.
-    fp = fan_out(docs, "doc_id").select(
-        "doc_id", "lang", _token_hashes("text").alias("hs")
-    ).select("doc_id", "lang", simhash(F.col("hs")).alias("simhash"))
+    # Exchange sandwich around the expensive 32-bit-majority projection:
+    # the inner fan_out spreads the single-file scan across all tasks
+    # BEFORE the heavy HOF work (a small local parquet scans as one task);
+    # the outer fan_out materializes the finished 8-byte fingerprints so
+    # CollapseProject can't fold the 32-pass derivation into the band
+    # Generate and recompute it per banded row. Both exchanges move tiny
+    # rows; the fingerprint computes exactly once per doc at full
+    # parallelism.
+    fp = fan_out(
+        fan_out(docs.select("doc_id", "lang", "text"), "doc_id")
+        .select("doc_id", "lang", _token_hashes("text").alias("hs"))
+        .select("doc_id", "lang", simhash(F.col("hs")).alias("simhash")),
+        "doc_id",
+    )
     # Banded pairing — the 100 TB form, and EXACT by pigeonhole: a pair at
     # Hamming distance ≤ SIMHASH_MAX_HDIST differs in at most
     # SIMHASH_MAX_HDIST bands, so with SIMHASH_BANDS > SIMHASH_MAX_HDIST it
