@@ -443,8 +443,14 @@ def minhash_band_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = read_table(spark, sf_dir, "documents")
     n_hashes = MINHASH_BANDS * MINHASH_ROWS_PER_BAND
-    sig = fan_out(docs, "doc_id").select(
-        "doc_id", minhash_signature("text", n_hashes).alias("sig")
+    # exchange sandwich (see simhash_near_dup): inner fan_out spreads the
+    # 16-component signature scan, outer fan_out materializes `sig` so the
+    # band explode below doesn't re-derive it per band.
+    sig = fan_out(
+        fan_out(docs.select("doc_id", "text"), "doc_id").select(
+            "doc_id", minhash_signature("text", n_hashes).alias("sig")
+        ),
+        "doc_id",
     )
     banded = sig.select(
         "doc_id",
