@@ -22,6 +22,9 @@ The tiering is how 100 TB training-data dedup actually works:
    at-scale path: only same-band pairs are compared, never all-pairs.
    Engine-RNG hash families ⇒ rows-only check; recall on planted duplicates
    is property-tested in tests/test_dedup.py.
+5. **Clustering** (``dedup_components``): connected components over the
+   near-dup pairs — the transitive-closure step that turns pairs into one
+   keeper per duplicate cluster.
 """
 
 from __future__ import annotations
@@ -147,8 +150,9 @@ def _simhash_bit_sql() -> str:
     return " + ".join(terms)
 
 
-_SIMHASH_SQL = f"""
-WITH hashed AS (
+# CTE prefix shared by the simhash pair oracle and the connected-components
+# oracle built on top of those pairs.
+_SIMHASH_FP_CTES = f"""hashed AS (
   SELECT doc_id, lang,
          list_transform(list_distinct(string_split(text, ' ')),
                         t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT))
@@ -157,7 +161,10 @@ WITH hashed AS (
 ), fp AS (
   SELECT doc_id, lang, CAST({_simhash_bit_sql()} AS BIGINT) AS simhash
   FROM hashed
-)
+)"""
+
+_SIMHASH_SQL = f"""
+WITH {_SIMHASH_FP_CTES}
 SELECT a.lang AS lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hdist
 FROM fp a JOIN fp b ON a.lang = b.lang AND a.doc_id < b.doc_id
@@ -165,19 +172,17 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HDIST}
 """
 
 
-@register("simhash_near_dup", oracle=_SIMHASH_SQL, category="dedup")
-def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate pairs: Hamming distance ≤ SIMHASH_MAX_HDIST
-    on a 32-bit bit-majority fingerprint, blocked by language — paired via
-    the banded (pigeonhole) join, which is lossless at this threshold and
-    linear-shuffle at any corpus size.
+def simhash_pairs(docs: DataFrame) -> DataFrame:
+    """(lang, doc_a, doc_b, hdist) SimHash near-duplicate pairs: Hamming
+    distance ≤ SIMHASH_MAX_HDIST on a 32-bit bit-majority fingerprint,
+    blocked by language — paired via the banded (pigeonhole) join, which is
+    lossless at this threshold and linear-shuffle at any corpus size.
 
     Fingerprinting is one linear projection; pairing carries only
     (doc_id, lang, int64) — the document bodies never reach the join, and
     nothing is broadcast: candidates come from an equi-join on
     (lang, band_idx, band_val), so the same plan runs unchanged at 100 TB.
     """
-    docs = read_table(spark, sf_dir, "documents")
     # Exchange sandwich around the expensive 32-bit-majority projection:
     # the inner fan_out spreads the single-file scan across all tasks
     # BEFORE the heavy HOF work (a small local parquet scans as one task);
@@ -241,6 +246,13 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("lang", "doc_a", "doc_b", hdist.alias("hdist")).filter(
         F.col("hdist") <= SIMHASH_MAX_HDIST
     )
+
+
+@register("simhash_near_dup", oracle=_SIMHASH_SQL, category="dedup")
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs over the documents table — see
+    ``simhash_pairs`` for the banded, 100 TB-shaped pairing design."""
+    return simhash_pairs(read_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -487,4 +499,116 @@ def minhash_band_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("group_size").alias("max_group"),
             F.min("keeper_doc_id").alias("first_keeper"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. Duplicate clustering: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+) -> DataFrame:
+    """(node, cluster_id) labels: cluster_id = min node id reachable in the
+    undirected graph — the canonical "keeper" convention of the dedup tiers.
+
+    Hash-min label propagation: every node starts labeled with itself; each
+    round a node's label becomes the min of its own and its neighbors', and
+    the loop stops when no label changed. Converges in graph-diameter
+    rounds, and near-dup graphs are shallow (dup clusters are cliques-ish),
+    so the round count is small and independent of corpus size.
+
+    Scale notes: each round is one shuffle keyed on node (edges are
+    re-keyed map-side), intermediates carry two int64s per node, and
+    ``localCheckpoint`` truncates the per-round lineage so the plan doesn't
+    grow with the iteration count (on a cluster, a reliable checkpoint dir
+    does the same). The convergence test is a driver-side count — inherent
+    to iterative fixpoints and O(1) per round. For graphs with
+    billion-node components you'd switch to the large-star/small-star
+    variant (Kiveris et al.), which this local form degenerates to for the
+    shallow graphs dedup produces.
+    """
+    und = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    und = und.localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    # Convergence probe: labels only ever decrease, so sum(label) strictly
+    # decreases on any change — a 1-row aggregate over the just-materialized
+    # round, far cheaper than a join-and-count against the previous round.
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr = und.join(
+            labels.withColumnRenamed("node", "u"), "u"
+        ).select(F.col("v").alias("node"), "label")
+        labels = (
+            labels.unionAll(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+_COMPONENTS_SQL = f"""
+WITH RECURSIVE {_SIMHASH_FP_CTES},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM fp a JOIN fp b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HDIST}
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+walk(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v, w.label FROM walk w JOIN edges e ON w.node = e.u
+),
+labels AS (SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node)
+SELECT l.doc_id, l.cluster_id, s.cluster_size
+FROM labels l
+JOIN (SELECT cluster_id, count(*) AS cluster_size
+      FROM labels GROUP BY cluster_id) s USING (cluster_id)
+"""
+
+
+@register("dedup_components", oracle=_COMPONENTS_SQL, category="dedup")
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters: connected components over the SimHash
+    near-dup pairs, emitting (doc_id, cluster_id, cluster_size) for every
+    doc in at least one pair. cluster_id is the component's min doc_id —
+    the deterministic keeper, so "drop everything where doc_id !=
+    cluster_id" is the full dedup action.
+
+    This closes the gap pair-emitting tiers leave open: near-duplication is
+    not transitive (A~B, B~C does not imply A~C), so keeping one doc per
+    PAIR over-deletes; components give exactly one keeper per transitive
+    cluster. Fully deterministic (md5 fingerprints + min-label), so the
+    DuckDB oracle — a recursive CTE over the identical pair set — checks
+    every value.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = simhash_pairs(docs)
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labels.select(F.col("node").alias("doc_id"), "cluster_id")
+        .join(F.broadcast(sizes), "cluster_id")
+        .select("doc_id", "cluster_id", "cluster_size")
     )

@@ -123,6 +123,12 @@ def countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 BF_BITS = 2048
 BF_HASHES = 5
 
+# Heavy hitters: emit keys whose count is ≥ HH_PERMILLE/1000 of the total.
+# The Misra-Gries candidate pass needs k ≥ 1000/HH_PERMILLE counters to
+# guarantee no heavy hitter is missed; 128 > 125 with slack.
+HH_PERMILLE = 8
+HH_COUNTERS = 128
+
 
 def bloom_bit(key: Column | str, i: Column | str) -> Column:
     """Portable bit index: first 8 md5 hex chars of "key#i" → int64,
@@ -212,4 +218,90 @@ def bloom_customer_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "no_false_negative"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (Misra-Gries candidates + exact recount of candidates only)
+# ---------------------------------------------------------------------------
+
+
+def misra_gries_candidates(df: DataFrame, key: str, k: int = HH_COUNTERS) -> DataFrame:
+    """Per-partition Misra-Gries summaries → union of surviving keys.
+
+    Each partition keeps at most ``k`` counters: batch counts merge into the
+    counter dict, then while more than ``k`` counters remain, the minimum
+    count is subtracted from all and non-positive counters drop (the batched
+    decrement removes ≥ (k+1)·min weight per step, so total decremented
+    weight per key is ≤ N_p/(k+1) — the classic MG bound, preserved by the
+    mergeable-summaries batching of Agarwal et al.).
+
+    Guarantee used by ``heavy_hitter_users``: if a key has global count
+    ≥ θ·N with θ > 1/(k+1), then in at least one partition its local count
+    is ≥ θ·N_p (averaging), which exceeds the partition's decrement bound —
+    so the key survives in that partition and the union of survivors is a
+    SUPERSET of every global heavy hitter. At 100 TB this is the point: the
+    full key set never shuffles; each task emits ≤ k candidate rows.
+    """
+    import pandas as pd
+
+    def _mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for key_val, cnt in pdf.iloc[:, 0].value_counts().items():
+                counters[key_val] = counters.get(key_val, 0) + int(cnt)
+            while len(counters) > k:
+                m = min(counters.values())
+                counters = {
+                    kk: v - m for kk, v in counters.items() if v - m > 0
+                }
+        yield pd.DataFrame({"k": list(counters.keys())})
+
+    field = df.schema[key]
+    return df.select(F.col(key).alias("k")).mapInPandas(
+        _mg, f"k {field.dataType.simpleString()}"
+    )
+
+
+_HH_SQL = f"""
+WITH tot AS (SELECT count(*) AS n FROM events),
+cnt AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+SELECT c.user_id, c.n_events
+FROM cnt c, tot t
+WHERE c.n_events * 1000 >= {HH_PERMILLE} * t.n
+"""
+
+
+@register("heavy_hitter_users", oracle=_HH_SQL, category="aggregation")
+def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent-items query — every events.user_id with count ≥
+    {HH_PERMILLE}/1000 of all events — computed WITHOUT ever shuffling the
+    full key set:
+
+    1. one narrow scan builds per-partition Misra-Gries summaries
+       (``misra_gries_candidates``: ≤ {HH_COUNTERS} candidate rows per task,
+       a guaranteed superset of the true heavy hitters);
+    2. the tiny candidate union broadcasts back onto the fact scan, so the
+       recount groupBy shuffles only rows whose key is a candidate;
+    3. the threshold count·1000 ≥ {HH_PERMILLE}·N uses an in-plan 1-row
+       total (broadcast cross join — no driver-side action) and exact
+       integer arithmetic on both engines.
+
+    At local SF a plain groupBy+HAVING is equally fast; at 100 TB with
+    billions of distinct keys (URLs, n-grams) the full-key shuffle is the
+    bottleneck this shape removes. Output is EXACT (not an estimate): the
+    sketch only proposes candidates, the recount decides.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    cands = misra_gries_candidates(ev, "user_id").distinct()
+    total = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    recount = (
+        ev.join(F.broadcast(cands), ev["user_id"] == cands["k"])
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        recount.crossJoin(F.broadcast(total))
+        .filter(F.col("n_events") * 1000 >= HH_PERMILLE * F.col("n_total"))
+        .select("user_id", "n_events")
     )

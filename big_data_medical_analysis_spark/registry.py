@@ -117,6 +117,8 @@ _PRIORITY: tuple[str, ...] = (
     "lineitem_price_moments",
     "lineitem_price_quantiles",
     "price_histogram",
+    "heavy_hitter_users",
+    "dedup_components",
     # -- single green round (r2 only) --
     "docs_exact_dedup",
     "simhash_near_dup",

@@ -175,3 +175,36 @@ def test_simhash_banding_lossless_vs_brute_force(spark):
         .collect()
     }
     assert got == brute
+
+
+def test_connected_components_hand_graph(spark):
+    """Chain + triangle + isolated pair: labels are the component-min and
+    transitivity holds (the thing pair-keepers get wrong)."""
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4, triangle 10-11-12 (+ redundant edge), pair 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "src long, dst long",
+    )
+    labels = {
+        r.node: r.cluster_id
+        for r in D.connected_components(edges).collect()
+    }
+    assert labels == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_dedup_components_keeper_semantics(spark, sf_dir):
+    """Every cluster has exactly one keeper (doc_id == cluster_id), the
+    keeper is the min id, and sizes match the label multiplicity."""
+    out = D.dedup_components(spark, sf_dir).collect()
+    assert out
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        ids = [m.doc_id for m in members]
+        assert min(ids) == cid
+        assert all(m.cluster_size == len(members) for m in members)

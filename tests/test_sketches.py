@@ -83,3 +83,41 @@ def test_moments_match_numpy(spark, sf_dir):
         assert abs(g.var_price - px.var(ddof=1) / 1e4) / (px.var(ddof=1) / 1e4) < 1e-4
         ref_corr = np.corrcoef(qx, px)[0, 1]
         assert abs(g.corr_qty_price - ref_corr) < 1e-4
+
+
+def test_heavy_hitters_exact_vs_full_groupby(spark, sf_dir):
+    """The MG-candidate + recount path returns EXACTLY the keys a full
+    groupBy+HAVING returns — the sketch proposes, the recount decides."""
+    got = {
+        (r.user_id, r.n_events)
+        for r in registry.queries()["heavy_hitter_users"](spark, sf_dir).collect()
+    }
+    ev = read_table(spark, sf_dir, "events")
+    n = ev.count()
+    want = {
+        (r.user_id, r.n_events)
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") * 1000 >= SK.HH_PERMILLE * n)
+        .collect()
+    }
+    assert got == want
+    assert got  # threshold calibrated to be non-trivial at test SF
+
+
+def test_misra_gries_superset_and_bounded(spark):
+    """Candidate union covers every true heavy hitter on a skewed planted
+    stream, and each partition emits at most HH_COUNTERS rows."""
+    import pandas as pd
+
+    # 4 heavy keys at 600 each + 4000 singleton keys, over 8 partitions
+    rows = [(k,) for k in range(4) for _ in range(600)] + [
+        (1000 + i,) for i in range(4000)
+    ]
+    pdf = pd.DataFrame(rows, columns=["k"])
+    df = spark.createDataFrame(pdf).repartition(8)
+    cands = SK.misra_gries_candidates(df, "k", k=SK.HH_COUNTERS)
+    got = {r.k for r in cands.collect()}
+    assert {0, 1, 2, 3} <= got  # heavy keys always survive
+    # ≤ k counters per partition
+    assert cands.count() <= 8 * SK.HH_COUNTERS
