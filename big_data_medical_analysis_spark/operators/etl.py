@@ -342,3 +342,56 @@ def seeded_shuffle_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("batch_size")
         .agg(F.count(F.lit(1)).alias("n_batches"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (A-Res exponential race, full oracle)
+# ---------------------------------------------------------------------------
+
+WEIGHTED_SAMPLE_K = 100
+
+
+@register(
+    "weighted_sample_docs",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         -ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) + 0.5) / 4294967296.0)
+           / n_chars AS ek
+  FROM documents
+)
+SELECT doc_id, n_chars, round(ek, 6) AS samp_key
+FROM keyed
+ORDER BY ek ASC, doc_id
+LIMIT {WEIGHTED_SAMPLE_K}
+""",
+    category="etl",
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sample without replacement: {WEIGHTED_SAMPLE_K}
+    docs drawn with probability proportional to length (n_chars) via the
+    exponential race of Efraimidis-Spirakis A-Res — each doc gets key
+    Exp(weight) = -ln(U)/w and the smallest K keys win, which is exactly
+    sequential weighted sampling without replacement.
+
+    U comes from the doc_id's md5 prefix (engine-portable, so the sample is
+    DETERMINISTIC and fully value-oracle-checked — unlike engine-RNG
+    ``sample()``/``sampleBy()``, a rerun or a different engine draws the
+    identical sample; re-seeding means salting the hash input). Quality-
+    weighted corpus subsampling is the 100 TB use: the plan is one narrow
+    projection + TakeOrderedAndProject (per-partition top-K then a K-row
+    merge on one reducer — no global sort, no full shuffle).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    ek = -F.log(u) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "n_chars", ek.alias("ek"))
+        .orderBy(F.asc("ek"), F.asc("doc_id"))
+        .limit(WEIGHTED_SAMPLE_K)
+        .select("doc_id", "n_chars", F.round("ek", 6).alias("samp_key"))
+    )

@@ -664,3 +664,79 @@ def quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("probe_id", "cand_id", "qcos_sim", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# 4. Random projection (Johnson-Lindenstrauss sign matrix, exact oracle)
+# ---------------------------------------------------------------------------
+
+RP_IN_DIM = 64
+# k=32 halves the vectors while keeping JL noise (~1/√k ≈ 0.18) below the
+# corpus's own cosine spread (~1/√64 ≈ 0.125 — the synthetic embeddings are
+# near-orthogonal), so projected cosines still rank-correlate usefully with
+# the exact ones; k=16's 0.25 noise floor swamps that spread.
+RP_OUT_DIM = 32
+RP_SEED = 8191
+
+
+def rp_sign_matrix() -> list[list[int]]:
+    """RP_OUT_DIM × RP_IN_DIM ±1 sign matrix (Achlioptas's database-friendly
+    JL projection), drawn once from a fixed-seed PRNG and embedded as
+    LITERALS in both the Spark plan and the DuckDB oracle — no per-row
+    hashing, and nothing engine-specific to diverge on."""
+    import random
+
+    rng = random.Random(RP_SEED)
+    return [
+        [rng.choice((-1, 1)) for _ in range(RP_IN_DIM)]
+        for _ in range(RP_OUT_DIM)
+    ]
+
+
+def _rp_oracle_sql() -> str:
+    cols = []
+    for row in rp_sign_matrix():
+        signs = "[" + ", ".join(str(s) for s in row) + "]"
+        cols.append(
+            "round(CAST(list_sum(list_transform(list_zip(iv, "
+            f"{signs}), z -> z[1] * z[2])) AS DOUBLE) / {_SCALE}, 6)"
+        )
+    exprs = ",\n         ".join(cols)
+    return f"""
+WITH scaled AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x::DOUBLE * {_SCALE}) AS BIGINT))
+           AS iv
+  FROM embeddings
+)
+SELECT vec_id,
+       [{exprs}] AS proj
+FROM scaled
+"""
+
+
+@register("rp_embedding_project", oracle=_rp_oracle_sql(), category="similarity")
+def rp_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project each 64-dim
+    embedding onto RP_OUT_DIM ±1 random directions — the standard first
+    stage of a 100 TB ANN/clustering pipeline (shrink vectors 4×, preserve
+    pairwise geometry to within JL distortion, THEN bucket or scan).
+
+    Shape notes: one narrow projection, no shuffle, no UDF — each output
+    component is a Catalyst ``aggregate`` over a ``zip_with`` of the vector
+    with a literal sign row. Arithmetic is int64-scaled (module convention),
+    so each component is an exact integer on both engines and the oracle
+    checks every value; distance preservation is property-tested in
+    tests/test_similarity.py.
+    """
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"), "vec_id")
+    comps = []
+    for row in rp_sign_matrix():
+        signs = F.array(*[F.lit(s) for s in row])
+        proj_int = F.aggregate(
+            F.zip_with("embedding", signs, lambda x, s: _iscaled(x) * s.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        comps.append(F.round(proj_int.cast("double") / _SCALE, 6))
+    return emb.select("vec_id", F.array(*comps).alias("proj"))

@@ -119,6 +119,8 @@ _PRIORITY: tuple[str, ...] = (
     "price_histogram",
     "heavy_hitter_users",
     "dedup_components",
+    "rp_embedding_project",
+    "weighted_sample_docs",
     # -- single green round (r2 only) --
     "docs_exact_dedup",
     "simhash_near_dup",

@@ -205,3 +205,27 @@ def test_csv_roundtrip_revenue_matches_direct(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_weighted_sample_matches_exponential_race(spark, sf_dir):
+    """The sampled set is exactly the K smallest -ln(U)/w keys (numpy
+    reproduction of the A-Res race), and the plan is a top-K, not a global
+    sort."""
+    import hashlib
+
+    import numpy as np
+
+    from big_data_medical_analysis_spark.plans.inspect import has_node
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    keys = {}
+    for r in docs:
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 4294967296.0
+        keys[r.doc_id] = -np.log(u) / r.n_chars
+    want = set(sorted(keys, key=lambda d: (keys[d], d))[: E.WEIGHTED_SAMPLE_K])
+
+    df = E.weighted_sample_docs(spark, sf_dir)
+    got = {r.doc_id for r in df.collect()}
+    assert got == want
+    assert has_node(df, "TakeOrderedAndProject")

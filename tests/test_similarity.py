@@ -125,3 +125,38 @@ def test_quantized_topk_recall_vs_exact(spark, sf_dir):
         len(exact[p] & approx[p]) / len(exact[p]) for p in exact
     ]
     assert sum(recalls) / len(recalls) >= 0.6
+
+
+def test_rp_projection_preserves_geometry(spark, sf_dir):
+    """JL property: cosine similarity in the 16-dim projected space tracks
+    the exact 64-dim cosine (rank correlation well above chance), and the
+    projection matches a numpy reproduction exactly."""
+    import numpy as np
+
+    out = {r.vec_id: np.array(r.proj) for r in S.rp_embedding_project(spark, sf_dir).collect()}
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in read_table(spark, sf_dir, "embeddings").collect()
+    }
+    # exact reproduction: int64-scaled dot with the shared sign matrix
+    signs = np.array(S.rp_sign_matrix(), dtype=np.int64)
+    for vid in list(emb)[:50]:
+        s = emb[vid] * 1e6
+        iv = np.copysign(np.floor(np.abs(s) + 0.5), s).astype(np.int64)
+        want = np.round((signs @ iv) / 1e6, 6)
+        assert np.allclose(out[vid], want)
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    vids = sorted(emb)[:60]
+    true_sims = []
+    proj_sims = []
+    for i in range(len(vids)):
+        for j in range(i + 1, len(vids)):
+            true_sims.append(cos(emb[vids[i]], emb[vids[j]]))
+            proj_sims.append(cos(out[vids[i]], out[vids[j]]))
+    # expected r ≈ spread/√(spread² + noise²) with spread ~1/√64 and JL
+    # noise ~1/√RP_OUT_DIM: ≈ 0.58 for k=32 — assert comfortably below it
+    r = float(np.corrcoef(true_sims, proj_sims)[0, 1])
+    assert r > 0.45, f"projected-cosine correlation too weak: {r}"
