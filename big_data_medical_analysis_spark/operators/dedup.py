@@ -523,7 +523,7 @@ def connected_components(
     re-keyed map-side), intermediates carry two int64s per node, and
     ``localCheckpoint`` truncates the per-round lineage so the plan doesn't
     grow with the iteration count (on a cluster, a reliable checkpoint dir
-    does the same). The convergence test is a driver-side count — inherent
+    does the same). The convergence probe is a 1-row aggregate — inherent
     to iterative fixpoints and O(1) per round. For graphs with
     billion-node components you'd switch to the large-star/small-star
     variant (Kiveris et al.), which this local form degenerates to for the

@@ -395,3 +395,54 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(WEIGHTED_SAMPLE_K)
         .select("doc_id", "n_chars", F.round("ek", 6).alias("samp_key"))
     )
+
+
+QUOTA_PER_LANG = 20
+
+
+@register(
+    "lang_quota_sample",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         -ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) + 0.5) / 4294967296.0)
+           / n_chars AS ek
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY ek, doc_id) AS rnk
+  FROM keyed
+)
+WHERE rnk <= {QUOTA_PER_LANG}
+""",
+    category="etl",
+)
+def lang_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota sampling: the same Efraimidis-Spirakis
+    length-weighted race as ``weighted_sample_docs``, but taking the best
+    {QUOTA_PER_LANG} docs PER LANGUAGE — the mixture-balancing step of a
+    training-data pipeline (cap each language/source at a quota instead of
+    letting the head languages swamp the sample).
+
+    One shuffle on lang for the ranking window; rank-k selection inside
+    each partition. At 100 TB the window never materializes more than a
+    partition at a time, and a skewed language is handled by the same
+    salting pattern as ``salted_stratified_split``. Deterministic md5
+    randomness ⇒ full value oracle.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    ek = -F.log(u) / F.col("n_chars")
+    w = W.partitionBy("lang").orderBy(F.asc("ek"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "lang", "n_chars", ek.alias("ek"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= QUOTA_PER_LANG)
+        .select("doc_id", "lang", "n_chars", "rnk")
+    )

@@ -1,7 +1,8 @@
 """Similarity search over the ``embeddings`` vector table (SURVEY.md §2.3,
 north-star "similarity" pillar).
 
-Three tiers, mirroring how a 100 TB pipeline actually deploys ANN:
+Tiers mirroring how a 100 TB pipeline actually deploys ANN (plus the
+IVF/quantization/random-projection compression stages further down):
 
 1. ``cosine_topk`` — exact brute-force cosine top-k for a small probe set.
    Pure Catalyst higher-order functions (``zip_with`` + ``aggregate``), no

@@ -121,6 +121,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_components",
     "rp_embedding_project",
     "weighted_sample_docs",
+    "lang_quota_sample",
     # -- single green round (r2 only) --
     "docs_exact_dedup",
     "simhash_near_dup",

@@ -229,3 +229,32 @@ def test_weighted_sample_matches_exponential_race(spark, sf_dir):
     got = {r.doc_id for r in df.collect()}
     assert got == want
     assert has_node(df, "TakeOrderedAndProject")
+
+
+def test_lang_quota_sample_per_group_quota(spark, sf_dir):
+    """Each language contributes exactly min(quota, corpus count) docs, and
+    within a language the winners are that language's best race keys."""
+    import hashlib
+
+    import numpy as np
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).collect()
+    by_lang: dict = {}
+    for r in docs:
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16)
+        ek = -np.log((h + 0.5) / 4294967296.0) / r.n_chars
+        by_lang.setdefault(r.lang, []).append((ek, r.doc_id))
+    want = {
+        (doc_id, lang)
+        for lang, keyed in by_lang.items()
+        for _, doc_id in sorted(keyed)[: E.QUOTA_PER_LANG]
+    }
+    got = {(r.doc_id, r.lang) for r in E.lang_quota_sample(spark, sf_dir).collect()}
+    assert got == want
+    counts: dict = {}
+    for _, lang in got:
+        counts[lang] = counts.get(lang, 0) + 1
+    for lang, keyed in by_lang.items():
+        assert counts.get(lang, 0) == min(E.QUOTA_PER_LANG, len(keyed))

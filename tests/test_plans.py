@@ -161,3 +161,19 @@ def test_bloom_filter_broadcasts_bit_set(spark, sf_dir):
     customer probe side never shuffles for the join."""
     df = QS["bloom_customer_filter"](spark, sf_dir)
     assert P.broadcast_join_count(df) >= 2
+
+
+def test_heavy_hitters_candidates_broadcast(spark, sf_dir):
+    """The recount join against MG candidates and the 1-row total must both
+    broadcast — the fact table's key column never shuffles wholesale."""
+    df = QS["heavy_hitter_users"](spark, sf_dir)
+    assert P.broadcast_join_count(df) >= 2
+
+
+def test_rp_projection_no_shuffle_pruned_scan(spark, sf_dir):
+    """The projection is a narrow map over a 2-column scan: exactly the one
+    pinned fan_out exchange, no join, label column pruned away."""
+    df = QS["rp_embedding_project"](spark, sf_dir)
+    assert P.exchange_count(df) == 1
+    schemas = " | ".join(P.read_schemas(df))
+    assert "label" not in schemas
