@@ -65,6 +65,9 @@ OPTIONAL = [
     "bloom_customer_filter",
     "lineitem_price_moments",
     "quantized_cosine_topk",
+    "heavy_hitter_users",
+    "rp_embedding_project",
+    "weighted_sample_docs",
 ]
 
 
