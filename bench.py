@@ -68,6 +68,7 @@ OPTIONAL = [
     "heavy_hitter_users",
     "rp_embedding_project",
     "weighted_sample_docs",
+    "lang_quota_sample",
 ]
 
 

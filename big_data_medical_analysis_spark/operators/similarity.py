@@ -750,6 +750,8 @@ def rp_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             s = mat * float(_SCALE)
             iv = np.copysign(np.floor(np.abs(s) + 0.5), s).astype(np.int64)
             proj = (iv @ signs_t).astype(np.float64) / float(_SCALE)
+            # np.round's half-to-even cannot bite here: proj is integer/1e6,
+            # so it has ≤6 decimal digits and never sits on a rounding tie.
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"], "proj": list(np.round(proj, 6))}
             )
