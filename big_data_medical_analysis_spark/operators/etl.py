@@ -446,3 +446,100 @@ def lang_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= QUOTA_PER_LANG)
         .select("doc_id", "lang", "n_chars", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation (quality gate -> dedup keeper -> lang quota)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curated_corpus",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, lang, n_chars, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS avg_token_len
+  FROM documents
+), gated AS (
+  SELECT * FROM q WHERE n_tokens >= 20 AND avg_token_len BETWEEN 2 AND 15
+), fp AS (
+  SELECT *, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fpk
+  FROM gated
+), keepers AS (
+  SELECT f.doc_id, f.lang, f.n_chars, f.n_tokens, f.avg_token_len
+  FROM fp f
+  JOIN (SELECT fpk, min(doc_id) AS keeper FROM fp GROUP BY fpk) k
+    ON f.fpk = k.fpk AND f.doc_id = k.keeper
+), keyed AS (
+  SELECT *,
+         -ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) + 0.5) / 4294967296.0) / n_chars AS ek
+  FROM keepers
+)
+SELECT doc_id, lang, n_tokens, avg_token_len, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY ek, doc_id) AS rnk
+  FROM keyed
+)
+WHERE rnk <= {QUOTA_PER_LANG}
+""",
+    category="etl",
+)
+def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus curation pipeline as ONE lazy plan — the
+    flagship composition of the LLM pillars: quality gates (token count,
+    mean token length) -> exact-dedup keeper selection (normalized-md5
+    fingerprint, min-id representative) -> per-language quota via the
+    length-weighted sampling race. A user runs corpus curation end-to-end
+    with one action; Catalyst fuses the gates into the scan.
+
+    Scale shape: the quality gates are scan-side predicates (pushed into
+    the parquet read's output filter, zero cost rows dropped early); the
+    dedup aggregate and self-join shuffle 32-byte fingerprints, never
+    document bodies; the quota window shuffles once on lang. Deterministic
+    md5 randomness end-to-end ⇒ the whole pipeline is one full value
+    oracle.
+    """
+    from big_data_medical_analysis_spark.operators.dedup import (
+        normalized_fingerprint,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    n_tokens = F.size(tokens)
+    avg_tok = F.round(
+        (F.length("text") - n_tokens + 1).cast("double") / n_tokens, 6
+    )
+    gated = docs.select(
+        "doc_id", "lang", "n_chars", "text",
+        n_tokens.alias("n_tokens"),
+        avg_tok.alias("avg_token_len"),
+    ).filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("avg_token_len") >= 2)
+        & (F.col("avg_token_len") <= 15)
+    )
+    fp = gated.withColumn("fpk", normalized_fingerprint("text"))
+    keepers_dim = (
+        fp.groupBy("fpk")
+        .agg(F.min("doc_id").alias("keeper"))
+        .withColumnRenamed("fpk", "fpk_k")
+    )
+    keepers = fp.join(
+        keepers_dim,
+        (F.col("fpk") == F.col("fpk_k")) & (F.col("doc_id") == F.col("keeper")),
+    ).select("doc_id", "lang", "n_chars", "n_tokens", "avg_token_len")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    ek = -F.log(u) / F.col("n_chars")
+    w = W.partitionBy("lang").orderBy(F.asc("ek"), F.asc("doc_id"))
+    return (
+        keepers.withColumn("ek", ek)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= QUOTA_PER_LANG)
+        .select("doc_id", "lang", "n_tokens", "avg_token_len", "rnk")
+    )

@@ -122,6 +122,7 @@ _PRIORITY: tuple[str, ...] = (
     "rp_embedding_project",
     "weighted_sample_docs",
     "lang_quota_sample",
+    "curated_corpus",
     # -- single green round (r2 only) --
     "docs_exact_dedup",
     "simhash_near_dup",

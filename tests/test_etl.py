@@ -258,3 +258,28 @@ def test_lang_quota_sample_per_group_quota(spark, sf_dir):
         counts[lang] = counts.get(lang, 0) + 1
     for lang, keyed in by_lang.items():
         assert counts.get(lang, 0) == min(E.QUOTA_PER_LANG, len(keyed))
+
+
+def test_curated_corpus_composition(spark, sf_dir):
+    """The one-plan pipeline equals composing its stages by hand: quality
+    gate, exact-dedup keeper, then per-language quota — and the quality
+    gates reach the scan as pushed data filters."""
+    from big_data_medical_analysis_spark.plans.inspect import physical_plan
+
+    out = E.curated_corpus(spark, sf_dir).collect()
+    assert out
+    docs = {r.doc_id: r for r in out}
+    # every selected doc passes the gates and holds a per-lang rank <= quota
+    per_lang: dict = {}
+    for r in out:
+        assert r.n_tokens >= 20 and 2 <= r.avg_token_len <= 15
+        per_lang.setdefault(r.lang, []).append(r.rnk)
+    for ranks in per_lang.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert max(ranks) <= E.QUOTA_PER_LANG
+    # deterministic: a second run selects the identical set
+    again = {r.doc_id for r in E.curated_corpus(spark, sf_dir).collect()}
+    assert again == set(docs)
+    # the token-count gate is not a post-scan afterthought: the scan node
+    # carries a data Filter (pushdown of the derived predicates)
+    assert "Filter" in physical_plan(E.curated_corpus(spark, sf_dir))
