@@ -69,6 +69,7 @@ OPTIONAL = [
     "rp_embedding_project",
     "weighted_sample_docs",
     "lang_quota_sample",
+    "curated_corpus",
 ]
 
 
