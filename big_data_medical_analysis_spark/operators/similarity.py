@@ -524,14 +524,15 @@ WITH scaled AS (
   FROM scaled
 )
 SELECT vec_id, label, scale6,
-       list_transform(xi, x -> CAST(round(x * 127.0 / scale6) AS INTEGER)) AS q
+       array_to_string(
+         list_transform(xi, x -> CAST(round(x * 127.0 / scale6) AS INTEGER)),
+         ',') AS q_csv
 FROM s
 WHERE scale6 > 0
 """
 
 
-@register("embedding_int8_quantize", oracle=_QUANT_SQL, category="similarity")
-def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quantize_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization — the storage/bandwidth scale
     path for ANN (4× smaller than float32, int-SIMD distance kernels).
     scale = max|component|, q_i = round(x_i·127/scale) ∈ [-127, 127]; no
@@ -557,6 +558,19 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = F.transform("xi", lambda v: F.round(v * 127.0 / F.col("scale6")).cast("int"))
     return staged.select("vec_id", "label", "scale6", q.alias("q"))
+
+
+@register("embedding_int8_quantize", oracle=_QUANT_SQL, category="similarity")
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of ``quantize_vectors``. The driver's canonicalizer
+    sorts output frames with pandas and cannot hash list cells, so the int8
+    codes are rendered as a comma-joined string (integer→string formatting
+    is engine-identical; the DuckDB oracle builds the same string with
+    ``array_to_string``). Same plan as the library form plus one
+    zero-shuffle projection."""
+    qv = quantize_vectors(spark, sf_dir)
+    q_csv = F.concat_ws(",", F.transform("q", lambda v: v.cast("string")))
+    return qv.select("vec_id", "label", "scale6", q_csv.alias("q_csv"))
 
 
 _QCOS_SQL = f"""
@@ -699,8 +713,8 @@ def _rp_oracle_sql() -> str:
     for row in rp_sign_matrix():
         signs = "[" + ", ".join(str(s) for s in row) + "]"
         cols.append(
-            "round(CAST(list_sum(list_transform(list_zip(iv, "
-            f"{signs}), z -> z[1] * z[2])) AS DOUBLE) / {_SCALE}, 6)"
+            "CAST(list_sum(list_transform(list_zip(iv, "
+            f"{signs}), z -> z[1] * z[2])) AS BIGINT)"
         )
     exprs = ",\n         ".join(cols)
     return f"""
@@ -711,9 +725,59 @@ WITH scaled AS (
   FROM embeddings
 )
 SELECT vec_id,
-       [{exprs}] AS proj
+       array_to_string([{exprs}], ',') AS proj_micro
 FROM scaled
 """
+
+
+def _rp_project_mapper(serialize: bool):
+    """mapInPandas closure for the JL projection. The matmul is int64 on
+    int64-scaled components, so the projection is EXACT in micro-units
+    (1e-6); ``serialize=True`` emits the int64s comma-joined (the
+    driver-canon form — its pandas sort cannot hash list cells, and
+    integer→string formatting is engine-identical), ``False`` emits the
+    array<double> library form (micro/1e6, ≤6 decimal digits, tie-free)."""
+    import numpy as np
+    import pandas as pd
+
+    signs_t = np.array(rp_sign_matrix(), dtype=np.int64).T  # IN_DIM × OUT_DIM
+
+    def _project(batches):
+        for pdf in batches:
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            s = mat * float(_SCALE)
+            iv = np.copysign(np.floor(np.abs(s) + 0.5), s).astype(np.int64)
+            proj_i = iv @ signs_t  # int64 micro-units, exact
+            if serialize:
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "proj_micro": [
+                            ",".join(map(str, row)) for row in proj_i
+                        ],
+                    }
+                )
+            else:
+                proj = proj_i.astype(np.float64) / float(_SCALE)
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"], "proj": list(np.round(proj, 6))}
+                )
+
+    return _project
+
+
+def rp_project_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library form of the JL projection: ``(vec_id, proj array<double>)``
+    — what downstream bucketing/clustering composes with."""
+    emb = fan_out(
+        read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "vec_id",
+    )
+    return emb.mapInPandas(
+        _rp_project_mapper(serialize=False), "vec_id long, proj array<double>"
+    )
 
 
 @register("rp_embedding_project", oracle=_rp_oracle_sql(), category="similarity")
@@ -729,31 +793,15 @@ def rp_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     d·k fold-step expression vs ~0.2 µs/row for a batched int64 matmul), so
     this is the sanctioned Pandas-UDF escape hatch — with the module's
     exactness convention intact: components are int64-scaled, the matmul is
-    integer, and every projected value still hashes identically to the
-    DuckDB oracle. Distance preservation is property-tested in
-    tests/test_similarity.py.
+    integer, and every projected value hashes identically to the DuckDB
+    oracle. Registered form emits int64 micro-units comma-joined (driver
+    canon); ``rp_project_vectors`` is the array-typed library form.
+    Distance preservation is property-tested in tests/test_similarity.py.
     """
-    import numpy as np
-    import pandas as pd
-
     emb = fan_out(
         read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
         "vec_id",
     )
-    signs_t = np.array(rp_sign_matrix(), dtype=np.int64).T  # IN_DIM × OUT_DIM
-
-    def _project(batches):
-        for pdf in batches:
-            mat = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-            )
-            s = mat * float(_SCALE)
-            iv = np.copysign(np.floor(np.abs(s) + 0.5), s).astype(np.int64)
-            proj = (iv @ signs_t).astype(np.float64) / float(_SCALE)
-            # np.round's half-to-even cannot bite here: proj is integer/1e6,
-            # so it has ≤6 decimal digits and never sits on a rounding tie.
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "proj": list(np.round(proj, 6))}
-            )
-
-    return emb.mapInPandas(_project, "vec_id long, proj array<double>")
+    return emb.mapInPandas(
+        _rp_project_mapper(serialize=True), "vec_id long, proj_micro string"
+    )

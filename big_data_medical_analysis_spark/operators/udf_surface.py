@@ -105,17 +105,58 @@ def pandas_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _L2_SQL = """
-SELECT
-  vec_id,
-  list_transform(embedding,
-    x -> round(x::DOUBLE * 1000000.0
-               / sqrt(CAST(list_sum(list_transform(embedding,
-                        y -> CAST(round(y::DOUBLE * 1000000) AS BIGINT)
-                             * CAST(round(y::DOUBLE * 1000000) AS BIGINT)))
-                      AS DOUBLE)),
-               6)) AS unit_vec
-FROM embeddings
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt(CAST(list_sum(list_transform(embedding,
+                y -> CAST(round(y::DOUBLE * 1000000) AS BIGINT)
+                     * CAST(round(y::DOUBLE * 1000000) AS BIGINT)))
+              AS DOUBLE)) AS norm
+  FROM embeddings
+)
+SELECT vec_id,
+       array_to_string(list_transform(embedding,
+         x -> CAST(round(x::DOUBLE * 1000000.0 / norm * 1000000.0) AS BIGINT)),
+         ',') AS unit_vec_micro
+FROM n
 """
+
+
+def _l2_unit_micro(vec) -> "np.ndarray":
+    """One embedding -> int64 micro-units (1e-6) of the L2-normalized vector.
+
+    The squared norm is summed in *int64-scaled* space (the module
+    convention): float sums are order-dependent and numpy's SIMD
+    accumulation need not match a SQL engine's sequential fold — integer
+    sums are exact in any order. The per-element ops after that
+    ((x*1e6)/norm)*1e6, then half-away round) are single IEEE operations in
+    the same order as the oracle SQL, so both engines produce the same
+    int64s."""
+    arr = np.asarray(vec, dtype=np.float64)
+    s = arr * 1_000_000.0
+    iscaled = np.copysign(np.floor(np.abs(s) + 0.5), s).astype(np.int64)
+    norm = float(np.sqrt(float((iscaled * iscaled).sum())))
+    m = (arr * 1_000_000.0 / norm) * 1_000_000.0
+    return np.copysign(np.floor(np.abs(m) + 0.5), m).astype(np.int64)
+
+
+def l2_normalize_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library form of the L2-normalize transform: ``(vec_id, unit_vec
+    array<double>)`` with components rounded to 6 decimals. This is what a
+    pipeline user composes with; the registered query below serializes the
+    same values for the driver's scalar-only canonicalizer."""
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"), "vec_id")
+
+    def _l2(batches):
+        for pdf in batches:
+            out_vecs = [
+                (_l2_unit_micro(vec) / 1_000_000.0).tolist()
+                for vec in pdf["embedding"]
+            ]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "unit_vec": out_vecs}
+            )
+
+    return emb.mapInPandas(_l2, "vec_id long, unit_vec array<double>")
 
 
 @register("embeddings_l2_normalize", oracle=_L2_SQL, category="udf")
@@ -124,29 +165,23 @@ def embeddings_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode/resize map, src/federated_learning_pipeline.py:36-40, as an
     Arrow-batched Spark stage): L2-normalize each embedding in numpy.
 
-    Oracle-checked against DuckDB list HOFs. The squared norm is summed in
-    *int64-scaled* space (the module convention): float sums are
-    order-dependent and numpy's SIMD accumulation need not match a SQL
-    engine's sequential fold — integer sums are exact in any order.
-    """
+    Driver-canon note: the correctness harness sorts output frames with
+    pandas ``sort_values``, which cannot hash list cells, so the registered
+    form renders each unit vector as a comma-joined string of int64
+    micro-units (integer→string formatting is engine-identical, unlike
+    double→string). ``l2_normalize_vectors`` above is the array-typed
+    library form; both derive from the same ``_l2_unit_micro`` kernel."""
     emb = fan_out(read_table(spark, sf_dir, "embeddings"), "vec_id")
 
     def _l2(batches):
         for pdf in batches:
-            out_vecs = []
-            for vec in pdf["embedding"]:
-                arr = np.asarray(vec, dtype=np.float64)
-                s = arr * 1_000_000.0
-                iscaled = np.copysign(np.floor(np.abs(s) + 0.5), s).astype(np.int64)
-                norm = float(np.sqrt(float((iscaled * iscaled).sum())))
-                out_vecs.append(
-                    round_half_away(arr * 1_000_000.0 / norm, 6).tolist()
-                )
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "unit_vec": out_vecs}
-            )
+            csv = [
+                ",".join(map(str, _l2_unit_micro(vec)))
+                for vec in pdf["embedding"]
+            ]
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "unit_vec_micro": csv})
 
-    return emb.mapInPandas(_l2, "vec_id long, unit_vec array<double>")
+    return emb.mapInPandas(_l2, "vec_id long, unit_vec_micro string")
 
 
 # ---------------------------------------------------------------------------

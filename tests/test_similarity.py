@@ -82,15 +82,21 @@ def test_near_dup_pairs_symmetric_free_and_thresholded(spark, sf_dir):
 def test_int8_quantization_reconstruction_bound(spark, sf_dir):
     """Dequantized components stay within half a quantization step of the
     original scaled value: |xi - q_i*scale6/127| <= scale6/254 + 0.5, and
-    q never leaves [-127, 127]."""
+    q never leaves [-127, 127]. Also pins the registered (driver-canon CSV)
+    form to the array-typed library form component-for-component."""
     from big_data_medical_analysis_spark import registry
     from big_data_medical_analysis_spark.sources.readers import read_table
 
     q_rows = {
         r.vec_id: (r.scale6, list(r.q))
+        for r in S.quantize_vectors(spark, sf_dir).collect()
+    }
+    csv_rows = {
+        r.vec_id: [int(t) for t in r.q_csv.split(",")]
         for r in registry.queries()["embedding_int8_quantize"](spark, sf_dir)
         .collect()
     }
+    assert {v: q for v, (_, q) in q_rows.items()} == csv_rows
     orig = {
         r.vec_id: list(r.embedding)
         for r in read_table(spark, sf_dir, "embeddings").collect()
@@ -133,7 +139,14 @@ def test_rp_projection_preserves_geometry(spark, sf_dir):
     projection matches a numpy reproduction exactly."""
     import numpy as np
 
-    out = {r.vec_id: np.array(r.proj) for r in S.rp_embedding_project(spark, sf_dir).collect()}
+    out = {r.vec_id: np.array(r.proj) for r in S.rp_project_vectors(spark, sf_dir).collect()}
+    # registered (driver-canon CSV) form carries the same values in micro-units
+    micro = {
+        r.vec_id: np.array([int(t) for t in r.proj_micro.split(",")])
+        for r in S.rp_embedding_project(spark, sf_dir).collect()
+    }
+    for vid, arr in out.items():
+        assert np.allclose(arr, micro[vid] / 1e6)
     emb = {
         r.vec_id: np.asarray(r.embedding, dtype=np.float64)
         for r in read_table(spark, sf_dir, "embeddings").collect()

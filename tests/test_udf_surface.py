@@ -53,10 +53,29 @@ def test_local_fit_is_real_ols():
 
 
 def test_l2_normalize_unit_length(spark, sf_dir):
-    df = U.embeddings_l2_normalize(spark, sf_dir).limit(50)
+    df = U.l2_normalize_vectors(spark, sf_dir).limit(50)
     for r in df.collect():
         norm = float(np.linalg.norm(np.asarray(r.unit_vec)))
         assert norm == pytest.approx(1.0, abs=1e-4)
+
+
+def test_l2_normalize_registered_csv_matches_library(spark, sf_dir):
+    """Registered (driver-canon CSV micro-units) form ≡ library array form."""
+    lib = {
+        r.vec_id: np.asarray(r.unit_vec)
+        for r in U.l2_normalize_vectors(spark, sf_dir)
+        .filter("vec_id < 50")
+        .collect()
+    }
+    reg = {
+        r.vec_id: np.array([int(t) for t in r.unit_vec_micro.split(",")]) / 1e6
+        for r in U.embeddings_l2_normalize(spark, sf_dir)
+        .filter("vec_id < 50")
+        .collect()
+    }
+    assert lib and set(lib) == set(reg)
+    for vid, arr in lib.items():
+        assert np.allclose(arr, reg[vid], atol=0)
 
 
 def test_round_half_away():

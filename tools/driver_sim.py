@@ -63,6 +63,13 @@ fails = 0
 for name in sys.argv[1:] or ["purchase_asof_signup", "user_event_deltas", "pricing_summary"]:
     sdf = qs[name](spark, SF01)
     srows = [tuple(r) for r in sdf.collect()]
+    # The real driver canonicalizes with pandas sort_values over ALL output
+    # columns, which raises TypeError on list/array cells (CORRECTNESS_r03
+    # recorded 3 such ERRs while this sim passed them). Reproduce that step
+    # so array-typed outputs fail HERE, not in the round artifact.
+    import pandas as pd
+
+    pd.DataFrame(srows, columns=sdf.columns).sort_values(list(sdf.columns))
     if name not in oracles:
         # rows-only contract queries: the driver records count + schema only
         print(f"rows {name}: spark={len(srows)} (no oracle)")
