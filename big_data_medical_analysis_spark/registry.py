@@ -71,73 +71,66 @@ def _load_all() -> None:
 # handed (CORRECTNESS_r02.json contains exactly the first 50 registration-order
 # names), so the order of the dicts returned below is a *priority* order, not
 # an accident of import order. Queries named here come first, in this order;
-# everything else follows in registration order. Priority policy:
-#   1. queries never driver-checked in any round (incl. the round-1 ERR fix
-#      `language_id_markers`), oracle-bearing first;
-#   2. new queries added this round;
-#   3. queries with a single driver-checked round;
-#   4. queries with two green rounds rotate to the back — they lose nothing.
+# everything else follows in registration order. Round-4 policy:
+#   1. the three round-3 ERR queries (array outputs, now serialized) —
+#      their fixes must hit the hard signal;
+#   2. queries new this round;
+#   3. the 41 queries with no round-3 driver row (r3 window covered the
+#      other 50), oldest/weakest evidence first — the four multimodal
+#      rows-only queries' only clean run is round 2;
+#   4. rows-only re-checks last, so window overflow drops them first;
+#   5. everything round-3-checked rotates to the back (registration order).
 _PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked, oracle-bearing (r1+r2 windows missed them) --
-    "language_id_markers",  # r1 err, fix unverified by the hard signal
-    "cosine_topk",
-    "ivf_topk",
-    "embedding_near_dup_pairs",
-    "tfidf_top_terms",
-    "ngram_stats",
-    "tumbling_event_counts",
-    "sliding_event_stats",
-    "session_windows",
-    "pandas_udf_revenue",
+    # -- round-3 ERR, fixed this round (array -> integer-CSV outputs) --
     "embeddings_l2_normalize",
-    "label_centroids",
-    "model_eval_accuracy",
-    "countmin_user_counts",
-    "math_functions",
-    "salted_skew_join",
-    "event_type_pivot",
-    "embedding_hof_predicates",
-    # -- text pillar: green in r1 only, not re-checked since --
-    "doc_token_stats",
-    "doc_quality_scores",
-    "doc_fingerprints",
-    "regex_token_counts",
-    # -- never driver-checked, rows-only by design --
-    "partition_size_profile",
-    "ann_brp_lsh",
-    "fedavg_client_weights",
-    # -- new this round --
-    "csv_roundtrip_revenue",
-    "png_decode_stats",
-    "wav_decode_stats",
-    "running_user_totals_batch",
     "embedding_int8_quantize",
-    "quantized_cosine_topk",
-    "bloom_customer_filter",
-    "lineitem_price_moments",
-    "lineitem_price_quantiles",
-    "price_histogram",
-    "heavy_hitter_users",
-    "dedup_components",
     "rp_embedding_project",
-    "weighted_sample_docs",
-    "lang_quota_sample",
-    "curated_corpus",
-    # -- single green round (r2 only) --
-    "docs_exact_dedup",
-    "simhash_near_dup",
-    "ngram_jaccard_pairs",
-    "event_props_map",
-    # -- single rows-only round (r2 only) --
-    "minhash_lsh_candidates",
-    "minhash_band_groups",
-    "salted_stratified_split",
-    "seeded_shuffle_batches",
-    "image_decode_stats",
+    # -- new this round --
+    # (extended as round-4 operators land)
+    # -- no r3 driver row: multimodal rows-only, last clean run r2 --
     "image_augment_fanout",
     "image_resize_stats",
     "video_frame_sample",
     "audio_clip_stats",
+    # -- no r3 driver row: oracle-bearing (r1/r2 green, due a re-check) --
+    "dedup_guard",
+    "key_dedup_count",
+    "exact_stratified_split",
+    "explode_part_tokens",
+    "pricing_summary",
+    "event_type_stats",
+    "distinct_users_by_type",
+    "label_distribution",
+    "distinct_labels",
+    "revenue_rollup",
+    "qty_cube",
+    "revenue_grouping_sets",
+    "nation_order_cohorts",
+    "top_orders_by_segment",
+    "regional_revenue",
+    "customer_order_stats",
+    "customers_with_orders",
+    "customers_without_orders",
+    "nation_activity_full_outer",
+    "event_pairs_range_join",
+    "purchase_asof_signup",
+    "topk_parts_per_brand",
+    "user_event_deltas",
+    "moving_order_totals",
+    "brand_price_range_frame",
+    "top_customers_by_balance",
+    "segment_nations_union",
+    "nations_with_both",
+    "nations_customers_only",
+    "part_string_functions",
+    "monthly_revenue",
+    "event_props_json",
+    "embedding_array_ops",
+    # -- no r3 driver row: rows-only (drop out first on window overflow) --
+    "deterministic_client_split",
+    "stratified_sample_by",
+    "random_split_shards",
+    "approx_distinct_users",
 )
 
 
