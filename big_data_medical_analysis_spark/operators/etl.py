@@ -496,11 +496,14 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     with one action; Catalyst fuses the gates into the scan.
 
     Scale shape: the quality gates are scan-side predicates (pushed into
-    the parquet read's output filter, zero cost rows dropped early); the
-    dedup aggregate and self-join shuffle 32-byte fingerprints, never
-    document bodies; the quota window shuffles once on lang. Deterministic
-    md5 randomness end-to-end ⇒ the whole pipeline is one full value
-    oracle.
+    the parquet read's output filter, zero cost rows dropped early); keeper
+    selection is `min(doc_id) over (partition by fpk)` — ONE shuffle keyed
+    on the 32-byte fingerprint carrying only slim metadata columns (text is
+    pruned before the exchange; the agg+self-join form cost a second
+    shuffle and recomputed the scan+md5 for the probe side); the quota
+    window shuffles once on lang.
+    Deterministic md5 randomness end-to-end ⇒ the whole pipeline is one
+    full value oracle.
     """
     from big_data_medical_analysis_spark.operators.dedup import (
         normalized_fingerprint,
@@ -522,15 +525,12 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("avg_token_len") <= 15)
     )
     fp = gated.withColumn("fpk", normalized_fingerprint("text"))
-    keepers_dim = (
-        fp.groupBy("fpk")
-        .agg(F.min("doc_id").alias("keeper"))
-        .withColumnRenamed("fpk", "fpk_k")
+    wk = W.partitionBy("fpk")
+    keepers = (
+        fp.withColumn("keeper", F.min("doc_id").over(wk))
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "lang", "n_chars", "n_tokens", "avg_token_len")
     )
-    keepers = fp.join(
-        keepers_dim,
-        (F.col("fpk") == F.col("fpk_k")) & (F.col("doc_id") == F.col("keeper")),
-    ).select("doc_id", "lang", "n_chars", "n_tokens", "avg_token_len")
     h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
         "long"
     )

@@ -526,26 +526,36 @@ def write_images(df: DataFrame, out_dir: str) -> int:
     The reference writes files as a UDF side effect *inside* the expression
     graph (cv2.imwrite, :51,:121), so every lazy recompute rewrites them.
     Here the write is a terminal ``foreachPartition`` job — executed exactly
-    once, distributed, no driver collect. Returns the row count written.
+    once, distributed, no driver collect. Returns the row count written,
+    tallied by an accumulator INSIDE the same job: a trailing ``df.count()``
+    would re-run the whole (possibly UDF-heavy) lineage a second time — the
+    recompute hazard SURVEY §2.2.1 indicts the reference for. (A retried
+    task could over-add the accumulator, but a retry also rewrites the same
+    deterministic file names, so the count stays consistent with the sink's
+    at-least-once semantics.)
     """
     cols = df.columns
     variant_col = "variant" if "variant" in cols else None
     content_col = "aug_content" if "aug_content" in cols else (
         "norm_content" if "norm_content" in cols else "content"
     )
+    written = df.sparkSession.sparkContext.accumulator(0)
 
     def _write_part(rows):
         import os
 
         os.makedirs(out_dir, exist_ok=True)
+        n = 0
         for r in rows:
             v = r[variant_col] if variant_col else 0
             path = os.path.join(out_dir, f"img_{r['img_id']}_v{v}.gray")
             with open(path, "wb") as f:
                 f.write(bytes(r[content_col]))
+            n += 1
+        written.add(n)
 
     df.foreachPartition(_write_part)
-    return df.count()
+    return written.value
 
 
 def read_pickle_blobs(spark: SparkSession, path: str, glob: str = "*.pkl") -> DataFrame:

@@ -170,6 +170,21 @@ def test_heavy_hitters_candidates_broadcast(spark, sf_dir):
     assert P.broadcast_join_count(df) >= 2
 
 
+def test_curated_corpus_two_shuffles_text_pruned(spark, sf_dir):
+    """The flagship curation pipeline shuffles exactly twice (fingerprint
+    keeper window, per-lang quota window) — the agg+self-join keeper form
+    cost a third exchange — and the document text never crosses either
+    exchange (projected away with the fingerprint before the shuffle)."""
+    df = QS["curated_corpus"](spark, sf_dir)
+    assert P.exchange_count(df) == 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for chunk in plan.split("Exchange hashpartitioning")[1:]:
+        child = chunk.split("FileScan")[0]
+        assert "text#" not in child.split("Project")[0]
+    # quota window takes the partial-top-k path, not a full per-lang sort
+    assert P.has_node(df, "WindowGroupLimit")
+
+
 def test_rp_projection_no_shuffle_pruned_scan(spark, sf_dir):
     """The projection is a narrow map over a 2-column scan: exactly the one
     pinned fan_out exchange, no join, label column pruned away."""
