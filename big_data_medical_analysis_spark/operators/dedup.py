@@ -543,6 +543,7 @@ def connected_components(
     # decreases on any change — a 1-row aggregate over the just-materialized
     # round, far cheaper than a join-and-count against the previous round.
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         nbr = und.join(
             labels.withColumnRenamed("node", "u"), "u"
@@ -555,8 +556,17 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Unconverged labels are silently WRONG cluster ids (they surface
+        # only as a baffling oracle mismatch downstream) — fail loudly.
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iter} rounds; "
+            "the graph has a longer min-label propagation path than "
+            "max_iter — raise max_iter (rounds needed ≈ graph diameter)."
+        )
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

@@ -17,6 +17,8 @@ re-expressed with the semantic hazards removed:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -297,14 +299,23 @@ def csv_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact aggregate. The oracle aggregates the source parquet directly, so
     a green row proves the CSV write+read preserved every row and every
     value (doubles survive the text roundtrip via Java's shortest-repr
-    formatting; int64-cents summation keeps the hash order-independent)."""
+    formatting; int64-cents summation keeps the hash order-independent).
+
+    The shard directory is a FIXED per-user path reused across invocations
+    (the write job runs mode=overwrite), not a fresh mkdtemp — repeated
+    harness/bench passes previously leaked one temp dir per call. The
+    eager write at construction time is inherent to a write→read
+    roundtrip query (the glob scan needs the files to exist to plan)."""
+    import getpass
     import tempfile
 
     from big_data_medical_analysis_spark.operators.common import money_sum
     from big_data_medical_analysis_spark.schemas import CUSTOMER
     from big_data_medical_analysis_spark.sources.readers import read_csv
 
-    out_dir = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_csv_roundtrip_{getpass.getuser()}"
+    )
     customer = read_table(spark, sf_dir, "customer")
     write_client_shards_csv(customer, ["c_custkey"], 4, out_dir)
     back = read_csv(spark, f"{out_dir}/client=*/*.csv", CUSTOMER)

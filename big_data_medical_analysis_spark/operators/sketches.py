@@ -265,7 +265,8 @@ def misra_gries_candidates(df: DataFrame, key: str, k: int = HH_COUNTERS) -> Dat
 
 _HH_SQL = f"""
 WITH tot AS (SELECT count(*) AS n FROM events),
-cnt AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+cnt AS (SELECT user_id, count(*) AS n_events FROM events
+        WHERE user_id IS NOT NULL GROUP BY user_id)
 SELECT c.user_id, c.n_events
 FROM cnt c, tot t
 WHERE c.n_events * 1000 >= {HH_PERMILLE} * t.n
@@ -293,10 +294,15 @@ def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch only proposes candidates, the recount decides.
     """
     ev = read_table(spark, sf_dir, "events")
-    cands = misra_gries_candidates(ev, "user_id").distinct()
+    # NULL keys are excluded explicitly and symmetrically (here and in the
+    # oracle's WHERE): the MG kernel's value_counts silently drops NaN and
+    # the recount equi-join drops NULLs, so leaving NULL to the defaults
+    # would diverge from a GROUP BY that keeps a NULL group.
+    ev_keyed = ev.filter(F.col("user_id").isNotNull())
+    cands = misra_gries_candidates(ev_keyed, "user_id").distinct()
     total = ev.agg(F.count(F.lit(1)).alias("n_total"))
     recount = (
-        ev.join(F.broadcast(cands), ev["user_id"] == cands["k"])
+        ev_keyed.join(F.broadcast(cands), ev_keyed["user_id"] == cands["k"])
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )

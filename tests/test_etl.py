@@ -231,6 +231,41 @@ def test_weighted_sample_matches_exponential_race(spark, sf_dir):
     assert has_node(df, "TakeOrderedAndProject")
 
 
+def test_weighted_race_boundary_margin(spark, sf_dir):
+    """Cross-engine float guard: ek = -ln(U)/w is the one transcendental in
+    the module's otherwise integer-exact convention — JVM Math.log and C
+    libm may differ in the last ulp, which could flip the selected set only
+    if two keys straddling a selection boundary are within ~1 ulp. Assert
+    every boundary on the fixture has orders-of-magnitude more margin than
+    1 ulp (~2.2e-16 relative), for the global top-K race AND every
+    per-language quota boundary."""
+    import hashlib
+    import math
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).collect()
+    keyed = []
+    for r in docs:
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16)
+        ek = -math.log((h + 0.5) / 4294967296.0) / r.n_chars
+        keyed.append((ek, r.doc_id, r.lang))
+
+    def margin(sorted_eks, k):
+        if len(sorted_eks) <= k:
+            return float("inf")
+        lo, hi = sorted_eks[k - 1], sorted_eks[k]
+        return (hi - lo) / max(abs(hi), 1e-300)
+
+    all_eks = sorted(e for e, _, _ in keyed)
+    assert margin(all_eks, E.WEIGHTED_SAMPLE_K) > 1e-9
+    by_lang: dict = {}
+    for e, _, lang in keyed:
+        by_lang.setdefault(lang, []).append(e)
+    for lang, eks in by_lang.items():
+        assert margin(sorted(eks), E.QUOTA_PER_LANG) > 1e-9, lang
+
+
 def test_lang_quota_sample_per_group_quota(spark, sf_dir):
     """Each language contributes exactly min(quota, corpus count) docs, and
     within a language the winners are that language's best race keys."""

@@ -88,6 +88,26 @@ def main() -> int:
             n_fail += 1
             failures.append(name)
             continue
+        # The DRIVER's canonicalizer (pandas sort_values over all output
+        # columns) crashes on list/map/struct cells — this selfcheck's own
+        # hash tolerates them, which is exactly how 3 array-output queries
+        # shipped ERR in round 3. Mirror the driver's limitation here.
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        complex_cols = [
+            f.name
+            for f in sdf.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if complex_cols:
+            print(
+                f"FAIL  {name}: driver-canon-incompatible output columns "
+                f"{complex_cols} (array/map/struct — serialize to string "
+                "or explode to scalar rows)"
+            )
+            n_fail += 1
+            failures.append(name)
+            continue
         if q.oracle is None:
             n_rows_only += 1
             print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
