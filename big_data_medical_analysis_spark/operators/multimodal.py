@@ -22,8 +22,9 @@ Image model: raw 8-bit grayscale (H×W bytes) between stages, with a REAL
 stdlib-only PNG codec (``encode_png``/``decode_png``: zlib + all five
 scanline filters) for encoded ingestion — ``read_png_dir`` decodes actual
 PNG files from a ``binaryFile`` scan and ``png_decode_stats`` exercises
-every filter branch in-query. Only JPEG remains stubbed (``decode_jpeg``;
-no JPEG codec ships in this container).
+every filter branch in-query. JPEG is equally real: ``jpeg_codec.py`` is a
+from-scratch baseline-sequential JFIF codec (DCT + Annex-K Huffman), and
+``jpeg_decode_stats`` runs encode→decode→stats at four quality levels.
 
 Scale design: images travel *in the column* through Arrow batches
 (maxRecordsPerBatch bounds executor memory: 10k rows × 1 KiB ≈ 10 MiB per
@@ -63,13 +64,17 @@ def decode_gray(content: bytes, height: int, width: int) -> np.ndarray:
 
 
 def decode_jpeg(content: bytes) -> np.ndarray:
-    """STUB — no JPEG codec ships in this container (no cv2/PIL/tf); swap
-    for cv2.imdecode in deployment (reference:
-    src/preprocessing_pipeline.py:39). The *real* codec path here is
-    ``decode_png``/``encode_png`` below — a complete stdlib-only PNG
-    implementation, so the decode step of the pipeline is exercised on
-    genuinely encoded bytes, not only raw buffers."""
-    raise NotImplementedError("no JPEG codec in this environment; see decode_png")
+    """Real baseline JPEG decode (reference: src/preprocessing_pipeline.py:39
+    ``cv2.imread``; src/federated_learning_pipeline.py:36-40
+    ``tf.io.decode_jpeg``). Delegates to the from-scratch stdlib+numpy
+    codec in ``jpeg_codec.py`` — grayscale baseline-sequential JFIF, the
+    same discipline as ``decode_png`` below. Replaced the round-2/3
+    NotImplementedError stub."""
+    from big_data_medical_analysis_spark.operators.jpeg_codec import (
+        decode_jpeg as _decode,
+    )
+
+    return _decode(content)
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -470,6 +475,63 @@ def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("p_min").alias("min_pixel"),
         F.max("p_max").alias("max_pixel"),
         F.round(F.avg("p_mean"), 4).alias("avg_mean_pixel"),
+    )
+
+
+@register("jpeg_decode_stats", oracle=None, category="multimodal")
+def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec lossy pipeline: every synthetic image is JPEG-encoded
+    (quality = [50, 75, 90, 100][img_id % 4], so DC-diff, AC run-length,
+    ZRL, EOB and the all-ones q100 table all run in-query) then decoded
+    with the from-scratch baseline codec (``jpeg_codec.py``) and reduced
+    to error stats — encode → decode → stats fused into ONE mapInPandas
+    pass, one Arrow crossing per image (same discipline as
+    ``png_decode_stats``). JPEG is lossy, so the invariant is a per-quality
+    error BOUND (``within_bound``) rather than byte equality — except
+    quality 100, where the quant table collapses to ones and max error ≤ 1.
+    Rows-only: content is numpy-synthesized. Closes the reference's last
+    format gap (src/federated_learning_pipeline.py:36-40)."""
+    from big_data_medical_analysis_spark.operators.jpeg_codec import (
+        decode_jpeg as _dec,
+        encode_jpeg as _enc,
+    )
+
+    qualities = (50, 75, 90, 100)
+    bounds = {50: 96, 75: 64, 90: 48, 100: 1}
+
+    def _gen(batches):
+        for pdf in batches:
+            out: dict[str, list] = {
+                "img_id": [], "quality": [], "jpeg_bytes": [],
+                "max_err": [], "mean_err": [], "within_bound": [],
+            }
+            for img_id, w, h, content in zip(
+                pdf["img_id"], pdf["width"], pdf["height"], pdf["content"]
+            ):
+                img = decode_gray(content, h, w)
+                quality = qualities[int(img_id) % 4]
+                blob = _enc(img, quality)
+                back = _dec(blob)
+                err = np.abs(back.astype(np.int64) - img.astype(np.int64))
+                out["img_id"].append(img_id)
+                out["quality"].append(quality)
+                out["jpeg_bytes"].append(len(blob))
+                out["max_err"].append(int(err.max()))
+                out["mean_err"].append(round(float(err.mean()), 6))
+                out["within_bound"].append(int(err.max()) <= bounds[quality])
+            yield pd.DataFrame(out)
+
+    stats = synth_images(spark, sf_dir).mapInPandas(
+        _gen,
+        "img_id long, quality int, jpeg_bytes int, "
+        "max_err int, mean_err double, within_bound boolean",
+    )
+    return stats.groupBy("quality").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.col("within_bound").cast("long")).alias("n_within_bound"),
+        F.round(F.avg("jpeg_bytes"), 2).alias("avg_jpeg_bytes"),
+        F.max("max_err").alias("worst_err"),
+        F.round(F.avg("mean_err"), 4).alias("avg_mean_err"),
     )
 
 

@@ -86,7 +86,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_int8_quantize",
     "rp_embedding_project",
     # -- new this round --
-    # (extended as round-4 operators land)
+    "jpeg_decode_stats",
     # -- no r3 driver row: multimodal rows-only, last clean run r2 --
     "image_augment_fanout",
     "image_resize_stats",

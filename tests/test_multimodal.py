@@ -104,9 +104,80 @@ def test_read_pickle_blobs(spark, tmp_path):
         assert r.shape == [4, 5]
 
 
-def test_decode_jpeg_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        M.decode_jpeg(b"\xff\xd8\xff")
+def test_jpeg_roundtrip_error_bounds():
+    """JPEG is lossy: the invariant is an error bound per quality, with the
+    q=100 special case (all-ones quant table) pinned at max error ≤ 1 —
+    only DCT float rounding remains. Shapes cover non-multiple-of-8
+    padding, degenerate 1×1, and non-square."""
+    from big_data_medical_analysis_spark.operators import jpeg_codec as J
+
+    rng = np.random.RandomState(13)
+    for shape in [(32, 32), (8, 8), (17, 23), (1, 1), (9, 16)]:
+        img = rng.randint(0, 256, size=shape).astype(np.uint8)
+        for quality, bound in [(50, 96), (75, 64), (90, 48), (100, 1)]:
+            back = J.decode_jpeg(J.encode_jpeg(img, quality))
+            assert back.shape == img.shape, (shape, quality)
+            err = np.abs(back.astype(int) - img.astype(int)).max()
+            assert err <= bound, (shape, quality, err)
+
+
+def test_jpeg_smooth_image_compresses_and_reconstructs():
+    """On a smooth gradient the codec must both compress (fewer bytes than
+    raw) and reconstruct almost exactly even at default quality — the DCT
+    concentrates a gradient into low frequencies."""
+    from big_data_medical_analysis_spark.operators import jpeg_codec as J
+
+    x = np.linspace(0, 255, 64).astype(np.uint8)
+    smooth = np.tile(x, (64, 1))
+    blob = J.encode_jpeg(smooth, 75)
+    back = J.decode_jpeg(blob)
+    assert len(blob) < smooth.size
+    assert np.abs(back.astype(int) - smooth.astype(int)).max() <= 2
+
+
+def test_jpeg_decoder_rejects_unsupported():
+    from big_data_medical_analysis_spark.operators import jpeg_codec as J
+
+    with pytest.raises(ValueError):
+        J.decode_jpeg(b"not a jpeg")
+    img = np.zeros((8, 8), dtype=np.uint8)
+    blob = bytearray(J.encode_jpeg(img, 75))
+    # flip SOF0 (0xC0) to progressive SOF2 (0xC2): must reject, not guess
+    sof = blob.find(b"\xff\xc0")
+    blob[sof + 1] = 0xC2
+    with pytest.raises(ValueError):
+        J.decode_jpeg(bytes(blob))
+    with pytest.raises(ValueError):
+        J.decode_jpeg(J.encode_jpeg(img, 75)[:-10])  # truncated scan
+
+
+def test_jpeg_byte_stuffing_roundtrips():
+    """High-entropy noise at quality 90 reliably lands 0xFF bytes in the
+    entropy stream (~40% of 16×16 seeds) — exercise the stuff/unstuff path:
+    the corpus must contain stuffed bytes somewhere AND every stream must
+    decode clean within the q90 error bound."""
+    from big_data_medical_analysis_spark.operators import jpeg_codec as J
+
+    rng = np.random.RandomState(0)
+    saw_stuffing = False
+    for _ in range(20):
+        img = rng.randint(0, 256, size=(16, 16)).astype(np.uint8)
+        blob = J.encode_jpeg(img, 90)
+        scan = blob[blob.find(b"\xff\xda") + 14 :]
+        saw_stuffing = saw_stuffing or b"\xff\x00" in scan
+        back = J.decode_jpeg(blob)
+        assert np.abs(back.astype(int) - img.astype(int)).max() <= 48
+    assert saw_stuffing
+
+
+def test_jpeg_decode_stats_query(spark, sf_dir):
+    """Every image at every quality must land inside its error bound, and
+    q=100 (near-lossless) must have worst_err ≤ 1."""
+    rows = {r["quality"]: r for r in M.jpeg_decode_stats(spark, sf_dir).collect()}
+    assert set(rows) == {50, 75, 90, 100}
+    for q, r in rows.items():
+        assert r["n_within_bound"] == r["n_images"], q
+    assert rows[100]["worst_err"] <= 1
 
 
 def test_resize_bilinear_properties():
