@@ -1,0 +1,143 @@
+"""Subquery surface: scalar, correlated, and NOT-EXISTS forms.
+
+The reference has no subqueries (its pipeline is imperative pandas/TF —
+src/preprocessing_pipeline.py builds every derived frame by hand), but a
+user replacing it with this engine writes them immediately, and they are
+the one Catalyst surface the rest of the catalog never touches:
+**subquery decorrelation** (correlated scalar → aggregate + join;
+NOT EXISTS → anti join; uncorrelated scalar → one-row broadcast plan
+fragment). These queries are deliberately authored through the SQL entry
+point (temp views + ``spark.sql``) because that is the only way to reach
+the decorrelator — the DataFrame builder would hand-write the already-
+decorrelated join, which is exactly what we want Catalyst to derive.
+
+Scale notes per query live on the functions. All money/threshold math uses
+the engine's integer-scaling convention (operators/common.py): sums are
+exact int64 cents, and the one avg-based threshold is computed from an
+exact integer sum, so both engines (Spark JVM, DuckDB C++) perform the
+same IEEE ops and land on the bit-identical double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from big_data_medical_analysis_spark.registry import register
+from big_data_medical_analysis_spark.sources.readers import read_table
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        read_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# ---------------------------------------------------------------------------
+# Q17 shape — correlated scalar subquery (decorrelates to agg + join)
+# ---------------------------------------------------------------------------
+
+_SMALL_ORDER_SQL = """
+SELECT
+  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_cents,
+  count(*) AS n_small
+FROM lineitem l1
+WHERE l1.l_quantity < (
+  SELECT 0.2 * avg(l2.l_quantity)
+  FROM lineitem l2
+  WHERE l2.l_partkey = l1.l_partkey
+)
+"""
+
+
+@register("small_order_revenue", oracle=_SMALL_ORDER_SQL, category="subquery")
+def small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery over the same fact table.
+
+    Catalyst decorrelates this into `Aggregate(l_partkey, avg) ⋈ lineitem`
+    — one shuffle of (partkey, sum, count) pairs plus the fact scan, never
+    a per-row re-scan (the naive interpretation would be O(n²) at 100 TB).
+    The threshold is cross-engine exact: l_quantity is integer-valued, so
+    avg = exact-int-sum / count and 0.2*avg are the same two IEEE ops on
+    both engines; output stays in integer cents (no division at all).
+    """
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_SMALL_ORDER_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape — uncorrelated scalar subquery against a shared CTE
+# ---------------------------------------------------------------------------
+
+_TOP_SUPPLIER_SQL = """
+WITH rev AS (
+  SELECT
+    l_suppkey,
+    sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS rev_ccents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT
+  s_suppkey,
+  s_name,
+  CAST(rev_ccents AS DOUBLE) / 10000.0 AS total_revenue
+FROM supplier
+JOIN rev ON s_suppkey = l_suppkey
+WHERE rev_ccents = (SELECT max(rev_ccents) FROM rev)
+"""
+
+
+@register("top_revenue_suppliers", oracle=_TOP_SUPPLIER_SQL, category="subquery")
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue-per-supplier CTE referenced twice — once as
+    the join input, once inside an uncorrelated scalar subquery (max).
+
+    The scalar subquery evaluates once into a literal the executors reuse
+    (a one-row broadcast, not a per-row probe), and the supplier dim join
+    broadcasts. The CTE's aggregate shuffles only (suppkey, int64) pairs.
+    Revenue ties are all kept (same semantics on both engines — no
+    arbitrary top-1), and int64 centi-cents make ties exact rather than
+    float-accidental.
+    """
+    _views(spark, sf_dir, "lineitem", "supplier")
+    return spark.sql(_TOP_SUPPLIER_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape — scalar subquery threshold + NOT EXISTS anti join
+# ---------------------------------------------------------------------------
+
+_RICH_IDLE_SQL = """
+SELECT
+  c_mktsegment,
+  count(*) AS n_customers,
+  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_acctbal
+FROM customer c
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) > (
+    SELECT avg(CAST(round(c_acctbal * 100) AS BIGINT))
+    FROM customer
+    WHERE c_acctbal > 0.0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+  )
+GROUP BY c_mktsegment
+"""
+
+
+@register("rich_idle_customers", oracle=_RICH_IDLE_SQL, category="subquery")
+def rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no urgent
+    order, grouped by segment — an uncorrelated scalar subquery (the
+    balance threshold) AND a correlated NOT EXISTS in one predicate. (The
+    synthetic data gives every customer at least one order, so the inner
+    predicate filters on priority to keep the anti join discriminating.)
+
+    Catalyst turns NOT EXISTS into a left-anti join on o_custkey (only the
+    key column of orders shuffles after pruning) and the threshold into a
+    once-evaluated scalar. The avg threshold compares exact int64 cents
+    against exact-int-sum/count — bit-identical across engines.
+    """
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_RICH_IDLE_SQL)

@@ -61,6 +61,7 @@ def _load_all() -> None:
         relational,
         similarity,
         sketches,
+        subqueries,
         text_analysis,
         udf_surface,
     )
@@ -87,6 +88,9 @@ _PRIORITY: tuple[str, ...] = (
     "rp_embedding_project",
     # -- new this round --
     "jpeg_decode_stats",
+    "small_order_revenue",
+    "top_revenue_suppliers",
+    "rich_idle_customers",
     # -- no r3 driver row: multimodal rows-only, last clean run r2 --
     "image_augment_fanout",
     "image_resize_stats",

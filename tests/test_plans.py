@@ -192,3 +192,39 @@ def test_rp_projection_no_shuffle_pruned_scan(spark, sf_dir):
     assert P.exchange_count(df) == 1
     schemas = " | ".join(P.read_schemas(df))
     assert "label" not in schemas
+
+
+def test_small_order_subquery_decorrelates_to_join(spark, sf_dir):
+    """The correlated scalar subquery (per-part avg threshold) must be
+    FULLY decorrelated: one per-partkey aggregate joined against the fact
+    scan, no Subquery node left in the main plan — a surviving per-row
+    subquery would be O(n²) at scale. The fact scan reads only the three
+    consumed columns."""
+    df = QS["small_order_revenue"](spark, sf_dir)
+    plan = P.physical_plan(df)
+    assert "Join" in plan
+    assert "Subquery subquery" not in plan
+    schemas = " | ".join(P.read_schemas(df))
+    assert "l_shipdate" not in schemas and "l_tax" not in schemas
+
+
+def test_top_supplier_scalar_subquery_once(spark, sf_dir):
+    """The max-revenue threshold is an uncorrelated scalar subquery: it
+    must appear as a once-evaluated Subquery node (not a join against the
+    fact), and the supplier dim join must broadcast."""
+    df = QS["top_revenue_suppliers"](spark, sf_dir)
+    plan = P.physical_plan(df)
+    assert "Subquery subquery" in plan
+    assert P.broadcast_join_count(df) >= 1
+
+
+def test_rich_idle_not_exists_is_anti_join(spark, sf_dir):
+    """NOT EXISTS must plan as a left-anti join on o_custkey (orders scan
+    pruned to the key column), with the balance threshold as a scalar
+    Subquery evaluated once."""
+    df = QS["rich_idle_customers"](spark, sf_dir)
+    plan = P.physical_plan(df)
+    assert "LeftAnti" in plan
+    assert "Subquery subquery" in plan
+    schemas = " | ".join(P.read_schemas(df))
+    assert "o_totalprice" not in schemas and "o_orderstatus" not in schemas
