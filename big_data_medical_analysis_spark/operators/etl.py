@@ -325,6 +325,62 @@ def csv_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PARTITIONED_PRUNE_SQL = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_price
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus
+"""
+
+
+@register("partitioned_parquet_prune", oracle=_PARTITIONED_PRUNE_SQL, category="etl")
+def partitioned_parquet_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet write → partition-PRUNED read-back: orders
+    written once per session partitioned by o_orderpriority (5 directory
+    partitions, mode=overwrite into a fixed per-user path like
+    ``csv_roundtrip_revenue``), then scanned with a filter on the partition
+    column and aggregated exactly.
+
+    This is the layout half of scale design the rest of the catalog can't
+    show: at 100 TB, a popular predicate column as a partition key means
+    the query READS 1/5th of the data — the filter resolves against
+    directory names in the file index, before any file is opened. The plan
+    test pins ``PartitionFilters`` (listing-time pruning) as distinct from
+    ``PushedFilters`` (row-group pruning inside opened files). The oracle
+    aggregates the SOURCE parquet with the same predicate, so a green row
+    also proves the partitioned write relocated every row losslessly
+    (values, including timestamps, survive the parquet→parquet move)."""
+    import getpass
+    import tempfile
+
+    from big_data_medical_analysis_spark.operators.common import money_sum
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_partitioned_orders_{getpass.getuser()}",
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    # Cluster by the partition key before the write: each task then owns
+    # whole partition values and writes one file per value, instead of
+    # every task appending a sliver to all 5 directories (5×tasks tiny
+    # files — the classic partitioned-write small-file bomb at scale).
+    orders.repartition("o_orderpriority").write.mode("overwrite").partitionBy(
+        "o_orderpriority"
+    ).parquet(out_dir)
+    back = spark.read.parquet(out_dir)
+    return (
+        back.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
 N_BATCH_SHARDS = 64
 
 

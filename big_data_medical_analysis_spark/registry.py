@@ -91,6 +91,7 @@ _PRIORITY: tuple[str, ...] = (
     "small_order_revenue",
     "top_revenue_suppliers",
     "rich_idle_customers",
+    "partitioned_parquet_prune",
     # -- no r3 driver row: multimodal rows-only, last clean run r2 --
     "image_augment_fanout",
     "image_resize_stats",
