@@ -37,7 +37,7 @@ def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
 
 _SMALL_ORDER_SQL = """
 SELECT
-  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_cents,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
   count(*) AS n_small
 FROM lineitem l1
 WHERE l1.l_quantity < (

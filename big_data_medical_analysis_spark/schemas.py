@@ -127,6 +127,20 @@ EVENTS_PHYSICAL = T.StructType(
     ]
 )
 
+# Physical read schema for events.parquet generations with TIMESTAMP(MICROS,
+# isAdjustedToUTC=false) — Spark reads those natively as TimestampNTZ; the
+# reader casts to an instant under the UTC session zone.
+EVENTS_PHYSICAL_NTZ = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampNTZType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
 DOCUMENTS = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), True),

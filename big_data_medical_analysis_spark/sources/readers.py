@@ -24,35 +24,79 @@ from pyspark.sql import types as T
 from big_data_medical_analysis_spark import schemas
 
 
+def _events_ts_unit(path: str) -> str | None:
+    """Probe the physical unit of ``events.ts`` from the parquet footer.
+
+    One tiny driver-side footer read (pyarrow), cached per path. Returns
+    'ns'/'us'/'ms'/'s' for timestamp columns, None for a raw int64. The
+    probe exists because the driver has shipped events.parquet with BOTH
+    TIMESTAMP(NANOS) (rounds 1-3) and TIMESTAMP(MICROS) (round 4+) physical
+    types; hard-coding either corrupts the other (a NANOS assumption over
+    MICROS data shrinks every instant 1000x — CORRECTNESS_r04's
+    event_pairs_range_join 15379-vs-15 divergence).
+    """
+    if path in _EVENTS_TS_UNIT_CACHE:
+        return _EVENTS_TS_UNIT_CACHE[path]
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(probe):
+        parts = sorted(
+            _glob.glob(os.path.join(probe, "*.parquet"))
+            or _glob.glob(os.path.join(probe, "part-*"))
+        )
+        probe = parts[0]
+    unit = getattr(pq.read_schema(probe).field("ts").type, "unit", None)
+    _EVENTS_TS_UNIT_CACHE[path] = unit
+    return unit
+
+
+_EVENTS_TS_UNIT_CACHE: dict[str, str | None] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table (``<sf_dir>/<name>.parquet``) with its declared schema.
 
     The declared schema is applied to the parquet scan so a file/declaration
     drift fails loudly at read time instead of corrupting downstream plans.
 
-    ``events`` is special-cased: its ``ts`` column is parquet TIMESTAMP(NANOS),
-    which Spark's parquet reader rejects (PARQUET_TYPE_ILLEGAL). We read it as
-    a raw nanosecond int64 under ``spark.sql.legacy.parquet.nanosAsLong`` and
-    normalize to microsecond TimestampNTZ with integer arithmetic (``DIV
-    1000`` — float division would lose precision above 2^53 ns).
+    ``events`` is special-cased because its ``ts`` physical type has varied
+    across driver testdata generations (see ``_events_ts_unit``):
+
+    - TIMESTAMP(NANOS): Spark's parquet reader rejects it outright
+      (PARQUET_TYPE_ILLEGAL), so we read a raw nanosecond int64 under
+      ``spark.sql.legacy.parquet.nanosAsLong`` and normalize with integer
+      arithmetic (``DIV 1000`` — float division would lose precision above
+      2^53 ns).
+    - TIMESTAMP(MICROS/MILLIS, isAdjustedToUTC=false): read natively as
+      TimestampNTZ and cast to an instant under the UTC session zone.
+
+    Both paths land on the same logical shape (``schemas.EVENTS``,
+    microsecond TimestampType) so every downstream operator is agnostic to
+    the physical generation.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # SESSION-WIDE side effect, deliberate: both confs are runtime
-        # SQLConfs that the engine profile (session.py) already pins; they
-        # are re-asserted here because the driver's harness hands us a
-        # vanilla session that cannot read events.parquet (TIMESTAMP(NANOS))
-        # or render instants portably without them. They are idempotent
-        # under get_spark sessions; under a foreign session, note that any
-        # LATER query inherits UTC rendering — which is exactly the engine's
-        # contract (all oracle comparisons assume UTC), so inheriting it is
-        # correct, not accidental.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # SESSION-WIDE side effect, deliberate: runtime SQLConfs that the
+        # engine profile (session.py) already pins, re-asserted because the
+        # driver's harness hands us a vanilla session that cannot render
+        # instants portably without UTC. Idempotent under get_spark
+        # sessions; under a foreign session any LATER query inherits UTC
+        # rendering — which is exactly the engine's contract (all oracle
+        # comparisons assume UTC), so inheriting it is correct.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        raw = spark.read.schema(schemas.EVENTS_PHYSICAL).parquet(path)
-        return raw.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-        ).select([f.name for f in schemas.EVENTS.fields])
+        if _events_ts_unit(path) == "ns":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            raw = spark.read.schema(schemas.EVENTS_PHYSICAL).parquet(path)
+            ts = F.timestamp_micros(F.expr("ts DIV 1000"))
+        else:
+            raw = spark.read.schema(schemas.EVENTS_PHYSICAL_NTZ).parquet(path)
+            ts = F.col("ts").cast("timestamp")
+        return raw.withColumn("ts", ts).select(
+            [f.name for f in schemas.EVENTS.fields]
+        )
     schema = schemas.TABLES.get(name)
     reader = spark.read
     if schema is not None:
