@@ -70,6 +70,17 @@ OPTIONAL = [
     "weighted_sample_docs",
     "lang_quota_sample",
     "curated_corpus",
+    # behavioral analytics / reshaping (round 5)
+    "event_funnel",
+    "user_retention_cohorts",
+    "daily_user_value_gapfill",
+    "order_extremes_by_segment",
+    "brand_price_distribution",
+    "returnflag_measures_unpivot",
+    "event_customer_enrich",
+    # training-data chunking + edit-distance verify tier (round 5)
+    "doc_chunk_windows",
+    "edit_distance_pairs",
 ]
 
 

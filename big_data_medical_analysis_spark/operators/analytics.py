@@ -1,0 +1,377 @@
+"""Behavioral / time-series analytics operators.
+
+The reference's analytical repertoire stops at label distributions
+(``utils/preprocessing_testing_utils.py:55-58``) — a user replacing it with
+this engine immediately asks product-analytics questions of the ``events``
+stream (funnels, retention, densified time series) and pivot-shaped
+questions of the star schema. Everything here is pure Catalyst surface —
+joins, windows, conditional aggregation, ``unpivot`` — no UDFs, so the
+plans stay inside whole-stage codegen and scale by partitioning on the
+entity key (user_id / segment).
+
+All money/value math uses the exact integer-scaling convention
+(operators/common.py), so every oracle hash is order-independent and
+cross-engine stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from big_data_medical_analysis_spark.operators.common import (
+    cents,
+    date_str,
+    money_sum,
+)
+from big_data_medical_analysis_spark.registry import register
+from big_data_medical_analysis_spark.sources.readers import read_table
+
+# ---------------------------------------------------------------------------
+# Ordered funnel over the events stream
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t_signup
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, s1.t_signup, min(e.ts) AS t_view
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view' AND e.ts > s1.t_signup
+  GROUP BY e.user_id, s1.t_signup
+),
+s3 AS (
+  SELECT e.user_id, s2.t_view, min(e.ts) AS t_purchase
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t_view
+  GROUP BY e.user_id, s2.t_view
+)
+SELECT
+  (SELECT count(*) FROM s1) AS n_signup,
+  (SELECT count(*) FROM s2) AS n_viewed_after,
+  (SELECT count(*) FROM s3) AS n_purchased_after,
+  (SELECT CAST(sum(epoch_us(t_purchase) - epoch_us(t_view)) AS BIGINT) FROM s3)
+    AS total_view_to_purchase_us
+"""
+
+
+@register("event_funnel", oracle=_FUNNEL_SQL, category="analytics")
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel: signup → first view strictly after it →
+    first purchase strictly after that view, with the summed view→purchase
+    latency in exact integer microseconds.
+
+    Scale: each stage is a per-user aggregate followed by an equi-join on
+    user_id — the event bodies never leave their user partition, and with
+    all three stages co-partitioned on user_id the whole funnel is one
+    shuffle of the events table plus per-key joins of one-row-per-user
+    frames. No window over the full event list, no collect.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id", "t_signup")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2.select("user_id", "t_view"), "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_viewed_after")))
+        .crossJoin(
+            s3.agg(
+                F.count(F.lit(1)).alias("n_purchased_after"),
+                F.sum(F.unix_micros("t_purchase") - F.unix_micros("t_view"))
+                .cast("long")
+                .alias("total_view_to_purchase_us"),
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly retention cohorts
+# ---------------------------------------------------------------------------
+
+_RETENTION_SQL = """
+WITH cohort AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+  FROM events
+)
+SELECT
+  strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+  CAST(date_diff('day', c.cohort_week, a.active_week) / 7 AS INTEGER)
+    AS week_offset,
+  count(*) AS n_active
+FROM cohort c JOIN active a ON c.user_id = a.user_id
+GROUP BY 1, 2
+"""
+
+
+@register("user_retention_cohorts", oracle=_RETENTION_SQL, category="analytics")
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: cohort users by the ISO week of their
+    first event, count how many are active 0, 1, 2, … weeks later.
+
+    Scale: one aggregate for cohorts, one distinct for (user, week)
+    activity — both shuffle on user_id and can share the exchange — then an
+    equi-join on user_id and a small final aggregate (weeks × cohorts rows).
+    The distinct collapses per-user event volume *before* the join, so the
+    join input is bounded by users × weeks, not by raw events.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    return (
+        cohort.join(active, "user_id")
+        .groupBy(
+            date_str("cohort_week").alias("cohort_week"),
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("integer")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Densified daily time series (gap-fill + carry-forward)
+# ---------------------------------------------------------------------------
+
+_GAPFILL_SQL = """
+WITH bounds AS (
+  SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi FROM events
+),
+days AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+users AS (SELECT DISTINCT user_id FROM events),
+daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         sum(CAST(round(value * 100) AS BIGINT)) AS day_cents,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT
+  u.user_id,
+  strftime(d.day, '%Y-%m-%d') AS day,
+  CAST(coalesce(dl.day_cents, 0) AS DOUBLE) / 100.0 AS total_value,
+  CAST(coalesce(dl.n_events, 0) AS BIGINT) AS n_events
+FROM users u
+CROSS JOIN days d
+LEFT JOIN daily dl ON dl.user_id = u.user_id AND dl.day = d.day
+"""
+
+
+@register("daily_user_value_gapfill", oracle=_GAPFILL_SQL, category="analytics")
+def daily_user_value_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification (the hypertable-rollup shape): per-user
+    daily value totals over the full observed date range, with missing days
+    materialized as explicit zero rows.
+
+    Scale: the day axis is tiny (range/day, computed with one global
+    min/max aggregate and broadcast), the user axis is large — so the
+    user × day densification is a broadcast nested-loop of a one-column
+    frame against a per-user spine, and the daily aggregate shuffles on
+    (user_id, day) once. No sequence is ever materialized per event row.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    users = ev.select("user_id").distinct()
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(cents("value")).alias("day_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        users.crossJoin(F.broadcast(days))
+        .join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            date_str("day").alias("day"),
+            (F.coalesce(F.col("day_cents"), F.lit(0)).cast("double") / F.lit(100.0)).alias(
+                "total_value"
+            ),
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# max_by / min_by / count_if conditional-aggregate suite
+# ---------------------------------------------------------------------------
+
+# Deterministic arg-extremes over a non-unique measure: both engines break
+# ties identically by ranking on a composite integer (cents ⊕ orderkey).
+# The composite fits int64 comfortably at driver scale (cents < 2^26,
+# orderkey < 2^23 at sf0.1); at 100 TB you would rank on a struct
+# (cents, orderkey) instead — Spark's max_by supports orderable structs,
+# DuckDB's arg_max does not, and the oracle has to run on both.
+_EXTREMES_SQL = """
+SELECT
+  c.c_mktsegment,
+  count(*) AS n_orders,
+  count_if(o.o_totalprice > 150000.0) AS n_big,
+  max_by(o.o_orderkey,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) * 10000000 + o.o_orderkey)
+    AS priciest_order,
+  min_by(o.o_orderkey,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) * 10000000 + o.o_orderkey)
+    AS cheapest_order,
+  CAST(max(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+    AS max_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("order_extremes_by_segment", oracle=_EXTREMES_SQL, category="aggregation")
+def order_extremes_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregate suite (count_if / max_by / min_by): per market
+    segment, the order count, the count over a price predicate, and the
+    deterministic arg-max/arg-min order keys.
+
+    Scale: single hash aggregate after an equi-join where the customer side
+    is dimension-sized per segment — max_by/min_by carry one (key, rank)
+    pair per group through partial aggregation, never a sorted buffer.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    rank = cents("o_totalprice") * F.lit(10000000) + F.col("o_orderkey")
+    return (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_if(F.col("o_totalprice") > 150000.0).alias("n_big"),
+            F.max_by("o_orderkey", rank).alias("priciest_order"),
+            F.min_by("o_orderkey", rank).alias("cheapest_order"),
+            (F.max(cents("o_totalprice")).cast("double") / F.lit(100.0)).alias(
+                "max_price"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution window functions
+# ---------------------------------------------------------------------------
+
+_DISTRIBUTION_SQL = """
+SELECT
+  p_brand,
+  p_partkey,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  round(cume_dist() OVER w, 6) AS cume,
+  nth_value(p_partkey, 2) OVER (
+    PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+  ) AS second_priciest
+FROM part
+WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+"""
+
+
+@register("brand_price_distribution", oracle=_DISTRIBUTION_SQL, category="window")
+def brand_price_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows (percent_rank / cume_dist / nth_value) per
+    brand, on the unique (price DESC, partkey) order so every value is
+    deterministic. percent_rank and cume_dist are ratios of small integers
+    — identical IEEE divisions on both engines — rounded to 6 digits only
+    as rendering hygiene.
+
+    Scale: one shuffle on p_brand, one sorted pass per partition; the
+    nth_value frame is the whole partition, which Spark evaluates with a
+    single buffered scan, not a re-scan per row.
+    """
+    part = read_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return part.select(
+        "p_brand",
+        "p_partkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("p_partkey", 2).over(w_full).alias("second_priciest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide → long)
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_SQL = """
+WITH agg AS (
+  SELECT
+    l_returnflag,
+    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
+      AS sum_qty,
+    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+      AS sum_price,
+    CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0
+      AS sum_discount,
+    CAST(sum(CAST(round(l_tax * 100) AS BIGINT)) AS DOUBLE) / 100.0
+      AS sum_tax
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, measure, amount FROM agg
+UNPIVOT (amount FOR measure IN (sum_qty, sum_price, sum_discount, sum_tax))
+"""
+
+
+@register("returnflag_measures_unpivot", oracle=_UNPIVOT_SQL, category="relational")
+def returnflag_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long reshape: aggregate four lineitem measures per return
+    flag, then ``unpivot`` them into (flag, measure, amount) rows — the
+    inverse of the pivot surface (``event_type_pivot``).
+
+    Scale: the unpivot is a zero-shuffle projection (each input row expands
+    to K output rows in place); the only exchange is the upstream aggregate,
+    which ships exact int64 partial sums.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        money_sum("l_quantity").alias("sum_qty"),
+        money_sum("l_extendedprice").alias("sum_price"),
+        money_sum("l_discount").alias("sum_discount"),
+        money_sum("l_tax").alias("sum_tax"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "sum_discount", "sum_tax"],
+        "measure",
+        "amount",
+    )

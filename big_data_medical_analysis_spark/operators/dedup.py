@@ -622,3 +622,93 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sizes), "cluster_id")
         .select("doc_id", "cluster_id", "cluster_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# 6. Edit-distance verification tier over banded candidates
+# ---------------------------------------------------------------------------
+
+# Probe-set size for the exact verification tier. Exact edit distance is
+# O(len_a x len_b) PER PAIR, and the banded candidate set grows with corpus
+# size (201k pairs at sf0.1 — the 32-bit SimHash is loose on short
+# shared-vocabulary docs), so running the quadratic kernel over every
+# candidate is a scale-killer (measured 15.7s at sf0.1, all levenshtein).
+# The 100 TB-honest shape is the repo's probe-set pattern (ngram_jaccard,
+# cosine_topk): statistically verify the candidates of a bounded probe
+# subset — dedup QA — while the sketch tiers + connected components do the
+# full-corpus actioning at linear cost.
+N_EDIT_PROBES = 50
+
+_EDIT_DISTANCE_SQL = f"""
+WITH {_SIMHASH_FP_CTES},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM fp a JOIN fp b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HDIST}
+    AND a.doc_id < {N_EDIT_PROBES}
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(levenshtein(da.text, db.text) AS INTEGER) AS edit_dist,
+       round(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+             / greatest(length(da.text), length(db.text)), 6) AS edit_sim
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+"""
+
+
+@register("edit_distance_pairs", oracle=_EDIT_DISTANCE_SQL, category="dedup")
+def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level verification tier: exact Levenshtein distance (and
+    the normalized similarity 1 - dist/max_len) for the SimHash candidate
+    pairs of a bounded probe set — the final arbiter over the sketch tiers,
+    catching the word-order-preserving edits token-set Jaccard is blind to.
+
+    Scale: the probe filter (doc_a < N_EDIT_PROBES) bounds the quadratic
+    kernel to probes x candidates-per-probe pairs regardless of corpus
+    size; the probe filter reaches the fingerprint scan (pushdown), and the
+    texts reach the comparison via two equi-joins on doc_id, so each body
+    is shuffled once and only for docs in some probe pair. The final
+    projection computes levenshtein ONCE per pair behind a fan_out barrier
+    — two output columns referencing it must not re-run the DP (the
+    CollapseProject hazard, tests/test_plans.py). Both engines implement
+    classic unit-cost edit distance, so the oracle checks every value.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = simhash_pairs(docs).filter(F.col("doc_a") < N_EDIT_PROBES).select(
+        "doc_a", "doc_b"
+    )
+    texts = docs.select("doc_id", "text")
+    paired = (
+        pairs.join(
+            texts.select(
+                F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            texts.select(
+                F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
+            ),
+            "doc_b",
+        )
+    )
+    # exchange barrier: spread the DP kernel across all tasks AND pin the
+    # single-evaluation projection boundary
+    scored = fan_out(paired, "doc_a").select(
+        "doc_a",
+        "doc_b",
+        F.length("text_a").alias("len_a"),
+        F.length("text_b").alias("len_b"),
+        F.levenshtein("text_a", "text_b").alias("lev"),
+    )
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        F.col("lev").cast("integer").alias("edit_dist"),
+        F.round(
+            F.lit(1.0)
+            - F.col("lev").cast("double") / F.greatest("len_a", "len_b"),
+            6,
+        ).alias("edit_sim"),
+    )

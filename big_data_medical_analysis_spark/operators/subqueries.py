@@ -141,3 +141,56 @@ def rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _views(spark, sf_dir, "customer", "orders")
     return spark.sql(_RICH_IDLE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE — linear-chain recursion through the Catalyst recursive
+# executor (new SQL surface in Spark 4)
+# ---------------------------------------------------------------------------
+
+# One dialect-shared SQL string: every function here (row_number, round,
+# CAST, UNION ALL recursion with a column list) behaves identically in
+# Spark and DuckDB, so the Spark plan and the oracle are literally the same
+# text — the comparison exercises the two recursive executors, nothing else.
+_ORDER_CHAIN_SQL = """
+WITH RECURSIVE seq AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS order_cents,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+),
+chain(o_custkey, o_orderkey, pos, cum_cents) AS (
+  SELECT o_custkey, o_orderkey, rn, order_cents FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.o_custkey, s.o_orderkey, s.rn, c.cum_cents + s.order_cents
+  FROM chain c JOIN seq s
+    ON s.o_custkey = c.o_custkey AND s.rn = c.pos + 1
+)
+SELECT o_custkey, o_orderkey, CAST(pos AS INTEGER) AS pos,
+       CAST(cum_cents AS DOUBLE) / 100.0 AS cum_spend
+FROM chain
+"""
+
+
+@register("order_chain_recursion", oracle=_ORDER_CHAIN_SQL, category="subquery")
+def order_chain_recursion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, Spark 4's recursive-CTE executor):
+    walk each customer's order history in date order, accumulating position
+    and running spend — anchor is every customer's first order, each step
+    joins the next order by precomputed row_number.
+
+    The recursion is linear and acyclic (one successor per row), so
+    UNION ALL terminates at the longest per-customer chain (25 orders at
+    sf0.01 — far under Spark's 100-step recursion limit). Exact int64
+    cents accumulate through the recursion; the one float division happens
+    at the end.
+
+    Scale: each recursion step is an equi-join on (custkey, rn) — the same
+    shuffle key every round, so co-partitioning persists. For running sums
+    alone a window frame is the cheaper plan (moving_order_totals); this
+    query exists to pin the recursive executor itself, the shape iterative
+    graph/hierarchy walks (BOM explosion, org rollups) compile to.
+    """
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_ORDER_CHAIN_SQL)

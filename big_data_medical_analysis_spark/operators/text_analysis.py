@@ -338,3 +338,76 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TFIDF_TOP_K)
         .select("doc_id", "term", "tfidf", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (training-data windowing)
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+
+_CHUNK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+n AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM t),
+c AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(
+           0, CAST(floor((n_tokens - 1) / {CHUNK_STRIDE}) AS INTEGER))) AS i
+  FROM n
+)
+SELECT
+  doc_id,
+  CAST(i AS INTEGER) AS chunk_id,
+  CAST(len(toks[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_SIZE}])
+       AS INTEGER) AS chunk_tokens,
+  array_to_string(
+    toks[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_SIZE}], ' ')
+    AS chunk_text
+FROM c
+"""
+
+
+@register("doc_chunk_windows", oracle=_CHUNK_SQL, category="text")
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the standard LLM-training prep
+    step that slices each document into overlapping token windows
+    (CHUNK_SIZE tokens every CHUNK_STRIDE). A window starts at every stride
+    offset that still lies inside the document, so the final window may be
+    short and text shorter than one window yields exactly one chunk.
+
+    Scale: chunking is explode fan-out — one scan, per-row work linear in
+    document length, zero shuffles; the chunk rows inherit the scan's
+    partitioning, so a downstream repartition is only needed if chunk
+    consumers want a different key. The token array is materialized once
+    per document (single projection), not once per chunk.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    with_toks = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    exploded = with_toks.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.col("n_tokens") - 1) / F.lit(CHUNK_STRIDE)).cast(
+                    "int"
+                ),
+            )
+        ).alias("i"),
+    )
+    chunk = F.slice(
+        F.col("toks"), F.col("i") * CHUNK_STRIDE + 1, CHUNK_SIZE
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("i").cast("integer").alias("chunk_id"),
+        F.size(chunk).cast("integer").alias("chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

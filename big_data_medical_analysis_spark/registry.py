@@ -55,6 +55,7 @@ def _load_all() -> None:
     # Imported here (not at module top) to avoid import cycles: operator
     # modules import `register` from this module.
     from big_data_medical_analysis_spark.operators import (  # noqa: F401
+        analytics,
         dedup,
         etl,
         multimodal,
@@ -72,70 +73,72 @@ def _load_all() -> None:
 # handed (CORRECTNESS_r02.json contains exactly the first 50 registration-order
 # names), so the order of the dicts returned below is a *priority* order, not
 # an accident of import order. Queries named here come first, in this order;
-# everything else follows in registration order. Round-4 policy:
-#   1. the three round-3 ERR queries (array outputs, now serialized) —
-#      their fixes must hit the hard signal;
-#   2. queries new this round;
-#   3. the 41 queries with no round-3 driver row (r3 window covered the
-#      other 50), oldest/weakest evidence first — the four multimodal
-#      rows-only queries' only clean run is round 2;
-#   4. rows-only re-checks last, so window overflow drops them first;
-#   5. everything round-3-checked rotates to the back (registration order).
+# everything else follows in registration order. Round-5 policy:
+#   1. the four queries red in CORRECTNESS_r04 — the events reader decoded
+#      the regenerated TIMESTAMP(MICROS) testdata through the old NANOS
+#      path (1000x-shrunk instants), and small_order_revenue's raw
+#      sum(BIGINT) came back from DuckDB as HUGEINT (pandas renders it
+#      float). Both fixed; the fixes must hit the hard signal;
+#   2. the ten queries new this round (analytics / chunking / recursion /
+#      stream-static surfaces);
+#   3. the 36 oracle-bearing queries with no round-4 driver row (the r4
+#      window covered the other 50);
+#   4. the ten rows-only queries without an r4 row overflow the window and
+#      rotate to round 6 — their last driver rows are r3-clean.
 _PRIORITY: tuple[str, ...] = (
-    # -- round-3 ERR, fixed this round (array -> integer-CSV outputs) --
-    "embeddings_l2_normalize",
-    "embedding_int8_quantize",
-    "rp_embedding_project",
-    # -- new this round --
-    "jpeg_decode_stats",
-    "small_order_revenue",
-    "top_revenue_suppliers",
-    "rich_idle_customers",
-    "partitioned_parquet_prune",
-    # -- no r3 driver row: multimodal rows-only, last clean run r2 --
-    "image_augment_fanout",
-    "image_resize_stats",
-    "video_frame_sample",
-    "audio_clip_stats",
-    # -- no r3 driver row: oracle-bearing (r1/r2 green, due a re-check) --
-    "dedup_guard",
-    "key_dedup_count",
-    "exact_stratified_split",
-    "explode_part_tokens",
-    "pricing_summary",
-    "event_type_stats",
-    "distinct_users_by_type",
-    "label_distribution",
-    "distinct_labels",
-    "revenue_rollup",
-    "qty_cube",
-    "revenue_grouping_sets",
-    "nation_order_cohorts",
-    "top_orders_by_segment",
-    "regional_revenue",
-    "customer_order_stats",
-    "customers_with_orders",
-    "customers_without_orders",
-    "nation_activity_full_outer",
+    # -- red in r4, fixed this round --
     "event_pairs_range_join",
     "purchase_asof_signup",
-    "topk_parts_per_brand",
     "user_event_deltas",
-    "moving_order_totals",
-    "brand_price_range_frame",
-    "top_customers_by_balance",
-    "segment_nations_union",
-    "nations_with_both",
-    "nations_customers_only",
-    "part_string_functions",
-    "monthly_revenue",
-    "event_props_json",
-    "embedding_array_ops",
-    # -- no r3 driver row: rows-only (drop out first on window overflow) --
-    "deterministic_client_split",
-    "stratified_sample_by",
-    "random_split_shards",
-    "approx_distinct_users",
+    "small_order_revenue",
+    # -- new this round --
+    "event_funnel",
+    "user_retention_cohorts",
+    "daily_user_value_gapfill",
+    "order_extremes_by_segment",
+    "brand_price_distribution",
+    "returnflag_measures_unpivot",
+    "doc_chunk_windows",
+    "edit_distance_pairs",
+    "order_chain_recursion",
+    "event_customer_enrich",
+    # -- oracle-bearing, no r4 driver row (last checked r3 or earlier) --
+    "simhash_near_dup",
+    "ngram_jaccard_pairs",
+    "dedup_components",
+    "csv_roundtrip_revenue",
+    "weighted_sample_docs",
+    "lang_quota_sample",
+    "curated_corpus",
+    "event_props_map",
+    "math_functions",
+    "salted_skew_join",
+    "event_type_pivot",
+    "embedding_hof_predicates",
+    "lineitem_price_moments",
+    "lineitem_price_quantiles",
+    "price_histogram",
+    "cosine_topk",
+    "embedding_near_dup_pairs",
+    "ivf_topk",
+    "quantized_cosine_topk",
+    "countmin_user_counts",
+    "bloom_customer_filter",
+    "heavy_hitter_users",
+    "doc_token_stats",
+    "doc_quality_scores",
+    "language_id_markers",
+    "doc_fingerprints",
+    "regex_token_counts",
+    "ngram_stats",
+    "tfidf_top_terms",
+    "pandas_udf_revenue",
+    "label_centroids",
+    "model_eval_accuracy",
+    "tumbling_event_counts",
+    "sliding_event_stats",
+    "session_windows",
+    "running_user_totals_batch",
 )
 
 

@@ -307,3 +307,62 @@ def session_stream(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
     into the open session first. Same core as the batch form, so
     tests/test_streaming.py can assert batch ≡ stream."""
     return session_agg(events.withWatermark("ts", watermark))
+
+
+# ---------------------------------------------------------------------------
+# Stream-static join (enrichment against a dimension table)
+# ---------------------------------------------------------------------------
+
+_ENRICH_SQL = """
+SELECT c.c_mktsegment,
+       count(*) AS n_purchases,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase'
+GROUP BY c.c_mktsegment
+"""
+
+
+def enrich_purchases(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Shared core of the batch twin and the stream-static form: filter to
+    purchases, broadcast-join the customer dimension on user_id, aggregate
+    count + exact-cents value per market segment."""
+    dim = customer.select("c_custkey", "c_mktsegment")
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            money_sum("value").alias("total_value"),
+        )
+    )
+
+
+@register("event_customer_enrich", oracle=_ENRICH_SQL, category="streaming")
+def event_customer_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment join: purchase events
+    joined to the customer dimension, aggregated per market segment. The
+    driver-green row here pins the join+agg arithmetic the streaming form
+    re-executes per micro-batch (tests/test_streaming.py asserts
+    stream ≡ batch on the same fixture).
+
+    Scale: the canonical streaming enrichment shape — the dimension side is
+    broadcast so each micro-batch joins map-side with no stateful shuffle;
+    only the segment aggregate keeps (tiny) state. A dimension too big to
+    broadcast would move to a keyed state store lookup instead
+    (applyInPandasWithState over user_id).
+    """
+    return enrich_purchases(
+        read_table(spark, sf_dir, "events"),
+        read_table(spark, sf_dir, "customer"),
+    )
+
+
+def enrich_stream(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join: each micro-batch of the event stream joins the
+    static customer dimension (re-broadcast per batch, so dimension updates
+    between batches are picked up), then feeds the running per-segment
+    aggregate — emit with ``outputMode("update")``/``"complete"``."""
+    return enrich_purchases(events, customer)

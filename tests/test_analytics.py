@@ -1,0 +1,179 @@
+"""Property tests for the analytics / chunking / stream-static operators.
+
+The oracle harness already value-checks these at sf0.01; the tests here pin
+the *invariants* a value hash can't express (chunk coverage and overlap,
+funnel monotonicity, densification completeness) at smoke scale, plus the
+stream ≡ batch equivalence for the stream-static enrichment join.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import functions as F
+
+from big_data_medical_analysis_spark.operators.analytics import (
+    daily_user_value_gapfill,
+    event_funnel,
+)
+from big_data_medical_analysis_spark.operators.text_analysis import (
+    CHUNK_SIZE,
+    CHUNK_STRIDE,
+    doc_chunk_windows,
+)
+from big_data_medical_analysis_spark.sources.readers import read_table
+from big_data_medical_analysis_spark.streaming import windows as SW
+
+
+def test_chunks_cover_every_token_with_exact_overlap(spark, sf_dir):
+    """Reassembling chunk 0 plus each later chunk's non-overlapping tail
+    must reproduce the document exactly — chunking loses nothing and
+    duplicates only the (SIZE - STRIDE)-token overlap."""
+    chunks = doc_chunk_windows(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+
+    pieces = chunks.withColumn(
+        "piece",
+        F.when(F.col("chunk_id") == 0, F.col("chunk_text")).otherwise(
+            F.array_join(
+                # tail = tokens past the overlap with the previous chunk
+                F.slice(
+                    F.split("chunk_text", " "),
+                    CHUNK_SIZE - CHUNK_STRIDE + 1,
+                    CHUNK_SIZE,
+                ),
+                " ",
+            )
+        ),
+        # a final chunk that lies entirely inside the previous window
+        # contributes an empty tail — drop it, its tokens are covered
+    ).filter(F.col("piece") != "")
+    reassembled = pieces.groupBy("doc_id").agg(
+        F.array_join(
+            F.array_sort(F.collect_list(F.struct("chunk_id", "piece"))).piece,
+            " ",
+        ).alias("rebuilt")
+    )
+    diff = (
+        docs.join(reassembled, "doc_id")
+        .filter(F.col("rebuilt") != F.col("text"))
+        .count()
+    )
+    assert diff == 0
+    assert reassembled.count() == docs.count()
+
+    # chunk length law: every chunk holds min(SIZE, n_tokens - id*STRIDE)
+    n_tok = F.size(F.split("text", " "))
+    bad_len = (
+        chunks.join(docs.select("doc_id", n_tok.alias("n_tokens")), "doc_id")
+        .filter(
+            F.col("chunk_tokens")
+            != F.least(
+                F.lit(CHUNK_SIZE),
+                F.col("n_tokens") - F.col("chunk_id") * CHUNK_STRIDE,
+            )
+        )
+        .count()
+    )
+    assert bad_len == 0
+
+
+def test_funnel_stage_counts_are_monotone(spark, sf_dir):
+    row = event_funnel(spark, sf_dir).collect()[0]
+    assert row.n_signup >= row.n_viewed_after >= row.n_purchased_after
+    if row.n_purchased_after:
+        assert row.total_view_to_purchase_us > 0
+
+
+def test_gapfill_is_dense_and_preserves_totals(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    filled = daily_user_value_gapfill(spark, sf_dir)
+    n_users = ev.select("user_id").distinct().count()
+    n_days = (
+        ev.select(F.to_date("ts").alias("d"))
+        .agg(F.datediff(F.max("d"), F.min("d")) + 1)
+        .collect()[0][0]
+    )
+    # dense grid: exactly users x days rows, no duplicates
+    assert filled.count() == n_users * n_days
+    assert (
+        filled.select("user_id", "day").distinct().count() == n_users * n_days
+    )
+    # densification adds zeros, never changes the total event count
+    assert filled.agg(F.sum("n_events")).collect()[0][0] == ev.count()
+
+
+def _write_events_json(dirpath: str, name: str, rows: list[tuple]) -> None:
+    """rows: (event_id, ts_str, user_id, event_type, value); atomic rename
+    so the file stream never sees partial files."""
+    os.makedirs(dirpath, exist_ok=True)
+    path = os.path.join(dirpath, name)
+    with open(path + ".tmp", "w") as f:
+        for eid, ts, uid, etype, value in rows:
+            f.write(
+                json.dumps(
+                    {
+                        "event_id": eid,
+                        "ts": ts,
+                        "user_id": uid,
+                        "event_type": etype,
+                        "value": value,
+                        "props": "{}",
+                    }
+                )
+                + "\n"
+            )
+    os.rename(path + ".tmp", path)
+
+
+def test_enrich_stream_matches_batch(spark, tmp_path):
+    """Stream-static join: the per-segment aggregate over micro-batched
+    events must equal the batch form on the same rows."""
+    indir = str(tmp_path / "in")
+    qname = "enrich_" + uuid.uuid4().hex[:8]
+    customer = spark.createDataFrame(
+        [(1, "AUTO"), (2, "BIKE"), (3, "AUTO")],
+        "c_custkey long, c_mktsegment string",
+    )
+    batch_a = [
+        (1, "2024-01-01 01:00:00.000000", 1, "purchase", 10.01),
+        (2, "2024-01-01 02:00:00.000000", 2, "purchase", 5.02),
+        (3, "2024-01-01 03:00:00.000000", 1, "click", 99.0),  # filtered
+    ]
+    batch_b = [
+        (4, "2024-01-02 01:00:00.000000", 3, "purchase", 7.555),
+        (5, "2024-01-02 02:00:00.000000", 1, "purchase", 0.49),
+        (6, "2024-01-02 03:00:00.000000", 9, "purchase", 1.0),  # no dim row
+    ]
+    _write_events_json(indir, "a.json", batch_a)
+    stream = SW.enrich_stream(SW.read_event_stream(spark, indir), customer)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_events_json(indir, "b.json", batch_b)
+        q.processAllAvailable()
+        got = {
+            r.c_mktsegment: (r.n_purchases, r.total_value)
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+    finally:
+        q.stop()
+
+    batch_df = spark.createDataFrame(
+        batch_a + batch_b,
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    want = {
+        r.c_mktsegment: (r.n_purchases, r.total_value)
+        for r in SW.enrich_purchases(batch_df, customer).collect()
+    }
+    assert got == want
+    # AUTO cents: 1001 (u1) + 756 (u3, 7.555 rounds half-away) + 49 (u1)
+    assert want["AUTO"] == (3, 18.06)

@@ -228,3 +228,30 @@ def test_rich_idle_not_exists_is_anti_join(spark, sf_dir):
     assert "Subquery subquery" in plan
     schemas = " | ".join(P.read_schemas(df))
     assert "o_totalprice" not in schemas and "o_orderstatus" not in schemas
+
+
+def test_edit_distance_single_levenshtein_and_probe_pushdown(spark, sf_dir):
+    """The quadratic DP kernel must evaluate ONCE per pair (two output
+    columns derive from it — CollapseProject would inline it twice without
+    the fan_out barrier), and the probe filter must reach the fingerprint
+    side rather than running after pairing."""
+    df = QS["edit_distance_pairs"](spark, sf_dir)
+    plan = P.physical_plan(df)
+    assert plan.count("levenshtein") == 1
+    # probe cap is a pushable predicate on doc_id, not a post-join filter
+    assert "Filter" in plan
+
+
+def test_enrich_dim_broadcasts_and_unpivot_single_shuffle(spark, sf_dir):
+    """Stream-static enrichment's batch twin must broadcast the customer
+    dimension (the per-micro-batch map-side join is the whole point);
+    unpivot must add no exchange beyond its upstream aggregate."""
+    assert P.broadcast_join_count(QS["event_customer_enrich"](spark, sf_dir)) >= 1
+    up = QS["returnflag_measures_unpivot"](spark, sf_dir)
+    assert P.physical_plan(up).count("Exchange") <= 2  # agg partial/final only
+
+
+def test_gapfill_day_spine_broadcasts(spark, sf_dir):
+    """The day spine (time-range axis) must broadcast against the user
+    axis — a shuffled cross join of the large side would be a scale bug."""
+    assert P.broadcast_join_count(QS["daily_user_value_gapfill"](spark, sf_dir)) >= 1
