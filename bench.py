@@ -81,6 +81,9 @@ OPTIONAL = [
     # training-data chunking + edit-distance verify tier (round 5)
     "doc_chunk_windows",
     "edit_distance_pairs",
+    # grouped list packing + lateral decorrelation (round 5)
+    "customer_order_history",
+    "lateral_top_orders",
 ]
 
 

@@ -375,3 +375,49 @@ def returnflag_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "amount",
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped ordered-list aggregation (training-example packing shape)
+# ---------------------------------------------------------------------------
+
+_ORDER_HISTORY_SQL = """
+SELECT
+  o_custkey,
+  count(*) AS n_orders,
+  array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+  strftime(min(o_orderdate), '%Y-%m-%d') AS first_order,
+  strftime(max(o_orderdate), '%Y-%m-%d') AS last_order
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@register("customer_order_history", oracle=_ORDER_HISTORY_SQL, category="aggregation")
+def customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped list aggregation: each customer's full order-key history as
+    one deterministic (sorted) CSV-rendered array — the pack-examples-
+    per-entity shape LLM data pipelines use to group documents per source
+    before sequence packing.
+
+    collect_list is order-nondeterministic under parallel aggregation, so
+    the array is sort_array-ed before rendering — that, plus integer keys,
+    makes the value exactly reproducible on both engines.
+
+    Scale: one hash aggregate; the per-group buffer is the group's key
+    list, which is fine when group sizes are bounded (orders per customer);
+    unbounded groups would move to the window/row_number pack instead.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list("o_orderkey")),
+                lambda v: v.cast("string"),
+            ),
+        ).alias("order_keys"),
+        date_str(F.min("o_orderdate")).alias("first_order"),
+        date_str(F.max("o_orderdate")).alias("last_order"),
+    )

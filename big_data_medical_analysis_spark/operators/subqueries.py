@@ -148,29 +148,36 @@ def rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # executor (new SQL surface in Spark 4)
 # ---------------------------------------------------------------------------
 
-# One dialect-shared SQL string: every function here (row_number, round,
-# CAST, UNION ALL recursion with a column list) behaves identically in
-# Spark and DuckDB, so the Spark plan and the oracle are literally the same
-# text — the comparison exercises the two recursive executors, nothing else.
-_ORDER_CHAIN_SQL = """
-WITH RECURSIVE seq AS (
+# The sequencing CTE and the recursive fragment use only constructs that
+# behave identically in Spark and DuckDB (row_number, round, CAST,
+# UNION ALL recursion with a column list), so the recursive text is shared
+# verbatim; the engines differ only in how `seq` is provided (DuckDB
+# inlines the CTE, Spark materializes it — see the function docstring).
+_SEQ_SQL = """
   SELECT o_custkey, o_orderkey,
          CAST(round(o_totalprice * 100) AS BIGINT) AS order_cents,
          row_number() OVER (PARTITION BY o_custkey
                             ORDER BY o_orderdate, o_orderkey) AS rn
   FROM orders
-),
+"""
+
+_CHAIN_SQL = """
 chain(o_custkey, o_orderkey, pos, cum_cents) AS (
-  SELECT o_custkey, o_orderkey, rn, order_cents FROM seq WHERE rn = 1
+  SELECT o_custkey, o_orderkey, rn, order_cents FROM {seq} WHERE rn = 1
   UNION ALL
   SELECT s.o_custkey, s.o_orderkey, s.rn, c.cum_cents + s.order_cents
-  FROM chain c JOIN seq s
+  FROM chain c JOIN {seq} s
     ON s.o_custkey = c.o_custkey AND s.rn = c.pos + 1
 )
 SELECT o_custkey, o_orderkey, CAST(pos AS INTEGER) AS pos,
        CAST(cum_cents AS DOUBLE) / 100.0 AS cum_spend
 FROM chain
 """
+
+_ORDER_CHAIN_SQL = (
+    "WITH RECURSIVE seq AS (" + _SEQ_SQL + "),\n"
+    + _CHAIN_SQL.format(seq="seq")
+)
 
 
 @register("order_chain_recursion", oracle=_ORDER_CHAIN_SQL, category="subquery")
@@ -186,11 +193,68 @@ def order_chain_recursion(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents accumulate through the recursion; the one float division happens
     at the end.
 
-    Scale: each recursion step is an equi-join on (custkey, rn) — the same
-    shuffle key every round, so co-partitioning persists. For running sums
-    alone a window frame is the cheaper plan (moving_order_totals); this
-    query exists to pin the recursive executor itself, the shape iterative
-    graph/hierarchy walks (BOM explosion, org rollups) compile to.
+    Scale: the Spark side materializes ``seq`` once (localCheckpoint,
+    pre-partitioned on the recursion's join key) before entering the
+    recursion — inlining the CTE re-derives the window 25x, once per
+    recursion step (measured 26s -> 6.5s at sf0.01). Each step is then an
+    equi-join on the SAME key the relation is already partitioned by. For
+    running sums alone a window frame is the cheaper plan
+    (moving_order_totals); this query exists to pin the recursive executor
+    itself, the shape iterative graph/hierarchy walks (BOM explosion, org
+    rollups) compile to.
     """
     _views(spark, sf_dir, "orders")
-    return spark.sql(_ORDER_CHAIN_SQL)
+    n = spark.sparkContext.defaultParallelism
+    seq = (
+        spark.sql(_SEQ_SQL)
+        .repartition(n, "o_custkey")
+        .localCheckpoint(eager=True)
+    )
+    seq.createOrReplaceTempView("order_chain_seq")
+    return spark.sql(
+        "WITH RECURSIVE " + _CHAIN_SQL.format(seq="order_chain_seq")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated LATERAL subquery with LIMIT (per-row top-k)
+# ---------------------------------------------------------------------------
+
+# Dialect-shared: identical LATERAL syntax, window, and LIMIT semantics on
+# both engines; the probe cap keeps the output bounded.
+_LATERAL_TOPK_SQL = """
+SELECT c.c_custkey, t.o_orderkey, CAST(t.rnk AS INTEGER) AS rnk,
+       CAST(t.price_cents AS DOUBLE) / 100.0 AS price
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         row_number() OVER (
+           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                    o_orderkey) AS rnk
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY price_cents DESC, o_orderkey
+  LIMIT 2
+) t
+WHERE c.c_custkey < 200
+"""
+
+
+@register("lateral_top_orders", oracle=_LATERAL_TOPK_SQL, category="subquery")
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with LIMIT: each probe customer's two
+    priciest orders — the per-row-top-k idiom SQL users reach for before
+    they learn window functions, and the last decorrelation path the
+    subquery surface doesn't otherwise touch (Catalyst rewrites the
+    correlated LATERAL + LIMIT into a ranked window join rather than
+    executing the inner query per row).
+
+    Scale: the decorrelated plan is one shuffle of the pruned orders
+    columns on custkey + a rank filter — identical cost to the explicit
+    window form (topk_parts_per_brand); nothing is per-row. Ties are
+    impossible in the rank order ((cents, orderkey) is unique), so LIMIT 2
+    is deterministic on both engines.
+    """
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_LATERAL_TOPK_SQL)

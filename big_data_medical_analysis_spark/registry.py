@@ -102,6 +102,8 @@ _PRIORITY: tuple[str, ...] = (
     "edit_distance_pairs",
     "order_chain_recursion",
     "event_customer_enrich",
+    "customer_order_history",
+    "lateral_top_orders",
     # -- oracle-bearing, no r4 driver row (last checked r3 or earlier) --
     "simhash_near_dup",
     "ngram_jaccard_pairs",

@@ -366,3 +366,43 @@ def enrich_stream(events: DataFrame, customer: DataFrame) -> DataFrame:
     between batches are picked up), then feeds the running per-segment
     aggregate — emit with ``outputMode("update")``/``"complete"``."""
     return enrich_purchases(events, customer)
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join
+# ---------------------------------------------------------------------------
+
+
+def range_pair_stream(
+    a_events: DataFrame,
+    b_events: DataFrame,
+    max_gap: str = "60 seconds",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join — the streaming form of
+    ``event_pairs_range_join`` (driver-green batch twin): same-user event
+    pairs where the second event lands within ``max_gap`` after the first.
+
+    Both sides carry watermarks and the join predicate bounds b.ts within
+    [a.ts, a.ts + max_gap], so the state store retains each side only for
+    watermark + gap — bounded state regardless of stream length, the
+    requirement for any stream-stream join at scale. Inner-join matches
+    emit as soon as both sides arrive; state for rows older than the
+    watermark is evicted.
+    """
+    a = a_events.withWatermark("ts", watermark).alias("a")
+    b = b_events.withWatermark("ts", watermark).alias("b")
+    return a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr(f"INTERVAL {max_gap}")),
+        "inner",
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_id").alias("first_event_id"),
+        F.col("b.event_id").alias("next_event_id"),
+        (F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))).alias(
+            "gap_us"
+        ),
+    )

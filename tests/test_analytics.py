@@ -177,3 +177,69 @@ def test_enrich_stream_matches_batch(spark, tmp_path):
     assert got == want
     # AUTO cents: 1001 (u1) + 756 (u3, 7.555 rounds half-away) + 49 (u1)
     assert want["AUTO"] == (3, 18.06)
+
+
+def test_range_pair_stream_matches_batch(spark, tmp_path):
+    """Stream-stream interval join: pairs found across micro-batches must
+    equal the batch range join on the same rows (inner-join matches emit
+    as both sides arrive; state eviction needs only the watermark)."""
+    indir = str(tmp_path / "pairs_in")
+    qname = "pairs_" + uuid.uuid4().hex[:8]
+    batch_a = [
+        (1, "2024-01-01 01:00:00.000000", 1, "click", 1.0),
+        (2, "2024-01-01 01:00:30.000000", 1, "click", 1.0),  # pair with 1
+        (3, "2024-01-01 01:05:00.000000", 2, "view", 1.0),
+    ]
+    batch_b = [
+        # arrives in a later micro-batch but still pairs with event 2
+        (4, "2024-01-01 01:01:10.000000", 1, "click", 1.0),
+        (5, "2024-01-01 01:05:30.000000", 2, "view", 1.0),  # pair with 3
+        (6, "2024-01-01 09:00:00.000000", 2, "view", 1.0),  # no pair
+    ]
+    _write_events_json(indir, "a.json", batch_a)
+    stream = SW.range_pair_stream(
+        SW.read_event_stream(spark, indir),
+        SW.read_event_stream(spark, indir),
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_events_json(indir, "b.json", batch_b)
+        q.processAllAvailable()
+        got = {
+            (r.first_event_id, r.next_event_id, r.gap_us)
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+    finally:
+        q.stop()
+
+    rows = batch_a + batch_b
+    batch_df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    a, b = batch_df.alias("a"), batch_df.alias("b")
+    want = {
+        (r.first_event_id, r.next_event_id, r.gap_us)
+        for r in a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 60 SECONDS")),
+        )
+        .select(
+            F.col("a.event_id").alias("first_event_id"),
+            F.col("b.event_id").alias("next_event_id"),
+            (F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))).alias(
+                "gap_us"
+            ),
+        )
+        .collect()
+    }
+    assert got == want
+    assert (1, 2, 30_000_000) in want and (2, 4, 40_000_000) in want
