@@ -84,6 +84,9 @@ OPTIONAL = [
     # grouped list packing + lateral decorrelation (round 5)
     "customer_order_history",
     "lateral_top_orders",
+    # VARIANT semi-structured + ANSI-safe arithmetic (round 5)
+    "event_props_variant",
+    "ansi_safe_ratios",
 ]
 
 

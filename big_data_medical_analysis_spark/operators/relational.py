@@ -1319,3 +1319,90 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         (F.sum(px).cast("double") / 100.0).alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured analytics (Spark 4 VARIANT type)
+# ---------------------------------------------------------------------------
+
+_PROPS_VARIANT_SQL = """
+SELECT
+  event_type,
+  count(*) AS n_events,
+  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+  count_if(json_extract(props, '$.missing') IS NOT NULL) AS n_with_missing
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("event_props_variant", oracle=_PROPS_VARIANT_SQL, category="scalar")
+def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type:
+    ``parse_json`` once into a variant, then typed ``variant_get``
+    extraction (present key as int64, absent path as NULL) feeding exact
+    integer aggregates. The oracle reaches the same values via DuckDB's
+    JSON extraction, so the comparison pins the variant path semantics
+    (typed get, missing-path NULL) end to end.
+
+    Scale: VARIANT is the 100 TB answer to repeated JSON-string probing —
+    the binary encoding parses once per row at scan time instead of
+    re-parsing the string per extraction (event_props_json's
+    get_json_object re-parses per call), and shredded variant columns
+    admit pushdown. One hash aggregate on event_type.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    missing = F.expr("variant_get(parse_json(props), '$.missing', 'string')")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.min(k).cast("long").alias("min_k"),
+        F.max(k).cast("long").alias("max_k"),
+        F.count_if(missing.isNotNull()).alias("n_with_missing"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANSI-safe arithmetic (try_divide / try_cast)
+# ---------------------------------------------------------------------------
+
+_SAFE_RATIO_SQL = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  round(CASE WHEN CAST(round(l_discount * 100) AS BIGINT) = 0 THEN NULL
+             ELSE CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DOUBLE)
+                  / CAST(round(l_discount * 100) AS BIGINT)
+        END, 6) AS price_per_disc_cent,
+  TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int
+FROM lineitem
+WHERE l_orderkey < 500
+"""
+
+
+@register("ansi_safe_ratios", oracle=_SAFE_RATIO_SQL, category="scalar")
+def ansi_safe_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode-safe arithmetic surface: ``try_divide`` yields NULL on the
+    zero-discount rows instead of raising (Spark 4 runs ANSI by default, so
+    plain ``/`` on a zero divisor is a query-killing error at scale —
+    one poisoned row out of 10^12 must not fail the job), and ``try_cast``
+    maps unparseable input to NULL. The oracle expresses the identical
+    semantics with portable CASE/TRY_CAST.
+
+    Scale: pure row-local expressions inside whole-stage codegen; the
+    orderkey probe filter is pushed to the scan.
+    """
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    price_c = cents("l_extendedprice")
+    disc_c = cents("l_discount")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(price_c.cast("double"), disc_c), 6
+        ).alias("price_per_disc_cent"),
+        F.col("l_returnflag").try_cast("integer").alias("flag_as_int"),
+    )

@@ -104,6 +104,8 @@ _PRIORITY: tuple[str, ...] = (
     "event_customer_enrich",
     "customer_order_history",
     "lateral_top_orders",
+    "event_props_variant",
+    "ansi_safe_ratios",
     # -- oracle-bearing, no r4 driver row (last checked r3 or earlier) --
     "simhash_near_dup",
     "ngram_jaccard_pairs",
