@@ -87,6 +87,7 @@ OPTIONAL = [
     # VARIANT semi-structured + ANSI-safe arithmetic (round 5)
     "event_props_variant",
     "ansi_safe_ratios",
+    "approx_price_quantiles",
 ]
 
 

@@ -610,3 +610,48 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= QUOTA_PER_LANG)
         .select("doc_id", "lang", "n_tokens", "avg_token_len", "rnk")
     )
+
+
+_ORC_ROUNDTRIP_SQL = """
+SELECT s_nationkey,
+       count(*) AS n_suppliers,
+       CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_acctbal
+FROM supplier
+GROUP BY s_nationkey
+"""
+
+
+@register("orc_roundtrip_revenue", oracle=_ORC_ROUNDTRIP_SQL, category="etl")
+def orc_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC surface end to end: supplier → ORC write (zlib-compressed
+    columnar, the engine's second columnar format after parquet) →
+    schema'd read-back → exact aggregate. The oracle aggregates the source
+    parquet directly, so a green row proves the ORC write+read preserved
+    every row and value (doubles are stored natively, no text roundtrip).
+
+    Same fixed-per-user-path, mode=overwrite discipline as
+    ``csv_roundtrip_revenue``; the eager write is inherent to a
+    write→read roundtrip query.
+
+    Scale: ORC gives the same pushdown/pruning class as parquet (stripe
+    statistics, predicate pushdown, column projection); the roundtrip
+    pins that the reader applies the declared schema rather than
+    re-inferring.
+    """
+    import getpass
+    import tempfile
+
+    from big_data_medical_analysis_spark.operators.common import money_sum
+    from big_data_medical_analysis_spark.schemas import SUPPLIER
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_orc_roundtrip_{getpass.getuser()}"
+    )
+    supplier = read_table(spark, sf_dir, "supplier")
+    supplier.write.mode("overwrite").orc(out_dir)
+    back = spark.read.schema(SUPPLIER).orc(out_dir)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        money_sum("s_acctbal").alias("total_acctbal"),
+    )

@@ -1406,3 +1406,38 @@ def ansi_safe_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("price_per_disc_cent"),
         F.col("l_returnflag").try_cast("integer").alias("flag_as_int"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate percentiles (the 100 TB quantile tier)
+# ---------------------------------------------------------------------------
+
+APPROX_PCT_ACCURACY = 10_000  # rank error <= n / accuracy per group
+
+
+@register("approx_price_quantiles", oracle=None, category="aggregation")
+def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_percentile`` (Greenwald-Khanna sketch) of price per
+    returnflag — the constant-memory quantile tier ``lineitem_price_
+    quantiles``' docstring points to for 100 TB, where the exact per-group
+    sort is the thing you avoid. Rows-only by contract: the sketch's merge
+    is partition-order-sensitive, so values are engine- and plan-specific;
+    tests/test_sketches.py bounds the rank error against the exact
+    percentiles instead (<= n/accuracy per the GK guarantee).
+
+    Scale: one map-side-combinable aggregate whose state is the O(accuracy)
+    sketch per group — no sort, no second pass, same shape as count-min /
+    HLL in the sketch pillar.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    px = cents("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            (
+                F.percentile_approx(px, F.lit(q), F.lit(APPROX_PCT_ACCURACY))
+                .cast("double")
+                / 100.0
+            ).alias(f"ap{int(q * 100)}")
+            for q in (0.25, 0.50, 0.75, 0.95)
+        ]
+    )

@@ -106,6 +106,8 @@ _PRIORITY: tuple[str, ...] = (
     "lateral_top_orders",
     "event_props_variant",
     "ansi_safe_ratios",
+    "approx_price_quantiles",
+    "orc_roundtrip_revenue",
     # -- oracle-bearing, no r4 driver row (last checked r3 or earlier) --
     "simhash_near_dup",
     "ngram_jaccard_pairs",

@@ -255,3 +255,23 @@ def test_gapfill_day_spine_broadcasts(spark, sf_dir):
     """The day spine (time-range axis) must broadcast against the user
     axis — a shuffled cross join of the large side would be a scale bug."""
     assert P.broadcast_join_count(QS["daily_user_value_gapfill"](spark, sf_dir)) >= 1
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """The engine must be able to force the physical join strategy per
+    side — SHUFFLE_HASH for build-side-fits-in-memory joins where sort
+    would dominate, MERGE for pre-sorted inputs — because at 100 TB the
+    optimizer's stats-driven choice is sometimes wrong and the hint is the
+    escape hatch."""
+    from big_data_medical_analysis_spark.sources.readers import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    hashed = orders.join(
+        cust.hint("SHUFFLE_HASH"), orders.o_custkey == cust.c_custkey
+    )
+    assert "ShuffledHashJoin" in P.physical_plan(hashed)
+    merged = orders.join(
+        cust.hint("MERGE"), orders.o_custkey == cust.c_custkey
+    )
+    assert "SortMergeJoin" in P.physical_plan(merged)

@@ -121,3 +121,34 @@ def test_misra_gries_superset_and_bounded(spark):
     assert {0, 1, 2, 3} <= got  # heavy keys always survive
     # ≤ k counters per partition
     assert cands.count() <= 8 * SK.HH_COUNTERS
+
+
+def test_approx_percentile_rank_error_bounded(spark, sf_dir):
+    """GK guarantee: each approximate percentile's true rank is within
+    n/accuracy of the target rank in its group."""
+    from pyspark.sql import functions as F
+
+    from big_data_medical_analysis_spark.operators.relational import (
+        APPROX_PCT_ACCURACY,
+        approx_price_quantiles,
+    )
+    from big_data_medical_analysis_spark.sources.readers import read_table
+
+    approx = {
+        r.l_returnflag: r.asDict()
+        for r in approx_price_quantiles(spark, sf_dir).collect()
+    }
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", (F.round(F.col("l_extendedprice") * 100)).alias("px")
+    )
+    for flag, row in approx.items():
+        grp = [
+            x.px for x in li.filter(F.col("l_returnflag") == flag).collect()
+        ]
+        grp.sort()
+        n = len(grp)
+        tol = max(1.0, n / APPROX_PCT_ACCURACY)
+        for q in (0.25, 0.50, 0.75, 0.95):
+            v = row[f"ap{int(q * 100)}"] * 100.0
+            rank = sum(1 for x in grp if x <= v)
+            assert abs(rank - q * n) <= tol + 1, (flag, q, rank, q * n)
