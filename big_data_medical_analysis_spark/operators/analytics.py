@@ -241,7 +241,7 @@ _EXTREMES_SQL = """
 SELECT
   c.c_mktsegment,
   count(*) AS n_orders,
-  count_if(o.o_totalprice > 150000.0) AS n_big,
+  CAST(count_if(o.o_totalprice > 150000.0) AS BIGINT) AS n_big,
   max_by(o.o_orderkey,
          CAST(round(o.o_totalprice * 100) AS BIGINT) * 10000000 + o.o_orderkey)
     AS priciest_order,

@@ -1332,7 +1332,8 @@ SELECT
   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
   CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
   CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
-  count_if(json_extract(props, '$.missing') IS NOT NULL) AS n_with_missing
+  CAST(count_if(json_extract(props, '$.missing') IS NOT NULL) AS BIGINT)
+    AS n_with_missing
 FROM events
 GROUP BY event_type
 """

@@ -116,12 +116,36 @@ def main() -> int:
             res = con.sql(q.oracle)
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
+            ddf = con.sql(q.oracle).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
             failures.append(name)
             continue
         problems = []
+        # Rendering-type parity guard: the REAL driver canonicalizes the
+        # oracle result through pandas, where DuckDB HUGEINT (e.g. a raw
+        # sum(BIGINT)) and Decimal columns become float64 — rendering
+        # "42.0" against Spark's int64 "42" and failing the value hash
+        # even though every value is equal (CORRECTNESS_r04's
+        # small_order_revenue). fetchall() hides that, so check the
+        # pandas dtypes explicitly: an integral Spark column whose oracle
+        # twin comes back float (with no NULLs to explain it) means the
+        # oracle needs an explicit CAST(... AS BIGINT/DOUBLE).
+        from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+        spark_int_cols = {
+            f.name
+            for f in sdf.schema.fields
+            if isinstance(f.dataType, (ByteType, ShortType, IntegerType, LongType))
+        }
+        for col in spark_int_cols & set(dcols):
+            if ddf[col].dtype.kind == "f" and not ddf[col].isna().any():
+                problems.append(
+                    f"driver-render hazard: '{col}' is integral in Spark "
+                    "but pandas-renders as float from DuckDB "
+                    "(HUGEINT/Decimal) — CAST the oracle output"
+                )
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if sorted(scols) != sorted(dcols):
