@@ -88,6 +88,10 @@ OPTIONAL = [
     "event_props_variant",
     "ansi_safe_ratios",
     "approx_price_quantiles",
+    # CDC upsert / SCD2 / sessionization (round 5)
+    "orders_upsert_apply",
+    "user_value_intervals",
+    "event_session_ids",
 ]
 
 

@@ -421,3 +421,117 @@ def customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         date_str(F.min("o_orderdate")).alias("first_order"),
         date_str(F.max("o_orderdate")).alias("last_order"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 validity intervals from a change log
+# ---------------------------------------------------------------------------
+
+_INTERVALS_SQL = """
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+       CAST(round(value * 100) AS BIGINT) AS value_cents
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("user_value_intervals", oracle=_INTERVALS_SQL, category="analytics")
+def user_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (SCD type 2) build: turn a per-user change
+    log into validity intervals — each purchase's value holds from its
+    timestamp until the user's next purchase (NULL valid_to = current
+    row). The lead() over the unique (ts, event_id) order makes every
+    interval deterministic.
+
+    Scale: one shuffle on user_id + a linear window pass — the standard
+    dimension-build plan; appending new changes only touches each user's
+    open interval (the NULL valid_to rows).
+    """
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    from big_data_medical_analysis_spark.operators.common import ts_str
+
+    return ev.select(
+        "user_id",
+        "event_id",
+        ts_str("ts").alias("valid_from"),
+        ts_str(F.lead("ts").over(w)).alias("valid_to"),
+        cents("value").alias("value_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization (portable session-id assignment)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+_SESSION_IDS_SQL = f"""
+WITH flags AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                      > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ids AS (
+  SELECT user_id, event_id, ts,
+         CAST(sum(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
+  FROM flags
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
+FROM ids
+GROUP BY user_id, session_id
+"""
+
+
+@register("event_session_ids", oracle=_SESSION_IDS_SQL, category="analytics")
+def event_session_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via cumulative new-session flags — the
+    portable batch form of session assignment (lag gap > threshold starts
+    a session; running sum numbers them), profiled per (user, session).
+    Complements ``session_windows``' native session_window aggregate: this
+    form also yields the per-EVENT session id (the join key downstream
+    attribution needs), which the native aggregate does not expose.
+
+    Scale: one shuffle on user_id feeding two stacked linear window passes
+    over the same sort order (Catalyst runs both in a single Window stage
+    chain, no re-sort), then a (user, session) aggregate that reuses the
+    partitioning.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap > SESSION_GAP_US), 1
+        ).otherwise(0).alias("new_sess"),
+    )
+    ids = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_sess")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("integer")
+        .alias("session_id"),
+    )
+    return ids.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        .cast("long")
+        .alias("duration_us"),
+    )

@@ -655,3 +655,68 @@ def orc_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_suppliers"),
         money_sum("s_acctbal").alias("total_acctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC upsert apply (MERGE INTO semantics on plain parquet)
+# ---------------------------------------------------------------------------
+
+_UPSERT_SQL = """
+WITH updates AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         round(o_totalprice + 1.0, 2) AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, 'N' AS o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 1000 = 0
+),
+merged AS (
+  SELECT b.* FROM orders b
+  WHERE NOT EXISTS (SELECT 1 FROM updates u
+                    WHERE u.o_orderkey = b.o_orderkey)
+  UNION ALL
+  SELECT * FROM updates
+)
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_price
+FROM merged
+GROUP BY o_orderstatus
+"""
+
+
+@register("orders_upsert_apply", oracle=_UPSERT_SQL, category="etl")
+def orders_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on plain parquet — the CDC apply step every
+    warehouse-less pipeline needs: a deterministic change batch (updates
+    for keys %10, inserts at offset keys) applied as
+    ``base ANTI JOIN changes ∪ changes``, then aggregated exactly.
+
+    Scale: the anti join + union IS how table formats express MERGE
+    physically (copy-on-write); both sides shuffle on the merge key once,
+    and with the base bucketed on the key the anti join is co-located. A
+    format with deletion vectors turns the anti join into a filter —
+    same logical plan, cheaper physical.
+    """
+    from big_data_medical_analysis_spark.operators.common import money_sum
+
+    orders = read_table(spark, sf_dir, "orders")
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice") + 1.0, 2)
+    )
+    inserts = (
+        orders.filter(F.col("o_orderkey") % 1000 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 100000000)
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    changes = updates.unionByName(inserts)
+    merged = orders.join(
+        changes.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).unionByName(changes)
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum("o_totalprice").alias("total_price"),
+    )

@@ -108,6 +108,9 @@ _PRIORITY: tuple[str, ...] = (
     "ansi_safe_ratios",
     "approx_price_quantiles",
     "orc_roundtrip_revenue",
+    "orders_upsert_apply",
+    "user_value_intervals",
+    "event_session_ids",
     # -- oracle-bearing, no r4 driver row (last checked r3 or earlier) --
     "simhash_near_dup",
     "ngram_jaccard_pairs",
