@@ -355,3 +355,68 @@ def model_eval_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (table function, Arrow-optimized) — SURVEY §2.3 UDF surface
+# ---------------------------------------------------------------------------
+
+# The UDTF twin of text_analysis.doc_chunk_windows: identical chunking
+# semantics (CHUNK_SIZE window every CHUNK_STRIDE, short final window), so
+# the pure-SQL chunker's oracle checks every value the Python table
+# function emits.
+
+from big_data_medical_analysis_spark.operators.text_analysis import (  # noqa: E402
+    _CHUNK_SQL as _CHUNK_UDTF_ORACLE,
+)
+
+
+@register("doc_chunk_udtf", oracle=_CHUNK_UDTF_ORACLE, category="udf")
+def doc_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (``@udtf``, Arrow-optimized): a lateral table function
+    that chunks each document into sliding token windows — the genuine
+    UDTF surface (one input row → N output rows from Python), completing
+    the UDF family next to scalar pandas UDF / mapInPandas /
+    applyInPandas / UDAF.
+
+    The UDTF reimplements doc_chunk_windows' exact semantics, and its
+    oracle IS the SQL chunker's oracle — so the driver row proves the
+    Python table function and the Catalyst expression pipeline agree on
+    every chunk. Explode-style fan-out stays the preferred form in
+    production (zero Python); the UDTF is for logic a SQL expression
+    can't express (real tokenizers), and ``useArrow=True`` keeps the
+    boundary batched rather than per-row pickled.
+
+    Scale: a lateral UDTF is a pure map stage — no shuffle, parallel per
+    input partition; fan_out spreads the single-file scan first.
+    """
+    from pyspark.sql.functions import udtf
+
+    from big_data_medical_analysis_spark.operators.text_analysis import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+    )
+
+    @udtf(
+        returnType=(
+            "doc_id long, chunk_id int, chunk_tokens int, chunk_text string"
+        ),
+        useArrow=True,
+    )
+    class ChunkDoc:
+        def eval(self, doc_id, text):  # noqa: ANN001 - UDTF signature
+            toks = text.split(" ")
+            n = len(toks)
+            for i in range((n - 1) // CHUNK_STRIDE + 1):
+                piece = toks[i * CHUNK_STRIDE : i * CHUNK_STRIDE + CHUNK_SIZE]
+                yield doc_id, i, len(piece), " ".join(piece)
+
+    spark.udtf.register("spark_graft_chunk_doc", ChunkDoc)
+    fan_out(read_table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("doc_chunk_udtf_in")
+    return spark.sql(
+        "SELECT c.doc_id, c.chunk_id, c.chunk_tokens, c.chunk_text "
+        "FROM doc_chunk_udtf_in d, "
+        "LATERAL spark_graft_chunk_doc(d.doc_id, d.text) c"
+    )

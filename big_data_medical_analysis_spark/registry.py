@@ -111,6 +111,7 @@ _PRIORITY: tuple[str, ...] = (
     "orders_upsert_apply",
     "user_value_intervals",
     "event_session_ids",
+    "doc_chunk_udtf",
     # -- oracle-bearing, no r4 driver row (last checked r3 or earlier) --
     "simhash_near_dup",
     "ngram_jaccard_pairs",
