@@ -406,3 +406,48 @@ def range_pair_stream(
             "gap_us"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch sink (exactly-once via batch-id idempotence)
+# ---------------------------------------------------------------------------
+
+
+def make_idempotent_batch_writer(out_dir: str):
+    """Exactly-once streaming sink for non-transactional targets: a
+    ``foreachBatch`` function that writes each micro-batch to a
+    ``batch_id=<id>``-partitioned directory with ``mode=overwrite``.
+
+    Structured Streaming guarantees foreachBatch is called with the same
+    (data, batch_id) on retry after a failure — so overwriting the
+    batch-id directory makes redelivery idempotent: a replayed batch
+    replaces its own previous (possibly partial) output instead of
+    appending duplicates. This is the portable exactly-once recipe for
+    sinks without transactions; a transactional target would instead
+    commit (data, batch_id) atomically and skip already-committed ids.
+
+    Scale: each micro-batch write is an independent parquet job with the
+    stream's parallelism; downstream readers glob ``batch_id=*`` and get
+    partition pruning on replay boundaries for free.
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite").parquet(
+                f"{out_dir}/batch_id={batch_id}"
+            )
+        )
+
+    return _write
+
+
+def write_stream_idempotent(stream: DataFrame, out_dir: str, checkpoint: str):
+    """Start the stream through the idempotent foreachBatch writer; the
+    checkpoint directory carries the batch-id sequence across restarts
+    (checkpoint + idempotent sink = end-to-end exactly-once)."""
+    return (
+        stream.writeStream.foreachBatch(make_idempotent_batch_writer(out_dir))
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )

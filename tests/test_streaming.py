@@ -301,3 +301,47 @@ def test_session_stream_merges_across_batches_and_matches_batch(spark, tmp_path)
     assert emitted[
         (1, "2024-01-01 01:00:00.000000", "2024-01-01 07:00:00.000000")
     ] == 3
+
+
+def test_foreachbatch_sink_is_idempotent(spark, tmp_path):
+    """The foreachBatch writer must (a) persist every streamed row exactly
+    once across micro-batches and (b) replace, not duplicate, a batch's
+    output when the same (data, batch_id) is redelivered — Structured
+    Streaming's retry contract."""
+    indir = str(tmp_path / "fb_in")
+    outdir = str(tmp_path / "fb_out")
+    ckpt = str(tmp_path / "fb_ckpt")
+
+    rows_a = [(1, "2024-01-01 01:00:00.000000", 1, "click", 1.5)]
+    rows_b = [
+        (2, "2024-01-01 02:00:00.000000", 2, "view", 2.5),
+        (3, "2024-01-01 03:00:00.000000", 1, "click", 3.5),
+    ]
+    _write_events(indir, "a.json", rows_a)
+    q = SW.write_stream_idempotent(
+        SW.read_event_stream(spark, indir), outdir, ckpt
+    )
+    try:
+        q.processAllAvailable()
+        _write_events(indir, "b.json", rows_b)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # the streaming job's own writes populate the session FileStatusCache;
+    # refresh before reading the directory it just produced
+    spark.catalog.refreshByPath(outdir)
+    back = spark.read.parquet(outdir)
+    assert back.count() == 3
+    assert {r.event_id for r in back.select("event_id").collect()} == {1, 2, 3}
+
+    # simulate redelivery: re-invoke the writer with the same batch id and
+    # the same data — row count must not change (overwrite, not append).
+    # Materialize batch 0 first: the overwrite deletes the files the lazy
+    # plan would otherwise re-read mid-write.
+    batch0_rows = back.filter("batch_id = 0").drop("batch_id").collect()
+    batch0 = spark.createDataFrame(batch0_rows)
+    SW.make_idempotent_batch_writer(outdir)(batch0, 0)
+    spark.catalog.refreshByPath(outdir)
+    again = spark.read.parquet(outdir)
+    assert again.count() == 3
