@@ -447,7 +447,12 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 
 @register("customers_without_orders", oracle=_ANTI_JOIN_SQL, category="join")
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join (NOT EXISTS)."""
+    """LEFT ANTI join (NOT EXISTS): customers with no order at all.
+
+    Scale: the anti join shuffles only the pruned o_custkey column against
+    the customer keys — same exchange profile as the semi-join twin
+    (customers_with_orders); Catalyst plans both from the same family.
+    """
     customer = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders")
     return customer.join(
