@@ -92,6 +92,8 @@ OPTIONAL = [
     "orders_upsert_apply",
     "user_value_intervals",
     "event_session_ids",
+    # repetition-based quality gates (round 5)
+    "doc_repetition_signals",
 ]
 
 

@@ -411,3 +411,104 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("integer").alias("chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality gates)
+# ---------------------------------------------------------------------------
+
+_REPETITION_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+uni AS (SELECT doc_id, unnest(toks) AS term FROM t),
+uc AS (SELECT doc_id, term, count(*) AS c FROM uni GROUP BY 1, 2),
+us AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(max(c) AS BIGINT) AS top_term,
+         CAST(count(*) AS BIGINT) AS n_distinct
+  FROM uc GROUP BY 1
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS gram
+  FROM t
+),
+bc AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2),
+bs AS (
+  SELECT doc_id,
+         CAST(max(c) AS BIGINT) AS top_bigram,
+         CAST(sum(c) AS BIGINT) AS n_bigrams
+  FROM bc GROUP BY 1
+)
+SELECT us.doc_id,
+       n_tokens,
+       round(CAST(top_term AS DOUBLE) / n_tokens, 6) AS top_term_fraction,
+       round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_fraction,
+       round(CAST(top_bigram AS DOUBLE) / n_bigrams, 6)
+         AS top_bigram_fraction
+FROM us JOIN bs ON us.doc_id = bs.doc_id
+"""
+
+
+@register("doc_repetition_signals", oracle=_REPETITION_SQL, category="text")
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals — the published large-corpus gates
+    (most-common-word fraction, distinct-token fraction, most-common-
+    2-gram fraction) that catch boilerplate and degenerate repetition
+    which length/stopword heuristics (doc_quality_scores) miss. A real
+    curation pipeline thresholds these per the Gopher/MassiveText rules;
+    here the raw fractions are emitted and value-checked.
+
+    Scale: two explode→count aggregates keyed by (doc_id, gram) — shuffle
+    volume is the token stream, the canonical cost of n-gram statistics;
+    both aggregates are map-side combinable, and the final join is
+    per-doc-row sized. Docs shorter than 2 tokens would drop at the
+    bigram join; the corpus minimum is ~8 tokens (TESTDATA) and a
+    production gate would pre-filter shorter docs anyway.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = docs.select("doc_id", toks.alias("toks"))
+    uc = (
+        base.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    us = uc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("top_term"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("toks"), i),
+                    F.element_at(F.col("toks"), i + 1),
+                ),
+            )
+        ).alias("gram"),
+    )
+    bc = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    bs = bc.groupBy("doc_id").agg(
+        F.max("c").alias("top_bigram"), F.sum("c").alias("n_bigrams")
+    )
+    return us.join(bs, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("top_term").cast("double") / F.col("n_tokens"), 6).alias(
+            "top_term_fraction"
+        ),
+        F.round(
+            F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
+        ).alias("distinct_fraction"),
+        F.round(
+            F.col("top_bigram").cast("double") / F.col("n_bigrams"), 6
+        ).alias("top_bigram_fraction"),
+    )

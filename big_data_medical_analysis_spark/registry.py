@@ -112,6 +112,7 @@ _PRIORITY: tuple[str, ...] = (
     "user_value_intervals",
     "event_session_ids",
     "doc_chunk_udtf",
+    "doc_repetition_signals",
     # -- oracle-bearing, no r4 driver row (last checked r3 or earlier) --
     "simhash_near_dup",
     "ngram_jaccard_pairs",
