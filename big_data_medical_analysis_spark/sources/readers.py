@@ -48,7 +48,10 @@ def _events_ts_unit(path: str) -> str | None:
             or _glob.glob(os.path.join(probe, "part-*"))
         )
         probe = parts[0]
-    unit = getattr(pq.read_schema(probe).field("ts").type, "unit", None)
+    t = pq.read_schema(probe).field("ts").type
+    unit = getattr(t, "unit", None)
+    if unit is not None and getattr(t, "tz", None) is not None:
+        unit = f"{unit}+tz"  # isAdjustedToUTC=true → Spark TimestampType
     _EVENTS_TS_UNIT_CACHE[path] = unit
     return unit
 
@@ -87,10 +90,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # rendering — which is exactly the engine's contract (all oracle
         # comparisons assume UTC), so inheriting it is correct.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        if _events_ts_unit(path) == "ns":
+        unit = _events_ts_unit(path)
+        if unit is not None and unit.startswith("ns"):
+            # nanos (adjusted or not): Spark's reader rejects the type
+            # outright, so both variants go through the raw-int64 path
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             raw = spark.read.schema(schemas.EVENTS_PHYSICAL).parquet(path)
             ts = F.timestamp_micros(F.expr("ts DIV 1000"))
+        elif unit is not None and unit.endswith("+tz"):
+            # isAdjustedToUTC=true: already an instant; Spark reads it as
+            # TimestampType natively (logical EVENTS schema as-is)
+            raw = spark.read.schema(schemas.EVENTS).parquet(path)
+            ts = F.col("ts")
         else:
             raw = spark.read.schema(schemas.EVENTS_PHYSICAL_NTZ).parquet(path)
             ts = F.col("ts").cast("timestamp")

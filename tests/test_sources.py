@@ -60,3 +60,46 @@ def test_binary_dir_source(spark, tmp_path):
         name = os.path.basename(r.path)
         assert bytes(r.content) == payloads[name]
         assert r.length == len(payloads[name])
+
+
+def test_events_reader_handles_all_physical_ts_generations(spark, tmp_path):
+    """The driver's events.parquet has shipped with TIMESTAMP(NANOS)
+    (rounds 1-3) and TIMESTAMP(MICROS, naive) (round 4+); a tz-adjusted
+    variant is the remaining plausible generation. All three must decode
+    to identical microsecond instants — the round-4 red rows came from
+    decoding one generation with another's path (1000x-shrunk instants)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_medical_analysis_spark.sources.readers import read_table
+
+    src_dir = "/root/testdata/sf0.001"
+    base = pq.read_table(f"{src_dir}/events.parquet")
+    idx = base.schema.get_field_index("ts")
+
+    def variant(name: str, typ, version: str) -> str:
+        d = str(tmp_path / name)
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        t = base.set_column(
+            idx, pa.field("ts", typ), base.column("ts").cast(typ)
+        )
+        pq.write_table(t, f"{d}/events.parquet", version=version,
+                       coerce_timestamps=None)
+        return d
+
+    dirs = {
+        "ns": variant("ev_ns", pa.timestamp("ns"), "2.6"),
+        "us": variant("ev_us", pa.timestamp("us"), "2.6"),
+        "us_tz": variant("ev_tz", pa.timestamp("us", tz="UTC"), "2.6"),
+    }
+    want = read_table(spark, src_dir, "events").selectExpr(
+        "sum(unix_micros(ts)) AS s", "count(*) AS n"
+    ).collect()[0]
+    for label, d in dirs.items():
+        got = read_table(spark, d, "events").selectExpr(
+            "sum(unix_micros(ts)) AS s", "count(*) AS n"
+        ).collect()[0]
+        assert (got.s, got.n) == (want.s, want.n), label
