@@ -420,3 +420,71 @@ def doc_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM doc_chunk_udtf_in d, "
         "LATERAL spark_graft_chunk_doc(d.doc_id, d.text) c"
     )
+
+
+# ---------------------------------------------------------------------------
+# Co-grouped map (cogroup().applyInPandas) — the last UDF-family member
+# ---------------------------------------------------------------------------
+
+_COGROUP_SQL = """
+SELECT e.user_id,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_value,
+       max(c.c_mktsegment) AS segment
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase'
+GROUP BY e.user_id
+"""
+
+
+@register("cogrouped_user_profile", oracle=_COGROUP_SQL, category="udf")
+def cogrouped_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-grouped map: ``cogroup(A, B).applyInPandas`` receives BOTH
+    sides' rows for each key as pandas frames — the UDF surface for
+    per-key merge logic no join expresses (custom alignment, per-entity
+    model scoring against reference rows). Here it merges each user's
+    purchase events with their customer row into a profile; the arithmetic
+    is exact int64 cents inside numpy, so a plain SQL join+aggregate
+    oracle checks every value.
+
+    Scale: cogroup shuffles each side once on the key (same exchange
+    profile as a shuffle join) and streams one key's two frames at a time
+    through Arrow — per-key memory, not per-partition. For logic a join
+    CAN express, the join is the right plan (event_customer_enrich); this
+    query exists to pin the co-grouped execution path itself.
+    """
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "value")
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+
+    def merge(evs: pd.DataFrame, cs: pd.DataFrame) -> pd.DataFrame:
+        if evs.empty or cs.empty:
+            return pd.DataFrame(
+                columns=["user_id", "n_purchases", "total_value", "segment"]
+            )
+        v = evs["value"].to_numpy("float64") * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64").sum()
+        return pd.DataFrame(
+            {
+                "user_id": [int(evs["user_id"].iloc[0])],
+                "n_purchases": [len(evs)],
+                "total_value": [cents / 100.0],
+                "segment": [cs["c_mktsegment"].max()],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(cust.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id long, n_purchases long, total_value double, "
+            "segment string",
+        )
+    )

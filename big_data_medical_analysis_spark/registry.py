@@ -113,6 +113,7 @@ _PRIORITY: tuple[str, ...] = (
     "event_session_ids",
     "doc_chunk_udtf",
     "doc_repetition_signals",
+    "cogrouped_user_profile",
     # -- oracle-bearing, no r4 driver row (last checked r3 or earlier) --
     "simhash_near_dup",
     "ngram_jaccard_pairs",
