@@ -720,3 +720,69 @@ def orders_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         money_sum("o_totalprice").alias("total_price"),
     )
+
+
+_SCHEMA_EVOLUTION_SQL = """
+WITH old_batch AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, NULL AS o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+new_batch AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1
+),
+unioned AS (
+  SELECT * FROM old_batch UNION ALL SELECT * FROM new_batch
+)
+SELECT
+  coalesce(o_orderpriority, '<pre-evolution>') AS priority,
+  count(*) AS n_orders,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+    AS total_price
+FROM unioned
+GROUP BY 1
+"""
+
+
+@register("schema_evolution_read", oracle=_SCHEMA_EVOLUTION_SQL, category="etl")
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches: an old batch written
+    WITHOUT ``o_orderpriority`` and a new batch WITH it, scanned together
+    under ``mergeSchema`` — rows from the pre-evolution files surface the
+    added column as NULL. The oracle reconstructs the same union from the
+    source table, so the driver row proves the merged scan loses neither
+    rows nor values across the schema boundary.
+
+    Scale: mergeSchema reconciles footers at planning time (cost scales
+    with file count, not data; production pins the merged schema in a
+    catalog instead of re-inferring per query) — the scan itself remains
+    ordinary pruned/pushed-down parquet.
+    """
+    import getpass
+    import tempfile
+
+    from big_data_medical_analysis_spark.operators.common import money_sum
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_schema_evo_{getpass.getuser()}",
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    old_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    orders.filter(F.col("o_orderkey") % 2 == 0).select(old_cols).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/batch=old")
+    orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        *old_cols, "o_orderpriority"
+    ).write.mode("overwrite").parquet(f"{out_dir}/batch=new")
+    merged = spark.read.option("mergeSchema", True).parquet(
+        f"{out_dir}/batch=old", f"{out_dir}/batch=new"
+    )
+    return merged.groupBy(
+        F.coalesce("o_orderpriority", F.lit("<pre-evolution>")).alias(
+            "priority"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum("o_totalprice").alias("total_price"),
+    )

@@ -10,6 +10,7 @@ Used by tests/test_plans.py.
 
 from big_data_medical_analysis_spark.plans.inspect import (  # noqa: F401
     broadcast_join_count,
+    observed_metrics,
     exchange_count,
     has_node,
     node_count,
@@ -19,6 +20,7 @@ from big_data_medical_analysis_spark.plans.inspect import (  # noqa: F401
 )
 
 __all__ = [
+    "observed_metrics",
     "physical_plan",
     "has_node",
     "node_count",

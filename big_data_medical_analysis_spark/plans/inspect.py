@@ -61,3 +61,20 @@ def read_schemas(df: DataFrame) -> list[str]:
     # plan strings truncate long lines with "..." — capture to end-of-line,
     # not to the closing ">"
     return re.findall(r"ReadSchema: (struct<[^\n]*)", physical_plan(df))
+
+
+def observed_metrics(df, name: str, *exprs):
+    """Attach named observation metrics to a plan and return
+    ``(observed_df, observation)`` — ``observation.get`` yields the metric
+    dict after the first action on the observed frame.
+
+    This is the zero-cost operational-observability surface (row counts,
+    value totals, null tallies collected as accumulator-style metrics
+    during a job, no second pass) — at 100 TB a pipeline asserts its
+    invariants from these instead of re-scanning with ``count()``. Works
+    identically on streaming frames via the listener API.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *exprs), obs

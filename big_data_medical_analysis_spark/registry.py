@@ -114,6 +114,7 @@ _PRIORITY: tuple[str, ...] = (
     "doc_chunk_udtf",
     "doc_repetition_signals",
     "cogrouped_user_profile",
+    "schema_evolution_read",
     # -- oracle-bearing, no r4 driver row (last checked r3 or earlier) --
     "simhash_near_dup",
     "ngram_jaccard_pairs",

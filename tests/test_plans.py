@@ -275,3 +275,34 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
         cust.hint("MERGE"), orders.o_custkey == cust.c_custkey
     )
     assert "SortMergeJoin" in P.physical_plan(merged)
+
+
+def test_observed_metrics_match_result(spark, sf_dir):
+    """observe() metrics must equal what a second aggregation pass would
+    compute — the in-job invariant-check surface (no extra scan)."""
+    import pyspark.sql.functions as F
+
+    from big_data_medical_analysis_spark.sources.readers import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    observed, obs = P.observed_metrics(
+        orders,
+        "orders_audit",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+        F.count_if(F.col("o_custkey").isNull()).alias("null_keys"),
+    )
+    observed.write.mode("overwrite").format("noop").save()
+    got = obs.get
+    want = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+        F.count_if(F.col("o_custkey").isNull()).alias("null_keys"),
+    ).collect()[0]
+    assert got["n_rows"] == want.n_rows
+    assert got["total_cents"] == want.total_cents
+    assert got["null_keys"] == 0
