@@ -1447,3 +1447,46 @@ def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for q in (0.25, 0.50, 0.75, 0.95)
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiplicity-preserving set operations (INTERSECT ALL / EXCEPT ALL)
+# ---------------------------------------------------------------------------
+
+# Dialect-shared SQL: identical bag-semantics operators on both engines.
+_SET_ALL_SQL = """
+WITH small AS (
+  SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity < 25
+),
+large AS (
+  SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity > 10
+),
+ia AS (SELECT * FROM small INTERSECT ALL SELECT * FROM large),
+ea AS (SELECT * FROM small EXCEPT ALL SELECT * FROM large)
+SELECT 'intersect_all' AS op, l_returnflag, l_linestatus,
+       count(*) AS n
+FROM ia GROUP BY 2, 3
+UNION ALL
+SELECT 'except_all' AS op, l_returnflag, l_linestatus,
+       count(*) AS n
+FROM ea GROUP BY 2, 3
+"""
+
+
+@register("lineitem_set_ops_all", oracle=_SET_ALL_SQL, category="setop")
+def lineitem_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations: INTERSECT ALL keeps min(multiplicity)
+    of each row across the two sides, EXCEPT ALL subtracts multiplicities —
+    the forms the distinct set-op queries (segment_nations_union et al.)
+    don't touch, and the ones dedup accounting actually needs (how many
+    COPIES survive, not which values).
+
+    Scale: Catalyst plans both as a single aggregate computing per-row
+    counts on each side then replicating by the min/difference — one
+    shuffle on the row value, no join; the overlapping-filter CTEs share
+    the lineitem scan.
+    """
+    from big_data_medical_analysis_spark.sources.readers import read_table as _rt
+
+    _rt(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_SET_ALL_SQL)

@@ -115,6 +115,7 @@ _PRIORITY: tuple[str, ...] = (
     "doc_repetition_signals",
     "cogrouped_user_profile",
     "schema_evolution_read",
+    "lineitem_set_ops_all",
     # -- oracle-bearing, no r4 driver row (last checked r3 or earlier) --
     "simhash_near_dup",
     "ngram_jaccard_pairs",
