@@ -1490,3 +1490,48 @@ def lineitem_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _rt(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_SET_ALL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Map higher-order functions (transform_values / map_zip_with / map_filter)
+# ---------------------------------------------------------------------------
+
+# The oracle computes the semantically-equal scalars directly — map HOFs
+# differ too much across dialects to share text, but their *values* here
+# reduce to arithmetic on the extracted k, which both engines agree on.
+_MAP_HOF_SQL = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) * 2 AS doubled_k,
+       CAST(json_extract(props, '$.k') AS BIGINT)
+         + CAST(length(event_type) AS BIGINT) AS k_plus_typelen,
+       CAST(json_extract(props, '$.k') AS BIGINT) >= 50 AS big_entry
+FROM events
+WHERE event_id < 1000
+"""
+
+
+@register("props_map_hof_transforms", oracle=_MAP_HOF_SQL, category="scalar")
+def props_map_hof_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: build a real MapType column from the
+    props payload, then ``transform_values`` (per-entry rewrite),
+    ``map_zip_with`` (two-map merge), and ``map_filter`` (entry predicate)
+    — extracting each result back to scalars the oracle reproduces with
+    plain arithmetic, so the driver hash checks the HOF semantics without
+    a dialect-shared map representation.
+
+    Scale: map HOFs are row-local codegen expressions — zero shuffle; the
+    probe filter pushes to the scan.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    k = F.get_json_object("props", "$.k").cast("long")
+    m = F.create_map(F.lit("k"), k)
+    m2 = F.create_map(F.lit("k"), F.length("event_type").cast("long"))
+    doubled = F.transform_values(m, lambda _, v: v * 2)
+    merged = F.map_zip_with(m, m2, lambda _, v1, v2: v1 + v2)
+    kept = F.map_filter(m, lambda _, v: v >= 50)
+    return ev.select(
+        "event_id",
+        F.element_at(doubled, "k").alias("doubled_k"),
+        F.element_at(merged, "k").alias("k_plus_typelen"),
+        (F.size(F.map_keys(kept)) == 1).alias("big_entry"),
+    )

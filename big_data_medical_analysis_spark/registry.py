@@ -116,6 +116,7 @@ _PRIORITY: tuple[str, ...] = (
     "cogrouped_user_profile",
     "schema_evolution_read",
     "lineitem_set_ops_all",
+    "props_map_hof_transforms",
     # -- oracle-bearing, no r4 driver row (last checked r3 or earlier) --
     "simhash_near_dup",
     "ngram_jaccard_pairs",

@@ -306,3 +306,21 @@ def test_observed_metrics_match_result(spark, sf_dir):
     assert got["n_rows"] == want.n_rows
     assert got["total_cents"] == want.total_cents
     assert got["null_keys"] == 0
+
+
+def test_aqe_is_active_and_coalesces_shuffles(spark, sf_dir):
+    """The engine profile's AQE must actually re-plan at runtime — the
+    executed plan of a shuffling aggregate carries AQEShuffleRead
+    (coalesced partitions), the mechanism that right-sizes reducers at
+    100 TB without hand-tuning spark.sql.shuffle.partitions per stage."""
+    from big_data_medical_analysis_spark.sources.readers import read_table
+
+    df = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .count()
+    )
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan" in executed
+    assert "AQEShuffleRead" in executed
