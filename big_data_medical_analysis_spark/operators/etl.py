@@ -786,3 +786,94 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         money_sum("o_totalprice").alias("total_price"),
     )
+
+
+_INCREMENTAL_AGG_SQL = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("incremental_agg_merge", oracle=_INCREMENTAL_AGG_SQL, category="etl")
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation: a BASE partial aggregate (orders before the
+    split date) merged with a DELTA partial aggregate (the rest) by
+    combining sufficient statistics — sum of int64 cents and counts add
+    associatively, so the merged result is bit-equal to the full rescan
+    the oracle performs.
+
+    This is the materialized-view maintenance discipline: at 100 TB you
+    never rescan the base to absorb a day's delta; you keep per-group
+    (count, sum_cents) and fold the delta's partials in. Works for any
+    algebraic aggregate (count/sum/min/max and the moment statistics in
+    lineitem_price_moments); holistic aggregates (exact percentiles) need
+    the sketch tier instead.
+    """
+    from big_data_medical_analysis_spark.operators.common import cents
+
+    orders = read_table(spark, sf_dir, "orders")
+    split = F.to_timestamp(F.lit("1996-01-01 00:00:00"))
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents("o_totalprice")).alias("sum_cents"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < split))
+    delta = partial(orders.filter(F.col("o_orderdate") >= split))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("n").alias("n_orders"), F.sum("sum_cents").alias("sc"))
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            (F.col("sc").cast("double") / 100.0).alias("total_price"),
+        )
+    )
+
+
+_LATEST_EVENT_SQL = """
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+       event_type,
+       CAST(round(value * 100) AS BIGINT) AS value_cents
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@register("latest_event_per_user", oracle=_LATEST_EVENT_SQL, category="etl")
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction: the latest record per key by (ts, id) — the
+    collapse step every change-capture pipeline runs before serving a
+    current-state table, deterministic via the event_id tiebreak.
+
+    Scale: one shuffle on the key + a per-partition top-1 — Spark plans
+    the rn=1 filter as a running-max without materializing the full sort
+    when AQE and the window-group-limit optimization apply; for heavy
+    skew, pre-aggregate max_by(struct(ts, event_id)) per key map-side.
+    """
+    from big_data_medical_analysis_spark.operators.common import cents, ts_str
+
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            ts_str("ts").alias("ts_str"),
+            "event_type",
+            cents("value").alias("value_cents"),
+        )
+    )

@@ -117,6 +117,8 @@ _PRIORITY: tuple[str, ...] = (
     "schema_evolution_read",
     "lineitem_set_ops_all",
     "props_map_hof_transforms",
+    "incremental_agg_merge",
+    "latest_event_per_user",
     # -- oracle-bearing, no r4 driver row (last checked r3 or earlier) --
     "simhash_near_dup",
     "ngram_jaccard_pairs",

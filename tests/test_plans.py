@@ -324,3 +324,23 @@ def test_aqe_is_active_and_coalesces_shuffles(spark, sf_dir):
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "AdaptiveSparkPlan" in executed
     assert "AQEShuffleRead" in executed
+
+
+def test_range_partitioned_sorted_layout(spark, sf_dir):
+    """The sorted-write layout path (repartitionByRange +
+    sortWithinPartitions) must plan a RangePartitioning exchange with an
+    in-partition sort and NO extra shuffle — the data-skipping enabler:
+    range-partitioned, internally-sorted files give min/max pruning on
+    the sort key at read time."""
+    from pyspark.sql import functions as F
+
+    from big_data_medical_analysis_spark.sources.readers import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    laid_out = orders.repartitionByRange(8, "o_orderdate").sortWithinPartitions(
+        "o_orderdate", "o_orderkey"
+    )
+    plan = P.physical_plan(laid_out)
+    assert "rangepartitioning" in plan.lower()
+    assert plan.count("Exchange") == 1
+    assert "Sort" in plan
