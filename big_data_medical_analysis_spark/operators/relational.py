@@ -1535,3 +1535,39 @@ def props_map_hof_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(merged, "k").alias("k_plus_typelen"),
         (F.size(F.map_keys(kept)) == 1).alias("big_entry"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouping indicator functions (grouping / grouping_id over ROLLUP)
+# ---------------------------------------------------------------------------
+
+# Dialect-shared: identical indicator semantics on both engines.
+_GROUPING_ID_SQL = """
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+  CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+  count(*) AS n_orders,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+    AS total_price
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+@register("revenue_rollup_grouping_id", oracle=_GROUPING_ID_SQL, category="aggregation")
+def revenue_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping indicator functions over ROLLUP: ``grouping(col)`` tells a
+    consumer whether a NULL key cell means "subtotal across this column"
+    or a genuine NULL value, and ``grouping_id`` encodes the full subtotal
+    level — without them rollup/cube output is ambiguous whenever group
+    keys are nullable. Complements revenue_rollup (which pins the
+    subtotal VALUES) by pinning the level-indicator surface.
+
+    Scale: the indicators are free metadata of the expand+aggregate plan
+    rollup already runs — same single shuffle.
+    """
+    _ = read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GROUPING_ID_SQL)

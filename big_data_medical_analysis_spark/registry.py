@@ -119,6 +119,7 @@ _PRIORITY: tuple[str, ...] = (
     "props_map_hof_transforms",
     "incremental_agg_merge",
     "latest_event_per_user",
+    "revenue_rollup_grouping_id",
     # -- oracle-bearing, no r4 driver row (last checked r3 or earlier) --
     "simhash_near_dup",
     "ngram_jaccard_pairs",
