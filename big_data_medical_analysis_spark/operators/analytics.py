@@ -232,21 +232,28 @@ def daily_user_value_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Deterministic arg-extremes over a non-unique measure: both engines break
-# ties identically by ranking on a composite integer (cents ⊕ orderkey).
-# The composite fits int64 comfortably at driver scale (cents < 2^26,
-# orderkey < 2^23 at sf0.1); at 100 TB you would rank on a struct
-# (cents, orderkey) instead — Spark's max_by supports orderable structs,
-# DuckDB's arg_max does not, and the oracle has to run on both.
+# ties identically by ranking on a fixed-width zero-padded string key
+# lpad(cents, 12) || lpad(orderkey, 12) — lexicographic order on
+# fixed-width non-negative digit strings IS numeric (cents, orderkey)
+# order, at ANY scale. A composite integer cents*10^7 + orderkey (the
+# round-5 form) aliases distinct pairs once orderkey >= 10^7 (~sf 2.5);
+# Spark's max_by would take an orderable struct, but DuckDB's arg_max
+# would not, and the oracle has to run on both — the string key is the
+# portable alias-free form (ADVICE r5).
 _EXTREMES_SQL = """
 SELECT
   c.c_mktsegment,
   count(*) AS n_orders,
   CAST(count_if(o.o_totalprice > 150000.0) AS BIGINT) AS n_big,
   max_by(o.o_orderkey,
-         CAST(round(o.o_totalprice * 100) AS BIGINT) * 10000000 + o.o_orderkey)
+         lpad(CAST(CAST(round(o.o_totalprice * 100) AS BIGINT) AS VARCHAR),
+              12, '0')
+         || lpad(CAST(o.o_orderkey AS VARCHAR), 12, '0'))
     AS priciest_order,
   min_by(o.o_orderkey,
-         CAST(round(o.o_totalprice * 100) AS BIGINT) * 10000000 + o.o_orderkey)
+         lpad(CAST(CAST(round(o.o_totalprice * 100) AS BIGINT) AS VARCHAR),
+              12, '0')
+         || lpad(CAST(o.o_orderkey AS VARCHAR), 12, '0'))
     AS cheapest_order,
   CAST(max(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
     AS max_price
@@ -267,7 +274,10 @@ def order_extremes_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer")
-    rank = cents("o_totalprice") * F.lit(10000000) + F.col("o_orderkey")
+    rank = F.concat(
+        F.lpad(cents("o_totalprice").cast("string"), 12, "0"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+    )
     return (
         orders.join(
             F.broadcast(cust.select("c_custkey", "c_mktsegment")),

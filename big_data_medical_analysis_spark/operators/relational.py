@@ -1337,11 +1337,16 @@ SELECT
   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
   CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
   CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
-  CAST(count_if(json_extract(props, '$.missing') IS NOT NULL) AS BIGINT)
+  CAST(count_if(json_extract_string(props, '$.missing') IS NOT NULL) AS BIGINT)
     AS n_with_missing
 FROM events
 GROUP BY event_type
 """
+# json_extract_string (not json_extract): for a key holding an explicit
+# JSON null, json_extract returns the JSON value 'null' (IS NOT NULL =
+# true) while Spark's variant_get(..., 'string') returns SQL NULL;
+# json_extract_string returns SQL NULL for both absent keys and JSON
+# nulls, matching the variant path on both counts (ADVICE r5).
 
 
 @register("event_props_variant", oracle=_PROPS_VARIANT_SQL, category="scalar")
@@ -1508,6 +1513,11 @@ SELECT event_id,
 FROM events
 WHERE event_id < 1000
 """
+# big_entry NULL contract: a missing/JSON-null '$.k' yields NULL on BOTH
+# sides — the oracle's CAST(NULL AS BIGINT) >= 50 is NULL, and the Spark
+# expression below wraps the map_filter size check in F.when(k.isNull(),
+# NULL) because map_filter would otherwise silently DROP the entry and
+# render false where the oracle renders NULL (ADVICE r5).
 
 
 @register("props_map_hof_transforms", oracle=_MAP_HOF_SQL, category="scalar")
@@ -1533,7 +1543,9 @@ def props_map_hof_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.element_at(doubled, "k").alias("doubled_k"),
         F.element_at(merged, "k").alias("k_plus_typelen"),
-        (F.size(F.map_keys(kept)) == 1).alias("big_entry"),
+        F.when(k.isNull(), F.lit(None).cast("boolean"))
+        .otherwise(F.size(F.map_keys(kept)) == 1)
+        .alias("big_entry"),
     )
 
 

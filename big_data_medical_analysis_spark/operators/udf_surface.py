@@ -244,6 +244,192 @@ def fedavg_client_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 3b. Multi-round federated averaging (full oracle)
+# ---------------------------------------------------------------------------
+
+FEDAVG_N_ROUNDS = 3
+FEDAVG_N_CLIENTS = 4
+FEDAVG_LAMBDA = 25.0  # ridge pull toward the server state (warm start)
+
+# Portable client split: md5 hex prefix of "orderkey:linenumber" mod K —
+# the same engine-portable hash as sketches.cm_bucket, so DuckDB assigns
+# every row to the IDENTICAL client shard (unlike xxhash64's engine-specific
+# split in fedavg_client_weights, which is why that one is rows-only).
+_FEDAVG_CLIENT_SPARK = (
+    "CAST(pmod(CAST(conv(substring(md5(concat(CAST(l_orderkey AS STRING), ':', "
+    "CAST(l_linenumber AS STRING))), 1, 8), 16, 10) AS BIGINT), "
+    f"{FEDAVG_N_CLIENTS}) AS INT)"
+)
+_FEDAVG_CLIENT_DUCK = (
+    "CAST(CAST(concat('0x', substr(md5(concat(CAST(l_orderkey AS VARCHAR), ':', "
+    "CAST(l_linenumber AS VARCHAR))), 1, 8)) AS BIGINT) "
+    f"% {FEDAVG_N_CLIENTS} AS INTEGER)"
+)
+
+
+def _fedavg_fit_exprs(lam: float) -> tuple[str, str]:
+    """SQL text for the per-client ridge solve — ONE source of truth used by
+    BOTH the Spark ``selectExpr`` and the DuckDB oracle, so the IEEE
+    operation trees (and therefore every low-order bit) are identical.
+
+    Closed-form 2×2 ridge toward the server state (s0, s1):
+        w = (XᵀX + λI)⁻¹ (Xᵀy + λ·s)
+    over exact int64 sufficient statistics (n, sx, sy, sxx, sxy) in cents
+    space — the integer sums are order-independent, the double arithmetic
+    after them is a fixed tree of single IEEE ops, and the result is
+    quantized to int64 micro-units so the next round consumes exact values.
+    """
+    b0 = f"(CAST(sy AS DOUBLE) + {lam} * s0)"
+    b1 = f"(CAST(sxy AS DOUBLE) + {lam} * s1)"
+    det = (
+        f"((CAST(n AS DOUBLE) + {lam}) * (CAST(sxx AS DOUBLE) + {lam}) "
+        f"- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    w0 = (
+        f"(((CAST(sxx AS DOUBLE) + {lam}) * {b0} "
+        f"- CAST(sx AS DOUBLE) * {b1}) / {det})"
+    )
+    w1 = (
+        f"(((CAST(n AS DOUBLE) + {lam}) * {b1} "
+        f"- CAST(sx AS DOUBLE) * {b0}) / {det})"
+    )
+    return (
+        f"CAST(round({w0} * 1000000.0) AS BIGINT) AS w0m",
+        f"CAST(round({w1} * 1000000.0) AS BIGINT) AS w1m",
+    )
+
+
+# Server step, shared text: weighted average of the client micro-weights,
+# rounded straight from the single division (NOT divided by 1e6 and
+# re-multiplied — one op tree, bit-identical on both engines).
+_FEDAVG_SRV_EXPRS = (
+    "CAST(round(CAST(sum(n * w0m) AS DOUBLE) / CAST(sum(n) AS DOUBLE)) "
+    "AS BIGINT) AS s0m",
+    "CAST(round(CAST(sum(n * w1m) AS DOUBLE) / CAST(sum(n) AS DOUBLE)) "
+    "AS BIGINT) AS s1m",
+    "CAST(sum(n) AS BIGINT) AS total",
+)
+
+
+def _fedavg_oracle() -> str:
+    w0m, w1m = _fedavg_fit_exprs(FEDAVG_LAMBDA)
+    s0m, s1m, total = _FEDAVG_SRV_EXPRS
+    parts = [
+        f"""WITH shards AS (
+  SELECT {_FEDAVG_CLIENT_DUCK} AS client,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+  FROM lineitem
+), stats AS (
+  SELECT client, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(qc) AS BIGINT) AS sx, CAST(sum(yc) AS BIGINT) AS sy,
+         CAST(sum(qc * qc) AS BIGINT) AS sxx,
+         CAST(sum(qc * yc) AS BIGINT) AS sxy
+  FROM shards GROUP BY client
+), srv0 AS (SELECT 0.0 AS s0, 0.0 AS s1)"""
+    ]
+    for r in range(1, FEDAVG_N_ROUNDS + 1):
+        parts.append(
+            f""", fit{r} AS (
+  SELECT client, n, {w0m}, {w1m} FROM stats, srv{r - 1}
+), srv{r}agg AS (
+  SELECT {s0m}, {s1m}, {total} FROM fit{r}
+), srv{r} AS (
+  SELECT CAST(s0m AS DOUBLE) / 1000000.0 AS s0,
+         CAST(s1m AS DOUBLE) / 1000000.0 AS s1 FROM srv{r}agg
+)"""
+        )
+    selects = []
+    for r in range(1, FEDAVG_N_ROUNDS + 1):
+        selects.append(
+            f"""SELECT {r} AS fed_round, client, n,
+       CAST(w0m AS DOUBLE) / 1000000.0 AS w0,
+       CAST(w1m AS DOUBLE) / 1000000.0 AS w1 FROM fit{r}"""
+        )
+        selects.append(
+            f"""SELECT {r} AS fed_round, -1 AS client, total AS n,
+       CAST(s0m AS DOUBLE) / 1000000.0 AS w0,
+       CAST(s1m AS DOUBLE) / 1000000.0 AS w1 FROM srv{r}agg"""
+        )
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register("fedavg_rounds", oracle=_fedavg_oracle(), category="udf")
+def fedavg_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-round federated averaging — the reference's 3-round loop
+    (src/federated_learning_pipeline.py:135-153) where each round's local
+    fits warm-start from the PREVIOUS round's averaged server weights:
+    per-client closed-form ridge regression toward the server state
+    (w = (XᵀX+λI)⁻¹(Xᵀy+λ·s)), then a weight-by-sample-count server
+    average, iterated {FEDAVG_N_ROUNDS}× with λ={FEDAVG_LAMBDA}. Output: one
+    row per (round, client) plus a client=-1 server row per round.
+
+    Unlike fedavg_client_weights (one lstsq round, rows-only), every step
+    here is SQL-expressible, so the whole multi-round trajectory carries a
+    FULL value oracle: portable md5 client split, exact int64 sufficient
+    statistics, and a shared expression template (``_fedavg_fit_exprs``)
+    that guarantees Spark and DuckDB execute identical IEEE op trees.
+
+    Scale: the ONLY pass over data computes per-client (n, Σx, Σy, Σx²,
+    Σxy) — one map-side-combinable shuffle, localCheckpointed at K rows.
+    Every subsequent round is arithmetic on the K-row frame against a
+    broadcast 1-row server state: round count never re-touches the 100 TB,
+    which is exactly why sufficient-statistics federation beats shipping
+    raw shards. The driver-loop-with-K-row-state split of
+    ``fedavg_weights`` stays available for non-closed-form local trainers.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    shards = li.selectExpr(
+        f"{_FEDAVG_CLIENT_SPARK} AS client",
+        "CAST(round(l_quantity * 100) AS BIGINT) AS qc",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS yc",
+    )
+    stats = (
+        shards.groupBy("client")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qc").alias("sx"),
+            F.sum("yc").alias("sy"),
+            F.sum(F.col("qc") * F.col("qc")).alias("sxx"),
+            F.sum(F.col("qc") * F.col("yc")).alias("sxy"),
+        )
+        .localCheckpoint()  # K rows; cuts the lineitem scan out of the loop
+    )
+    w0m, w1m = _fedavg_fit_exprs(FEDAVG_LAMBDA)
+    server = spark.range(1).selectExpr("0.0 AS s0", "0.0 AS s1")
+    out: DataFrame | None = None
+    for r in range(1, FEDAVG_N_ROUNDS + 1):
+        fits = stats.crossJoin(F.broadcast(server)).selectExpr(
+            "client", "n", w0m, w1m
+        )
+        srv = fits.selectExpr(*_FEDAVG_SRV_EXPRS)
+        client_rows = fits.selectExpr(
+            f"{r} AS fed_round",
+            "client",
+            "n",
+            "CAST(w0m AS DOUBLE) / 1000000.0 AS w0",
+            "CAST(w1m AS DOUBLE) / 1000000.0 AS w1",
+        )
+        server_row = srv.selectExpr(
+            f"{r} AS fed_round",
+            "-1 AS client",
+            "total AS n",
+            "CAST(s0m AS DOUBLE) / 1000000.0 AS w0",
+            "CAST(s1m AS DOUBLE) / 1000000.0 AS w1",
+        )
+        out = client_rows if out is None else out.unionAll(client_rows)
+        out = out.unionAll(server_row)
+        server = srv.selectExpr(
+            "CAST(s0m AS DOUBLE) / 1000000.0 AS s0",
+            "CAST(s1m AS DOUBLE) / 1000000.0 AS s1",
+        )
+    assert out is not None
+    return out
+
+
+# ---------------------------------------------------------------------------
 # 4. Grouped pandas UDAF (one row per group): per-label centroid
 # ---------------------------------------------------------------------------
 

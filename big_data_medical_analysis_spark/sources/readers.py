@@ -47,8 +47,20 @@ def _events_ts_unit(path: str) -> str | None:
             _glob.glob(os.path.join(probe, "*.parquet"))
             or _glob.glob(os.path.join(probe, "part-*"))
         )
+        if not parts:
+            raise FileNotFoundError(
+                f"events parquet probe: no *.parquet / part-* files under "
+                f"{probe!r} — cannot determine the ts physical unit"
+            )
         probe = parts[0]
+    import pyarrow as pa
+
     t = pq.read_schema(probe).field("ts").type
+    if not (pa.types.is_timestamp(t) or pa.types.is_integer(t)):
+        raise TypeError(
+            f"events.ts has unsupported physical type {t} in {probe!r} — "
+            "expected a parquet TIMESTAMP (ns/us/ms) or a raw int64"
+        )
     unit = getattr(t, "unit", None)
     if unit is not None and getattr(t, "tz", None) is not None:
         unit = f"{unit}+tz"  # isAdjustedToUTC=true → Spark TimestampType
@@ -91,18 +103,29 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # comparisons assume UTC), so inheriting it is correct.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         unit = _events_ts_unit(path)
-        if unit is not None and unit.startswith("ns"):
+        if unit is None:
+            # genuine raw int64 physical column (no timestamp annotation):
+            # no unit metadata exists, so by documented convention the
+            # engine interprets it as epoch MICROSECONDS — integer
+            # arithmetic, no nanosAsLong conf needed (the column already
+            # reads as long). A wrong-unit generation fails loudly
+            # downstream (instants land millennia away), not silently.
+            raw = spark.read.schema(schemas.EVENTS_PHYSICAL).parquet(path)
+            ts = F.timestamp_micros(F.col("ts"))
+        elif unit.startswith("ns"):
             # nanos (adjusted or not): Spark's reader rejects the type
             # outright, so both variants go through the raw-int64 path
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             raw = spark.read.schema(schemas.EVENTS_PHYSICAL).parquet(path)
             ts = F.timestamp_micros(F.expr("ts DIV 1000"))
-        elif unit is not None and unit.endswith("+tz"):
+        elif unit.endswith("+tz"):
             # isAdjustedToUTC=true: already an instant; Spark reads it as
             # TimestampType natively (logical EVENTS schema as-is)
             raw = spark.read.schema(schemas.EVENTS).parquet(path)
             ts = F.col("ts")
         else:
+            # micros/millis, isAdjustedToUTC=false: read as TimestampNTZ
+            # and pin the instant under the UTC session zone
             raw = spark.read.schema(schemas.EVENTS_PHYSICAL_NTZ).parquet(path)
             ts = F.col("ts").cast("timestamp")
         return raw.withColumn("ts", ts).select(

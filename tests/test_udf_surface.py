@@ -108,3 +108,96 @@ def test_model_eval_prediction_matches_expression(spark, sf_dir):
         expr_pred.alias("expr_pred"),
     )
     assert both.filter(F.col("udf_pred") != F.col("expr_pred")).count() == 0
+
+
+def test_fedavg_rounds_matches_numpy_trajectory(spark, sf_dir):
+    """The multi-round fed-avg trajectory (fedavg_rounds) must equal a
+    driver-side numpy reproduction from the same per-client sufficient
+    statistics: per-round ridge solve toward the quantized server state,
+    then the sample-weighted server average — round over round."""
+    rows = U.fedavg_rounds(spark, sf_dir).collect()
+    by_round: dict[int, dict[int, tuple]] = {}
+    for r in rows:
+        by_round.setdefault(r.fed_round, {})[r.client] = (r.n, r.w0, r.w1)
+    assert sorted(by_round) == list(range(1, U.FEDAVG_N_ROUNDS + 1))
+    for rnd in by_round.values():
+        assert sorted(rnd) == [-1] + list(range(U.FEDAVG_N_CLIENTS))
+
+    # Rebuild the exact int64 sufficient statistics with Spark (same split),
+    # then replay the rounds in numpy.
+    li = read_table(spark, sf_dir, "lineitem")
+    stats = (
+        li.selectExpr(
+            f"{U._FEDAVG_CLIENT_SPARK} AS client",
+            "CAST(round(l_quantity * 100) AS BIGINT) AS qc",
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS yc",
+        )
+        .groupBy("client")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qc").alias("sx"),
+            F.sum("yc").alias("sy"),
+            F.sum(F.col("qc") * F.col("qc")).alias("sxx"),
+            F.sum(F.col("qc") * F.col("yc")).alias("sxy"),
+        )
+        .collect()
+    )
+    lam = U.FEDAVG_LAMBDA
+    s0 = s1 = 0.0
+    for rnd in range(1, U.FEDAVG_N_ROUNDS + 1):
+        got = by_round[rnd]
+        num0 = num1 = den = 0
+        for st in stats:
+            b0 = float(st.sy) + lam * s0
+            b1 = float(st.sxy) + lam * s1
+            det = (float(st.n) + lam) * (float(st.sxx) + lam) - float(
+                st.sx
+            ) * float(st.sx)
+            w0 = ((float(st.sxx) + lam) * b0 - float(st.sx) * b1) / det
+            w1 = ((float(st.n) + lam) * b1 - float(st.sx) * b0) / det
+            w0m = int(np.copysign(np.floor(abs(w0 * 1e6) + 0.5), w0 * 1e6))
+            w1m = int(np.copysign(np.floor(abs(w1 * 1e6) + 0.5), w1 * 1e6))
+            gn, gw0, gw1 = got[st.client]
+            assert gn == st.n
+            assert gw0 == pytest.approx(w0m / 1e6, abs=2e-6)
+            assert gw1 == pytest.approx(w1m / 1e6, abs=2e-6)
+            num0 += st.n * w0m
+            num1 += st.n * w1m
+            den += st.n
+        r0 = num0 / den
+        r1 = num1 / den
+        s0m = int(np.copysign(np.floor(abs(r0) + 0.5), r0))
+        s1m = int(np.copysign(np.floor(abs(r1) + 0.5), r1))
+        gn, gw0, gw1 = got[-1]
+        assert gn == den
+        assert gw0 == pytest.approx(s0m / 1e6, abs=2e-6)
+        assert gw1 == pytest.approx(s1m / 1e6, abs=2e-6)
+        s0, s1 = s0m / 1e6, s1m / 1e6
+
+
+def test_fedavg_rounds_server_converges_toward_ols(spark, sf_dir):
+    """Ridge-toward-server has the global OLS solution as its fixed point:
+    the server slope must move closer to the pooled OLS slope each round."""
+    rows = U.fedavg_rounds(spark, sf_dir).collect()
+    servers = {r.fed_round: (r.w0, r.w1) for r in rows if r.client == -1}
+    li = read_table(spark, sf_dir, "lineitem")
+    st = li.selectExpr(
+        "CAST(round(l_quantity * 100) AS BIGINT) AS qc",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS yc",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qc").alias("sx"),
+        F.sum("yc").alias("sy"),
+        F.sum(F.col("qc") * F.col("qc")).alias("sxx"),
+        F.sum(F.col("qc") * F.col("yc")).alias("sxy"),
+    ).collect()[0]
+    det = st.n * st.sxx - st.sx * st.sx
+    ols_w1 = (st.n * st.sxy - st.sx * st.sy) / det
+    dists = [
+        abs(servers[r][1] - ols_w1) for r in range(1, U.FEDAVG_N_ROUNDS + 1)
+    ]
+    assert dists == sorted(dists, reverse=True), (
+        f"server slope must approach pooled OLS monotonically: {dists}"
+    )
+    # after the final round the server slope is within 20% of pooled OLS
+    assert dists[-1] <= 0.2 * abs(ols_w1)

@@ -116,7 +116,6 @@ def main() -> int:
             res = con.sql(q.oracle)
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
-            ddf = con.sql(q.oracle).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
@@ -125,13 +124,14 @@ def main() -> int:
         problems = []
         # Rendering-type parity guard: the REAL driver canonicalizes the
         # oracle result through pandas, where DuckDB HUGEINT (e.g. a raw
-        # sum(BIGINT)) and Decimal columns become float64 — rendering
+        # sum(BIGINT)) and DECIMAL columns become float64 — rendering
         # "42.0" against Spark's int64 "42" and failing the value hash
         # even though every value is equal (CORRECTNESS_r04's
-        # small_order_revenue). fetchall() hides that, so check the
-        # pandas dtypes explicitly: an integral Spark column whose oracle
-        # twin comes back float (with no NULLs to explain it) means the
-        # oracle needs an explicit CAST(... AS BIGINT/DOUBLE).
+        # small_order_revenue). Inspect the DuckDB result TYPES directly
+        # (res.types) rather than the fetched pandas dtypes: a dtype check
+        # had to skip NULL-bearing columns (int + NULL also fetches as
+        # float), which let a nullable HUGEINT column slip through to fail
+        # only at the driver (ADVICE r5). Type names never lie about this.
         from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
         spark_int_cols = {
@@ -139,12 +139,14 @@ def main() -> int:
             for f in sdf.schema.fields
             if isinstance(f.dataType, (ByteType, ShortType, IntegerType, LongType))
         }
-        for col in spark_int_cols & set(dcols):
-            if ddf[col].dtype.kind == "f" and not ddf[col].isna().any():
+        duck_types = {c: str(t).upper() for c, t in zip(res.columns, res.types)}
+        for col in sorted(spark_int_cols & set(dcols)):
+            dt = duck_types.get(col, "")
+            if dt.startswith(("HUGEINT", "UHUGEINT", "DECIMAL", "DOUBLE", "FLOAT")):
                 problems.append(
                     f"driver-render hazard: '{col}' is integral in Spark "
-                    "but pandas-renders as float from DuckDB "
-                    "(HUGEINT/Decimal) — CAST the oracle output"
+                    f"but {dt} from DuckDB (pandas-renders as float) — "
+                    "CAST the oracle output to BIGINT"
                 )
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
