@@ -100,12 +100,49 @@ def assign_client(df: DataFrame, key_cols: list[str], n_clients: int) -> DataFra
 @register("deterministic_client_split", oracle=None, category="etl")
 def deterministic_client_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Client-shard sizes under the deterministic hash split (4 clients on
-    orders). No oracle: xxhash64 is engine-specific; disjointness/completeness
-    are property-tested in tests/test_etl.py."""
+    orders). No oracle: xxhash64 is engine-specific (DuckDB has no
+    compatible implementation, so the split is irreproducible there by
+    construction); disjointness/completeness are property-tested in
+    tests/test_etl.py, and ``portable_client_split`` below is the
+    fully-oracle-checked twin of the same capability on the portable md5
+    hash (as is ``fedavg_rounds``' client assignment)."""
     orders = read_table(spark, sf_dir, "orders")
     return (
         assign_client(orders, ["o_orderkey"], 4)
         .groupBy("client")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_PORTABLE_SPLIT_SQL = """
+SELECT CAST(CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+            AS BIGINT) % 4 AS INTEGER) AS client,
+       count(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
+@register("portable_client_split", oracle=_PORTABLE_SPLIT_SQL, category="etl")
+def portable_client_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic client split on the PORTABLE md5 hash: identical
+    shard assignment on any engine (the full-oracle twin of
+    ``deterministic_client_split``; the same hash family drives
+    ``fedavg_rounds`` and the sketch pillar). Production guidance: inside
+    one Spark deployment ``xxhash64`` is faster (one JVM intrinsic vs an
+    md5 + hex parse); the md5 split is for splits that must be
+    *reproducible across engines* — e.g. a train/eval boundary shared with
+    a non-Spark scoring system. One map-side-combinable aggregate."""
+    orders = read_table(spark, sf_dir, "orders")
+    client = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(4),
+    ).cast("int")
+    return (
+        orders.groupBy(client.alias("client"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
@@ -382,22 +419,63 @@ def partitioned_parquet_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_BATCH_SHARDS = 64
+BATCH_SHUFFLE_SEED = "seed42"
+
+# The batch-size histogram is a pure function of the SHARD COUNTS (each
+# shard of n rows yields n//32 full batches and one n%32 tail), and the
+# shard split is the portable md5 hash — so the histogram is fully
+# SQL-expressible even though the within-shard order is not part of the
+# output. DuckDB rebuilds the identical shard counts and derives the
+# identical histogram.
+_SEEDED_BATCH_SQL = f"""
+WITH counts AS (
+  SELECT CAST(concat('0x', substr(md5(concat(CAST(o_orderkey AS VARCHAR),
+                                             ':{BATCH_SHUFFLE_SEED}')), 1, 8))
+              AS BIGINT) % {N_BATCH_SHARDS} AS shard,
+         count(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT CAST(32 AS BIGINT) AS batch_size,
+       CAST(sum(n // 32) AS BIGINT) AS n_batches
+FROM counts HAVING sum(n // 32) > 0
+UNION ALL
+SELECT CAST(n % 32 AS BIGINT) AS batch_size,
+       CAST(count(*) AS BIGINT) AS n_batches
+FROM counts WHERE n % 32 > 0 GROUP BY n % 32
+"""
 
 
-@register("seeded_shuffle_batches", oracle=None, category="etl")
+@register("seeded_shuffle_batches", oracle=_SEEDED_BATCH_SQL, category="etl")
 def seeded_shuffle_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded shuffle + fixed-size batching (SURVEY §2.1 row 33 — the
     reference's ``dataset.shuffle(buffer).batch(32)``), the distributed way:
-    rows are dealt into N_BATCH_SHARDS deterministic shards
-    (``pmod(xxhash64(key), N)``), locally ordered by ``rand(seed)``, and
-    sliced into 32-row batches per shard. A *globally* contiguous batch
-    numbering would need row_number over an unpartitioned window — one task
-    holding the whole table; sharded batching keeps every window task at
-    1/N of the data and only underfills ≤ N tail batches. Output: batch-size
-    histogram. No oracle (engine RNG); batch-size property below."""
+    rows are dealt into N_BATCH_SHARDS deterministic shards (portable md5
+    of key+seed), locally ordered by a second salted md5 (the "shuffle" —
+    changing the seed string permutes everything, and any engine or rerun
+    reproduces the identical order, unlike ``rand(seed)`` whose stream is
+    engine- and partition-layout-specific), and sliced into 32-row batches
+    per shard. A *globally* contiguous batch numbering would need
+    row_number over an unpartitioned window — one task holding the whole
+    table; sharded batching keeps every window task at 1/N of the data and
+    only underfills ≤ N tail batches. Output: batch-size histogram, now
+    FULLY oracle-checked (the histogram is a function of the portable
+    shard counts alone)."""
     orders = read_table(spark, sf_dir, "orders")
-    shard = F.pmod(F.xxhash64("o_orderkey"), F.lit(N_BATCH_SHARDS))
-    w = W.partitionBy(shard).orderBy(F.rand(42), F.col("o_orderkey"))
+    key = F.col("o_orderkey").cast("string")
+    shard = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(key, F.lit(f":{BATCH_SHUFFLE_SEED}"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(N_BATCH_SHARDS),
+    )
+    shuffle_key = F.md5(
+        F.concat(F.lit("shuffle:"), key, F.lit(f":{BATCH_SHUFFLE_SEED}"))
+    )
+    w = W.partitionBy(shard).orderBy(shuffle_key, F.col("o_orderkey"))
     batched = orders.withColumn(
         "batch",
         shard * F.lit(1_000_000_000)

@@ -662,6 +662,113 @@ def read_pickle_blobs(spark: SparkSession, path: str, glob: str = "*.pkl") -> Da
     ).select("path", "length", "meta.keys", "meta.shape")
 
 
+PKL_N_BLOBS = 200
+
+
+@register("pkl_png_roundtrip", oracle=None, category="multimodal")
+def pkl_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's pkl→PNG conversion path as one distributed query
+    (utils/pkl_to_png_converter.py:12-31: unpickle a GradCAM dict, take the
+    'cxr_img' tensor's first channel, render grayscale, save a PNG):
+
+    1. a deterministic GradCAM-style pickle corpus ({'cxr_img': float32
+       (1,H,W), 'task', 'gt'}) is written once per session via
+       ``foreachPartition`` (deterministic file names — idempotent under
+       task retry, same discipline as ``write_images``);
+    2. ``binaryFile`` scan reads the .pkl blobs back (the
+       ``read_pickle_blobs`` ingest surface);
+    3. ONE fused mapInPandas pass unpickles, min-max renders the tensor to
+       uint8 (the plt.imshow(cmap='gray') normalization), PNG-encodes with
+       the stdlib codec, decodes back, and checks the roundtrip.
+
+    Rows-only by contract (binary content; PNG bytes are not
+    SQL-expressible); the encode→decode identity is asserted in-query
+    (``n_roundtrip_ok``) and the rendered range (0..255 for non-constant
+    tensors) is property-tested in tests/test_multimodal.py.
+
+    Scale: the writer and converter are pure map stages over fan_out
+    partitions — no shuffle until the final tiny per-task aggregate; each
+    blob crosses the Arrow boundary exactly once.
+    """
+    import getpass
+    import os
+    import tempfile
+
+    from big_data_medical_analysis_spark.sources.readers import read_binary_dir
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_pkl_blobs_{getpass.getuser()}"
+    )
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("img_id")
+    ).filter(F.col("img_id") < PKL_N_BLOBS)
+    src = fan_out(docs, "img_id")
+
+    def _write_part(rows):
+        import os as _os
+        import pickle
+
+        _os.makedirs(out_dir, exist_ok=True)
+        for r in rows:
+            i = int(r["img_id"])
+            rng = np.random.RandomState(i % (2**31))
+            payload = {
+                "cxr_img": rng.rand(1, IMG_SIDE, IMG_SIDE).astype(np.float32),
+                "task": f"task_{i % 4}",
+                "gt": i % 2,
+            }
+            with open(_os.path.join(out_dir, f"map_{i:05d}.pkl"), "wb") as f:
+                pickle.dump(payload, f)
+
+    src.foreachPartition(_write_part)
+
+    def _convert(batches):
+        import pickle
+        import re
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "img_id": [], "task": [], "gt": [], "png_bytes": [],
+                "p_min": [], "p_max": [], "roundtrip_ok": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = re.search(r"map_(\d+)\.pkl", str(path))
+                img_id = int(m.group(1)) if m else -1
+                obj = pickle.loads(bytes(content))
+                arr = np.asarray(obj["cxr_img"], dtype=np.float64)[0]
+                lo, hi = float(arr.min()), float(arr.max())
+                if hi > lo:
+                    img = np.floor(
+                        (arr - lo) / (hi - lo) * 255.0 + 0.5
+                    ).astype(np.uint8)
+                else:
+                    img = np.zeros_like(arr, dtype=np.uint8)
+                png = encode_png(img, img_id % 5)
+                back = decode_png(png)
+                out["img_id"].append(img_id)
+                out["task"].append(str(obj["task"]))
+                out["gt"].append(int(obj["gt"]))
+                out["png_bytes"].append(len(png))
+                out["p_min"].append(int(back.min()))
+                out["p_max"].append(int(back.max()))
+                out["roundtrip_ok"].append(bool(np.array_equal(img, back)))
+            yield pd.DataFrame(out)
+
+    stats = read_binary_dir(spark, out_dir, glob="*.pkl").mapInPandas(
+        _convert,
+        "img_id long, task string, gt int, png_bytes int, "
+        "p_min int, p_max int, roundtrip_ok boolean",
+    )
+    return stats.groupBy("task").agg(
+        F.count(F.lit(1)).alias("n_maps"),
+        F.sum(F.col("roundtrip_ok").cast("long")).alias("n_roundtrip_ok"),
+        F.sum(F.col("gt").cast("long")).alias("n_positive"),
+        F.min("p_min").alias("min_pixel"),
+        F.max("p_max").alias("max_pixel"),
+        F.round(F.avg("png_bytes"), 2).alias("avg_png_bytes"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Resize / frame-sample / audio kernels (brief §multimodal: decode,
 # feature-extract, resize, frame-sample — codec-free deterministic forms;

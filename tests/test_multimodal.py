@@ -15,6 +15,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from big_data_medical_analysis_spark.operators import multimodal as M
+from big_data_medical_analysis_spark.sources.readers import read_table
 
 
 def test_equalize_hist_stretches_range():
@@ -369,3 +370,26 @@ def test_png_roundtrip_property(img, ft):
 def test_wav_roundtrip_property(pcm, rate):
     back, got_rate = M.decode_wav(M.encode_wav(pcm.astype("<i2"), rate))
     assert got_rate == rate and np.array_equal(back, pcm)
+
+
+def test_pkl_png_roundtrip_full_range_and_identity(spark, sf_dir):
+    """Every GradCAM-style blob must survive unpickle → render → PNG encode
+    → decode byte-exactly, and min-max rendering must span 0..255 for
+    non-constant tensors (the plt gray-render normalization)."""
+    from big_data_medical_analysis_spark.operators.multimodal import (
+        PKL_N_BLOBS,
+        pkl_png_roundtrip,
+    )
+
+    rows = pkl_png_roundtrip(spark, sf_dir).collect()
+    assert rows, "no task cohorts produced"
+    total = sum(r.n_maps for r in rows)
+    assert total == min(
+        PKL_N_BLOBS,
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < PKL_N_BLOBS)
+        .count(),
+    )
+    for r in rows:
+        assert r.n_roundtrip_ok == r.n_maps, f"lossy roundtrip in {r.task}"
+        assert r.min_pixel == 0 and r.max_pixel == 255
