@@ -34,67 +34,103 @@ HEADLINE = [
     "event_props_json",
     "monthly_revenue",
 ]
-# Extended headline set — appended as the operator families land.
-OPTIONAL = [
-    # dedup pillar
-    "docs_exact_dedup",
-    "simhash_near_dup",
-    "minhash_lsh_candidates",
-    # similarity pillar
-    "cosine_topk",
-    "ann_brp_lsh",
-    "ivf_topk",
-    # text pillar
-    "doc_token_stats",
-    "tfidf_top_terms",
-    # streaming (batch forms)
-    "tumbling_event_counts",
-    "sliding_event_stats",
-    "session_windows",
-    # Arrow UDF surface
-    "pandas_udf_revenue",
-    "label_centroids",
-    "model_eval_accuracy",
-    # multimodal pillar
-    "image_augment_fanout",
-    "png_decode_stats",
-    # skew handling / reshaping / sketches / exact statistics
-    "salted_skew_join",
-    "event_type_pivot",
-    "countmin_user_counts",
-    "bloom_customer_filter",
-    "lineitem_price_moments",
-    "quantized_cosine_topk",
-    "heavy_hitter_users",
-    "rp_embedding_project",
-    "weighted_sample_docs",
-    "lang_quota_sample",
-    "curated_corpus",
-    # behavioral analytics / reshaping (round 5)
-    "event_funnel",
-    "user_retention_cohorts",
-    "daily_user_value_gapfill",
-    "order_extremes_by_segment",
-    "brand_price_distribution",
-    "returnflag_measures_unpivot",
-    "event_customer_enrich",
-    # training-data chunking + edit-distance verify tier (round 5)
-    "doc_chunk_windows",
-    "edit_distance_pairs",
-    # grouped list packing + lateral decorrelation (round 5)
-    "customer_order_history",
-    "lateral_top_orders",
-    # VARIANT semi-structured + ANSI-safe arithmetic (round 5)
-    "event_props_variant",
-    "ansi_safe_ratios",
-    "approx_price_quantiles",
-    # CDC upsert / SCD2 / sessionization (round 5)
-    "orders_upsert_apply",
-    "user_value_intervals",
-    "event_session_ids",
-    # repetition-based quality gates (round 5)
-    "doc_repetition_signals",
-]
+# Extended set, organized into STABLE NAMED COHORTS: per-cohort totals are
+# recorded in BENCH_DETAIL.json (and compactly on the driver line) so
+# round-over-round comparison survives set growth — a new query changes its
+# own cohort's membership list (also recorded), not the meaning of every
+# other cohort's number. Cohort membership is append-only by convention.
+COHORTS: dict[str, list[str]] = {
+    "dedup": [
+        "docs_exact_dedup",
+        "simhash_near_dup",
+        "minhash_lsh_candidates",
+        "edit_distance_pairs",
+    ],
+    "similarity": [
+        "cosine_topk",
+        "ann_brp_lsh",
+        "ivf_topk",
+        "quantized_cosine_topk",
+        "rp_embedding_project",
+    ],
+    "text": [
+        "doc_token_stats",
+        "tfidf_top_terms",
+        "doc_chunk_windows",
+        "doc_repetition_signals",
+    ],
+    "streaming_batch": [
+        "tumbling_event_counts",
+        "sliding_event_stats",
+        "session_windows",
+        "event_customer_enrich",
+    ],
+    "udf": [
+        "pandas_udf_revenue",
+        "label_centroids",
+        "model_eval_accuracy",
+        "fedavg_rounds",
+        "cogrouped_user_profile",
+        "doc_chunk_udtf",
+    ],
+    "multimodal": [
+        "image_augment_fanout",
+        "png_decode_stats",
+        "pkl_png_roundtrip",
+    ],
+    "sketch_stats": [
+        "countmin_user_counts",
+        "bloom_customer_filter",
+        "lineitem_price_moments",
+        "quantity_higher_moments",
+        "heavy_hitter_users",
+        "approx_price_quantiles",
+    ],
+    "sampling_etl": [
+        "weighted_sample_docs",
+        "lang_quota_sample",
+        "curated_corpus",
+        "salted_skew_join",
+        "event_type_pivot",
+        "seeded_shuffle_batches",
+        "portable_client_split",
+        "orc_roundtrip_revenue",
+        "schema_evolution_read",
+        "incremental_agg_merge",
+        "latest_event_per_user",
+        "orders_upsert_apply",
+    ],
+    "analytics": [
+        "ewma_daily_revenue",
+        "cumulative_unique_users",
+        "ntile_customer_deciles",
+        "event_funnel",
+        "user_retention_cohorts",
+        "daily_user_value_gapfill",
+        "order_extremes_by_segment",
+        "brand_price_distribution",
+        "returnflag_measures_unpivot",
+        "customer_order_history",
+        "lateral_top_orders",
+        "user_value_intervals",
+        "event_session_ids",
+    ],
+    "scalar_variant": [
+        "bitwise_props_flags",
+        "orders_not_in_null_semantics",
+        "event_props_variant",
+        "ansi_safe_ratios",
+        "lineitem_set_ops_all",
+        "props_map_hof_transforms",
+        "revenue_rollup_grouping_id",
+    ],
+    # iterative recursive-CTE executor: cost = per-iteration job overhead ×
+    # longest per-customer chain (depth-bound pytest in test_analytics);
+    # isolated in its own cohort so its wall time is measured, visible, and
+    # never muddies another cohort's trend.
+    "recursion": ["order_chain_recursion"],
+}
+OPTIONAL = [n for cohort in COHORTS.values() for n in cohort]
 
 
 def main() -> None:
@@ -152,12 +188,18 @@ def main() -> None:
     # stdout line must stay well under ~2 KB; it keeps the 11-query
     # relational headline dict (round-over-round comparability) and the
     # totals, nothing per-query beyond that.
+    cohort_totals = {
+        c: round(sum(times[n] for n in members if n in times), 3)
+        for c, members in COHORTS.items()
+    }
     detail = {
         "metric": "headline_queries_total_wall",
         "runs": N_RUNS,
         "sf": sf_val,
         "queries": times,
         "spread": spread,
+        "cohorts": {c: [n for n in m if n in times] for c, m in COHORTS.items()},
+        "cohort_totals": cohort_totals,
         "pass_totals": [
             round(sum(samples[n][p] for n in names), 3) for p in range(N_RUNS)
         ],
@@ -182,6 +224,10 @@ def main() -> None:
                 "optional_total": round(
                     sum(t for n, t in times.items() if n not in HEADLINE), 3
                 ),
+                # per-cohort totals (stable names; membership in
+                # BENCH_DETAIL.json) — comparable round-over-round even as
+                # the extended set grows
+                "cohort_totals": cohort_totals,
             }
         )
     )

@@ -545,3 +545,128 @@ def event_session_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("duration_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing via higher-order-function fold (round 6)
+# ---------------------------------------------------------------------------
+
+# alpha = 0.5 exactly: every fold step is acc*0.5 + x*0.5 — two exact IEEE
+# multiplies (0.5 scales the exponent only) and one add, in the identical
+# sequential order on both engines (Spark `aggregate` with the first value
+# as init ≡ DuckDB `list_reduce`), so the trajectory is bit-identical.
+_EWMA_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+packed AS (
+  SELECT list(day ORDER BY day) AS days,
+         list(CAST(c AS DOUBLE) ORDER BY day) AS vals
+  FROM daily
+),
+idx AS (
+  SELECT unnest(range(1, len(days) + 1)) AS i, days, vals FROM packed
+)
+SELECT strftime(days[i], '%Y-%m-%d') AS day,
+       round(vals[i] / 100.0, 2) AS day_revenue,
+       round(list_reduce(vals[1:i], (acc, x) -> 0.5 * acc + 0.5 * x), 4)
+         AS ewma_cents
+FROM idx
+"""
+
+
+@register("ewma_daily_revenue", oracle=_EWMA_SQL, category="analytics")
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily event revenue —
+    the classic time-series smoother whose recurrence
+    (e_t = α·x_t + (1-α)·e_{t-1}) is NOT a windowed sum, expressed through
+    Spark's array higher-order functions: pack the ordered daily series
+    into one array, then for each prefix run ``aggregate`` (sequential
+    fold) — the surface that turns per-group sequences into arbitrary
+    recursive state without a UDF.
+
+    α = 0.5 so every fold step is exact IEEE arithmetic reproduced
+    bit-for-bit by the DuckDB ``list_reduce`` oracle (same init, same
+    order, same ops).
+
+    Scale: the day axis is bounded (one row per calendar day — thousands,
+    not billions), so the packed array and its O(days²) prefix folds are a
+    single task's row-local work after ONE map-side-combinable daily
+    aggregate of the events table. The heavy dimension (events) never
+    sorts globally; at 100 TB this is a 2-stage plan whose second stage is
+    constant-size. For per-ENTITY smoothing you'd groupBy entity with the
+    same fold — bounded per-entity history is the same contract.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(cents("value")).alias("c")
+    )
+    packed = daily.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("day"), F.col("c")))
+        ).alias("a")
+    )
+    return packed.selectExpr(
+        """
+        inline(transform(sequence(1, size(a)), i -> named_struct(
+          'day', date_format(a[i-1].day, 'yyyy-MM-dd'),
+          'day_revenue', round(CAST(a[i-1].c AS DOUBLE) / 100.0, 2),
+          'ewma_cents', round(
+             aggregate(
+               slice(transform(a, s -> CAST(s.c AS DOUBLE)), 2, i - 1),
+               CAST(a[0].c AS DOUBLE),
+               (acc, x) -> 0.5 * acc + 0.5 * x),
+             4)
+        )))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct users by day (round 6)
+# ---------------------------------------------------------------------------
+
+_CUM_USERS_SQL = """
+WITH firsts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+  FROM events GROUP BY user_id
+),
+by_day AS (
+  SELECT first_day AS day, count(*) AS new_users FROM firsts GROUP BY 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(new_users AS BIGINT) AS new_users,
+       CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM by_day
+"""
+
+
+@register("cumulative_unique_users", oracle=_CUM_USERS_SQL, category="analytics")
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users over time — the growth-curve metric.
+    COUNT(DISTINCT) OVER a running window is unsupported (and would be
+    quadratic anyway); the scalable identity is: distinct-users-through-
+    day-d = count of users whose FIRST event day ≤ d. One per-user min,
+    one per-day count, one running sum over the bounded day axis.
+
+    Scale: the only event-volume pass is the per-user min (map-side
+    combinable, one shuffle on user_id); everything after runs on ≤ users
+    rows then ≤ days rows. The global running-sum window orders DAYS
+    (thousands), not events — a deliberate contrast with the naive
+    window-over-raw-events formulation this replaces.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    by_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return by_day.select(
+        date_str("day").alias("day"),
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )

@@ -1583,3 +1583,168 @@ def revenue_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _ = read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_GROUPING_ID_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ntile bucketing (round 6)
+# ---------------------------------------------------------------------------
+
+_NTILE_SQL = """
+SELECT decile,
+       count(*) AS n_customers,
+       CAST(min(bal_cents) AS DOUBLE) / 100.0 AS min_balance,
+       CAST(max(bal_cents) AS DOUBLE) / 100.0 AS max_balance,
+       CAST(sum(bal_cents) AS DOUBLE) / 100.0 AS total_balance
+FROM (
+  SELECT CAST(ntile(10) OVER (
+           ORDER BY CAST(round(c_acctbal * 100) AS BIGINT), c_custkey
+         ) AS INTEGER) AS decile,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+)
+GROUP BY decile
+"""
+
+
+@register("ntile_customer_deciles", oracle=_NTILE_SQL, category="window")
+def ntile_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ntile(10)`` decile bucketing of customers by account balance —
+    the equal-count binning surface the distribution windows
+    (percent_rank / cume_dist) don't cover. The order key (cents,
+    custkey) is unique, and ntile's extra-row placement rule (first
+    buckets get the remainder) is identical on both engines, so every
+    bucket boundary is deterministic.
+
+    Scale: a GLOBAL ntile is a global sort — one reducer holds the order.
+    Fine for dimension-sized inputs (customers here); for fact-scale data
+    the 100 TB form is approximate decile BOUNDS from percentile_approx
+    (approx_price_quantiles) joined back as range predicates, trading
+    exact equal counts for full parallelism. The docstring IS that
+    disclosure; this query pins the exact operator.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    bal = cents("c_acctbal")
+    w = W.orderBy(bal.asc(), F.col("c_custkey").asc())
+    return (
+        cust.select(
+            F.ntile(10).over(w).cast("integer").alias("decile"),
+            bal.alias("bal_cents"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.min("bal_cents").cast("double") / 100.0).alias("min_balance"),
+            (F.max("bal_cents").cast("double") / 100.0).alias("max_balance"),
+            (F.sum("bal_cents").cast("double") / 100.0).alias("total_balance"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitwise aggregates (round 6)
+# ---------------------------------------------------------------------------
+
+_BITWISE_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(bit_and(k) AS BIGINT) AS k_and,
+       CAST(bit_or(k) AS BIGINT) AS k_or,
+       CAST(bit_xor(k) AS BIGINT) AS k_xor
+FROM (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type
+"""
+
+
+@register("bitwise_props_flags", oracle=_BITWISE_SQL, category="aggregation")
+def bitwise_props_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (bit_and / bit_or / bit_xor) over the
+    extracted props payload — the flag-mask reduction surface (feature
+    bitmaps, permission masks, bloom-ish membership words) that no other
+    aggregate covers. Bitwise ops are exact on int64 by definition, so the
+    oracle is bit-for-bit with no rounding convention needed.
+
+    Scale: all three are commutative-associative single-word aggregates —
+    perfect map-side partial aggregation, one shuffle of (group, 3 words).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long").alias("k")
+    return (
+        ev.select("event_type", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_and(k)").alias("k_and"),
+            F.expr("bit_or(k)").alias("k_or"),
+            F.expr("bit_xor(k)").alias("k_xor"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact higher moments: skewness / kurtosis from integer power sums (round 6)
+# ---------------------------------------------------------------------------
+
+# Dialect-shared text: the int64 power sums are exact in any order, and the
+# double formulas after them are identical op trees on both engines —
+# the same determinism recipe as lineitem_price_moments, extended to the
+# 3rd/4th moments that Spark's built-in skewness()/kurtosis() compute with
+# order-dependent float accumulation (and therefore could never hash-match
+# another engine).
+_HIGHER_MOMENTS_SQL = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(q) AS BIGINT) AS s1,
+         CAST(sum(q * q) AS BIGINT) AS s2,
+         CAST(sum(q * q * q) AS BIGINT) AS s3,
+         CAST(sum(q * q * q * q) AS BIGINT) AS s4
+  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem)
+  GROUP BY l_returnflag
+),
+m AS (
+  SELECT l_returnflag, n,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+         CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+  FROM s
+),
+c AS (
+  SELECT l_returnflag, n, mu,
+         r2 - mu * mu AS m2,
+         r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+         r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2 - 3.0 * mu * mu * mu * mu
+           AS m4
+  FROM m
+)
+SELECT l_returnflag, n,
+       round(mu, 6) AS mean_qty,
+       round(m2, 6) AS var_pop,
+       round(m3 / (sqrt(m2) * m2), 6) AS skewness,
+       round(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+FROM c
+"""
+
+
+@register(
+    "quantity_higher_moments", oracle=_HIGHER_MOMENTS_SQL, category="aggregation"
+)
+def quantity_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis of quantity per returnflag,
+    computed EXACTLY from int64 power sums (Σq, Σq², Σq³, Σq⁴) with the
+    double formula applied once per group — deterministic where the
+    built-in ``skewness()``/``kurtosis()`` accumulate doubles in partition
+    order. Extends lineitem_price_moments to the shape/tail statistics a
+    data-quality profiler reports.
+
+    Scale: one map-side-combinable aggregate of four integer words per
+    group (q ≤ 50 keeps Σq⁴ within int64 up to ~10¹² rows — quantified
+    headroom, not hope); the moment formulas touch K rows.
+    """
+    from big_data_medical_analysis_spark.sources.readers import read_table as _rt
+
+    _rt(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_HIGHER_MOMENTS_SQL)

@@ -258,3 +258,47 @@ def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _views(spark, sf_dir, "customer", "orders")
     return spark.sql(_LATERAL_TOPK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# NOT IN three-valued-logic semantics (round 6)
+# ---------------------------------------------------------------------------
+
+# Dialect-shared: identical NOT IN / scalar-subquery semantics on both
+# engines. The 'P'-status branch REWRITES o_custkey to NULL, so its NOT IN
+# list contains NULLs and the predicate can never be TRUE (x <> NULL is
+# UNKNOWN) — the count is provably 0, which is exactly the trap this query
+# pins; the second branch filters the NULLs first and degrades to a plain
+# anti-join count.
+_NOT_IN_SQL = """
+SELECT
+  (SELECT count(*) FROM customer
+   WHERE c_custkey NOT IN (
+     SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_custkey END
+     FROM orders))
+    AS n_not_in_with_nulls,
+  (SELECT count(*) FROM customer
+   WHERE c_custkey NOT IN (
+     SELECT o_custkey FROM orders WHERE o_orderstatus <> 'P'))
+    AS n_not_in_clean,
+  (SELECT count(*) FROM customer) AS n_customers
+"""
+
+
+@register("orders_not_in_null_semantics", oracle=_NOT_IN_SQL, category="subquery")
+def orders_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN under three-valued logic — the SQL trap the semi/anti-join
+    queries can't expose: when the subquery's value list contains a NULL,
+    ``x NOT IN (...)`` is never TRUE, so the null-bearing branch counts 0
+    rows while the null-filtered branch is an honest anti-join. Spark
+    plans the first as a null-aware anti join (BroadcastNestedLoopJoin
+    with the null check) and the second as a regular anti join; a driver
+    row proves both reductions agree with the standard's semantics.
+
+    Scale: NOT IN with a possibly-NULL list is the expensive null-aware
+    join — the production guidance (rich_idle_customers) is NOT EXISTS,
+    which is null-safe AND plans as a plain anti join. This query exists
+    to pin the semantics of the form users actually write.
+    """
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_NOT_IN_SQL)

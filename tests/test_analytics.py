@@ -243,3 +243,68 @@ def test_range_pair_stream_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert (1, 2, 30_000_000) in want and (2, 4, 40_000_000) in want
+
+
+def test_order_chain_recursion_depth_is_chain_bound(spark, sf_dir):
+    """The recursion cost model: every order appears exactly once in the
+    output, and the iteration count (max pos) equals the LONGEST
+    PER-CUSTOMER CHAIN — not any function of total rows. That is the
+    scaling disclosure for order_chain_recursion: per-iteration job
+    overhead × max-orders-per-customer, with ample headroom under Spark's
+    100-step recursion limit at driver scales."""
+    from big_data_medical_analysis_spark.operators.subqueries import (
+        order_chain_recursion,
+    )
+    from big_data_medical_analysis_spark.sources.readers import read_table
+
+    out = order_chain_recursion(spark, sf_dir)
+    orders = read_table(spark, sf_dir, "orders")
+    assert out.count() == orders.count()
+    max_pos = out.agg(F.max("pos")).collect()[0][0]
+    max_chain = (
+        orders.groupBy("o_custkey").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_pos == max_chain
+    assert max_pos <= 100  # Spark's recursive-CTE step limit; headroom
+
+
+def test_ewma_matches_direct_recurrence(spark, sf_dir):
+    """The HOF-fold EWMA must equal the direct e_t = 0.5*e_{t-1} + 0.5*x_t
+    recurrence over the exact daily cents series."""
+    from big_data_medical_analysis_spark.operators.analytics import (
+        ewma_daily_revenue,
+    )
+
+    rows = sorted(ewma_daily_revenue(spark, sf_dir).collect(),
+                  key=lambda r: r.day)
+    assert rows
+    e = None
+    for r in rows:
+        x = round(r.day_revenue * 100, 4)  # back to cents
+        e = x if e is None else 0.5 * e + 0.5 * x
+        assert abs(r.ewma_cents - round(e, 4)) < 1e-3, r.day
+        e = r.ewma_cents  # re-anchor on the engine value (rounding drift)
+
+
+def test_cumulative_unique_users_monotone_and_total(spark, sf_dir):
+    """cum_users is strictly increasing, equals the running sum of
+    new_users, and ends at the total distinct user count."""
+    from big_data_medical_analysis_spark.operators.analytics import (
+        cumulative_unique_users,
+    )
+    from big_data_medical_analysis_spark.sources.readers import read_table
+
+    rows = sorted(
+        cumulative_unique_users(spark, sf_dir).collect(), key=lambda r: r.day
+    )
+    running = 0
+    prev = 0
+    for r in rows:
+        running += r.new_users
+        assert r.cum_users == running
+        assert r.cum_users > prev
+        prev = r.cum_users
+    n_users = (
+        read_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert prev == n_users

@@ -344,3 +344,25 @@ def test_range_partitioned_sorted_layout(spark, sf_dir):
     assert "rangepartitioning" in plan.lower()
     assert plan.count("Exchange") == 1
     assert "Sort" in plan
+
+
+def test_event_funnel_no_window_bounded_exchanges(spark, sf_dir):
+    """The funnel is per-stage aggregate + equi-join by construction; a
+    silent regression to a window over the full per-user event list (or a
+    real cartesian) would change these node counts."""
+    df = QS["event_funnel"](spark, sf_dir)
+    assert not P.has_node(df, "Window")
+    assert not P.has_node(df, "CartesianProduct")
+    assert P.exchange_count(df) <= 9
+    # the only nested-loop joins are the two 1-row scalar combines
+    assert P.node_count(df, "BroadcastNestedLoopJoin") == 2
+
+
+def test_user_retention_no_window_bounded_exchanges(spark, sf_dir):
+    """Retention = cohort aggregate + (user, week) distinct + equi-join +
+    final aggregate: three exchanges, no window, no nested loop."""
+    df = QS["user_retention_cohorts"](spark, sf_dir)
+    assert not P.has_node(df, "Window")
+    assert not P.has_node(df, "BroadcastNestedLoopJoin")
+    assert not P.has_node(df, "CartesianProduct")
+    assert P.exchange_count(df) <= 3
