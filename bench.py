@@ -72,6 +72,7 @@ COHORTS: dict[str, list[str]] = {
         "fedavg_rounds",
         "cogrouped_user_profile",
         "doc_chunk_udtf",
+        "arrow_l1_norms",
     ],
     "multimodal": [
         "image_augment_fanout",
@@ -101,6 +102,7 @@ COHORTS: dict[str, list[str]] = {
         "orders_upsert_apply",
     ],
     "analytics": [
+        "rolling_7d_user_value",
         "ewma_daily_revenue",
         "cumulative_unique_users",
         "ntile_customer_deciles",
@@ -116,6 +118,7 @@ COHORTS: dict[str, list[str]] = {
         "event_session_ids",
     ],
     "scalar_variant": [
+        "null_safe_join_counts",
         "bitwise_props_flags",
         "orders_not_in_null_semantics",
         "event_props_variant",

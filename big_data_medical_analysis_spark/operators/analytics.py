@@ -670,3 +670,55 @@ def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_users").cast("long").alias("new_users"),
         F.sum("new_users").over(w).cast("long").alias("cum_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-based range frame: trailing 7-day rolling value (round 6)
+# ---------------------------------------------------------------------------
+
+ROLL_WINDOW_US = 7 * 86_400 * 1_000_000  # 7 days in microseconds
+
+_ROLLING_7D_SQL = f"""
+SELECT user_id,
+       CAST(event_id AS BIGINT) AS event_id,
+       CAST(epoch_us(ts) AS BIGINT) AS t_us,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN {ROLL_WINDOW_US} PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) / 100.0 AS rolling_7d_value
+FROM events
+WHERE user_id < 100
+"""
+
+
+@register("rolling_7d_user_value", oracle=_ROLLING_7D_SQL, category="window")
+def rolling_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-based window frame: each event's trailing-7-day value total per
+    user, via RANGE BETWEEN <interval-as-micros> PRECEDING — the frame kind
+    the ROWS/RANGE-on-rank queries don't touch (a rows frame counts
+    neighbors; this one bounds by elapsed TIME, so sparse and dense weeks
+    produce honest totals). Ordering on exact epoch microseconds keeps the
+    frame arithmetic integer-exact and engine-portable; RANGE peers (equal
+    timestamps) are included identically on both engines.
+
+    Scale: one shuffle on user_id, one ordered pass per partition with a
+    sliding two-pointer frame — O(events) work, state bounded by the
+    7-day span per user. The probe filter (user_id < 100) bounds driver
+    output only; the plan shape is scale-free and the filter pushes to the
+    scan.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    t = F.unix_micros("ts")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(t)
+        .rangeBetween(-ROLL_WINDOW_US, 0)
+    )
+    return ev.select(
+        "user_id",
+        F.col("event_id").cast("long").alias("event_id"),
+        t.cast("long").alias("t_us"),
+        (F.sum(cents("value")).over(w).cast("double") / 100.0).alias(
+            "rolling_7d_value"
+        ),
+    )

@@ -21,6 +21,7 @@ same IEEE ops and land on the bit-identical double.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from big_data_medical_analysis_spark.registry import register
 from big_data_medical_analysis_spark.sources.readers import read_table
@@ -302,3 +303,66 @@ def orders_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _views(spark, sf_dir, "customer", "orders")
     return spark.sql(_NOT_IN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join semantics (round 6)
+# ---------------------------------------------------------------------------
+
+_NULL_SAFE_SQL = """
+WITH l AS (
+  SELECT CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) % 10 = 0
+              THEN NULL
+              ELSE CAST(json_extract(props, '$.k') AS BIGINT) % 10 END AS key
+  FROM events WHERE event_id % 2 = 0 AND event_id < 2000
+),
+r AS (
+  SELECT CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) % 10 = 0
+              THEN NULL
+              ELSE CAST(json_extract(props, '$.k') AS BIGINT) % 10 END AS key
+  FROM events WHERE event_id % 2 = 1 AND event_id < 2000
+)
+SELECT
+  (SELECT count(*) FROM l JOIN r ON l.key = r.key) AS n_eq_matches,
+  (SELECT count(*) FROM l JOIN r ON l.key IS NOT DISTINCT FROM r.key)
+    AS n_null_safe_matches,
+  (SELECT count(*) FROM l WHERE key IS NULL) AS n_null_left,
+  (SELECT count(*) FROM r WHERE key IS NULL) AS n_null_right
+"""
+
+
+@register("null_safe_join_counts", oracle=_NULL_SAFE_SQL, category="subquery")
+def null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (``eqNullSafe`` / ``<=>`` ≡ SQL IS NOT DISTINCT
+    FROM) vs plain ``=`` as a JOIN condition: the plain join silently drops
+    every NULL-keyed row (NULL = NULL is UNKNOWN), the null-safe join
+    matches NULL with NULL — the difference between the two counts is
+    exactly the NULL-NULL pair count, and a driver row pins all four
+    numbers. This is the dedup/CDC trap key: joining change records on a
+    nullable business key with ``=`` quietly orphans the NULL cohort.
+
+    Scale: both joins remain hash joins (null-safe equality is still an
+    equi-condition — Spark hashes the key with a null marker; it does NOT
+    degrade to nested-loop). NULL keys all hash together, so a NULL-heavy
+    corpus makes the null-safe join a skew hotspot — salt or pre-split the
+    NULL cohort at 100 TB.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    k = F.get_json_object("props", "$.k").cast("long") % 10
+    key = F.when(k == 0, F.lit(None).cast("long")).otherwise(k)
+    left = ev.filter(F.col("event_id") % 2 == 0).select(key.alias("key"))
+    right = ev.filter(F.col("event_id") % 2 == 1).select(key.alias("key"))
+    lk, rk = left.alias("l"), right.alias("r")
+    eq = lk.join(rk, F.col("l.key") == F.col("r.key")).agg(
+        F.count(F.lit(1)).alias("n_eq_matches")
+    )
+    ns = lk.join(rk, F.col("l.key").eqNullSafe(F.col("r.key"))).agg(
+        F.count(F.lit(1)).alias("n_null_safe_matches")
+    )
+    nl = left.filter(F.col("key").isNull()).agg(
+        F.count(F.lit(1)).alias("n_null_left")
+    )
+    nr = right.filter(F.col("key").isNull()).agg(
+        F.count(F.lit(1)).alias("n_null_right")
+    )
+    return eq.crossJoin(ns).crossJoin(nl).crossJoin(nr)

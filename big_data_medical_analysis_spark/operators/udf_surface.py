@@ -682,3 +682,59 @@ def cogrouped_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "segment string",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow: RecordBatch-level transform (round 6)
+# ---------------------------------------------------------------------------
+
+_L1_ARROW_SQL = """
+SELECT vec_id,
+       CAST(list_sum(list_transform(embedding,
+              x -> abs(CAST(round(x::DOUBLE * 1000000) AS BIGINT))))
+            AS BIGINT) AS l1_micro
+FROM embeddings
+"""
+
+
+@register("arrow_l1_norms", oracle=_L1_ARROW_SQL, category="udf")
+def arrow_l1_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the lowest-level Python crossing (raw pyarrow
+    RecordBatches, no pandas conversion at all): per-embedding L1 norm in
+    exact int64 micro-units. Completes the Arrow UDF family next to scalar
+    pandas UDF / mapInPandas / applyInPandas / cogroup / UDTF / UDAF; the
+    RecordBatch form is what you reach for when pandas' object boxing is
+    the bottleneck (pure-numeric kernels, zero-copy into numpy) or when a
+    downstream library speaks Arrow natively.
+
+    Exactness: components scale to int64 micros with half-away rounding
+    (the module convention), and the L1 sum is an integer sum — the oracle
+    is bit-for-bit.
+
+    Scale: pure map stage over fan_out partitions, one Arrow batch in →
+    one out, no shuffle.
+    """
+    import pyarrow as pa
+
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", "embedding"
+    )
+
+    def _l1(batches):
+        for batch in batches:
+            vec_ids = batch.column(0).to_pylist()
+            norms = []
+            for vec in batch.column(1).to_pylist():
+                s = np.asarray(vec, dtype=np.float64) * 1_000_000.0
+                iscaled = np.copysign(
+                    np.floor(np.abs(s) + 0.5), s
+                ).astype(np.int64)
+                norms.append(int(np.abs(iscaled).sum()))
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "vec_id": pa.array(vec_ids, pa.int64()),
+                    "l1_micro": pa.array(norms, pa.int64()),
+                }
+            )
+
+    return emb.mapInArrow(_l1, "vec_id long, l1_micro long")

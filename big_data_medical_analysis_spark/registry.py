@@ -73,76 +73,48 @@ def _load_all() -> None:
 # handed (CORRECTNESS_r02.json contains exactly the first 50 registration-order
 # names), so the order of the dicts returned below is a *priority* order, not
 # an accident of import order. Queries named here come first, in this order;
-# everything else follows in registration order. Round-5 policy:
-#   1. the four queries red in CORRECTNESS_r04 — the events reader decoded
-#      the regenerated TIMESTAMP(MICROS) testdata through the old NANOS
-#      path (1000x-shrunk instants), and small_order_revenue's raw
-#      sum(BIGINT) came back from DuckDB as HUGEINT (pandas renders it
-#      float). Both fixed; the fixes must hit the hard signal;
-#   2. the ten queries new this round (analytics / chunking / recursion /
-#      stream-static surfaces);
-#   3. the 36 oracle-bearing queries with no round-4 driver row (the r4
-#      window covered the other 50);
-#   4. the ten rows-only queries without an r4 row overflow the window and
-#      rotate to round 6 — their last driver rows are r3-clean.
+# everything else follows in registration order. Round-6 policy (the r5
+# window went 50/50 clean, so this round is pure staleness rotation plus
+# fresh exposure):
+#   1. the four event-time streaming batch twins whose last driver row
+#      (r3, green) PRE-DATES the driver's TIMESTAMP(MICROS) regeneration of
+#      events.parquet — the reader fix is validated by eight other r5-green
+#      event queries, but these four need a row on the current data;
+#   2. the four r5-green queries whose CODE changed this round (ADVICE
+#      fixes: variant/map-HOF null contracts, string tie-break ranks;
+#      cogroup semi-join prefilter) — green history doesn't cover new code;
+#   3. the ten queries new or newly-oracled in round 6 (multi-round
+#      fed-avg, pkl→PNG, portable splits, EWMA, ntile, bitwise, higher
+#      moments, cumulative users, NOT IN semantics);
+#   4. the remaining 24 queries whose latest driver row is round 3 (text
+#      pillar, sketches, rows-only multimodal/sampling block);
+#   5. the window tail backfills the oldest round-4 rows.
 _PRIORITY: tuple[str, ...] = (
-    # -- red in r4, fixed this round --
-    "event_pairs_range_join",
-    "purchase_asof_signup",
-    "user_event_deltas",
-    "small_order_revenue",
-    # -- new this round --
-    "event_funnel",
-    "user_retention_cohorts",
-    "daily_user_value_gapfill",
-    "order_extremes_by_segment",
-    "brand_price_distribution",
-    "returnflag_measures_unpivot",
-    "doc_chunk_windows",
-    "edit_distance_pairs",
-    "order_chain_recursion",
-    "event_customer_enrich",
-    "customer_order_history",
-    "lateral_top_orders",
+    # -- event-time batch twins: last green predates the MICROS regen --
+    "tumbling_event_counts",
+    "sliding_event_stats",
+    "session_windows",
+    "running_user_totals_batch",
+    # -- code changed in round 6; re-verify on the hard signal --
     "event_props_variant",
-    "ansi_safe_ratios",
-    "approx_price_quantiles",
-    "orc_roundtrip_revenue",
-    "orders_upsert_apply",
-    "user_value_intervals",
-    "event_session_ids",
-    "doc_chunk_udtf",
-    "doc_repetition_signals",
-    "cogrouped_user_profile",
-    "schema_evolution_read",
-    "lineitem_set_ops_all",
     "props_map_hof_transforms",
-    "incremental_agg_merge",
-    "latest_event_per_user",
-    "revenue_rollup_grouping_id",
-    # -- oracle-bearing, no r4 driver row (last checked r3 or earlier) --
-    "simhash_near_dup",
-    "ngram_jaccard_pairs",
-    "dedup_components",
-    "csv_roundtrip_revenue",
-    "weighted_sample_docs",
-    "lang_quota_sample",
-    "curated_corpus",
-    "event_props_map",
-    "math_functions",
-    "salted_skew_join",
-    "event_type_pivot",
-    "embedding_hof_predicates",
-    "lineitem_price_moments",
-    "lineitem_price_quantiles",
-    "price_histogram",
-    "cosine_topk",
-    "embedding_near_dup_pairs",
-    "ivf_topk",
-    "quantized_cosine_topk",
-    "countmin_user_counts",
-    "bloom_customer_filter",
-    "heavy_hitter_users",
+    "order_extremes_by_segment",
+    "cogrouped_user_profile",
+    # -- new or newly-oracled in round 6 --
+    "fedavg_rounds",
+    "pkl_png_roundtrip",
+    "seeded_shuffle_batches",
+    "portable_client_split",
+    "ewma_daily_revenue",
+    "cumulative_unique_users",
+    "ntile_customer_deciles",
+    "bitwise_props_flags",
+    "quantity_higher_moments",
+    "orders_not_in_null_semantics",
+    "rolling_7d_user_value",
+    "null_safe_join_counts",
+    "arrow_l1_norms",
+    # -- latest driver row is round 3: text pillar --
     "doc_token_stats",
     "doc_quality_scores",
     "language_id_markers",
@@ -150,13 +122,36 @@ _PRIORITY: tuple[str, ...] = (
     "regex_token_counts",
     "ngram_stats",
     "tfidf_top_terms",
+    # -- round 3: sketches + compressed scan --
+    "countmin_user_counts",
+    "bloom_customer_filter",
+    "heavy_hitter_users",
+    "quantized_cosine_topk",
+    # -- round 3: UDF surface --
     "pandas_udf_revenue",
     "label_centroids",
     "model_eval_accuracy",
-    "tumbling_event_counts",
-    "sliding_event_stats",
-    "session_windows",
-    "running_user_totals_batch",
+    "fedavg_client_weights",
+    # -- round 3: rows-only multimodal / dedup / sampling / etl block --
+    "ann_brp_lsh",
+    "minhash_lsh_candidates",
+    "minhash_band_groups",
+    "image_decode_stats",
+    "png_decode_stats",
+    "wav_decode_stats",
+    "partition_size_profile",
+    "salted_stratified_split",
+    # -- oldest round-4 rows backfill the window tail --
+    "embeddings_l2_normalize",
+    "rp_embedding_project",
+    "jpeg_decode_stats",
+    "image_augment_fanout",
+    "docs_exact_dedup",
+    "dedup_guard",
+    "event_props_json",
+    "qty_cube",
+    "nation_activity_full_outer",
+    "monthly_revenue",
 )
 
 
