@@ -45,6 +45,7 @@ COHORTS: dict[str, list[str]] = {
         "simhash_near_dup",
         "minhash_lsh_candidates",
         "edit_distance_pairs",
+        "span_dedup_texts",
     ],
     "similarity": [
         "cosine_topk",
@@ -58,6 +59,8 @@ COHORTS: dict[str, list[str]] = {
         "tfidf_top_terms",
         "doc_chunk_windows",
         "doc_repetition_signals",
+        "token_pack_bins",
+        "pii_scrub_stats",
     ],
     "streaming_batch": [
         "tumbling_event_counts",
@@ -96,6 +99,7 @@ COHORTS: dict[str, list[str]] = {
         "seeded_shuffle_batches",
         "portable_client_split",
         "orc_roundtrip_revenue",
+        "jsonl_roundtrip_revenue",
         "schema_evolution_read",
         "incremental_agg_merge",
         "latest_event_per_user",

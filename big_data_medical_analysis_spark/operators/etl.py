@@ -955,3 +955,67 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             cents("value").alias("value_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON-lines write → read roundtrip (round 6)
+# ---------------------------------------------------------------------------
+
+_JSONL_ROUNDTRIP_SQL = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_price,
+       strftime(min(o_orderdate), '%Y-%m-%d') AS first_date,
+       strftime(max(o_orderdate), '%Y-%m-%d') AS last_date
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("jsonl_roundtrip_revenue", oracle=_JSONL_ROUNDTRIP_SQL, category="etl")
+def jsonl_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines surface end to end: orders → JSONL write (the
+    interchange format most LLM-data tooling speaks) → SCHEMA'D read-back
+    (no inference in the data plane, same discipline as read_csv) → exact
+    aggregate. The oracle aggregates the source parquet, so a green row
+    proves the text roundtrip preserved every row, the money values
+    (doubles survive JSON via shortest-repr printing and exact re-parse),
+    and the DateType columns ('yyyy-MM-dd' text both ways).
+
+    Same fixed-per-user-path, mode=overwrite discipline as the CSV/ORC
+    roundtrips; the eager write is inherent to a write→read query.
+
+    Scale: JSONL is the interchange tier, not the analytics tier — no
+    pushdown, no pruning, full-text parse per row (the docstring IS the
+    guidance: land JSONL once, convert to parquet, query parquet).
+    """
+    import getpass
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from big_data_medical_analysis_spark.operators.common import money_sum
+    from big_data_medical_analysis_spark.sources.readers import read_json
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_jsonl_roundtrip_{getpass.getuser()}",
+    )
+    cols = [
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+    ]
+    orders = read_table(spark, sf_dir, "orders").select(*cols)
+    orders.write.mode("overwrite").json(out_dir)
+    back = read_json(
+        spark, out_dir, T.StructType([orders.schema[c] for c in cols])
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum("o_totalprice").alias("total_price"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_date"),
+    )

@@ -512,3 +512,286 @@ def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("top_bigram").cast("double") / F.col("n_bigrams"), 6
         ).alias("top_bigram_fraction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-level exact dedup with text reassembly (C4-style, round 6)
+# ---------------------------------------------------------------------------
+
+SPAN_TOKENS = 10
+
+_SPAN_DEDUP_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+sp AS (
+  SELECT t.doc_id, g.i,
+         array_to_string(
+           t.toks[g.i * {SPAN_TOKENS} + 1 : g.i * {SPAN_TOKENS} + {SPAN_TOKENS}],
+           ' ') AS span_text
+  FROM t, LATERAL (
+    SELECT unnest(range(0,
+      CAST(floor((len(t.toks) - 1) / {SPAN_TOKENS}) AS BIGINT) + 1)) AS i
+  ) g
+),
+ranked AS (
+  SELECT doc_id, i, span_text,
+         row_number() OVER (PARTITION BY span_text ORDER BY doc_id, i) AS rnk
+  FROM sp
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM sp GROUP BY doc_id
+),
+kept AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(span_text, ' ' ORDER BY i) AS clean_text
+  FROM ranked WHERE rnk = 1 GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_spans,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(k.clean_text, '') AS clean_text
+FROM per_doc p LEFT JOIN kept k ON p.doc_id = k.doc_id
+"""
+
+
+@register("span_dedup_texts", oracle=_SPAN_DEDUP_SQL, category="dedup")
+def span_dedup_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact SPAN-level dedup with document reassembly — the C4-style
+    cleanup tier between whole-document dedup (docs_exact_dedup) and
+    near-dup detection: every {SPAN_TOKENS}-token span that appears
+    anywhere earlier in the corpus (global first-occurrence order:
+    (doc_id, span index)) is REMOVED, and each document is re-joined from
+    its surviving spans. Whole-doc dedup misses boilerplate repeated
+    inside otherwise-distinct documents; this pass cuts it.
+
+    Scale: span fan-out is explode (zero shuffle); the keeper decision is
+    one window over span identity — here the raw span text, which at
+    100 TB you'd replace with its md5/xxhash to shuffle 16-byte keys
+    instead of strings (the oracle pins VALUES, so either key works);
+    reassembly is one groupBy(doc_id) of the kept spans. Two shuffles
+    total, both on natural keys.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    with_toks = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    sp = with_toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.col("n_tokens") - 1) / F.lit(SPAN_TOKENS)).cast(
+                    "int"
+                ),
+            )
+        ).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        "i",
+        F.array_join(
+            F.slice(F.col("toks"), F.col("i") * SPAN_TOKENS + 1, SPAN_TOKENS),
+            " ",
+        ).alias("span_text"),
+    )
+    w = W.partitionBy("span_text").orderBy("doc_id", "i")
+    ranked = sp.withColumn("rnk", F.row_number().over(w))
+    per_doc = sp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    kept = (
+        ranked.filter(F.col("rnk") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("k_n"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("i", "span_text"))
+                    ),
+                    lambda s: s.span_text,
+                ),
+            ).alias("k_text"),
+        )
+    )
+    return per_doc.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        F.coalesce(F.col("k_n"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("k_text"), F.lit("")).alias("clean_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-sequence packing manifest (round 6)
+# ---------------------------------------------------------------------------
+
+SEQ_LEN = 256
+PACK_SHARDS = 16
+
+_PACK_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % {PACK_SHARDS} AS shard
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) - n_tokens AS prefix
+  FROM d
+)
+SELECT shard,
+       prefix // {SEQ_LEN} AS bin,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM c
+GROUP BY 1, 2
+"""
+
+
+@register("token_pack_bins", oracle=_PACK_SQL, category="text")
+def token_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing manifest (GPT-style sample packing): docs
+    are dealt into portable md5 shards, concatenated in doc_id order
+    within each shard, and cut into SEQ_LEN-token training sequences —
+    each doc's BIN is its exclusive prefix-sum of tokens DIV SEQ_LEN
+    (documents may straddle a boundary, exactly like packed-pretraining
+    token streams). Output: the per-(shard, bin) manifest a packing
+    writer consumes.
+
+    Scale: a GLOBAL packing order would serialize the corpus through one
+    task; sharding bounds every window to 1/N of the data (the same
+    argument as seeded_shuffle_batches) and the bin arithmetic is exact
+    int64 on a portable hash, so any engine — or a restarted job —
+    reproduces the identical manifest. One shuffle (shard), one ordered
+    pass, one aggregate.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        (
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(PACK_SHARDS),
+            )
+        ).alias("shard"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = d.withColumn(
+        "prefix", (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    )
+    return c.groupBy(
+        "shard", F.expr(f"prefix DIV {SEQ_LEN}").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (round 6)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax RE2 (DuckDB) and java.util.regex (Spark)
+# interpret identically: character classes, +, {2,}, alternation — no
+# backrefs, no lookaround.
+PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+PII_URL_RE = "https?://[^ ]+"
+
+_PII_SQL = f"""
+WITH injected AS (
+  SELECT source,
+         concat(text, ' user', CAST(doc_id AS VARCHAR),
+                '@example.com visit http://s', CAST(doc_id % 7 AS VARCHAR),
+                '.example/p', CAST(doc_id AS VARCHAR), ' end') AS t
+  FROM documents
+),
+scrubbed AS (
+  SELECT source, t,
+         regexp_replace(
+           regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PII_URL_RE}', '<URL>', 'g') AS clean,
+         len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS n_email,
+         len(regexp_extract_all(t, '{PII_URL_RE}')) AS n_url
+  FROM injected
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_email) AS BIGINT) AS emails_found,
+       CAST(sum(n_url) AS BIGINT) AS urls_found,
+       CAST(count_if(clean LIKE '%@%') AS BIGINT) AS docs_with_residual_at,
+       CAST(sum(CAST(len(t) AS BIGINT) - CAST(len(clean) AS BIGINT))
+            AS BIGINT) AS chars_removed
+FROM scrubbed
+GROUP BY source
+"""
+
+
+@register("pii_scrub_stats", oracle=_PII_SQL, category="text")
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass — the redaction tier of a pretraining pipeline:
+    regex-redact emails and URLs to placeholder tokens and report per-source
+    removal accounting (finds, residual '@' docs — provably zero —, chars
+    removed). The corpus is synthetic word-soup with no real PII, so each
+    document is INJECTED with one deterministic email + URL in-query; the
+    injection is part of both sides, and what the driver hash pins is the
+    scrub kernel: pattern semantics, replace-all behavior, and counts.
+
+    Patterns stay inside the RE2 ∩ java.util.regex common subset (no
+    backrefs/lookaround) — the same constraint a cross-engine production
+    scrubber has. Scale: pure row-local regex in codegen, one aggregate
+    shuffle on source; regex cost is linear per row and the scan prunes to
+    (doc_id, source, text).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com visit http://s"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example/p"),
+        F.col("doc_id").cast("string"),
+        F.lit(" end"),
+    )
+    inj = docs.select("source", t.alias("t"))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("t"), PII_EMAIL_RE, "<EMAIL>"),
+        PII_URL_RE,
+        "<URL>",
+    )
+    scrubbed = inj.select(
+        "source",
+        "t",
+        clean.alias("clean"),
+        F.regexp_count("t", F.lit(PII_EMAIL_RE)).alias("n_email"),
+        F.regexp_count("t", F.lit(PII_URL_RE)).alias("n_url"),
+    )
+    return scrubbed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").cast("long").alias("emails_found"),
+        F.sum("n_url").cast("long").alias("urls_found"),
+        F.count_if(F.col("clean").like("%@%")).alias("docs_with_residual_at"),
+        F.sum(
+            F.length("t").cast("long") - F.length("clean").cast("long")
+        ).cast("long").alias("chars_removed"),
+    )

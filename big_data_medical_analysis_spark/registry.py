@@ -114,6 +114,10 @@ _PRIORITY: tuple[str, ...] = (
     "rolling_7d_user_value",
     "null_safe_join_counts",
     "arrow_l1_norms",
+    "span_dedup_texts",
+    "token_pack_bins",
+    "pii_scrub_stats",
+    "jsonl_roundtrip_revenue",
     # -- latest driver row is round 3: text pillar --
     "doc_token_stats",
     "doc_quality_scores",

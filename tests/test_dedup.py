@@ -208,3 +208,56 @@ def test_dedup_components_keeper_semantics(spark, sf_dir):
         ids = [m.doc_id for m in members]
         assert min(ids) == cid
         assert all(m.cluster_size == len(members) for m in members)
+
+
+def test_span_dedup_keeps_unique_spans_and_covers_docs(spark, sf_dir):
+    """Every kept span is globally unique after the pass (re-splitting the
+    cleaned texts yields no span seen twice), every doc appears in the
+    output, and n_kept <= n_spans with equality iff nothing was removed."""
+    from big_data_medical_analysis_spark.operators.text_analysis import (
+        SPAN_TOKENS,
+        span_dedup_texts,
+    )
+    from big_data_medical_analysis_spark.sources.readers import read_table
+
+    rows = span_dedup_texts(spark, sf_dir).collect()
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    seen: set[str] = set()
+    removed = 0
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_spans
+        removed += r.n_spans - r.n_kept
+        toks = r.clean_text.split(" ") if r.clean_text else []
+        # kept spans re-split on the same boundaries they were joined on
+        for j in range(0, len(toks), SPAN_TOKENS):
+            span = " ".join(toks[j : j + SPAN_TOKENS])
+            assert span not in seen, f"duplicate span survived: {span!r}"
+            seen.add(span)
+    # the keeper rule keeps exactly one copy of every distinct span
+    assert len(seen) == sum(r.n_kept for r in rows)
+
+
+def test_token_pack_bins_conserve_tokens(spark, sf_dir):
+    """The packing manifest conserves every token: Σ bin_tokens equals the
+    corpus token count, and doc ranges within a shard's bins are ordered."""
+    from big_data_medical_analysis_spark.operators.text_analysis import (
+        token_pack_bins,
+    )
+    from big_data_medical_analysis_spark.sources.readers import read_table
+    from pyspark.sql import functions as F2
+
+    rows = token_pack_bins(spark, sf_dir).collect()
+    total = sum(r.bin_tokens for r in rows)
+    docs = read_table(spark, sf_dir, "documents")
+    expect = docs.select(
+        F2.sum(F2.size(F2.split("text", " "))).alias("s")
+    ).collect()[0].s
+    assert total == expect
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.bin)
+        for a, b in zip(shard_rows, shard_rows[1:]):
+            assert a.last_doc <= b.first_doc
