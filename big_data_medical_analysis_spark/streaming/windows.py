@@ -451,3 +451,72 @@ def write_stream_idempotent(stream: DataFrame, out_dir: str, checkpoint: str):
         .outputMode("append")
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 arbitrary-stateful API) — round 6
+# ---------------------------------------------------------------------------
+
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor as _StatefulProcessor,
+)
+
+
+class _RunningTotalsProcessor(_StatefulProcessor):
+    """StatefulProcessor for running_user_totals_tws — defined at module
+    level (the TWS driver worker unpickles the processor in a fresh
+    interpreter; a closure-scoped class can't be re-imported there)."""
+
+    def init(self, handle) -> None:  # noqa: ANN001
+        self._state = handle.getValueState("totals", "n long, cents long")
+
+    def handleInputRows(self, key, rows, timer_values):  # noqa: ANN001
+        import numpy as np
+        import pandas as pd
+
+        n, cents = (0, 0)
+        if self._state.exists():
+            n, cents = self._state.get()
+        for pdf in rows:
+            v = pdf["value"].astype("float64") * 100.0
+            # half-away rounding, matching money_sum / the batch oracle
+            iv = np.copysign(np.floor(np.abs(v) + 0.5), v).astype("int64")
+            n += len(pdf)
+            cents += int(iv.sum())
+        self._state.update((n, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals on ``transformWithStateInPandas`` — Spark 4's
+    successor to ``applyInPandasWithState`` (running_user_totals_stream):
+    instead of one opaque state tuple threaded through a function, the
+    StatefulProcessor declares a typed, named ValueState against a handle
+    (and could add ListState/MapState/timers/TTL — the API surface the old
+    one lacks). Same semantics as the legacy form: exact int64-cents
+    accumulation, one (n, cents) pair per user; the stream ≡ batch
+    equivalence test pins both forms against running_user_totals_batch's
+    driver-checked oracle.
+
+    Scale: state lives in the per-partition state store (RocksDB at
+    production scale), keyed by user — O(active users) state, streamed
+    Arrow batches per key, no global structure.
+    """
+    return events.select("user_id", "value").groupBy(
+        "user_id"
+    ).transformWithStateInPandas(
+        _RunningTotalsProcessor(),
+        "user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -12,6 +12,8 @@ from __future__ import annotations
 import json
 import os
 import uuid
+
+import pytest
 from datetime import datetime
 
 from big_data_medical_analysis_spark.streaming import windows as SW
@@ -345,3 +347,61 @@ def test_foreachbatch_sink_is_idempotent(spark, tmp_path):
     spark.catalog.refreshByPath(outdir)
     again = spark.read.parquet(outdir)
     assert again.count() == 3
+
+
+def test_running_user_totals_tws_matches_legacy_and_batch(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 stateful API) carries the same
+    per-user cumulative state across micro-batches as the legacy
+    applyInPandasWithState form, and its final emission per user equals the
+    batch aggregate — the stream ≡ batch contract that lets
+    running_user_totals_batch's driver oracle pin this operator too.
+
+    ENVIRONMENT GATE: the TWS Python client speaks protobuf to the state
+    server; without a working google.protobuf the driver worker crashes
+    (ImportError inside pyspark's StateMessage_pb2), so this test skips
+    where the dependency is absent rather than pretending the surface ran.
+    """
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithStateInPandas requires protobuf "
+        "(pyspark StateMessage_pb2)",
+    )
+    indir = str(tmp_path / "in")
+    qname = "s_" + uuid.uuid4().hex[:8]
+
+    _write_events(
+        indir,
+        "a.json",
+        [
+            (1, "2024-01-01 01:00:00.000000", 1, "click", 1.005),
+            (2, "2024-01-01 02:00:00.000000", 1, "click", 2.5),
+            (3, "2024-01-01 03:00:00.000000", 2, "view", 3.0),
+        ],
+    )
+    stream = SW.running_user_totals_tws(SW.read_event_stream(spark, indir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        after_b0 = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+        _write_events(
+            indir,
+            "b.json",
+            [(4, "2024-01-01 04:00:00.000000", 1, "click", 4.0)],
+        )
+        q.processAllAvailable()
+        rows = spark.sql(f"SELECT * FROM {qname}").collect()
+    finally:
+        q.stop()
+
+    # 1.005 cents-rounds half-away to 1.01 — same as money_sum
+    assert after_b0 == {1: (2, 3.51), 2: (1, 3.0)}
+    tuples = sorted((r.user_id, r.n_events, r.total_value) for r in rows)
+    assert tuples == [(1, 2, 3.51), (1, 3, 7.51), (2, 1, 3.0)]
