@@ -46,6 +46,7 @@ COHORTS: dict[str, list[str]] = {
         "minhash_lsh_candidates",
         "edit_distance_pairs",
         "span_dedup_texts",
+        "benchmark_decontamination",
     ],
     "similarity": [
         "cosine_topk",
@@ -100,6 +101,7 @@ COHORTS: dict[str, list[str]] = {
         "portable_client_split",
         "orc_roundtrip_revenue",
         "jsonl_roundtrip_revenue",
+        "xml_roundtrip_revenue",
         "schema_evolution_read",
         "incremental_agg_merge",
         "latest_event_per_user",

@@ -712,3 +712,107 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("edit_sim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: n-gram overlap gate (round 6)
+# ---------------------------------------------------------------------------
+
+DECON_NGRAM = 3  # production decontamination uses 8-13-gram windows; the
+# synthetic word-soup corpus needs 3-grams to produce measurable overlap —
+# the OPERATOR (distinct-gram build, broadcast probe join, ratio gate) is
+# identical at any N.
+DECON_MIN_MATCHED = 3
+DECON_MIN_RATIO = 0.1
+
+_DECON_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+g AS (
+  SELECT DISTINCT t.doc_id,
+         array_to_string(t.toks[j.j + 1 : j.j + {DECON_NGRAM}], ' ') AS gram
+  FROM t, LATERAL (
+    SELECT unnest(range(0,
+      greatest(len(t.toks) - {DECON_NGRAM}, 0) + 1)) AS j
+  ) j
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+m AS (
+  SELECT c.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count_if(b.gram IS NOT NULL) AS BIGINT) AS n_matched
+  FROM (SELECT * FROM g WHERE doc_id % 97 <> 0) c
+  LEFT JOIN bench b ON c.gram = b.gram
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_grams, n_matched,
+       round(CAST(n_matched AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+         AS overlap_ratio,
+       n_matched >= {DECON_MIN_MATCHED}
+         OR CAST(n_matched AS DOUBLE) / CAST(n_grams AS DOUBLE)
+            >= {DECON_MIN_RATIO} AS contaminated
+FROM m
+"""
+
+
+@register("benchmark_decontamination", oracle=_DECON_SQL, category="dedup")
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the training-data hygiene gate that
+    flags corpus documents overlapping an evaluation set: build each side's
+    DISTINCT {DECON_NGRAM}-gram sets (the benchmark stand-in is the
+    doc_id % 97 == 0 slice), probe every candidate gram against the
+    benchmark grams, and gate on matched count / overlap ratio. This is
+    the canonical "did eval leak into train" check (GPT-3 §C-style n-gram
+    collision), missing from the dedup tiers until now because its join is
+    asymmetric: a small trusted probe set against the whole corpus.
+
+    Scale: the benchmark gram set is benchmark-sized, not corpus-sized —
+    it BROADCASTS, so the corpus-side grams never shuffle; the plan is
+    explode → broadcast left join → per-doc aggregate (one shuffle on
+    doc_id). Gram identity at 100 TB would be a 16-byte hash rather than
+    the gram text (same note as span_dedup_texts); the oracle pins values
+    either way.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    g = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.size("toks") - DECON_NGRAM, F.lit(0)
+                    ),
+                ),
+                lambda j: F.array_join(
+                    F.slice(F.col("toks"), j + 1, DECON_NGRAM), " "
+                ),
+            )
+        ).alias("gram"),
+    ).distinct()
+    bench = (
+        g.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    cand = g.filter(F.col("doc_id") % 97 != 0)
+    m = (
+        cand.join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_if(F.col("hit").isNotNull()).alias("n_matched"),
+        )
+    )
+    ratio = F.col("n_matched").cast("double") / F.col("n_grams").cast("double")
+    return m.select(
+        "doc_id",
+        "n_grams",
+        "n_matched",
+        F.round(ratio, 6).alias("overlap_ratio"),
+        (
+            (F.col("n_matched") >= DECON_MIN_MATCHED)
+            | (ratio >= DECON_MIN_RATIO)
+        ).alias("contaminated"),
+    )

@@ -1019,3 +1019,60 @@ def jsonl_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_date"),
         F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_date"),
     )
+
+
+# ---------------------------------------------------------------------------
+# XML write → read roundtrip (round 6; Spark 4 native XML source)
+# ---------------------------------------------------------------------------
+
+_XML_ROUNDTRIP_SQL = """
+SELECT c_nationkey,
+       count(*) AS n_customers,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_acctbal
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+@register("xml_roundtrip_revenue", oracle=_XML_ROUNDTRIP_SQL, category="etl")
+def xml_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML surface end to end (Spark 4's NATIVE xml source — no external
+    package): customer → rowTag-structured XML write → schema'd read-back →
+    exact aggregate against the source-parquet oracle. Completes the text
+    format family next to CSV and JSONL. (Avro remains the one absent
+    format: its data-source module is external to this Spark distribution —
+    an environment gap, not an engine one.)
+
+    Scale: same guidance as JSONL — XML is an ingest/interchange tier with
+    full-text parse per row and no pushdown; land it once, convert to
+    parquet. The roundtrip pins that the reader applies the declared
+    schema, parses numerics exactly, and preserves row multiplicity.
+    """
+    import getpass
+    import tempfile
+
+    from big_data_medical_analysis_spark.operators.common import money_sum
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_xml_roundtrip_{getpass.getuser()}"
+    )
+    cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+    cust = read_table(spark, sf_dir, "customer").select(*cols)
+    (
+        cust.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "customers")
+        .option("rowTag", "customer")
+        .save(out_dir)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "customer")
+        .schema("c_custkey long, c_nationkey long, c_acctbal double")
+        .load(out_dir)
+    )
+    return back.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        money_sum("c_acctbal").alias("total_acctbal"),
+    )

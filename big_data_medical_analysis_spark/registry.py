@@ -118,6 +118,8 @@ _PRIORITY: tuple[str, ...] = (
     "token_pack_bins",
     "pii_scrub_stats",
     "jsonl_roundtrip_revenue",
+    "benchmark_decontamination",
+    "xml_roundtrip_revenue",
     # -- latest driver row is round 3: text pillar --
     "doc_token_stats",
     "doc_quality_scores",

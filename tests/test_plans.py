@@ -366,3 +366,13 @@ def test_user_retention_no_window_bounded_exchanges(spark, sf_dir):
     assert not P.has_node(df, "BroadcastNestedLoopJoin")
     assert not P.has_node(df, "CartesianProduct")
     assert P.exchange_count(df) <= 3
+
+
+def test_decontamination_benchmark_side_broadcasts(spark, sf_dir):
+    """The benchmark gram set is probe-sized and must broadcast; the
+    corpus-side grams never shuffle for the join (only the final per-doc
+    aggregate shuffles)."""
+    df = QS["benchmark_decontamination"](spark, sf_dir)
+    assert P.broadcast_join_count(df) >= 1
+    assert not P.has_node(df, "SortMergeJoin")
+    assert not P.has_node(df, "CartesianProduct")
