@@ -376,3 +376,30 @@ def test_decontamination_benchmark_side_broadcasts(spark, sf_dir):
     assert P.broadcast_join_count(df) >= 1
     assert not P.has_node(df, "SortMergeJoin")
     assert not P.has_node(df, "CartesianProduct")
+
+
+def test_rolling_7d_single_shuffle_single_window(spark, sf_dir):
+    """The time-range frame runs as ONE shuffle on user_id and ONE window
+    pass; the probe filter reaches the scan."""
+    df = QS["rolling_7d_user_value"](spark, sf_dir)
+    assert P.exchange_count(df) == 1
+    assert P.node_count(df, "Window") == 1
+    pushed = " | ".join(P.pushed_filters(df))
+    assert "user_id" in pushed
+
+
+def test_token_pack_bins_shuffle_budget(spark, sf_dir):
+    """Packing = one shard shuffle + one windowed prefix sum + the manifest
+    aggregate; no extra exchange may creep in."""
+    df = QS["token_pack_bins"](spark, sf_dir)
+    assert P.exchange_count(df) <= 2
+    assert P.node_count(df, "Window") == 1
+    assert not P.has_node(df, "CartesianProduct")
+
+
+def test_span_dedup_shuffle_budget(spark, sf_dir):
+    """Span dedup = keeper window on span identity + per-doc reassembly +
+    doc join: bounded exchanges, no cartesian."""
+    df = QS["span_dedup_texts"](spark, sf_dir)
+    assert P.exchange_count(df) <= 4
+    assert not P.has_node(df, "CartesianProduct")
