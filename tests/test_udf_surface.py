@@ -201,3 +201,47 @@ def test_fedavg_rounds_server_converges_toward_ols(spark, sf_dir):
     )
     # after the final round the server slope is within 20% of pooled OLS
     assert dists[-1] <= 0.2 * abs(ols_w1)
+
+
+# --- hypothesis: the closed-form ridge solve is numerically sound ----------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    n=st.integers(min_value=2, max_value=200_000),
+    xs=st.lists(
+        st.integers(min_value=1, max_value=5000), min_size=2, max_size=2
+    ),
+    s0=st.floats(-1e6, 1e6, allow_nan=False),
+    s1=st.floats(-1e4, 1e4, allow_nan=False),
+)
+def test_fedavg_ridge_closed_form_matches_linalg(n, xs, s0, s1):
+    """The 2×2 closed-form ridge in _fedavg_fit_exprs must agree with
+    numpy.linalg.solve on (XᵀX + λI) w = (Xᵀy + λ s) for arbitrary
+    sufficient statistics built from a two-point x distribution."""
+    lam = U.FEDAVG_LAMBDA
+    a, b = xs
+    # synthesize stats as if n/2 points at x=a,y=2a and n/2 at x=b,y=3b
+    h = n // 2 or 1
+    pts = [(a, 2 * a)] * h + [(b, 3 * b)] * (n - h)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    nn = len(pts)
+
+    b0 = float(sy) + lam * s0
+    b1 = float(sxy) + lam * s1
+    det = (float(nn) + lam) * (float(sxx) + lam) - float(sx) * float(sx)
+    w0 = ((float(sxx) + lam) * b0 - float(sx) * b1) / det
+    w1 = ((float(nn) + lam) * b1 - float(sx) * b0) / det
+
+    A = np.array([[nn + lam, sx], [sx, sxx + lam]], dtype=np.float64)
+    rhs = np.array([b0, b1], dtype=np.float64)
+    ref = np.linalg.solve(A, rhs)
+    scale = max(1.0, abs(ref[0]), abs(ref[1]))
+    assert abs(w0 - ref[0]) / scale < 1e-8
+    assert abs(w1 - ref[1]) / scale < 1e-8
