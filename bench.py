@@ -112,6 +112,7 @@ COHORTS: dict[str, list[str]] = {
         "ewma_daily_revenue",
         "cumulative_unique_users",
         "ntile_customer_deciles",
+        "daily_value_locf",
         "event_funnel",
         "user_retention_cohorts",
         "daily_user_value_gapfill",
@@ -124,6 +125,8 @@ COHORTS: dict[str, list[str]] = {
         "event_session_ids",
     ],
     "scalar_variant": [
+        "date_functions",
+        "string_functions_extended",
         "null_safe_join_counts",
         "bitwise_props_flags",
         "orders_not_in_null_semantics",

@@ -722,3 +722,78 @@ def rolling_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rolling_7d_value"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# LOCF carry-forward densification (round 6)
+# ---------------------------------------------------------------------------
+
+_LOCF_SQL = """
+WITH bounds AS (
+  SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi FROM events
+),
+days AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 50),
+daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+  FROM events WHERE user_id < 50 GROUP BY 1, 2
+),
+grid AS (
+  SELECT u.user_id, d.day, dl.day_cents
+  FROM users u CROSS JOIN days d
+  LEFT JOIN daily dl ON dl.user_id = u.user_id AND dl.day = d.day
+)
+SELECT user_id,
+       strftime(day, '%Y-%m-%d') AS day,
+       CAST(CAST(last_value(day_cents IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) / 100.0 AS DOUBLE) AS carried_value
+FROM grid
+"""
+
+
+@register("daily_value_locf", oracle=_LOCF_SQL, category="analytics")
+def daily_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward densification — the OTHER gap-fill
+    semantics next to daily_user_value_gapfill's explicit zeros: missing
+    days repeat the most recent observed daily total (`last` with
+    ignoreNulls over an expanding frame), days before a user's first
+    observation stay NULL. This is the hypertable/sensor convention
+    ("the reading holds until replaced").
+
+    Scale: same broadcast day-spine × users densification as the zero-fill
+    query (the day axis is bounded), plus ONE expanding window per user
+    ordered by day — O(users × days) rows, never a function of raw event
+    volume. The probe filter (user_id < 50) bounds driver output only.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    probe = ev.filter(F.col("user_id") < 50)
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    days = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    users = probe.select("user_id").distinct()
+    daily = probe.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.sum(cents("value")).alias("day_cents"))
+    grid = users.crossJoin(F.broadcast(days)).join(
+        daily, ["user_id", "day"], "left"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return grid.select(
+        "user_id",
+        date_str("day").alias("day"),
+        (
+            F.last("day_cents", ignorenulls=True).over(w).cast("double")
+            / 100.0
+        ).cast("double").alias("carried_value"),
+    )

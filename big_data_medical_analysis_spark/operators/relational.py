@@ -1748,3 +1748,108 @@ def quantity_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _rt(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_HIGHER_MOMENTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Extended date-function suite (round 6)
+# ---------------------------------------------------------------------------
+
+_DATE_FNS_SQL = """
+WITH o AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od
+  FROM orders WHERE o_orderkey < 200
+)
+SELECT o_orderkey,
+       strftime(od, '%Y-%m-%d') AS d,
+       strftime(od + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
+       strftime(last_day(od), '%Y-%m-%d') AS month_end,
+       CAST(year(od) AS INTEGER) AS y,
+       CAST(quarter(od) AS INTEGER) AS q,
+       CAST(month(od) AS INTEGER) AS m,
+       CAST(day(od) AS INTEGER) AS dom,
+       CAST(isodow(od) AS INTEGER) AS iso_dow,
+       CAST(weekofyear(od) AS INTEGER) AS iso_week,
+       CAST(datediff('day', DATE '2024-01-01', od) AS INTEGER)
+         AS days_since_2024,
+       strftime(od + 45, '%Y-%m-%d') AS plus_45d
+FROM o
+"""
+
+
+@register("date_functions", oracle=_DATE_FNS_SQL, category="scalar")
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone date-function suite (the calendar twin of
+    math_functions): add_months with month-end clamping, last_day,
+    year/quarter/month/day extraction, ISO day-of-week (Spark ``weekday``
+    is Monday=0, so +1 matches DuckDB ``isodow``), ISO week number,
+    datediff, and day arithmetic — all pure codegen expressions rendered
+    to identical strings/integers on both engines. months_between is
+    deliberately excluded (its fractional 31-day-month convention is not
+    dialect-portable).
+
+    Scale: row-local, pushdown probe filter, zero shuffle."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(d, "yyyy-MM-dd").alias("d"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_3m"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.year(d).cast("integer").alias("y"),
+        F.quarter(d).cast("integer").alias("q"),
+        F.month(d).cast("integer").alias("m"),
+        F.dayofmonth(d).cast("integer").alias("dom"),
+        (F.weekday(d) + 1).cast("integer").alias("iso_dow"),
+        F.weekofyear(d).cast("integer").alias("iso_week"),
+        F.datediff(d, F.lit("2024-01-01").cast("date"))
+        .cast("integer")
+        .alias("days_since_2024"),
+        F.date_format(F.date_add(d, 45), "yyyy-MM-dd").alias("plus_45d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extended string-function suite (round 6)
+# ---------------------------------------------------------------------------
+
+_STRING_EXT_SQL = """
+SELECT p_partkey,
+       translate(p_name, 'aeiou', '01234') AS name_translated,
+       lpad(p_brand, 12, '*') AS brand_lpad,
+       rpad(p_brand, 12, '*') AS brand_rpad,
+       CAST(instr(p_name, 'o') AS BIGINT) AS first_o,
+       repeat(p_brand, 2) AS brand_twice,
+       reverse(p_type) AS type_reversed,
+       left(p_name, 8) AS name_left8,
+       right(p_name, 5) AS name_right5,
+       CAST(levenshtein(p_brand, p_type) AS INTEGER) AS brand_type_lev
+FROM part
+WHERE p_partkey < 200
+"""
+
+
+@register("string_functions_extended", oracle=_STRING_EXT_SQL, category="scalar")
+def string_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string-function suite beyond part_string_functions:
+    translate / lpad / rpad / instr / repeat / reverse / left / right /
+    levenshtein as pure codegen expressions — every one value-identical
+    across engines on this ASCII corpus (initcap and overlay are excluded:
+    DuckDB lacks them). levenshtein-as-scalar complements the probe-bounded
+    edit_distance_pairs verify tier.
+
+    Scale: row-local, pushdown probe filter, zero shuffle."""
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    return p.select(
+        "p_partkey",
+        F.translate("p_name", "aeiou", "01234").alias("name_translated"),
+        F.lpad("p_brand", 12, "*").alias("brand_lpad"),
+        F.rpad("p_brand", 12, "*").alias("brand_rpad"),
+        F.instr("p_name", "o").cast("long").alias("first_o"),
+        F.repeat("p_brand", 2).alias("brand_twice"),
+        F.reverse("p_type").alias("type_reversed"),
+        F.substring("p_name", 1, 8).alias("name_left8"),
+        F.expr("right(p_name, 5)").alias("name_right5"),
+        F.levenshtein("p_brand", "p_type").cast("integer").alias(
+            "brand_type_lev"
+        ),
+    )

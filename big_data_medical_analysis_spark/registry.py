@@ -120,6 +120,9 @@ _PRIORITY: tuple[str, ...] = (
     "jsonl_roundtrip_revenue",
     "benchmark_decontamination",
     "xml_roundtrip_revenue",
+    "daily_value_locf",
+    "date_functions",
+    "string_functions_extended",
     # -- latest driver row is round 3: text pillar --
     "doc_token_stats",
     "doc_quality_scores",
