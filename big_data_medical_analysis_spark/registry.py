@@ -83,12 +83,19 @@ def _load_all() -> None:
 #   2. the four r5-green queries whose CODE changed this round (ADVICE
 #      fixes: variant/map-HOF null contracts, string tie-break ranks;
 #      cogroup semi-join prefilter) — green history doesn't cover new code;
-#   3. the ten queries new or newly-oracled in round 6 (multi-round
+#   3. the remaining 24 queries whose latest driver row is round 3 (text
+#      pillar, sketches, rows-only multimodal/sampling block) — the
+#      verdict's top ask, so they outrank fresh exposure;
+#   4. the 22 queries new or newly-oracled in round 6 (multi-round
 #      fed-avg, pkl→PNG, portable splits, EWMA, ntile, bitwise, higher
-#      moments, cumulative users, NOT IN semantics);
-#   4. the remaining 24 queries whose latest driver row is round 3 (text
-#      pillar, sketches, rows-only multimodal/sampling block);
-#   5. the window tail backfills the oldest round-4 rows.
+#      moments, cumulative users, NOT IN/null-safe semantics, mapInArrow,
+#      span dedup, packing, PII, decontamination, JSONL/XML roundtrips,
+#      LOCF, date/string suites). 4+4+24+22 = 54 > the ~50-query window:
+#      the LAST three new entries (daily_value_locf and the two scalar
+#      suites — the lowest-novelty, lowest-risk additions, whose patterns
+#      are already driver-proven by the gapfill/math/string queries) land
+#      at slots 51-53 and rotate to round 7 if the window stays at 50;
+#   5. the tail backfills the oldest round-4 rows.
 _PRIORITY: tuple[str, ...] = (
     # -- event-time batch twins: last green predates the MICROS regen --
     "tumbling_event_counts",
@@ -100,29 +107,6 @@ _PRIORITY: tuple[str, ...] = (
     "props_map_hof_transforms",
     "order_extremes_by_segment",
     "cogrouped_user_profile",
-    # -- new or newly-oracled in round 6 --
-    "fedavg_rounds",
-    "pkl_png_roundtrip",
-    "seeded_shuffle_batches",
-    "portable_client_split",
-    "ewma_daily_revenue",
-    "cumulative_unique_users",
-    "ntile_customer_deciles",
-    "bitwise_props_flags",
-    "quantity_higher_moments",
-    "orders_not_in_null_semantics",
-    "rolling_7d_user_value",
-    "null_safe_join_counts",
-    "arrow_l1_norms",
-    "span_dedup_texts",
-    "token_pack_bins",
-    "pii_scrub_stats",
-    "jsonl_roundtrip_revenue",
-    "benchmark_decontamination",
-    "xml_roundtrip_revenue",
-    "daily_value_locf",
-    "date_functions",
-    "string_functions_extended",
     # -- latest driver row is round 3: text pillar --
     "doc_token_stats",
     "doc_quality_scores",
@@ -150,6 +134,29 @@ _PRIORITY: tuple[str, ...] = (
     "wav_decode_stats",
     "partition_size_profile",
     "salted_stratified_split",
+    # -- new or newly-oracled in round 6 --
+    "fedavg_rounds",
+    "pkl_png_roundtrip",
+    "seeded_shuffle_batches",
+    "portable_client_split",
+    "ewma_daily_revenue",
+    "cumulative_unique_users",
+    "ntile_customer_deciles",
+    "bitwise_props_flags",
+    "quantity_higher_moments",
+    "orders_not_in_null_semantics",
+    "rolling_7d_user_value",
+    "null_safe_join_counts",
+    "arrow_l1_norms",
+    "span_dedup_texts",
+    "token_pack_bins",
+    "pii_scrub_stats",
+    "jsonl_roundtrip_revenue",
+    "benchmark_decontamination",
+    "xml_roundtrip_revenue",
+    "daily_value_locf",
+    "date_functions",
+    "string_functions_extended",
     # -- oldest round-4 rows backfill the window tail --
     "embeddings_l2_normalize",
     "rp_embedding_project",
