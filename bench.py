@@ -62,6 +62,7 @@ COHORTS: dict[str, list[str]] = {
         "doc_repetition_signals",
         "token_pack_bins",
         "pii_scrub_stats",
+        "explode_outer_q_tokens",
     ],
     "streaming_batch": [
         "tumbling_event_counts",
@@ -106,6 +107,7 @@ COHORTS: dict[str, list[str]] = {
         "incremental_agg_merge",
         "latest_event_per_user",
         "orders_upsert_apply",
+        "morton_layout_keys",
     ],
     "analytics": [
         "rolling_7d_user_value",
@@ -113,6 +115,7 @@ COHORTS: dict[str, list[str]] = {
         "cumulative_unique_users",
         "ntile_customer_deciles",
         "daily_value_locf",
+        "dynamic_gap_sessions",
         "event_funnel",
         "user_retention_cohorts",
         "daily_user_value_gapfill",

@@ -797,3 +797,90 @@ def daily_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).cast("double").alias("carried_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-gap sessionization (round 6)
+# ---------------------------------------------------------------------------
+
+# Per-event-type inactivity gaps, microseconds: a purchase keeps the
+# session alive longer than a passive view/click.
+DYN_GAP_PURCHASE_US = 3_600 * 1_000_000
+DYN_GAP_DEFAULT_US = 1_800 * 1_000_000
+
+_DYN_SESSION_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CASE WHEN event_type = 'purchase' THEN {DYN_GAP_PURCHASE_US}
+              ELSE {DYN_GAP_DEFAULT_US} END AS gap_us
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, t, gap_us,
+         CASE WHEN lag(t) OVER w IS NULL
+                   OR t - lag(t) OVER w > lag(gap_us) OVER w
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+ids AS (
+  SELECT user_id, t,
+         CAST(sum(new_sess) OVER (
+           PARTITION BY user_id ORDER BY t, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS INTEGER) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       CAST(max(t) - min(t) AS BIGINT) AS duration_us
+FROM ids
+GROUP BY user_id, session_id
+"""
+
+
+@register("dynamic_gap_sessions", oracle=_DYN_SESSION_SQL, category="analytics")
+def dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a DYNAMIC inactivity gap — each event extends
+    its session by a gap chosen from the event itself (purchases hold the
+    session {DYN_GAP_PURCHASE_US // 60_000_000} min, everything else
+    {DYN_GAP_DEFAULT_US // 60_000_000} min): the batch twin of Spark's
+    ``session_window(ts, gapExpr)`` dynamic form, which the fixed-gap
+    ``event_session_ids`` doesn't exercise. A new session starts when the
+    gap to the previous event exceeds the PREVIOUS event's own threshold
+    (the "extend-by-my-gap" semantics of dynamic session windows).
+
+    Scale: identical profile to the fixed-gap form — one shuffle on
+    user_id, two stacked linear window passes on the same sort order, one
+    (user, session) aggregate reusing the partitioning. Exact epoch-micro
+    integer arithmetic keeps the oracle bit-for-bit.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    t = F.unix_micros("ts")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit(DYN_GAP_PURCHASE_US)
+    ).otherwise(F.lit(DYN_GAP_DEFAULT_US))
+    w = W.partitionBy("user_id").orderBy(t.asc(), F.col("event_id").asc())
+    prev_t = F.lag(t).over(w)
+    prev_gap = F.lag(gap).over(w)
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        t.alias("t"),
+        F.when(
+            prev_t.isNull() | ((t - prev_t) > prev_gap), 1
+        ).otherwise(0).alias("new_sess"),
+    )
+    wo = W.partitionBy("user_id").orderBy("t", "event_id")
+    ids = flagged.select(
+        "user_id",
+        "t",
+        F.sum("new_sess")
+        .over(wo.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("integer")
+        .alias("session_id"),
+    )
+    return ids.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("t") - F.min("t")).cast("long").alias("duration_us"),
+    )

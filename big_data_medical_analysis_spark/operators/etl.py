@@ -1076,3 +1076,65 @@ def xml_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         money_sum("c_acctbal").alias("total_acctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout keys (round 6)
+# ---------------------------------------------------------------------------
+
+MORTON_BITS = 16
+
+
+def _morton_expr(a: str, b: str, bits: int = MORTON_BITS) -> str:
+    """Shared SQL text for the bit-interleaved Morton code of two
+    ``bits``-bit non-negative ints — one expression string both engines
+    evaluate identically (shifts/AND on BIGINT are exact)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_MORTON_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(o_custkey % 65536 AS BIGINT) AS a,
+         CAST(datediff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE))
+              % 65536 AS BIGINT) AS b
+  FROM orders WHERE o_orderkey < 500
+)
+SELECT o_orderkey, a, b,
+       CAST({_morton_expr('a', 'b')} AS BIGINT) AS morton
+FROM o
+"""
+
+
+@register("morton_layout_keys", oracle=_MORTON_SQL, category="layout")
+def morton_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys: bit-interleave (customer,
+    order-day) into one int64 so that range-partitioning + sorting on it
+    co-locates rows close in BOTH dimensions — the multi-dimensional
+    data-skipping layout (Delta/Iceberg OPTIMIZE ZORDER) that the 1-D
+    sorted layout (tests/test_plans.py range-partition pin) can't give:
+    min/max stats per file then prune scans for predicates on EITHER
+    column. The key is pure bit arithmetic — exact on both engines, so
+    the oracle pins every interleaved value.
+
+    Scale: computing the key is row-local codegen; the layout write is
+    ``repartitionByRange(morton).sortWithinPartitions(morton)`` exactly
+    like the pinned 1-D form. Interleaving uses the LOW {MORTON_BITS}
+    bits of each dimension (hash or quantile-rank the raw values first
+    when their range exceeds 2^{MORTON_BITS} — rank-based Z-values are
+    what table formats actually write).
+    """
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    prep = o.selectExpr(
+        "o_orderkey",
+        "CAST(o_custkey % 65536 AS BIGINT) AS a",
+        "CAST(datediff(o_orderdate, DATE '2024-01-01') % 65536 AS BIGINT) AS b",
+    )
+    return prep.selectExpr(
+        "o_orderkey", "a", "b",
+        f"CAST({_morton_expr('a', 'b')} AS BIGINT) AS morton",
+    )

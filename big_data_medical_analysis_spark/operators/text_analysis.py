@@ -795,3 +795,41 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("t").cast("long") - F.length("clean").cast("long")
         ).cast("long").alias("chars_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-preserving generator (explode_outer) semantics pin (round 6)
+# ---------------------------------------------------------------------------
+
+_EXPLODE_OUTER_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t LIKE 'q%') AS qtoks
+  FROM documents WHERE doc_id < 300
+)
+SELECT d.doc_id, u.tok
+FROM d LEFT JOIN LATERAL (SELECT unnest(d.qtoks) AS tok) u ON TRUE
+"""
+
+
+@register("explode_outer_q_tokens", oracle=_EXPLODE_OUTER_SQL, category="text")
+def explode_outer_q_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving generator semantics (``explode_outer`` ≡ SQL
+    LATERAL VIEW OUTER): documents whose filtered token array is EMPTY
+    survive as one (doc_id, NULL) row instead of vanishing — the
+    difference between "fan out what exists" (plain explode, which
+    silently drops empty parents) and "fan out but keep every parent".
+    The 'q%' token filter is deliberately rare so both branches occur.
+    A silent regression to inner explode changes the row count; the
+    oracle's LEFT JOIN LATERAL unnest pins it.
+
+    Scale: explode_outer is the same zero-shuffle generator as explode;
+    the probe filter bounds output and pushes to the scan.
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    qtoks = F.filter(
+        F.split("text", " "), lambda t: t.startswith("q")
+    )
+    return docs.select(
+        "doc_id", F.explode_outer(qtoks).alias("tok")
+    )

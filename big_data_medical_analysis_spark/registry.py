@@ -157,6 +157,9 @@ _PRIORITY: tuple[str, ...] = (
     "daily_value_locf",
     "date_functions",
     "string_functions_extended",
+    "morton_layout_keys",
+    "explode_outer_q_tokens",
+    "dynamic_gap_sessions",
     # -- oldest round-4 rows backfill the window tail --
     "embeddings_l2_normalize",
     "rp_embedding_project",
