@@ -54,6 +54,7 @@ COHORTS: dict[str, list[str]] = {
         "ivf_topk",
         "quantized_cosine_topk",
         "rp_embedding_project",
+        "kmeans_lloyd_centroids",
     ],
     "text": [
         "doc_token_stats",

@@ -805,3 +805,141 @@ def rp_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.mapInPandas(
         _rp_project_mapper(serialize=True), "vec_id long, proj_micro string"
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means (Lloyd's iterations) with a full value oracle (round 6)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 4
+KMEANS_ITERS = 2
+_EMB_DIM = 64
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd's iterations in DuckDB SQL. Every quantity is exact:
+    int64-micro components, integer squared distances (order-independent
+    sums), argmin tie-broken on cluster id, centroid update as ONE
+    round(sum/count) division per dimension — the same single IEEE op the
+    Spark side performs."""
+    parts = [
+        f"""WITH vm AS (
+  SELECT vec_id, list_transform(embedding,
+           y -> CAST(round(y::DOUBLE * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(vec_id AS INTEGER) AS cluster, v AS c
+  FROM vm WHERE vec_id < {KMEANS_K}
+)"""
+    ]
+    for it in range(1, KMEANS_ITERS + 1):
+        parts.append(
+            f""", a{it} AS (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rnk
+  FROM (
+    SELECT vm.vec_id, c{it - 1}.cluster,
+           list_sum(list_transform(vm.v,
+             (x, i) -> (x - c{it - 1}.c[i]) * (x - c{it - 1}.c[i]))) AS d
+    FROM vm, c{it - 1}
+  )
+), u{it} AS (
+  SELECT a.cluster, g.i AS dim,
+         CAST(round(CAST(sum(vm.v[g.i]) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cm,
+         CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT vec_id, cluster FROM a{it} WHERE rnk = 1) a
+  JOIN vm USING (vec_id),
+  (SELECT unnest(range(1, {_EMB_DIM} + 1)) AS i) g
+  GROUP BY 1, 2
+), c{it} AS (
+  SELECT cluster, list(cm ORDER BY dim) AS c FROM u{it} GROUP BY cluster
+)"""
+        )
+    parts.append(
+        f"""
+SELECT cluster, CAST(dim - 1 AS INTEGER) AS dim_idx,
+       cm AS centroid_micro, n AS n_members
+FROM u{KMEANS_ITERS}"""
+    )
+    return "".join(parts)
+
+
+@register("kmeans_lloyd_centroids", oracle=_kmeans_oracle(), category="similarity")
+def kmeans_lloyd_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means ({KMEANS_ITERS} Lloyd iterations, k={KMEANS_K},
+    deterministic first-k init) with a FULL value oracle — the iterative
+    clustering workhorse behind IVF index builds (ivf_topk consumes
+    exactly these centroids) and corpus topic bucketing. Everything is
+    exact: int64-micro components, integer squared distances (any
+    summation order), argmin tie-broken on cluster id, and a single
+    round(sum/count) division per (cluster, dim) — so DuckDB replays the
+    whole trajectory bit-for-bit, the same recipe as fedavg_rounds.
+    Output: the per-dimension final centroids with member counts. (A
+    cluster emptied by reassignment simply drops out on both engines —
+    k-means|| style re-seeding is an init policy, not an operator
+    property.)
+
+    Scale: each iteration is (a) a broadcast of k·dim centroid ints
+    against the vector table — a map-side argmin, no shuffle of vectors —
+    and (b) one map-side-combinable (cluster, dim) aggregate. Iteration
+    count multiplies passes over the data, not shuffle width; at 100 TB
+    you run assignment on a sample for the first iterations and full-pass
+    only the last (standard practice), which changes this plan's input,
+    not its shape.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    vm = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda y: F.round(y.cast("double") * 1_000_000).cast("long"),
+        ).alias("v"),
+    )
+    centroids = (
+        vm.filter(F.col("vec_id") < KMEANS_K)
+        .select(F.col("vec_id").cast("integer").alias("cluster"), F.col("v").alias("c"))
+    )
+    update = None
+    for _ in range(KMEANS_ITERS):
+        d = F.aggregate(
+            F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        scored = vm.crossJoin(F.broadcast(centroids)).select(
+            "vec_id", "cluster", d.alias("d")
+        )
+        wn = W.partitionBy("vec_id").orderBy("d", "cluster")
+        members = (
+            scored.withColumn("rnk", F.row_number().over(wn))
+            .filter(F.col("rnk") == 1)
+            .select("vec_id", "cluster")
+        )
+        exploded = members.join(vm, "vec_id").select(
+            "cluster", F.posexplode("v").alias("pos", "val")
+        )
+        update = exploded.groupBy(
+            "cluster", (F.col("pos") + 1).alias("dim")
+        ).agg(
+            F.round(
+                F.sum("val").cast("double") / F.count(F.lit(1)).cast("double")
+            )
+            .cast("long")
+            .alias("cm"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        centroids = update.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cm"))),
+                lambda s: s.cm,
+            ).alias("c")
+        )
+    assert update is not None
+    return update.select(
+        "cluster",
+        (F.col("dim") - 1).cast("integer").alias("dim_idx"),
+        F.col("cm").alias("centroid_micro"),
+        F.col("n").alias("n_members"),
+    )

@@ -160,6 +160,7 @@ _PRIORITY: tuple[str, ...] = (
     "morton_layout_keys",
     "explode_outer_q_tokens",
     "dynamic_gap_sessions",
+    "kmeans_lloyd_centroids",
     # -- oldest round-4 rows backfill the window tail --
     "embeddings_l2_normalize",
     "rp_embedding_project",

@@ -173,3 +173,57 @@ def test_rp_projection_preserves_geometry(spark, sf_dir):
     # noise ~1/√RP_OUT_DIM: ≈ 0.58 for k=32 — assert comfortably below it
     r = float(np.corrcoef(true_sims, proj_sims)[0, 1])
     assert r > 0.45, f"projected-cosine correlation too weak: {r}"
+
+
+def test_kmeans_lloyd_matches_numpy_replay(spark, sf_dir):
+    """The k-means trajectory must equal a numpy replay of the same exact
+    integer arithmetic (micro components, integer distances, argmin with
+    cluster-id tie-break, round(sum/count) updates), and the within-cluster
+    SSE must not increase across the Lloyd iterations."""
+    import numpy as np
+
+    from big_data_medical_analysis_spark.operators.similarity import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        kmeans_lloyd_centroids,
+    )
+    from big_data_medical_analysis_spark.sources.readers import read_table
+
+    rows = kmeans_lloyd_centroids(spark, sf_dir).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.cluster, {})[r.dim_idx] = (r.centroid_micro, r.n_members)
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    vecs = {}
+    for r in emb:
+        a = np.asarray(r.embedding, dtype=np.float64) * 1e6
+        vecs[r.vec_id] = np.copysign(np.floor(np.abs(a) + 0.5), a).astype(np.int64)
+    cents = {i: vecs[i].copy() for i in range(KMEANS_K)}
+    sses = []
+    update = {}
+    for _ in range(KMEANS_ITERS):
+        assign, sse = {}, 0
+        for vid, v in vecs.items():
+            best = min(
+                ((int(((v - c) ** 2).sum()), cl) for cl, c in cents.items())
+            )
+            assign[vid] = best[1]
+            sse += best[0]
+        sses.append(sse)
+        update = {}
+        for cl in set(assign.values()):
+            mem = np.stack([vecs[v] for v, c in assign.items() if c == cl])
+            s = mem.sum(axis=0, dtype=np.int64)
+            n = len(mem)
+            r0 = s / n
+            cm = np.copysign(np.floor(np.abs(r0) + 0.5), r0).astype(np.int64)
+            update[cl] = (cm, n)
+        cents = {cl: cm for cl, (cm, n) in update.items()}
+    assert sses == sorted(sses, reverse=True), f"SSE increased: {sses}"
+    assert set(got) == set(update)
+    for cl, (cm, n) in update.items():
+        for d in range(cm.size):
+            gcm, gn = got[cl][d]
+            assert gn == n
+            assert gcm == cm[d], (cl, d, gcm, cm[d])
