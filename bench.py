@@ -117,6 +117,7 @@ COHORTS: dict[str, list[str]] = {
         "ntile_customer_deciles",
         "daily_value_locf",
         "dynamic_gap_sessions",
+        "session_overlap_pairs",
         "event_funnel",
         "user_retention_cohorts",
         "daily_user_value_gapfill",

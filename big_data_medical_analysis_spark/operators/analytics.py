@@ -884,3 +884,135 @@ def dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         (F.max("t") - F.min("t")).cast("long").alias("duration_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed interval-overlap join (round 6)
+# ---------------------------------------------------------------------------
+
+OVERLAP_BUCKET_US = 3_600 * 1_000_000  # 1-hour coarse buckets
+OVERLAP_MAX_USER = 40
+
+_SESSION_OVERLAP_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+  WHERE user_id < {OVERLAP_MAX_USER}
+),
+flagged AS (
+  SELECT user_id, t,
+         CASE WHEN lag(t) OVER w IS NULL
+                   OR t - lag(t) OVER w > {1_800 * 1_000_000}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+sess AS (
+  SELECT user_id,
+         CAST(sum(new_sess) OVER (
+           PARTITION BY user_id ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS INTEGER) AS session_id,
+         t
+  FROM flagged
+),
+iv AS (
+  SELECT user_id, session_id, min(t) AS s, max(t) AS e
+  FROM sess GROUP BY 1, 2
+)
+SELECT a.user_id AS user_a, a.session_id AS sess_a,
+       b.user_id AS user_b, b.session_id AS sess_b,
+       CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT) AS overlap_us
+FROM iv a JOIN iv b
+  ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+"""
+
+
+@register(
+    "session_overlap_pairs", oracle=_SESSION_OVERLAP_SQL, category="analytics"
+)
+def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join — which users' sessions were concurrently
+    active: derive per-user session intervals (30-min gap rule), then find
+    every cross-user pair of TIME-OVERLAPPING intervals with the overlap
+    duration. The oracle states the naive theta-join (correct, quadratic);
+    the Spark plan is the AT-SCALE form: explode each interval into its
+    coarse 1-hour bucket ids, equi-join on bucket (a hash join — never a
+    cartesian), re-check the exact overlap predicate, and drop the
+    bucket-induced duplicates with ``distinct`` — identical values, linear
+    candidate generation bounded by intervals-per-bucket. This is the
+    standard time-range/genomic interval-join pattern the range and as-of
+    joins don't cover (both sides are INTERVALS here, not points).
+
+    Scale: bucket width trades candidate fan-out (intervals spanning B
+    buckets appear B times) against per-bucket pair count — pick it near
+    the median interval length. One shuffle to sessionize, one hash join
+    on (bucket), one distinct; the probe filter bounds driver output and
+    pushes to the scan.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < OVERLAP_MAX_USER
+    )
+    t = F.unix_micros("ts")
+    w = W.partitionBy("user_id").orderBy(t.asc(), F.col("event_id").asc())
+    flagged = ev.select(
+        "user_id",
+        t.alias("t"),
+        F.when(
+            F.lag(t).over(w).isNull()
+            | ((t - F.lag(t).over(w)) > 1_800 * 1_000_000),
+            1,
+        ).otherwise(0).alias("new_sess"),
+    )
+    wo = W.partitionBy("user_id").orderBy("t")
+    sess = flagged.select(
+        "user_id",
+        F.sum("new_sess")
+        .over(wo.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("integer")
+        .alias("session_id"),
+        "t",
+    )
+    iv = sess.groupBy("user_id", "session_id").agg(
+        F.min("t").alias("s"), F.max("t").alias("e")
+    )
+    b = iv.select(
+        "*",
+        F.explode(
+            F.sequence(
+                (F.col("s") / OVERLAP_BUCKET_US).cast("long"),
+                (F.col("e") / OVERLAP_BUCKET_US).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    left = b.select(
+        F.col("user_id").alias("user_a"),
+        F.col("session_id").alias("sess_a"),
+        F.col("s").alias("sa"),
+        F.col("e").alias("ea"),
+        "bucket",
+    )
+    right = b.select(
+        F.col("user_id").alias("user_b"),
+        F.col("session_id").alias("sess_b"),
+        F.col("s").alias("sb"),
+        F.col("e").alias("eb"),
+        "bucket",
+    )
+    pairs = (
+        left.join(right, "bucket")
+        .filter(
+            (F.col("user_a") < F.col("user_b"))
+            & (F.col("sa") <= F.col("eb"))
+            & (F.col("sb") <= F.col("ea"))
+        )
+        .select(
+            "user_a",
+            "sess_a",
+            "user_b",
+            "sess_b",
+            (
+                F.least("ea", "eb") - F.greatest("sa", "sb")
+            ).cast("long").alias("overlap_us"),
+        )
+        .distinct()
+    )
+    return pairs

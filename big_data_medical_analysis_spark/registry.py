@@ -161,6 +161,7 @@ _PRIORITY: tuple[str, ...] = (
     "explode_outer_q_tokens",
     "dynamic_gap_sessions",
     "kmeans_lloyd_centroids",
+    "session_overlap_pairs",
     # -- oldest round-4 rows backfill the window tail --
     "embeddings_l2_normalize",
     "rp_embedding_project",

@@ -403,3 +403,12 @@ def test_span_dedup_shuffle_budget(spark, sf_dir):
     df = QS["span_dedup_texts"](spark, sf_dir)
     assert P.exchange_count(df) <= 4
     assert not P.has_node(df, "CartesianProduct")
+
+
+def test_session_overlap_join_is_hash_not_cartesian(spark, sf_dir):
+    """The interval-overlap join must run as an equi hash join on the
+    coarse bucket key — a regression to the naive theta form would appear
+    as a nested-loop/cartesian over all interval pairs."""
+    df = QS["session_overlap_pairs"](spark, sf_dir)
+    assert not P.has_node(df, "CartesianProduct")
+    assert not P.has_node(df, "BroadcastNestedLoopJoin")
