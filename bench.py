@@ -130,6 +130,8 @@ COHORTS: dict[str, list[str]] = {
         "event_session_ids",
     ],
     "scalar_variant": [
+        "balance_bracket_lookup",
+        "nation_revenue_share",
         "date_functions",
         "string_functions_extended",
         "null_safe_join_counts",

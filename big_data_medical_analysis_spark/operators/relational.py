@@ -1853,3 +1853,131 @@ def string_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brand_type_lev"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast range-dimension lookup (round 6)
+# ---------------------------------------------------------------------------
+
+# Bracket boundaries in cents: [lo, hi) half-open, covering all balances.
+_BRACKETS = [
+    ("negative", -10_000_000, 0),
+    ("low", 0, 250_000),
+    ("mid", 250_000, 500_000),
+    ("high", 500_000, 750_000),
+    ("top", 750_000, 10_000_000),
+]
+
+_BRACKET_VALUES = ", ".join(
+    f"('{n}', CAST({lo} AS BIGINT), CAST({hi} AS BIGINT))"
+    for n, lo, hi in _BRACKETS
+)
+
+_BRACKET_SQL = f"""
+WITH brackets(bracket, lo, hi) AS (VALUES {_BRACKET_VALUES}),
+c AS (
+  SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer
+)
+SELECT b.bracket,
+       count(*) AS n_customers,
+       CAST(sum(c.bal) AS DOUBLE) / 100.0 AS total_balance
+FROM c JOIN brackets b ON c.bal >= b.lo AND c.bal < b.hi
+GROUP BY b.bracket
+"""
+
+
+@register("balance_bracket_lookup", oracle=_BRACKET_SQL, category="join")
+def balance_bracket_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast range-DIMENSION lookup — the IP→geo / tax-bracket /
+    rate-card join shape: each fact value finds its [lo, hi) interval in a
+    small bracket table via a non-equi BETWEEN join. Distinct from the
+    fact×fact range join (event_pairs_range_join): one side is a bounded
+    dimension, so the correct plan is a broadcast nested-loop whose inner
+    side is K rows — effectively a map-side lookup, never a shuffle.
+    Half-open intervals make every value match exactly one bracket.
+
+    Scale: with K brackets the per-row cost is a K-probe (or a sorted
+    binary search compiled from a CASE ladder when K grows); the fact side
+    streams through untouched. One aggregate shuffle on the bracket key.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    brackets = spark.createDataFrame(
+        _BRACKETS, "bracket string, lo long, hi long"
+    )
+    c = cust.select(cents("c_acctbal").alias("bal"))
+    return (
+        c.join(
+            F.broadcast(brackets),
+            (F.col("bal") >= F.col("lo")) & (F.col("bal") < F.col("hi")),
+        )
+        .groupBy("bracket")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum("bal").cast("double") / 100.0).alias("total_balance"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ratio-to-report windows (round 6)
+# ---------------------------------------------------------------------------
+
+_RATIO_SQL = """
+WITH n AS (
+  SELECT n.n_name,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT n_name,
+       CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+       round(CAST(rev_cents AS DOUBLE)
+             / CAST(sum(rev_cents) OVER () AS DOUBLE), 6) AS share_of_total,
+       round(CAST(rev_cents AS DOUBLE)
+             / CAST(max(rev_cents) OVER () AS DOUBLE), 6) AS vs_top
+FROM n
+"""
+
+
+@register("nation_revenue_share", oracle=_RATIO_SQL, category="window")
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report windows: each nation's share of GLOBAL revenue and
+    its ratio to the top nation — the unpartitioned-window-over-aggregates
+    reporting idiom (`sum(x) OVER ()`), which no frame/ranking query
+    exercises. The window runs over the ALREADY-AGGREGATED per-nation
+    frame (25 rows), so the "global window on one partition" hazard is
+    moot: the heavy table shuffles once for the group-by, and the window
+    sees K rows.
+
+    Exact int64 cents feed both divisions; each output is one IEEE divide
+    + round on identical inputs — hash-stable across engines.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    per_nation = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(cents("o_totalprice")).alias("rev_cents"))
+    )
+    w = W.partitionBy()
+    return per_nation.select(
+        "n_name",
+        (F.col("rev_cents").cast("double") / 100.0).alias("revenue"),
+        F.round(
+            F.col("rev_cents").cast("double")
+            / F.sum("rev_cents").over(w).cast("double"),
+            6,
+        ).alias("share_of_total"),
+        F.round(
+            F.col("rev_cents").cast("double")
+            / F.max("rev_cents").over(w).cast("double"),
+            6,
+        ).alias("vs_top"),
+    )

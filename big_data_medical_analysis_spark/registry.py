@@ -162,6 +162,8 @@ _PRIORITY: tuple[str, ...] = (
     "dynamic_gap_sessions",
     "kmeans_lloyd_centroids",
     "session_overlap_pairs",
+    "balance_bracket_lookup",
+    "nation_revenue_share",
     # -- oldest round-4 rows backfill the window tail --
     "embeddings_l2_normalize",
     "rp_embedding_project",
