@@ -378,6 +378,42 @@ def test_decontamination_benchmark_side_broadcasts(spark, sf_dir):
     assert not P.has_node(df, "CartesianProduct")
 
 
+def test_session_overlap_stays_bucketed_hash_join(spark, sf_dir):
+    """The interval-overlap join MUST equi-join on the explode-derived
+    bucket id (SortMergeJoin/ShuffledHashJoin) with the exact overlap
+    predicate as a post-join filter. A silent regression to a
+    BroadcastNestedLoopJoin on the raw overlap predicate would be quadratic
+    in intervals — the exact failure mode the bucket decomposition exists
+    to prevent."""
+    df = QS["session_overlap_pairs"](spark, sf_dir)
+    assert not P.has_node(df, "BroadcastNestedLoopJoin")
+    assert not P.has_node(df, "CartesianProduct")
+    # the candidate join is an EQUI-join on the bucket key; at test scale
+    # the small side broadcasts (BroadcastHASHJoin — still keyed), at 100 TB
+    # it shuffles to SortMerge/ShuffledHash. All three are linear in
+    # candidates; only the keyless nested-loop forms are regressions.
+    assert (
+        P.has_node(df, "SortMergeJoin")
+        or P.has_node(df, "ShuffledHashJoin")
+        or P.has_node(df, "BroadcastHashJoin")
+    )
+    # probe filter reaches both scans
+    pushed = " | ".join(P.pushed_filters(df))
+    assert "user_id" in pushed
+
+
+def test_balance_bracket_dim_broadcasts(spark, sf_dir):
+    """The K-row bracket dimension must broadcast (nested-loop with a
+    broadcast inner IS the map-side lookup); the fact side must not shuffle
+    for the join — only the final aggregate exchange is allowed."""
+    df = QS["balance_bracket_lookup"](spark, sf_dir)
+    assert P.node_count(df, "BroadcastNestedLoopJoin") == 1
+    assert not P.has_node(df, "SortMergeJoin")
+    assert not P.has_node(df, "CartesianProduct")
+    # one aggregate shuffle on the bracket key, nothing else
+    assert P.exchange_count(df) == 1
+
+
 def test_rolling_7d_single_shuffle_single_window(spark, sf_dir):
     """The time-range frame runs as ONE shuffle on user_id and ONE window
     pass; the probe filter reaches the scan."""
