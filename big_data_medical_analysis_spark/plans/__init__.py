@@ -17,6 +17,7 @@ from big_data_medical_analysis_spark.plans.inspect import (  # noqa: F401
     physical_plan,
     pushed_filters,
     read_schemas,
+    unpartitioned_window_count,
 )
 
 __all__ = [
@@ -28,4 +29,5 @@ __all__ = [
     "broadcast_join_count",
     "pushed_filters",
     "read_schemas",
+    "unpartitioned_window_count",
 ]

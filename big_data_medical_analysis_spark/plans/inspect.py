@@ -48,6 +48,32 @@ def broadcast_join_count(df: DataFrame) -> int:
     )
 
 
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """Number of Window operators executing over a single global partition
+    (their child is an ``Exchange SinglePartition``) — the plan-level
+    equivalent of WindowExec's "No Partition Defined" runtime warning.
+    Each such window serializes its input through one task; the engine
+    allows exactly three DISCLOSED dimension-/axis-sized cases (see
+    bench.py's audit allowlist), and any new one should fail loudly
+    instead of scrolling past as a log line."""
+    lines = physical_plan(df).splitlines()
+    n = 0
+    for i, ln in enumerate(lines):
+        # A window node's input chain below it is (optionally) a Sort, then
+        # the exchange that established its partitioning. A foldable
+        # partition key is optimized away by Catalyst, so this check can't
+        # be gamed by partitionBy(lit(1)).
+        if re.search(r"\bWindow(GroupLimit)? \[", ln):
+            for nxt in lines[i + 1 : i + 4]:
+                if "Exchange SinglePartition" in nxt:
+                    n += 1
+                    break
+                # pass-through sort/projection between window and exchange
+                if not re.search(r"\b(Sort \[|Project \[)", nxt):
+                    break
+    return n
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """The ``PushedFilters: [...]`` list of every scan in the plan, one
     string per scan (empty string for a scan with no pushdown)."""

@@ -378,6 +378,16 @@ def test_decontamination_benchmark_side_broadcasts(spark, sf_dir):
     assert not P.has_node(df, "CartesianProduct")
 
 
+def test_single_partition_window_allowlist(spark, sf_dir):
+    """The three DISCLOSED single-partition windows stay at exactly one
+    each; bench.py fails on any query exceeding its allowlisted count, and
+    this pins the allowlist itself against silent growth."""
+    import bench
+
+    for name, cap in bench.SINGLE_PARTITION_WINDOW_OK.items():
+        assert P.unpartitioned_window_count(QS[name](spark, sf_dir)) == cap
+
+
 def test_session_overlap_stays_bucketed_hash_join(spark, sf_dir):
     """The interval-overlap join MUST equi-join on the explode-derived
     bucket id (SortMergeJoin/ShuffledHashJoin) with the exact overlap
