@@ -64,6 +64,8 @@ COHORTS: dict[str, list[str]] = {
         "token_pack_bins",
         "pii_scrub_stats",
         "explode_outer_q_tokens",
+        "posting_list_index",
+        "doc_lexical_diversity",
     ],
     "streaming_batch": [
         "tumbling_event_counts",
@@ -92,6 +94,11 @@ COHORTS: dict[str, list[str]] = {
         "quantity_higher_moments",
         "heavy_hitter_users",
         "approx_price_quantiles",
+        "corr_covar_price_qty",
+        "regr_price_date_trend",
+        "median_mode_quantity",
+        "bool_count_if_flags",
+        "event_label_entropy",
     ],
     "sampling_etl": [
         "weighted_sample_docs",
@@ -109,6 +116,7 @@ COHORTS: dict[str, list[str]] = {
         "latest_event_per_user",
         "orders_upsert_apply",
         "morton_layout_keys",
+        "per_group_downsample",
     ],
     "analytics": [
         "rolling_7d_user_value",
@@ -128,6 +136,9 @@ COHORTS: dict[str, list[str]] = {
         "lateral_top_orders",
         "user_value_intervals",
         "event_session_ids",
+        "order_next_event_asof",
+        "copurchase_brand_pairs",
+        "percent_rank_cume_orders",
     ],
     "scalar_variant": [
         "balance_bracket_lookup",
@@ -142,6 +153,7 @@ COHORTS: dict[str, list[str]] = {
         "lineitem_set_ops_all",
         "props_map_hof_transforms",
         "revenue_rollup_grouping_id",
+        "priority_sets_by_segment",
     ],
     # iterative recursive-CTE executor: cost = per-iteration job overhead ×
     # longest per-customer chain (depth-bound pytest in test_analytics);

@@ -24,6 +24,7 @@ from big_data_medical_analysis_spark.operators.common import (
     cents,
     date_str,
     money_sum,
+    ts_str,
 )
 from big_data_medical_analysis_spark.registry import register
 from big_data_medical_analysis_spark.sources.readers import read_table
@@ -1016,3 +1017,125 @@ def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join (round 7)
+# ---------------------------------------------------------------------------
+
+# Oracle: the declarative min-over-join statement of "first event at or
+# after the order" (DuckDB's ASOF JOIN is backward-only, so the forward
+# form is stated as LEFT JOIN + group-min; epoch_us(NULL) propagates NULL
+# for orders with no later event).
+_NEXT_EVENT_SQL = """
+WITH probe AS (
+  SELECT o_orderkey, o_custkey, o_orderdate
+  FROM orders WHERE o_custkey < 150
+)
+SELECT p.o_orderkey, p.o_custkey,
+       strftime(p.o_orderdate, '%Y-%m-%d %H:%M:%S.%f') AS order_ts,
+       strftime(min(e.ts), '%Y-%m-%d %H:%M:%S.%f') AS next_event_ts,
+       CAST(epoch_us(min(e.ts)) - epoch_us(p.o_orderdate) AS BIGINT) AS wait_us
+FROM probe p
+LEFT JOIN events e ON e.user_id = p.o_custkey AND e.ts >= p.o_orderdate
+GROUP BY p.o_orderkey, p.o_custkey, p.o_orderdate
+"""
+
+
+@register("order_next_event_asof", oracle=_NEXT_EVENT_SQL, category="join")
+def order_next_event_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — each order's first user event AT OR AFTER the
+    order timestamp: the direction purchase_asof_signup (nearest PRIOR)
+    doesn't cover, and the one DuckDB's ASOF primitive can't express
+    (hence the join+group-min oracle). Composed the same union-window way,
+    mirrored: probes sort before events at equal timestamps (>= ties
+    match), and ``first(..., ignorenulls)`` over the FOLLOWING frame
+    carries the next event's timestamp back.
+
+    Scale: one shuffle on user_id + one linear window pass — no quadratic
+    join residual, the same plan shape as the backward as-of, and the
+    probe filter pushes to both scans.
+    """
+    orders = read_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 150)
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 150)
+    probes = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(0).alias("side"),
+        "o_orderkey",
+        F.lit(None).cast("timestamp").alias("e_ts"),
+    )
+    events = ev.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.col("ts").alias("e_ts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    return (
+        probes.unionByName(events)
+        .withColumn("next_ts", F.first("e_ts", ignorenulls=True).over(w))
+        .filter(F.col("side") == 0)
+        .select(
+            "o_orderkey",
+            F.col("user_id").alias("o_custkey"),
+            ts_str("ts").alias("order_ts"),
+            ts_str("next_ts").alias("next_event_ts"),
+            (F.unix_micros("next_ts") - F.unix_micros("ts")).alias("wait_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence mining (round 7)
+# ---------------------------------------------------------------------------
+
+_COPURCHASE_SQL = """
+WITH lb AS (
+  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT a.b AS brand_a, b2.b AS brand_b,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM lb a JOIN lb b2 ON a.ok = b2.ok AND a.b < b2.b
+GROUP BY a.b, b2.b
+"""
+
+
+@register("copurchase_brand_pairs", oracle=_COPURCHASE_SQL, category="analytics")
+def copurchase_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: for every unordered brand pair, how many
+    orders contain BOTH — the support-counting core of association-rule /
+    co-occurrence analysis (recommendations, "frequently bought
+    together"). Items roll up to brand level so the pair space is the
+    brand-domain square, not the item square.
+
+    Scale: the self-join is an EQUI-join on the basket key, so the
+    quadratic term is per-basket — bounded by (distinct brands per
+    order choose 2) ≤ 21 at ≤7 lines/order — never corpus-wide; the
+    distinct collapses multi-line brand repeats first. Per-pair counts
+    then combine map-side. The same shape at item granularity would add
+    a support-threshold prefilter (heavy_hitter_users shows the
+    candidate-pruning pattern).
+    """
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    lb = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    a = lb.alias("a")
+    b2 = lb.alias("b2")
+    return (
+        a.join(b2, (F.col("a.ok") == F.col("b2.ok")) & (F.col("a.b") < F.col("b2.b")))
+        .groupBy(
+            F.col("a.b").alias("brand_a"), F.col("b2.b").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

@@ -1138,3 +1138,55 @@ def morton_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "a", "b",
         f"CAST({_morton_expr('a', 'b')} AS BIGINT) AS morton",
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group downsampling (round 7)
+# ---------------------------------------------------------------------------
+
+# Portable salted-md5 ranking (the seeded_shuffle_batches convention): both
+# engines hash the same "r7ds:<id>" bytes, so the kept set is a true value
+# oracle — unlike engine-RNG sampling (sampleBy/randomSplit), which is
+# rows-only by contract.
+_DOWNSAMPLE_SQL = """
+WITH ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('r7ds:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT source, doc_id, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= 25
+"""
+
+
+@register("per_group_downsample", oracle=_DOWNSAMPLE_SQL, category="sampling")
+def per_group_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-N-per-group downsampling — keep precisely 25 documents per
+    source, chosen by a salted portable hash: the cap-per-domain /
+    cap-per-source operator every crawl-curation pipeline needs (fraction
+    sampling can't promise an exact per-group count; this does, and
+    deterministically, so reruns and engines agree row-for-row).
+
+    Scale: one shuffle on the group key + a per-group top-N window. The
+    hash order makes the selection UNIFORM within each group regardless of
+    storage order. For groups with billions of members a rank window's
+    full sort is wasteful — the production refinement is a two-pass
+    hash-threshold (estimate the Nth hash value per group from a sample,
+    filter, then exact-rank only the survivors), the same
+    candidate-pruning discipline as the LSH tiers.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(
+            F.md5(F.concat(F.lit("r7ds:"), F.col("doc_id").cast("string"))),
+            "doc_id",
+        )
+    )
+    return (
+        docs.select("source", "doc_id", rk.alias("rk"))
+        .filter(F.col("rk") <= 25)
+        .select("source", "doc_id", F.col("rk").cast("integer").alias("rk"))
+    )

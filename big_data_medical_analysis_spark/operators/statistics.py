@@ -1,0 +1,382 @@
+"""Statistical-aggregate surface (round 7): correlation/covariance, linear
+regression, exact median/mode/percentile order statistics, conditional and
+boolean aggregates, distribution windows, entropy, and sorted set-aggregates.
+
+These extend the moments/quantiles suite (relational.py) with the remaining
+aggregate families an analytics engine is expected to expose (reference scope:
+SURVEY.md §2.3 capability extensions). The engine discipline applies
+throughout: any aggregate whose float accumulation order differs between
+engines is computed from EXACT integer/decimal power sums with the double
+formula applied once per group — `sum(double)` never reaches an oracle hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_medical_analysis_spark.registry import register
+from big_data_medical_analysis_spark.sources.readers import read_table
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        read_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# ---------------------------------------------------------------------------
+# Correlation + covariance from exact sums
+# ---------------------------------------------------------------------------
+
+# Dialect-shared: decimal(38,0) sums are exact on both engines (DuckDB sums
+# BIGINT into HUGEINT, Spark sums DECIMAL(38,0) exactly); the double formula
+# runs once per group on identical inputs, so results are bit-identical —
+# unlike the built-in corr()/covar_*() whose double accumulation is
+# partition-order-dependent.
+_CORR_COVAR_SQL = """
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(CAST(q AS DECIMAL(38,0))) AS sq,
+         sum(CAST(p AS DECIMAL(38,0))) AS sp,
+         sum(CAST(q * q AS DECIMAL(38,0))) AS sqq,
+         sum(CAST(p * p AS DECIMAL(38,0))) AS spp,
+         sum(CAST(q * p AS DECIMAL(38,0))) AS sqp
+  FROM (SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS q,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+        FROM lineitem)
+  GROUP BY l_returnflag
+),
+m AS (
+  SELECT l_returnflag, n,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(sq AS DOUBLE) AS sq, CAST(sp AS DOUBLE) AS sp,
+         CAST(sqq AS DOUBLE) AS sqq, CAST(spp AS DOUBLE) AS spp,
+         CAST(sqp AS DOUBLE) AS sqp
+  FROM s
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       round((nd * sqp - sq * sp)
+             / (sqrt(nd * sqq - sq * sq) * sqrt(nd * spp - sp * sp)),
+             9) AS corr_qty_price,
+       round((sqp - sq * sp / nd) / nd, 4) AS covar_pop_cents,
+       round((sqp - sq * sp / nd) / (nd - 1.0), 4) AS covar_samp_cents
+FROM m
+"""
+
+
+@register("corr_covar_price_qty", oracle=_CORR_COVAR_SQL, category="statistics")
+def corr_covar_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + population/sample covariance of quantity vs
+    extended price per returnflag, computed EXACTLY from five decimal(38,0)
+    power sums (Σq, Σp, Σq², Σp², Σqp) with the double formulas applied
+    once per group — deterministic where built-in ``corr``/``covar_samp``
+    accumulate doubles in partition order. Σp² exceeds int64 at sf≥0.1
+    (p ≤ 10⁷ cents), hence the decimal accumulator.
+
+    Scale: one map-side-combinable aggregate carrying six narrow
+    accumulators per group; decimal(38,0) holds Σp² to ~10³⁸ ≈ 10²⁴ rows.
+    """
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_CORR_COVAR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Linear regression (regr_* family) from exact sums
+# ---------------------------------------------------------------------------
+
+# Shared core over a dialect-specific inner select (the engines spell
+# datediff differently); x = days since 2024-01-01, y = order cents.
+_REGR_CORE = """
+WITH xy AS ({inner}),
+s AS (
+  SELECT o_orderpriority,
+         count(*) AS n,
+         sum(CAST(x AS DECIMAL(38,0))) AS sx,
+         sum(CAST(y AS DECIMAL(38,0))) AS sy,
+         sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+         sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+         sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy
+  FROM xy GROUP BY o_orderpriority
+),
+m AS (
+  SELECT o_orderpriority, n, CAST(n AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+         CAST(sxx AS DOUBLE) AS sxx, CAST(sxy AS DOUBLE) AS sxy,
+         CAST(syy AS DOUBLE) AS syy
+  FROM s
+)
+SELECT o_orderpriority,
+       CAST(n AS BIGINT) AS regr_n,
+       round(sx / nd, 6) AS regr_avgx,
+       round(sy / nd / 100.0, 4) AS regr_avgy,
+       round((nd * sxy - sx * sy) / (nd * sxx - sx * sx), 6) AS slope_cents_per_day,
+       round((sy - (nd * sxy - sx * sy) / (nd * sxx - sx * sx) * sx) / nd / 100.0,
+             4) AS intercept,
+       round(((nd * sxy - sx * sy) * (nd * sxy - sx * sy))
+             / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 9) AS r2
+FROM m
+"""
+
+_REGR_INNER_DUCK = """
+  SELECT o_orderpriority,
+         CAST(datediff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS x,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders
+"""
+
+_REGR_INNER_SPARK = """
+  SELECT o_orderpriority,
+         CAST(datediff(CAST(o_orderdate AS DATE), DATE '2024-01-01')
+              AS BIGINT) AS x,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders
+"""
+
+
+@register(
+    "regr_price_date_trend",
+    oracle=_REGR_CORE.format(inner=_REGR_INNER_DUCK),
+    category="statistics",
+)
+def regr_price_date_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL ``regr_*`` family (slope / intercept / R² / count / avgx /
+    avgy) — order price regressed on order date per priority class —
+    computed exactly from decimal(38,0) sums (Σx, Σy, Σx², Σxy, Σy²) with
+    each closed-form formula applied once per group. Σy² needs the decimal
+    accumulator (y ≤ 10⁷ cents overflows int64 by sf0.1); the engines only
+    differ in how they spell day-difference, so the core text is shared.
+
+    Scale: identical to any single-pass aggregate — one combine-enabled
+    shuffle of seven narrow accumulators per group.
+    """
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_REGR_CORE.format(inner=_REGR_INNER_SPARK))
+
+
+# ---------------------------------------------------------------------------
+# Exact order statistics: median / mode / percentile_disc / percentile_cont
+# ---------------------------------------------------------------------------
+
+# Dialect-shared. mode() builtins differ on tie-breaking (Spark's is
+# non-deterministic without its 2-arg form, DuckDB's is arbitrary), so the
+# mode is stated manually as "smallest most-frequent value" — a pinned
+# semantics both engines compute identically. percentile_disc returns the
+# exact BIGINT order statistic in DuckDB but DOUBLE in Spark; both sides
+# cast to DOUBLE so the driver's pandas canonicalization renders them alike.
+_MEDIAN_MODE_SQL = """
+WITH qc AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem
+),
+m AS (
+  SELECT l_returnflag,
+         CAST(median(q) AS DOUBLE) AS median_qty,
+         CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY q) AS DOUBLE)
+           AS p25_disc,
+         round(CAST(percentile_cont(0.75) WITHIN GROUP (ORDER BY q)
+                    AS DOUBLE), 6) AS p75_cont
+  FROM qc GROUP BY l_returnflag
+),
+f AS (
+  SELECT l_returnflag, q, count(*) AS c FROM qc GROUP BY l_returnflag, q
+),
+mx AS (
+  SELECT l_returnflag, max(c) AS mc FROM f GROUP BY l_returnflag
+),
+md AS (
+  SELECT f.l_returnflag, CAST(min(f.q) AS BIGINT) AS mode_qty
+  FROM f JOIN mx ON f.l_returnflag = mx.l_returnflag AND f.c = mx.mc
+  GROUP BY f.l_returnflag
+)
+SELECT m.l_returnflag, m.median_qty, m.p25_disc, m.p75_cont, md.mode_qty
+FROM m JOIN md ON m.l_returnflag = md.l_returnflag
+"""
+
+
+@register("median_mode_quantity", oracle=_MEDIAN_MODE_SQL, category="statistics")
+def median_mode_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order statistics per returnflag: ``median``, discrete and
+    continuous percentiles (``WITHIN GROUP`` syntax), and the mode pinned
+    to deterministic smallest-most-frequent semantics via an explicit
+    count/argmax — the one formulation whose tie behavior both engines
+    must agree on. Order statistics are rank-based, not float-sum-based,
+    so they are oracle-safe without the integer-sums trick.
+
+    Scale: exact grouped percentiles sort within each group — fine at
+    dimension-group counts (the group key has 3 values here, each group a
+    single-pass quickselect); the fact-scale alternative is
+    percentile_approx (approx_price_quantiles). The mode path is two
+    map-side-combinable aggregates over (flag, q) with q ≤ 50 distinct
+    values — no sort at all.
+    """
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_MEDIAN_MODE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Conditional count + boolean aggregates
+# ---------------------------------------------------------------------------
+
+# The oracle spells conditional count with the standard FILTER clause;
+# bool_and/bool_or are identical in both dialects.
+_BOOL_COUNT_SQL = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (WHERE c_acctbal < 0.0) AS BIGINT) AS n_negative,
+       CAST(count(*) FILTER (WHERE c_acctbal > 9000.0) AS BIGINT) AS n_rich,
+       bool_and(c_acctbal > -1000.0) AS all_above_floor,
+       bool_or(c_acctbal > 9000.0) AS any_rich
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@register("bool_count_if_flags", oracle=_BOOL_COUNT_SQL, category="statistics")
+def bool_count_if_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional counting (``count_if``) and boolean aggregation
+    (``bool_and`` / ``bool_or``) per market segment — the predicate-summary
+    aggregates data-quality dashboards are built from. The Spark plan uses
+    the dedicated functions; the oracle states the same aggregates with the
+    portable ``FILTER`` clause.
+
+    Scale: single map-side-combinable aggregate, one bit/word of state per
+    predicate per group.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("c_acctbal") < 0.0).alias("n_negative"),
+        F.count_if(F.col("c_acctbal") > 9000.0).alias("n_rich"),
+        F.bool_and(F.col("c_acctbal") > -1000.0).alias("all_above_floor"),
+        F.bool_or(F.col("c_acctbal") > 9000.0).alias("any_rich"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution windows: percent_rank / cume_dist
+# ---------------------------------------------------------------------------
+
+# Dialect-shared; the window order key (cents, orderkey) is unique so every
+# rank is deterministic, and the probe filter bounds the output.
+_PCT_RANK_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_custkey < 200
+)
+SELECT o_orderkey, o_orderpriority,
+       round(percent_rank() OVER w, 9) AS pct_rank,
+       round(cume_dist() OVER w, 9) AS cume_dist,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile
+FROM o
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey)
+"""
+
+
+@register("percent_rank_cume_orders", oracle=_PCT_RANK_SQL, category="window")
+def percent_rank_cume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing windows — ``percent_rank`` and ``cume_dist`` with
+    an ``ntile`` cross-check, per priority class: the distribution-position
+    surface the ranking suite (row_number/rank/dense_rank) doesn't cover.
+    Both are rank arithmetic, not float accumulation, so rounding is only a
+    rendering concern.
+
+    Scale: one shuffle on the partition key, one window pass; the probe
+    predicate pushes to the scan.
+    """
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_PCT_RANK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Shannon entropy of a categorical distribution
+# ---------------------------------------------------------------------------
+
+# Dialect-shared: counts are exact ints; each user's entropy sums ≤8 double
+# terms (one per event type) — rounded at 6, far above the ~1e-15
+# accumulation-order noise of so few terms.
+_ENTROPY_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY user_id, event_type
+),
+t AS (
+  SELECT user_id, sum(c) AS n FROM c GROUP BY user_id
+)
+SELECT c.user_id,
+       CAST(t.n AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round(-sum((CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                  * log2(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))),
+             6) AS entropy_bits
+FROM c JOIN t ON c.user_id = t.user_id
+GROUP BY c.user_id, t.n
+"""
+
+
+@register("event_label_entropy", oracle=_ENTROPY_SQL, category="statistics")
+def event_label_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of each user's event-type distribution — the
+    label-diversity signal curation pipelines threshold on (a user/source
+    whose labels are all one class carries no information). Counts are
+    exact; the ≤8-term double sum per user is rounded well above its
+    accumulation noise.
+
+    Scale: two combine-enabled aggregates on the same key plus a
+    co-partitioned join — the second aggregate and join reuse the
+    (user_id) partitioning the first established, so one real shuffle.
+    """
+    _views(spark, sf_dir, "events")
+    return spark.sql(_ENTROPY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Sorted set-aggregates (collect_set → ordered string rendering)
+# ---------------------------------------------------------------------------
+
+# The driver's pandas canonicalization cannot sort array cells, so set
+# aggregates render as '|'-joined SORTED strings — which is also the only
+# deterministic rendering of an unordered set.
+_PRIORITY_SETS_SQL = """
+SELECT c.c_mktsegment,
+       CAST(count(DISTINCT o.o_orderpriority) AS BIGINT) AS n_priorities,
+       string_agg(DISTINCT o.o_orderpriority, '|' ORDER BY o.o_orderpriority)
+         AS priorities,
+       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_buyers
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("priority_sets_by_segment", oracle=_PRIORITY_SETS_SQL, category="statistics")
+def priority_sets_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set aggregation per group — ``collect_set`` rendered as a sorted
+    joined string plus distinct counts: the grouped set-valued summary
+    (which label values occur per segment) with the only ordering that
+    makes an unordered set hashable. The oracle states it with
+    ``string_agg(DISTINCT ... ORDER BY ...)``.
+
+    Scale: collect_set state is bounded by the value domain (5 priorities),
+    not row count — map-side combine keeps the shuffle payload tiny;
+    count(DISTINCT custkey) expands to the standard two-phase distinct
+    aggregate.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), "|"
+            ).alias("priorities"),
+            F.countDistinct("o_custkey").alias("n_buyers"),
+        )
+    )

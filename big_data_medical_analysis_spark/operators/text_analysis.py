@@ -833,3 +833,108 @@ def explode_outer_q_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.explode_outer(qtoks).alias("tok")
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted posting-list index (round 7)
+# ---------------------------------------------------------------------------
+
+# Postings render as a comma-joined NUMERICALLY sorted id string — both the
+# deterministic rendering the driver's pandas canonicalization needs (it
+# cannot sort array cells) and the on-disk shape a search index shard uses.
+_POSTING_SQL = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+),
+g AS (
+  SELECT tok, count(*) AS df,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+  FROM tok GROUP BY tok
+)
+SELECT tok, CAST(df AS BIGINT) AS df, postings
+FROM g WHERE df * 5 >= (SELECT count(*) FROM documents)
+"""
+
+_POSTING_SPARK = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents)
+),
+g AS (
+  SELECT tok, count(*) AS df,
+         array_join(transform(array_sort(collect_list(doc_id)),
+                              x -> CAST(x AS STRING)), ',') AS postings
+  FROM tok GROUP BY tok
+)
+SELECT tok, CAST(df AS BIGINT) AS df, postings
+FROM g WHERE df * 5 >= (SELECT count(*) FROM documents)
+"""
+
+
+@register("posting_list_index", oracle=_POSTING_SQL, category="text")
+def posting_list_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: token → (document frequency, sorted
+    posting list) for every term appearing in ≥20% of the corpus — the
+    build step of a distributed search/retrieval index, and the missing
+    member of the text pillar (tf-idf consumes an index; this MAKES one).
+    The df threshold is a scalar subquery, so the cut scales with the
+    corpus instead of hard-coding a count.
+
+    Scale: explode → distinct (one shuffle on (token, doc)) → per-token
+    aggregate (second shuffle on token). The posting list is the classic
+    skew point — a stop-word's list is corpus-sized — which the df≥20%
+    threshold here embraces deliberately (common terms are the interesting
+    rows); a production index would SHARD each hot term's postings by
+    doc-id range (doc_chunk_windows shows the pattern) rather than emit
+    one row. The threshold knob is the disclosed trade-off.
+    """
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_POSTING_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity: type-token ratio + Simpson index (round 7)
+# ---------------------------------------------------------------------------
+
+# Dialect-shared arithmetic once each engine's tokenizer spelling produced
+# identical (doc, token, count) triples: exact integer sums, one double
+# formula per doc.
+_DIVERSITY_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+c AS (
+  SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS ttr,
+       CASE WHEN sum(c) > 1 THEN
+         round(CAST(sum(c * (c - 1)) AS DOUBLE)
+               / (CAST(sum(c) AS DOUBLE) * (CAST(sum(c) AS DOUBLE) - 1.0)), 9)
+       END AS simpson
+FROM c GROUP BY doc_id
+"""
+
+_DIVERSITY_SPARK = _DIVERSITY_SQL.replace(
+    "unnest(string_split(text, ' '))", "explode(split(text, ' '))"
+)
+
+
+@register("doc_lexical_diversity", oracle=_DIVERSITY_SQL, category="text")
+def doc_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity: type-token ratio and Simpson's
+    repeat-probability index — the statistical complement of
+    doc_repetition_signals' n-gram heuristics, and a standard
+    quality-filter feature for training-data curation (boilerplate and
+    keyword-stuffed pages score near-degenerate diversity). Σc and
+    Σc(c−1) are exact int64; one double formula per document.
+
+    Scale: two stacked combine-enabled aggregates — (doc, token) then
+    (doc) — both partitioned by doc_id, so the second reuses the first's
+    partitioning; no windows, no collect.
+    """
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_DIVERSITY_SPARK)

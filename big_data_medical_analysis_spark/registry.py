@@ -62,6 +62,7 @@ def _load_all() -> None:
         relational,
         similarity,
         sketches,
+        statistics,
         subqueries,
         text_analysis,
         udf_surface,
@@ -160,6 +161,19 @@ _PRIORITY: tuple[str, ...] = (
     "key_dedup_count",
     "nations_with_both",
     "nations_customers_only",
+    # -- NEW in round 7 (policy item 3): first driver exposure in round 8 --
+    "corr_covar_price_qty",
+    "regr_price_date_trend",
+    "median_mode_quantity",
+    "bool_count_if_flags",
+    "percent_rank_cume_orders",
+    "event_label_entropy",
+    "priority_sets_by_segment",
+    "posting_list_index",
+    "doc_lexical_diversity",
+    "order_next_event_asof",
+    "copurchase_brand_pairs",
+    "per_group_downsample",
 )
 
 
