@@ -66,6 +66,7 @@ COHORTS: dict[str, list[str]] = {
         "explode_outer_q_tokens",
         "posting_list_index",
         "doc_lexical_diversity",
+        "bpe_pair_merge_stats",
     ],
     "streaming_batch": [
         "tumbling_event_counts",
@@ -117,6 +118,7 @@ COHORTS: dict[str, list[str]] = {
         "orders_upsert_apply",
         "morton_layout_keys",
         "per_group_downsample",
+        "dynamic_partition_pruning",
     ],
     "analytics": [
         "rolling_7d_user_value",
@@ -139,6 +141,8 @@ COHORTS: dict[str, list[str]] = {
         "order_next_event_asof",
         "copurchase_brand_pairs",
         "percent_rank_cume_orders",
+        "frame_value_functions",
+        "triangle_count_brand_graph",
     ],
     "scalar_variant": [
         "balance_bracket_lookup",
@@ -154,6 +158,8 @@ COHORTS: dict[str, list[str]] = {
         "props_map_hof_transforms",
         "revenue_rollup_grouping_id",
         "priority_sets_by_segment",
+        "join_hint_strategies",
+        "time_hierarchy_rollup",
     ],
     # iterative recursive-CTE executor: cost = per-iteration job overhead ×
     # longest per-customer chain (depth-bound pytest in test_analytics);

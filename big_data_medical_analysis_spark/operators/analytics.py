@@ -1139,3 +1139,80 @@ def copurchase_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting on the co-purchase graph (round 7b)
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_SQL = """
+WITH lb AS (
+  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+e AS (
+  SELECT a.b AS a, b2.b AS b
+  FROM lb a JOIN lb b2 ON a.ok = b2.ok AND a.b < b2.b
+  GROUP BY a.b, b2.b
+  HAVING count(*) * 20 >= (SELECT count(DISTINCT ok) FROM lb)
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+  (SELECT CAST(count(*) AS BIGINT)
+   FROM (SELECT a AS v FROM e UNION SELECT b AS v FROM e)) AS n_nodes,
+  (SELECT CAST(count(*) AS BIGINT)
+   FROM e e1 JOIN e e2 ON e2.a = e1.b
+             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
+"""
+
+
+@register("triangle_count_brand_graph", oracle=_TRIANGLE_SQL, category="graph")
+def triangle_count_brand_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting — the clustering-coefficient / community-density
+    primitive — on the brand co-purchase graph (edges = brand pairs
+    appearing together in ≥5% of brand-bearing orders, a corpus-relative
+    support floor). Complements dedup_components (connectivity) with the
+    other classic distributed-graph aggregate.
+
+    Scale: edges are stored in canonical a<b orientation, which IS the
+    standard triangle-counting trick (each triangle counted exactly once,
+    wedge fan-out bounded by ordered degree); both joins are equi-joins on
+    vertex keys, so the plan is two hash joins over the edge list — never
+    a cartesian. At web scale the refinement is degree-ordered relabeling
+    before orientation (hubs get high ids, minimizing wedges); the support
+    floor here plays the same fan-out-bounding role.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    lb = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    n_baskets = lb.select("ok").distinct().agg(F.count(F.lit(1)).alias("nb"))
+    e = (
+        lb.alias("a")
+        .join(lb.alias("b2"), (F.col("a.ok") == F.col("b2.ok")) & (F.col("a.b") < F.col("b2.b")))
+        .groupBy(F.col("a.b").alias("a"), F.col("b2.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .crossJoin(F.broadcast(n_baskets))
+        .filter(F.col("support") * 20 >= F.col("nb"))
+        .select("a", "b")
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_nodes = (
+        e.select(F.col("a").alias("v"))
+        .union(e.select(F.col("b").alias("v")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return n_edges.crossJoin(n_nodes).crossJoin(tri)

@@ -1190,3 +1190,66 @@ def per_group_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 25)
         .select("source", "doc_id", F.col("rk").cast("integer").alias("rk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning (round 7b)
+# ---------------------------------------------------------------------------
+
+_DPP_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS revenue
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority
+"""
+
+
+@register("dynamic_partition_pruning", oracle=_DPP_SQL, category="etl")
+def dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning end to end: orders are written
+    PARTITIONED BY priority, then joined to a tiny dimension whose FILTER
+    (urgent-class rows only) is not a literal on the fact table — so
+    static pruning can't apply and the scan must be pruned at RUNTIME from
+    the dim side's join keys (Spark injects a dynamicpruning#N subquery
+    into the fact scan's PartitionFilters; pinned in tests/test_plans.py).
+    At 100 TB this is the difference between scanning 2 of 5 partitions
+    and scanning all of them whenever the partition predicate arrives via
+    a dimension, which is how star-schema filters almost always arrive.
+
+    The oracle states the post-pruning semantics directly on the source
+    parquet (the dim join is values-neutral by construction).
+
+    Scale: fixed-per-user overwrite path like every roundtrip query; the
+    broadcast dim doubles as the DPP filter source, so pruning reuses the
+    broadcast rather than running an extra job.
+    """
+    import getpass
+    import tempfile
+
+    from big_data_medical_analysis_spark.operators.common import cents
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_dpp_{getpass.getuser()}"
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out_dir)
+    fact = spark.read.parquet(out_dir)
+    dim = spark.createDataFrame(
+        [("1-URGENT", 1), ("2-HIGH", 1), ("3-MEDIUM", 0),
+         ("4-NOT SPECIFIED", 0), ("5-LOW", 0)],
+        "prio string, urgent int",
+    )
+    return (
+        fact.join(
+            F.broadcast(dim.filter(F.col("urgent") == 1)),
+            fact["o_orderpriority"] == F.col("prio"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents("o_totalprice")).cast("double") / 100.0).alias("revenue"),
+        )
+    )

@@ -1981,3 +1981,86 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("vs_top"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-strategy hints (round 7)
+# ---------------------------------------------------------------------------
+
+# The oracle is the SAME query with no hints — hints must never change
+# values, only the physical strategy (pinned in tests/test_plans.py).
+_HINT_ORACLE_SQL = """
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+_HINT_SPARK_SQL = _HINT_ORACLE_SQL.replace(
+    "SELECT n.n_name",
+    "SELECT /*+ SHUFFLE_MERGE(o), BROADCAST(n) */ n.n_name",
+)
+
+
+@register("join_hint_strategies", oracle=_HINT_ORACLE_SQL, category="join")
+def join_hint_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy HINT surface: ``/*+ SHUFFLE_MERGE(o), BROADCAST(n) */``
+    forces the orders⋈customer join to sort-merge (even where size
+    heuristics would broadcast the dim side) and the nation join to
+    broadcast. Hints are the escape hatch when the optimizer's size
+    estimates are wrong at scale — e.g. a "small" side that explodes after
+    a filter is removed, or a broadcast OOM on a 1000-executor cluster —
+    so the engine must honor them over its own heuristics, and they must
+    be plan-only: the oracle runs the identical query WITHOUT hints and
+    the values hash-match.
+
+    Scale: this query's pinned plan (SMJ on the fact join + broadcast dim)
+    is exactly the 100 TB-safe shape when the build side outgrows
+    broadcast thresholds.
+    """
+    for t in ("orders", "customer", "nation"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_HINT_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Time-hierarchy ROLLUP (round 7)
+# ---------------------------------------------------------------------------
+
+# Dialect-shared: year/quarter/month extraction, ROLLUP, grouping() bits,
+# and exact-cents money sums are identical on both engines.
+_TIME_ROLLUP_SQL = """
+WITH o AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+         CAST(quarter(o_orderdate) AS INTEGER) AS q,
+         CAST(month(o_orderdate) AS INTEGER) AS m,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT y, q, m,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS DOUBLE) / 100.0 AS revenue,
+       CAST(grouping(y) * 4 + grouping(q) * 2 + grouping(m) AS INTEGER)
+         AS gid
+FROM o GROUP BY ROLLUP(y, q, m)
+"""
+
+
+@register("time_hierarchy_rollup", oracle=_TIME_ROLLUP_SQL, category="aggregation")
+def time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-hierarchy ROLLUP — year → quarter → month subtotals plus
+    the grand total in one pass, with a grouping-bit id distinguishing
+    "January" from "whole year" rows: the time-dimension drill-down every
+    reporting layer ships, complementing the geo rollup (revenue_rollup)
+    and the raw grouping-id pin (revenue_rollup_grouping_id).
+
+    Scale: Spark expands rollup into a single exchange with partial
+    aggregation per grouping set — one shuffle regardless of hierarchy
+    depth; output is bounded by the calendar, not the data.
+    """
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_TIME_ROLLUP_SQL)

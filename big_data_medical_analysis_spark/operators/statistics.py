@@ -380,3 +380,42 @@ def priority_sets_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_custkey").alias("n_buyers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Frame value functions: first_value / last_value / nth_value (round 7b)
+# ---------------------------------------------------------------------------
+
+# Dialect-shared: the sliding ROWS frame and all three value functions
+# behave identically (probed on both engines); the unique (cents, orderkey)
+# order makes every frame endpoint deterministic.
+_FRAME_VALUES_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_custkey < 200
+)
+SELECT o_orderkey, o_orderpriority, cents,
+       first_value(cents) OVER w AS frame_first,
+       last_value(cents) OVER w AS frame_last,
+       nth_value(cents, 3) OVER w AS frame_third
+FROM o
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+"""
+
+
+@register("frame_value_functions", oracle=_FRAME_VALUES_SQL, category="window")
+def frame_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The value-extraction window functions over a SLIDING rows frame —
+    ``first_value`` / ``last_value`` / ``nth_value`` — whose subtlety is
+    that they read the FRAME, not the partition: ``last_value`` over the
+    default frame is the famous SQL gotcha (it returns the current row),
+    and ``nth_value`` is NULL while the frame holds fewer than n rows.
+    The ranking and frame-aggregate suites don't touch this family.
+
+    Scale: one shuffle on the partition key, one linear window pass over a
+    bounded 5-row frame; probe filter pushes to the scan.
+    """
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_FRAME_VALUES_SQL)

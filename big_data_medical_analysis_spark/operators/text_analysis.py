@@ -938,3 +938,57 @@ def doc_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     read_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_DIVERSITY_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate statistics (round 7b)
+# ---------------------------------------------------------------------------
+
+# The corpus-relative floor (pairs covering ≥0.5% of all pair occurrences)
+# keeps the output the HEAD of the pair distribution at any scale.
+_BPE_PAIR_SQL = """
+WITH wt AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+p AS (
+  SELECT substring(w, i, 2) AS pair
+  FROM (SELECT w, unnest(generate_series(1, length(w) - 1)) AS i
+        FROM wt WHERE length(w) >= 2)
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY pair
+HAVING count(*) * 200 >= (SELECT count(*) FROM p)
+"""
+
+_BPE_PAIR_SPARK = """
+WITH wt AS (
+  SELECT explode(split(text, ' ')) AS w FROM documents
+),
+p AS (
+  SELECT substring(w, i, 2) AS pair
+  FROM (SELECT w, explode(sequence(1, length(w) - 1)) AS i
+        FROM wt WHERE length(w) >= 2)
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY pair
+HAVING count(*) * 200 >= (SELECT count(*) FROM p)
+"""
+
+
+@register("bpe_pair_merge_stats", oracle=_BPE_PAIR_SQL, category="text")
+def bpe_pair_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge statistics: corpus-wide counts of adjacent
+    CHARACTER pairs within words — exactly the quantity a BPE tokenizer
+    trainer maximizes at each merge step (the word-level twin is
+    ngram_stats; this is the subword layer beneath it). The head of this
+    distribution (≥0.5% of pair mass, a corpus-relative scalar-subquery
+    floor) is the first merge table.
+
+    Scale: explode is linear in characters, the aggregate is map-side
+    combinable over a key domain bounded by the alphabet squared — the
+    shuffle payload is tiny no matter the corpus. A full BPE trainer
+    iterates this with the previous merges applied (the fedavg_rounds
+    pattern: per-iteration combine-enabled aggregates, K-row driver state).
+    """
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_BPE_PAIR_SPARK)

@@ -174,6 +174,12 @@ _PRIORITY: tuple[str, ...] = (
     "order_next_event_asof",
     "copurchase_brand_pairs",
     "per_group_downsample",
+    "frame_value_functions",
+    "join_hint_strategies",
+    "time_hierarchy_rollup",
+    "bpe_pair_merge_stats",
+    "triangle_count_brand_graph",
+    "dynamic_partition_pruning",
 )
 
 

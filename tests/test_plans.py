@@ -424,6 +424,40 @@ def test_balance_bracket_dim_broadcasts(spark, sf_dir):
     assert P.exchange_count(df) == 1
 
 
+def test_join_hints_override_size_heuristics(spark, sf_dir):
+    """SHUFFLE_MERGE(o) must force a SortMergeJoin even though the customer
+    side is broadcast-sized at test SF (hints outrank size estimates), and
+    BROADCAST(n) keeps the nation join broadcast. Values are pinned by the
+    hint-free oracle."""
+    df = QS["join_hint_strategies"](spark, sf_dir)
+    assert P.node_count(df, "SortMergeJoin") == 1
+    assert P.has_node(df, "BroadcastHashJoin")
+    assert not P.has_node(df, "CartesianProduct")
+
+
+def test_dynamic_partition_pruning_reaches_scan(spark, sf_dir):
+    """The partitioned fact scan must carry a runtime dynamicpruning
+    subquery in its partition filters — static pruning can't apply (the
+    filter arrives via the dim join), so its absence means the full
+    partition set is scanned at 100 TB."""
+    df = QS["dynamic_partition_pruning"](spark, sf_dir)
+    plan = P.physical_plan(df)
+    assert "dynamicpruning" in plan.lower()
+    assert P.has_node(df, "BroadcastHashJoin")
+
+
+def test_triangle_count_no_cartesian_and_complete_graph_value(spark, sf_dir):
+    """The 3-way edge join stays equi-keyed (no cartesian), and the
+    triangle count obeys the C(nodes, 3) upper bound with canonical a<b
+    orientation counting each triangle once."""
+    df = QS["triangle_count_brand_graph"](spark, sf_dir)
+    assert not P.has_node(df, "CartesianProduct")
+    r = df.collect()[0]
+    n = r["n_nodes"]
+    assert r["n_triangles"] <= n * (n - 1) * (n - 2) // 6
+    assert r["n_edges"] <= n * (n - 1) // 2
+
+
 def test_rolling_7d_single_shuffle_single_window(spark, sf_dir):
     """The time-range frame runs as ONE shuffle on user_id and ONE window
     pass; the probe filter reaches the scan."""
