@@ -47,6 +47,7 @@ COHORTS: dict[str, list[str]] = {
         "edit_distance_pairs",
         "span_dedup_texts",
         "benchmark_decontamination",
+        "minhash_portable_groups",
     ],
     "similarity": [
         "cosine_topk",
@@ -82,6 +83,7 @@ COHORTS: dict[str, list[str]] = {
         "cogrouped_user_profile",
         "doc_chunk_udtf",
         "arrow_l1_norms",
+        "grouped_agg_median_order",
     ],
     "multimodal": [
         "image_augment_fanout",
@@ -100,6 +102,8 @@ COHORTS: dict[str, list[str]] = {
         "median_mode_quantity",
         "bool_count_if_flags",
         "event_label_entropy",
+        "hll_portable_distinct",
+        "chisq_event_type_segment",
     ],
     "sampling_etl": [
         "weighted_sample_docs",
@@ -119,6 +123,7 @@ COHORTS: dict[str, list[str]] = {
         "morton_layout_keys",
         "per_group_downsample",
         "dynamic_partition_pruning",
+        "npy_source_norms",
     ],
     "analytics": [
         "rolling_7d_user_value",
@@ -143,6 +148,7 @@ COHORTS: dict[str, list[str]] = {
         "percent_rank_cume_orders",
         "frame_value_functions",
         "triangle_count_brand_graph",
+        "brand_pagerank",
     ],
     "scalar_variant": [
         "balance_bracket_lookup",

@@ -503,6 +503,124 @@ def minhash_band_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 4b. Portable MinHash banding (full value oracle)
+# ---------------------------------------------------------------------------
+
+# Same band geometry as the xxhash64 tier above; hash family j is the first
+# 32 bits of md5(token ':' j) — bit-identical in any engine with md5, which
+# is what turns the banded-group output into a full value oracle.
+PMH_ROWS_PER_BAND = 4
+PMH_BANDS = 4
+
+
+def _pmh_component_sql(j: int) -> str:
+    return (
+        "list_min(list_transform(toks, t -> CAST(concat('0x', "
+        f"substr(md5(concat(t, ':{j}')), 1, 8)) AS BIGINT))) AS h{j}"
+    )
+
+
+def _pmh_bucket_sql(b: int) -> str:
+    cols = ", ".join(
+        f"CAST(h{b * PMH_ROWS_PER_BAND + r} AS VARCHAR)"
+        for r in range(PMH_ROWS_PER_BAND)
+    )
+    return f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bucket FROM sig"
+
+
+_PMH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         {', '.join(_pmh_component_sql(j) for j in range(PMH_BANDS * PMH_ROWS_PER_BAND))}
+  FROM tok
+),
+banded AS (
+  {' UNION ALL '.join(_pmh_bucket_sql(b) for b in range(PMH_BANDS))}
+)
+SELECT band, bucket,
+       CAST(count(*) AS BIGINT) AS group_size,
+       min(doc_id) AS keeper_doc_id
+FROM banded GROUP BY band, bucket HAVING count(*) >= 2
+"""
+
+
+@register("minhash_portable_groups", oracle=_PMH_SQL, category="dedup")
+def minhash_portable_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash near-dup groups on an engine-PORTABLE hash family —
+    the fully value-oracle-checked member of the MinHash tier (the xxhash64
+    tier above, ``minhash_band_groups``, stays the throughput path; this
+    variant trades ~2-3x per-token hashing cost for a signature any
+    md5-bearing engine reproduces bit-for-bit, so the DuckDB oracle checks
+    VALUES, not just row counts — closing the near-dup pillar's last
+    rows-only evidential gap).
+
+    Component j of the {PMH_BANDS}x{PMH_ROWS_PER_BAND} signature is
+    min over distinct tokens of the first 32 bits of md5(token ':' j),
+    computed as a pure Catalyst HOF chain (array_distinct -> transform ->
+    array_min) — one linear scan, no explode, no shuffle until the final
+    (band, bucket) aggregate. Docs sharing any band's 4-component slice
+    land in one bucket; output is every collision bucket with its size and
+    min-doc_id keeper. Cost is O(N * bands) rows into one hash aggregate —
+    never all-pairs — so the shape survives 100 TB unchanged; the banding
+    math (4 bands x 4 rows ~ Jaccard >= 0.7 knee) matches
+    ``minhash_band_groups`` so the two tiers are directly comparable.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    n_hashes = PMH_BANDS * PMH_ROWS_PER_BAND
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+
+    def _component(j: int) -> Column:
+        jl = F.lit(f":{j}")
+        return F.array_min(
+            F.transform(
+                F.col("toks"),
+                lambda t: F.conv(
+                    F.substring(F.md5(F.concat(t, jl)), 1, 8), 16, 10
+                ).cast("long"),
+            )
+        )
+
+    sig = fan_out(docs.select("doc_id", toks.alias("toks")), "doc_id").select(
+        "doc_id", *[_component(j).alias(f"h{j}") for j in range(n_hashes)]
+    )
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(
+                                        f"h{b * PMH_ROWS_PER_BAND + r}"
+                                    ).cast("string")
+                                    for r in range(PMH_ROWS_PER_BAND)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(PMH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("group_size") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
 # 5. Duplicate clustering: connected components over near-dup pairs
 # ---------------------------------------------------------------------------
 

@@ -311,3 +311,109 @@ def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_events") * 1000 >= HH_PERMILLE * F.col("n_total"))
         .select("user_id", "n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog on a portable hash family (full value oracle) — round 7
+# ---------------------------------------------------------------------------
+
+HLL_P = 10                       # 2^10 = 1024 registers
+HLL_M = 1 << HLL_P
+HLL_W_BITS = 32 - HLL_P          # bits feeding the rank (rho) computation
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)  # bias constant for m >= 128
+
+_HLL_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))
+                       AS BIGINT) AS v
+  FROM lineitem
+),
+reg AS (
+  SELECT v // {1 << HLL_W_BITS} AS register,
+         max(CASE WHEN v % {1 << HLL_W_BITS} = 0 THEN {HLL_W_BITS + 1}
+                  ELSE {HLL_W_BITS + 1} - length(bin(v % {1 << HLL_W_BITS}))
+             END) AS rho
+  FROM h GROUP BY 1
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_seen,
+         sum(1.0 / CAST(1 << rho AS DOUBLE)) AS z_seen
+  FROM reg
+),
+ex AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
+  FROM lineitem
+)
+SELECT {HLL_M} AS m,
+       CAST({HLL_M} - n_seen AS BIGINT) AS n_zero_registers,
+       round(CAST({_HLL_ALPHA!r} AS DOUBLE) * {HLL_M * HLL_M}
+             / (z_seen + ({HLL_M} - n_seen)), 2) AS hll_estimate,
+       exact_distinct,
+       round(abs(CAST({_HLL_ALPHA!r} AS DOUBLE) * {HLL_M * HLL_M}
+                 / (z_seen + ({HLL_M} - n_seen)) - exact_distinct)
+             / exact_distinct, 4) AS rel_error
+FROM agg, ex
+"""
+
+
+@register("hll_portable_distinct", oracle=_HLL_SQL, category="sketch")
+def hll_portable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch HyperLogLog over a PORTABLE hash — the
+    distinct-counting sketch rebuilt so its entire state is value-oracle-
+    checkable (``approx_distinct_users`` exercises the engine-native HLL++,
+    whose sketch is engine-internal ⇒ rows-only; this one is checked to the
+    register level). 32-bit hash = first 8 hex digits of md5(key); top
+    {HLL_P} bits pick one of {HLL_M} registers, and the register keeps the
+    max rank rho = leading-zeros+1 of the remaining {HLL_W_BITS} bits —
+    computed as integer/string arithmetic (``{HLL_W_BITS + 1} -
+    length(bin(w))``), never floating log2, so Spark and DuckDB agree
+    bit-for-bit. The harmonic sum uses ``1.0 / (1 << rho)`` — exact powers
+    of two, so even the double-precision estimate is deterministic.
+
+    Emitted: register fill, raw HLL estimate (alpha_m * m^2 / Z), the exact
+    distinct count, and the relative error. DELIBERATELY no linear-counting
+    small-range correction: it needs ln(), whose last-ulp behavior is
+    libm-specific, and the raw estimate keeps the oracle exact — at
+    sf <= 0.001 the input sits in that small-range regime, so the reported
+    rel_error is honestly poor there and tightens to the ~1.04/sqrt(m) ≈ 3%
+    band once n >> m (sf0.01+: n/m ≈ 15).
+
+    Scale: the sketch IS the point at 100 TB — per-partition state is m
+    registers regardless of input size, merged by per-register max: one
+    map-side-combinable aggregate on {HLL_M} keys, then a 1-row fold. The
+    initial DISTINCT here (so the oracle can mirror register contents
+    exactly) collapses into the same shuffle; a production variant skips
+    it and feeds raw values straight to the register max.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    v = F.conv(
+        F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    h = li.select(v.alias("v")).distinct()
+    w = F.col("v") % F.lit(1 << HLL_W_BITS)
+    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
+    )
+    reg = (
+        h.select((F.col("v") / F.lit(1 << HLL_W_BITS)).cast("long").alias("register"), rho.alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").alias("rho"))
+    )
+    agg = reg.agg(
+        F.count(F.lit(1)).alias("n_seen"),
+        F.sum(
+            F.lit(1.0) / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), rho) AS DOUBLE)")
+        ).alias("z_seen"),
+    )
+    ex = li.agg(F.count_distinct("l_orderkey").alias("exact_distinct"))
+    z = F.col("z_seen") + (F.lit(HLL_M) - F.col("n_seen"))
+    est = F.lit(_HLL_ALPHA) * F.lit(HLL_M * HLL_M) / z
+    return agg.crossJoin(F.broadcast(ex)).select(
+        F.lit(HLL_M).alias("m"),
+        (F.lit(HLL_M) - F.col("n_seen")).cast("long").alias("n_zero_registers"),
+        F.round(est, 2).alias("hll_estimate"),
+        F.col("exact_distinct"),
+        F.round(
+            F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct"), 4
+        ).alias("rel_error"),
+    )

@@ -419,3 +419,86 @@ def frame_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _views(spark, sf_dir, "orders")
     return spark.sql(_FRAME_VALUES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence (contingency-table aggregate) — round 7
+# ---------------------------------------------------------------------------
+
+_CHISQ_SQL = """
+WITH cells AS (
+  SELECT e.event_type, c.c_mktsegment AS segment,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+  GROUP BY 1, 2
+),
+r AS (SELECT event_type, sum(n) AS rn FROM cells GROUP BY 1),
+cl AS (SELECT segment, sum(n) AS cn FROM cells GROUP BY 1),
+tot AS (SELECT sum(n) AS nn FROM cells)
+SELECT round(sum(
+         pow(CAST(cells.n AS DOUBLE)
+             - CAST(r.rn AS DOUBLE) * CAST(cl.cn AS DOUBLE) / CAST(tot.nn AS DOUBLE), 2)
+         / (CAST(r.rn AS DOUBLE) * CAST(cl.cn AS DOUBLE) / CAST(tot.nn AS DOUBLE))
+       ), 6) AS chi2,
+       CAST(((SELECT count(*) FROM r) - 1) * ((SELECT count(*) FROM cl) - 1)
+            AS BIGINT) AS dof,
+       CAST(max(tot.nn) AS BIGINT) AS n_total
+FROM cells JOIN r USING (event_type) JOIN cl USING (segment), tot
+"""
+
+
+@register("chisq_event_type_segment", oracle=_CHISQ_SQL, category="statistics")
+def chisq_event_type_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence: is event_type distributed
+    independently of the user's market segment? The hypothesis-testing
+    aggregate the exploratory layer runs on every categorical pair —
+    complements the continuous-variable family (corr/regr) with the
+    categorical one. Statistic = Σ (observed − expected)²/expected over the
+    event_type × segment contingency table, expected_ij = rowᵢ·colⱼ/N; all
+    marginals are exact int64 counts, the only doubles are the final 25-cell
+    fold (rounded 6 dp — cross-engine fp drift ~1e-14).
+
+    Scale: one shuffle builds the contingency cells (map-side combinable
+    count); marginals are re-aggregates of the CELLS (domain-sized, not
+    data-sized), joined back broadcast. The statistic never sees row-level
+    data — the same plan profiles a 100 TB fact table. dof = (R−1)(C−1)
+    emitted so a consumer can look up the p-value; the CDF itself needs an
+    incomplete-gamma, which is numerics, not data processing.
+    """
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type")
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    cells = (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy("event_type", "segment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    r = cells.groupBy("event_type").agg(F.sum("n").alias("rn"))
+    cl = cells.groupBy("segment").agg(F.sum("n").alias("cn"))
+    tot = cells.agg(F.sum("n").alias("nn"))
+    nr = r.agg(F.count(F.lit(1)).alias("n_r"))
+    nc = cl.agg(F.count(F.lit(1)).alias("n_c"))
+    e = (
+        F.col("rn").cast("double")
+        * F.col("cn").cast("double")
+        / F.col("nn").cast("double")
+    )
+    return (
+        cells.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(cl), "segment")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.sum(F.pow(F.col("n").cast("double") - e, F.lit(2.0)) / e), 6
+            ).alias("chi2"),
+            F.max("nn").alias("n_total_raw"),
+        )
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "chi2",
+            ((F.col("n_r") - 1) * (F.col("n_c") - 1)).cast("long").alias("dof"),
+            F.col("n_total_raw").cast("long").alias("n_total"),
+        )
+    )

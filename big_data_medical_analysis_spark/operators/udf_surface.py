@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from big_data_medical_analysis_spark.operators.common import fan_out
+from big_data_medical_analysis_spark.operators.common import cents, fan_out
 from big_data_medical_analysis_spark.operators.etl import assign_client
 from big_data_medical_analysis_spark.registry import register
 from big_data_medical_analysis_spark.sources.readers import read_table
@@ -738,3 +738,74 @@ def arrow_l1_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return emb.mapInArrow(_l1, "vec_id long, l1_micro long")
+
+
+# ---------------------------------------------------------------------------
+# 9. Grouped-aggregate pandas UDF (custom UDAF surface) — round 7
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(T.LongType())
+def _lower_median_cents(cents_s: pd.Series) -> int:
+    """Order-statistic median: sorted[(n-1)//2] over int64 cents — the
+    SQL ``percentile_disc(0.5)`` element (np.median would interpolate the
+    middle pair on even n, which no discrete SQL percentile matches)."""
+    v = np.sort(cents_s.to_numpy(dtype="int64"))
+    return int(v[(len(v) - 1) // 2])
+
+
+@pandas_udf(T.LongType())
+def _group_count(cents_s: pd.Series) -> int:
+    return int(len(cents_s))
+
+
+_GROUPED_AGG_SQL = """
+SELECT o_orderpriority,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY
+              CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS median_order_value,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("grouped_agg_median_order", oracle=_GROUPED_AGG_SQL, category="udf")
+def grouped_agg_median_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF — the custom-UDAF member of the UDF surface
+    (scalar, iterator, grouped-map/applyInPandas, cogrouped, mapInPandas,
+    mapInArrow, and UDTF are covered elsewhere; this is the one remaining
+    Arrow crossing form): each group's column arrives as ONE pandas Series
+    and the UDF returns one scalar, here the discrete (lower) median of
+    order value per priority, matching SQL ``percentile_disc(0.5)``
+    exactly because both sides pick the same order statistic from the same
+    int64 cents.
+
+    Scale: Spark evaluates grouped-agg UDFs with full-group Arrow
+    batches — no partial aggregation, the whole group's values ship to one
+    Python worker. That is the honest cost of an arbitrary-function UDAF
+    (fine here: 5 priority groups; at 100 TB you'd pre-reduce per
+    partition first — e.g. feed the UDAF per-partition top/bottom halves
+    or sketch state — or use the built-in approx percentile, which IS
+    partially aggregable, trading exactness for a mergeable sketch).
+    The exact-percentile built-in (``median_mode_quantity``) and the GK
+    sketch (``approx_price_quantiles``) bracket this from both sides.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    oc = orders.select(
+        "o_orderpriority", cents("o_totalprice").alias("oc")
+    )
+    return (
+        fan_out(oc, "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            _lower_median_cents("oc").alias("median_c"),
+            _group_count("oc").alias("n_orders"),
+        )
+        .select(
+            "o_orderpriority",
+            (F.col("median_c").cast("double") / 100.0).alias(
+                "median_order_value"
+            ),
+            "n_orders",
+        )
+    )

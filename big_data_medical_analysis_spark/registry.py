@@ -67,6 +67,7 @@ def _load_all() -> None:
         text_analysis,
         udf_surface,
     )
+    from big_data_medical_analysis_spark.sources import npy_datasource  # noqa: F401
     from big_data_medical_analysis_spark.streaming import windows  # noqa: F401
 
 
