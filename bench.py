@@ -149,6 +149,7 @@ COHORTS: dict[str, list[str]] = {
         "frame_value_functions",
         "triangle_count_brand_graph",
         "brand_pagerank",
+        "nation_trade_volume",
     ],
     "scalar_variant": [
         "balance_bracket_lookup",
@@ -166,6 +167,11 @@ COHORTS: dict[str, list[str]] = {
         "priority_sets_by_segment",
         "join_hint_strategies",
         "time_hierarchy_rollup",
+    ],
+    # data-quality pillar (round 7): schema-bounded profiling + checks
+    "quality": [
+        "orders_column_profile",
+        "orders_dq_checks",
     ],
     # iterative recursive-CTE executor: cost = per-iteration job overhead ×
     # longest per-customer chain (depth-bound pytest in test_analytics);

@@ -1,0 +1,193 @@
+"""Data-quality pillar: column profiling and declarative constraint checks —
+the validation layer every production ingest runs before data is trusted
+(the pattern Deequ/Great Expectations popularized, rebuilt from scratch on
+plain aggregates so each check is one map-side-combinable pass).
+
+Both operators keep state bounded by the SCHEMA (one row per column /
+check), never the data, so the same plan profiles a 100 TB table; the only
+data-sized cost is the count-distinct expand, whose honest scale
+substitute (``approx_count_distinct`` — constant-state HLL) is noted in the
+profiler's docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_medical_analysis_spark.registry import register
+from big_data_medical_analysis_spark.sources.readers import read_table
+
+# (column, spark render expr builder, duckdb render template) — min/max are
+# RENDERED to strings per engine-portable convention: int64/varchar cast
+# directly, money through exact cents, timestamps through an explicit format.
+_PROFILE_COLS: list[tuple[str, str]] = [
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "money"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _duck_render(col: str, kind: str, agg: str) -> str:
+    if kind == "money":
+        return f"CAST(CAST(round({agg}({col}) * 100) AS BIGINT) AS VARCHAR)"
+    if kind == "ts":
+        return f"strftime({agg}({col}), '%Y-%m-%d %H:%M:%S')"
+    return f"CAST({agg}({col}) AS VARCHAR)"
+
+
+def _spark_render(col: str, kind: str, agg) -> Column:
+    if kind == "money":
+        return F.round(agg(F.col(col)) * 100).cast("long").cast("string")
+    if kind == "ts":
+        return F.date_format(agg(F.col(col)), "yyyy-MM-dd HH:mm:ss")
+    return agg(F.col(col)).cast("string")
+
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       {_duck_render(c, k, 'min')} AS min_value,
+       {_duck_render(c, k, 'max')} AS max_value
+FROM orders"""
+    for c, k in _PROFILE_COLS
+)
+
+
+@register("orders_column_profile", oracle=_PROFILE_SQL, category="quality")
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table column profiler: one row per column with null count,
+    distinct count, and rendered min/max — the stats layer feeding schema
+    drift detection, anomaly alerts, and cost-model NDVs.
+
+    Single pass: every per-column statistic is an aggregate expression in
+    ONE ``agg`` (Catalyst expands the multi-distinct into one Expand +
+    aggregate — no per-column jobs, no driver loop); the wide 1-row result
+    is reshaped to rows by an explode that never shuffles. At 100 TB the
+    exact count-distinct expand (one input replica per distinct column) is
+    the piece to swap for ``approx_count_distinct`` — constant-state HLL,
+    same plan otherwise; exact is kept here so the DuckDB oracle checks
+    values bit-for-bit. Min/max render via the engine's portability
+    conventions (int/string cast, money→cents, timestamp→explicit format),
+    so no engine-default float/timestamp formatting leaks into the hash.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    aggs = []
+    for c, k in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+            _spark_render(c, k, F.min).alias(f"mn_{c}"),
+            _spark_render(c, k, F.max).alias(f"mx_{c}"),
+        ]
+    one = orders.agg(*aggs)
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(f"nn_{c}").alias("n_nulls"),
+                        F.col(f"nd_{c}").alias("n_distinct"),
+                        F.col(f"mn_{c}").alias("min_value"),
+                        F.col(f"mx_{c}").alias("max_value"),
+                    )
+                    for c, _ in _PROFILE_COLS
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+
+
+_DQ_SQL = """
+SELECT 'pk_unique_orderkey' AS check_name,
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'fk_custkey_in_customer',
+       CAST(count(*) AS BIGINT)
+FROM orders o WHERE NOT EXISTS
+  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'totalprice_positive',
+       CAST(count(*) FILTER (o_totalprice IS NULL OR o_totalprice <= 0) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'status_in_enum',
+       CAST(count(*) FILTER (o_orderstatus IS NULL
+                             OR o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orderdate_not_null',
+       CAST(count(*) FILTER (o_orderdate IS NULL) AS BIGINT)
+FROM orders
+"""
+
+
+@register("orders_dq_checks", oracle=_DQ_SQL, category="quality")
+def orders_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint suite over orders: primary-key uniqueness,
+    foreign-key containment (custkey ⊆ customer), value range, enum
+    domain, and not-null — each emitted as (check_name, n_violations) so a
+    gate can fail on any nonzero row. The ingest-time contract layer:
+    violations are COUNTED, not just flagged, because triage needs
+    magnitude.
+
+    Scale shape: three of the five checks fold into scan-local conditional
+    counts (one shared pass, map-side combine); uniqueness is a
+    count-distinct expand (swap for approx at 100 TB when an exact dup
+    count isn't required — or use the grouped form in ``docs_exact_dedup``
+    to also LIST offenders); FK containment broadcasts the dimension key
+    set into a left-anti count, never shuffling the fact table.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    pk = orders.agg(
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey"))
+        .cast("long")
+        .alias("n_violations")
+    ).select(F.lit("pk_unique_orderkey").alias("check_name"), "n_violations")
+    fk = (
+        orders.join(
+            F.broadcast(cust),
+            orders["o_custkey"] == cust["c_custkey"],
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(
+            F.lit("fk_custkey_in_customer").alias("check_name"), "n_violations"
+        )
+    )
+    scan_checks = orders.agg(
+        F.count_if(
+            F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
+        ).alias("v_price"),
+        F.count_if(
+            F.col("o_orderstatus").isNull()
+            | ~F.col("o_orderstatus").isin("O", "F", "P")
+        ).alias("v_status"),
+        F.count_if(F.col("o_orderdate").isNull()).alias("v_date"),
+    )
+    rest = scan_checks.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("totalprice_positive").alias("check_name"),
+                    F.col("v_price").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("status_in_enum").alias("check_name"),
+                    F.col("v_status").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("orderdate_not_null").alias("check_name"),
+                    F.col("v_date").alias("n_violations"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.*")
+    return pk.unionAll(fk).unionAll(rest)

@@ -2064,3 +2064,71 @@ def time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_TIME_ROLLUP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Volume-shipping star join (TPC-H Q7 shape) — round 7
+# ---------------------------------------------------------------------------
+
+_TRADE_VOLUME_SQL = """
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(strftime(l.l_shipdate, '%Y') AS INTEGER) AS l_year,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                     AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+@register("nation_trade_volume", oracle=_TRADE_VOLUME_SQL, category="join")
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-border trade volume (the TPC-H Q7 star shape): revenue between
+    every (supplier nation, customer nation) pair per ship year, excluding
+    domestic flows — the 6-table join exercising both broadcast and
+    shuffle sides at once, the canonical star-schema stress query this
+    suite was missing (Q1/Q3/Q5/Q10 analogs exist: pricing_summary,
+    top_orders_by_segment, regional_revenue, nation_order_cohorts).
+
+    Scale plan: nation (25 rows) and supplier (fact/10000) broadcast onto
+    the lineitem scan — no fact shuffle for the supplier axis; the
+    customer axis necessarily shuffles twice (lineitem⋈orders on orderkey,
+    then ⋈customer on custkey — customer is NOT broadcastable at 100 TB,
+    so those exchanges are the honest cost; bucketing orders+lineitem on
+    orderkey removes the first). Aggregation state is bounded by
+    nations² × years. Revenue in exact 10⁻⁴ units.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").alias("l_year"),
+        cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000).alias(
+            "rev_e4"
+        ),
+    )
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = nat.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nat.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg((F.sum("rev_e4").cast("double") / 10000.0).alias("revenue"))
+    )

@@ -59,6 +59,7 @@ def _load_all() -> None:
         dedup,
         etl,
         multimodal,
+        quality,
         relational,
         similarity,
         sketches,

@@ -492,3 +492,50 @@ def test_session_overlap_join_is_hash_not_cartesian(spark, sf_dir):
     df = QS["session_overlap_pairs"](spark, sf_dir)
     assert not P.has_node(df, "CartesianProduct")
     assert not P.has_node(df, "BroadcastNestedLoopJoin")
+
+
+def test_runtime_bloom_filter_join_injection(spark, sf_dir):
+    """Runtime bloom-filter join (the 100 TB shuffle-reduction feature):
+    with the size thresholds adjusted to local-test scale, Catalyst must
+    inject a bloom_filter_agg on the selective dim side and a probe on the
+    fact side of a shuffle join — and the filter must not change values
+    (it is a pure pre-shuffle reducer). Conf-scoped here rather than in a
+    registered query: the thresholds are session-global and would leak
+    into every other query's plan.
+    """
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+
+    def build():
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+            F.col("c_acctbal") > 5000
+        )
+        return (
+            ev.join(cust.hint("shuffle_merge"), ev.user_id == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = build()
+        phys = df._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in phys and "might_contain" in phys.lower()
+        with_bloom = {(r.c_mktsegment, r.n) for r in df.collect()}
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    without = {(r.c_mktsegment, r.n) for r in build().collect()}
+    assert with_bloom == without and with_bloom

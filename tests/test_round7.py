@@ -223,3 +223,68 @@ def test_npy_scan_values_match_parquet(spark, sf_dir):
     for g, w in zip(got, want):
         assert g.vec_id == w.vec_id
         assert np.allclose(np.array(g.embedding), np.array(w.embedding))
+
+
+# -- data-quality pillar -----------------------------------------------------
+
+
+def test_column_profile_covers_schema_and_counts(spark, sf_dir):
+    rows = {r.column_name: r for r in _q("orders_column_profile")(spark, sf_dir).collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert set(rows) == set(orders.columns)
+    n = orders.count()
+    pk = rows["o_orderkey"]
+    assert pk.n_nulls == 0 and pk.n_distinct == n
+    assert int(pk.min_value) <= int(pk.max_value)
+    # money column renders min/max as exact cents
+    assert rows["o_totalprice"].min_value.lstrip("-").isdigit()
+
+
+def test_dq_checks_all_pass_on_clean_corpus(spark, sf_dir):
+    rows = {r.check_name: r.n_violations for r in _q("orders_dq_checks")(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "pk_unique_orderkey",
+        "fk_custkey_in_customer",
+        "totalprice_positive",
+        "status_in_enum",
+        "orderdate_not_null",
+    }
+    # synthetic corpus is referentially clean — every check must hold
+    assert all(v == 0 for v in rows.values()), rows
+
+
+def test_dq_checks_count_planted_violations(spark):
+    """The check exprs must COUNT violations, not just detect them."""
+    from big_data_medical_analysis_spark.operators import quality  # noqa: F401
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "O", 10.0), (1, "X", -5.0), (2, None, 0.0)],
+        ["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    v_price = df.agg(
+        F.count_if(
+            F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
+        ).alias("v")
+    ).collect()[0].v
+    v_status = df.agg(
+        F.count_if(
+            F.col("o_orderstatus").isNull()
+            | ~F.col("o_orderstatus").isin("O", "F", "P")
+        ).alias("v")
+    ).collect()[0].v
+    v_pk = df.agg(
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("v")
+    ).collect()[0].v
+    assert (v_price, v_status, v_pk) == (2, 2, 1)
+
+
+# -- Q7 star join ------------------------------------------------------------
+
+
+def test_nation_trade_volume_excludes_domestic(spark, sf_dir):
+    df = _q("nation_trade_volume")(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    assert all(r.supp_nation != r.cust_nation for r in rows)
+    assert all(r.revenue > 0 for r in rows)
