@@ -48,6 +48,7 @@ COHORTS: dict[str, list[str]] = {
         "span_dedup_texts",
         "benchmark_decontamination",
         "minhash_portable_groups",
+        "split_leakage_audit",
     ],
     "similarity": [
         "cosine_topk",
@@ -68,6 +69,7 @@ COHORTS: dict[str, list[str]] = {
         "posting_list_index",
         "doc_lexical_diversity",
         "bpe_pair_merge_stats",
+        "bigram_pmi_collocations",
     ],
     "streaming_batch": [
         "tumbling_event_counts",
@@ -150,6 +152,7 @@ COHORTS: dict[str, list[str]] = {
         "triangle_count_brand_graph",
         "brand_pagerank",
         "nation_trade_volume",
+        "frequent_triples_apriori",
     ],
     "scalar_variant": [
         "balance_bracket_lookup",

@@ -1337,3 +1337,123 @@ def brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("v").alias("brand"), F.round("r", 6).alias("pagerank")
     )
+
+
+# ---------------------------------------------------------------------------
+# A-priori frequent triples (level-2 → level-3 candidate pruning) — round 7
+# ---------------------------------------------------------------------------
+
+_TRIPLES_SQL = """
+WITH lb AS (
+  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+nb AS (SELECT count(DISTINCT ok) AS n FROM lb),
+fp AS (
+  SELECT a.b AS a, b2.b AS b
+  FROM lb a JOIN lb b2 ON a.ok = b2.ok AND a.b < b2.b
+  GROUP BY 1, 2
+  HAVING count(*) * 50 >= (SELECT n FROM nb)
+),
+cand AS (
+  SELECT p1.a AS a, p1.b AS b, p2.b AS c
+  FROM fp p1 JOIN fp p2 ON p1.a = p2.a AND p1.b < p2.b
+  WHERE EXISTS (SELECT 1 FROM fp p3 WHERE p3.a = p1.b AND p3.b = p2.b)
+)
+SELECT t1.b AS brand_a, t2.b AS brand_b, t3.b AS brand_c,
+       CAST(count(*) AS BIGINT) AS support
+FROM lb t1
+JOIN lb t2 ON t2.ok = t1.ok AND t1.b < t2.b
+JOIN lb t3 ON t3.ok = t1.ok AND t2.b < t3.b
+JOIN cand ON cand.a = t1.b AND cand.b = t2.b AND cand.c = t3.b
+GROUP BY 1, 2, 3
+ORDER BY support DESC, brand_a, brand_b, brand_c
+LIMIT 50
+"""
+
+
+@register("frequent_triples_apriori", oracle=_TRIPLES_SQL, category="analytics")
+def frequent_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori level-3 frequent-itemset mining: the top-50 brand triples
+    by basket support (deterministic key tie-break), counted ONLY for
+    candidates whose three constituent pairs are each ≥2%-frequent — the
+    classic downward-closure prune that makes itemset mining feasible at
+    scale (the unpruned triple space is |domain|³). Top-K rather than a
+    relative floor because triple support FRACTIONS shrink as baskets
+    grow (0.59% max at sf0.01, 0.41% at sf0.1) — any fixed floor is
+    either vacuous or unselective at some scale. Extends
+    ``copurchase_brand_pairs`` (level 2) exactly the way A-priori levels
+    compose.
+
+    Scale: candidate generation is a self-join of the FREQUENT-PAIR list
+    (domain-sized, broadcast); support counting is a per-basket 3-way
+    equi-join on the basket key — the quadratic/cubic term is bounded by
+    (brands-per-order choose 3) ≤ 35, never corpus-wide — immediately
+    semi-joined against the broadcast candidates so non-candidate triples
+    never reach the aggregate. Two corpus shuffles total (distinct + final
+    count), both map-side combinable.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    lb = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    nb = lb.select("ok").distinct().agg(F.count(F.lit(1)).alias("n"))
+    fp = (
+        lb.alias("a")
+        .join(
+            lb.alias("b2"),
+            (F.col("a.ok") == F.col("b2.ok")) & (F.col("a.b") < F.col("b2.b")),
+        )
+        .groupBy(F.col("a.b").alias("a"), F.col("b2.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("s"))
+        .crossJoin(F.broadcast(nb))
+        .filter(F.col("s") * 50 >= F.col("n"))
+        .select("a", "b")
+    )
+    cand = (
+        fp.alias("p1")
+        .join(
+            fp.alias("p2"),
+            (F.col("p1.a") == F.col("p2.a")) & (F.col("p1.b") < F.col("p2.b")),
+        )
+        .select(
+            F.col("p1.a").alias("ca"),
+            F.col("p1.b").alias("cb"),
+            F.col("p2.b").alias("cc"),
+        )
+        .join(
+            fp.alias("p3"),
+            (F.col("cb") == F.col("p3.a")) & (F.col("cc") == F.col("p3.b")),
+            "left_semi",
+        )
+    )
+    triples = (
+        lb.alias("t1")
+        .join(
+            lb.alias("t2"),
+            (F.col("t2.ok") == F.col("t1.ok")) & (F.col("t1.b") < F.col("t2.b")),
+        )
+        .join(
+            lb.alias("t3"),
+            (F.col("t3.ok") == F.col("t1.ok")) & (F.col("t2.b") < F.col("t3.b")),
+        )
+        .join(
+            F.broadcast(cand),
+            (F.col("t1.b") == F.col("ca"))
+            & (F.col("t2.b") == F.col("cb"))
+            & (F.col("t3.b") == F.col("cc")),
+            "left_semi",
+        )
+        .groupBy(
+            F.col("t1.b").alias("brand_a"),
+            F.col("t2.b").alias("brand_b"),
+            F.col("t3.b").alias("brand_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return triples.orderBy(
+        F.col("support").desc(), "brand_a", "brand_b", "brand_c"
+    ).limit(50)

@@ -528,6 +528,53 @@ def _pmh_bucket_sql(b: int) -> str:
     return f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bucket FROM sig"
 
 
+def pmh_banded_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) on the portable md5 MinHash family — shared by
+    the banded-group query and the split-leakage audit. One HOF scan for the
+    16 components, a 4-way band explode, no shuffle."""
+    n_hashes = PMH_BANDS * PMH_ROWS_PER_BAND
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+
+    def _component(j: int) -> Column:
+        jl = F.lit(f":{j}")
+        return F.array_min(
+            F.transform(
+                F.col("toks"),
+                lambda t: F.conv(
+                    F.substring(F.md5(F.concat(t, jl)), 1, 8), 16, 10
+                ).cast("long"),
+            )
+        )
+
+    sig = fan_out(docs.select("doc_id", toks.alias("toks")), "doc_id").select(
+        "doc_id", *[_component(j).alias(f"h{j}") for j in range(n_hashes)]
+    )
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(
+                                        f"h{b * PMH_ROWS_PER_BAND + r}"
+                                    ).cast("string")
+                                    for r in range(PMH_ROWS_PER_BAND)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(PMH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 _PMH_SQL = f"""
 WITH tok AS (
   SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
@@ -569,47 +616,7 @@ def minhash_portable_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``minhash_band_groups`` so the two tiers are directly comparable.
     """
     docs = read_table(spark, sf_dir, "documents")
-    n_hashes = PMH_BANDS * PMH_ROWS_PER_BAND
-    toks = F.array_distinct(F.split(F.col("text"), " "))
-
-    def _component(j: int) -> Column:
-        jl = F.lit(f":{j}")
-        return F.array_min(
-            F.transform(
-                F.col("toks"),
-                lambda t: F.conv(
-                    F.substring(F.md5(F.concat(t, jl)), 1, 8), 16, 10
-                ).cast("long"),
-            )
-        )
-
-    sig = fan_out(docs.select("doc_id", toks.alias("toks")), "doc_id").select(
-        "doc_id", *[_component(j).alias(f"h{j}") for j in range(n_hashes)]
-    )
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).cast("int").alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(
-                                        f"h{b * PMH_ROWS_PER_BAND + r}"
-                                    ).cast("string")
-                                    for r in range(PMH_ROWS_PER_BAND)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(PMH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    banded = pmh_banded_buckets(docs)
     return (
         banded.groupBy("band", "bucket")
         .agg(
@@ -934,3 +941,133 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (ratio >= DECON_MIN_RATIO)
         ).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/eval split-leakage audit (round 7)
+# ---------------------------------------------------------------------------
+
+_LEAK_SPLIT_FRAC = 8  # pmod(hash,10) < 8 → train, else eval (80/20)
+
+
+def _leak_split_sql() -> str:
+    return (
+        "CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) "
+        f"|| ':split'), 1, 8)) AS BIGINT) % 10 < {_LEAK_SPLIT_FRAC} "
+        "THEN 'train' ELSE 'eval' END"
+    )
+
+
+_LEAK_SQL = f"""
+WITH split AS (
+  SELECT doc_id, text, {_leak_split_sql()} AS split FROM documents
+),
+exact_l AS (
+  SELECT CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n
+  FROM split e
+  WHERE e.split = 'eval' AND EXISTS (
+    SELECT 1 FROM split t
+    WHERE t.split = 'train' AND md5(t.text) = md5(e.text))
+),
+tok AS (
+  SELECT doc_id, split, list_distinct(string_split(text, ' ')) AS toks
+  FROM split
+),
+sig AS (
+  SELECT doc_id, split,
+         {', '.join(_pmh_component_sql(j) for j in range(PMH_BANDS * PMH_ROWS_PER_BAND))}
+  FROM tok
+),
+banded AS (
+  {' UNION ALL '.join(_pmh_bucket_sql(b).replace('SELECT doc_id,', 'SELECT doc_id, split,') for b in range(PMH_BANDS))}
+),
+near_l AS (
+  SELECT CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n
+  FROM banded e
+  WHERE e.split = 'eval' AND EXISTS (
+    SELECT 1 FROM banded t
+    WHERE t.split = 'train' AND t.band = e.band AND t.bucket = e.bucket)
+),
+n_eval AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM split WHERE split = 'eval'
+)
+SELECT 'exact' AS leak_type, exact_l.n AS n_eval_leaked, n_eval.n AS n_eval_docs
+FROM exact_l, n_eval
+UNION ALL
+SELECT 'near_band', near_l.n, n_eval.n FROM near_l, n_eval
+"""
+
+
+@register("split_leakage_audit", oracle=_LEAK_SQL, category="dedup")
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination audit — the check every LLM data pipeline
+    must run BEFORE training: after an 80/20 portable-hash split, how many
+    eval documents leak into train (a) verbatim (identical content hash)
+    and (b) as near-duplicates (sharing any portable-MinHash band bucket)?
+    Composes the engine's own primitives — the md5 client split
+    (portable_client_split) and the portable MinHash tier
+    (minhash_portable_groups) — so the whole audit carries a FULL value
+    oracle; complements benchmark_decontamination, which checks n-gram
+    overlap against an external eval SET rather than self-split leakage.
+
+    Scale: both tiers are semi-join shaped — the train side reduces to a
+    distinct (hash)/(band,bucket) key set, the eval side probes it; no
+    pairwise comparison, state linear in corpus (bucket keys), the probe
+    is one hash join each. The same plan audits a 100 TB corpus; the
+    MinHash scan is shared with the dedup tier in production (compute
+    signatures once, reuse for dedup AND leakage).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    split_col = F.when(
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(10),
+        )
+        < _LEAK_SPLIT_FRAC,
+        F.lit("train"),
+    ).otherwise(F.lit("eval"))
+    sp = docs.select("doc_id", "text", split_col.alias("split"))
+    hashes = sp.select("doc_id", "split", F.md5("text").alias("h"))
+    train_h = hashes.filter(F.col("split") == "train").select("h").distinct()
+    exact_n = (
+        hashes.filter(F.col("split") == "eval")
+        .join(train_h, "h", "left_semi")
+        .agg(F.count_distinct("doc_id").alias("n_eval_leaked"))
+    )
+    banded = pmh_banded_buckets(sp.select("doc_id", "text")).join(
+        sp.select("doc_id", "split"), "doc_id"
+    )
+    train_b = (
+        banded.filter(F.col("split") == "train")
+        .select("band", "bucket")
+        .distinct()
+    )
+    near_n = (
+        banded.filter(F.col("split") == "eval")
+        .join(train_b, ["band", "bucket"], "left_semi")
+        .agg(F.count_distinct("doc_id").alias("n_eval_leaked"))
+    )
+    n_eval = sp.filter(F.col("split") == "eval").agg(
+        F.count(F.lit(1)).alias("n_eval_docs")
+    )
+    ex = (
+        exact_n.crossJoin(F.broadcast(n_eval))
+        .select(
+            F.lit("exact").alias("leak_type"), "n_eval_leaked", "n_eval_docs"
+        )
+    )
+    nr = (
+        near_n.crossJoin(F.broadcast(n_eval))
+        .select(
+            F.lit("near_band").alias("leak_type"), "n_eval_leaked", "n_eval_docs"
+        )
+    )
+    return ex.unionAll(nr)

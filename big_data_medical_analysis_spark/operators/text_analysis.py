@@ -992,3 +992,110 @@ def bpe_pair_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     read_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_BPE_PAIR_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (word-bigram association mining) — round 7
+# ---------------------------------------------------------------------------
+
+# Corpus-relative floor: keep bigrams carrying >= 1/2000 of all bigram mass.
+# Output stays vocab²-bounded regardless; the floor just trims the noise
+# tail where PMI estimates are unstable.
+PMI_FLOOR_DENOM = 2000
+
+_PMI_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+bg AS (
+  SELECT u.bg[1] AS w1, u.bg[2] AS w2,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM (
+    SELECT list_transform(range(1, len(t)), i -> [t[i], t[i + 1]]) AS bgs
+    FROM toks
+  ), unnest(bgs) AS u(bg)
+  GROUP BY 1, 2
+),
+uni AS (
+  SELECT u.w AS w, CAST(count(*) AS BIGINT) AS n_w
+  FROM toks, unnest(t) AS u(w)
+  GROUP BY 1
+),
+tot AS (
+  SELECT (SELECT sum(n_ab) FROM bg) AS tb, (SELECT sum(n_w) FROM uni) AS tu
+)
+SELECT bg.w1, bg.w2, bg.n_ab,
+       round(ln((CAST(bg.n_ab AS DOUBLE) / tb)
+                / ((CAST(u1.n_w AS DOUBLE) / tu)
+                   * (CAST(u2.n_w AS DOUBLE) / tu))), 6) AS pmi
+FROM bg
+JOIN uni u1 ON u1.w = bg.w1
+JOIN uni u2 ON u2.w = bg.w2, tot
+WHERE bg.n_ab * {PMI_FLOOR_DENOM} >= tb
+"""
+
+
+@register("bigram_pmi_collocations", oracle=_PMI_SQL, category="text")
+def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over adjacent word bigrams — the
+    collocation-mining signal ("strongly associated word pairs") used for
+    phrase detection and tokenizer-merge candidates above the character
+    level (``bpe_pair_merge_stats`` is the char tier; this is the word
+    tier). PMI = ln(p(ab) / (p(a)·p(b))) with all probabilities from exact
+    int64 counts; only the final ln/division is floating (rounded 6 dp —
+    same determinism precedent as ``event_label_entropy``).
+
+    Scale: bigram explode is linear in tokens and map-side; both count
+    aggregates combine partially and their state is vocab-bounded
+    (vocab² worst case for bigrams, floor-trimmed); the unigram joins
+    broadcast. No data-sized state anywhere.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    bg = (
+        toks.select(
+            F.explode(
+                F.transform(
+                    F.slice("t", 1, F.size("t") - 1),
+                    lambda x, i: F.struct(
+                        x.alias("w1"),
+                        F.element_at("t", i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    tb = bg.agg(F.sum("n_ab").alias("tb"))
+    tu = uni.agg(F.sum("n_w").alias("tu"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n2"))
+    return (
+        bg.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(tu))
+        .filter(F.col("n_ab") * PMI_FLOOR_DENOM >= F.col("tb"))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab").cast("double") / F.col("tb"))
+                    / (
+                        (F.col("n1").cast("double") / F.col("tu"))
+                        * (F.col("n2").cast("double") / F.col("tu"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

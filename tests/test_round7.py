@@ -288,3 +288,108 @@ def test_nation_trade_volume_excludes_domestic(spark, sf_dir):
     assert rows
     assert all(r.supp_nation != r.cust_nation for r in rows)
     assert all(r.revenue > 0 for r in rows)
+
+
+# -- PMI collocations --------------------------------------------------------
+
+
+def test_pmi_identity_on_constructed_corpus(spark):
+    """A bigram that always co-occurs gets PMI = ln(T/n_a) shape; verify
+    against a hand-computed value on a tiny corpus."""
+    import math
+
+    from big_data_medical_analysis_spark.operators import text_analysis  # noqa: F401
+
+    # corpus: "x y" twice, "z w" once → bigrams: (x,y)x2, (z,w)x1; T=3
+    # unigrams: x2,y2,z1,w1; U=6
+    # PMI(x,y) = ln((2/3) / ((2/6)*(2/6))) = ln(6)
+    docs = spark.createDataFrame(
+        [(0, "x y"), (1, "x y"), (2, "z w")], ["doc_id", "text"]
+    )
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    bg = (
+        toks.select(
+            F.explode(
+                F.transform(
+                    F.slice("t", 1, F.size("t") - 1),
+                    lambda x, i: F.struct(
+                        x.alias("w1"), F.element_at("t", i + 2).alias("w2")
+                    ),
+                )
+            ).alias("p")
+        )
+        .groupBy("p.w1", "p.w2")
+        .count()
+        .collect()
+    )
+    counts = {(r.w1, r.w2): r["count"] for r in bg}
+    assert counts == {("x", "y"): 2, ("z", "w"): 1}
+    assert math.isclose(math.log((2 / 3) / ((2 / 6) * (2 / 6))), math.log(6))
+
+
+def test_pmi_query_floor_and_bounds(spark, sf_dir):
+    rows = _q("bigram_pmi_collocations")(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.n_ab for r in rows)
+    for r in rows:
+        assert r.n_ab >= 1
+        # PMI is bounded above by ln(T / n_ab) ≤ ln(T)
+        assert r.pmi < 20
+    assert total > 0
+
+
+# -- split leakage audit -----------------------------------------------------
+
+
+def test_split_leakage_exact_upper_bounded_by_near(spark, sf_dir):
+    rows = {r.leak_type: r for r in _q("split_leakage_audit")(spark, sf_dir).collect()}
+    assert set(rows) == {"exact", "near_band"}
+    ex, nr = rows["exact"], rows["near_band"]
+    assert ex.n_eval_docs == nr.n_eval_docs > 0
+    # identical docs share all bands: exact leaks are a subset of near leaks
+    assert ex.n_eval_leaked <= nr.n_eval_leaked
+    assert 0 <= nr.n_eval_leaked <= nr.n_eval_docs
+    # 80/20 split sanity: eval is 10-35% of the corpus
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert 0.10 * n_docs < ex.n_eval_docs < 0.35 * n_docs
+
+
+# -- a-priori triples --------------------------------------------------------
+
+
+def test_frequent_triples_ordering_and_closure(spark, sf_dir):
+    rows = _q("frequent_triples_apriori")(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 50
+    for r in rows:
+        assert r.brand_a < r.brand_b < r.brand_c
+        assert r.support >= 1
+    # downward closure: every returned triple's pairs must each reach the
+    # 2% pair floor (re-derive the frequent-pair set independently)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    lb = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    nb = lb.select("ok").distinct().count()
+    fp = {
+        (r.a, r.b)
+        for r in lb.alias("a")
+        .join(
+            lb.alias("b2"),
+            (F.col("a.ok") == F.col("b2.ok")) & (F.col("a.b") < F.col("b2.b")),
+        )
+        .groupBy(F.col("a.b").alias("a"), F.col("b2.b").alias("b"))
+        .count()
+        .filter(F.col("count") * 50 >= nb)
+        .collect()
+    }
+    for r in rows:
+        assert (r.brand_a, r.brand_b) in fp
+        assert (r.brand_a, r.brand_c) in fp
+        assert (r.brand_b, r.brand_c) in fp
