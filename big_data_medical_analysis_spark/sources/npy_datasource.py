@@ -44,6 +44,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 
 from big_data_medical_analysis_spark.registry import register
@@ -172,6 +173,9 @@ class NpyEmbeddingDataSource(DataSource):
             return NpyEmbeddingReader(self.options)
         return NpyEmbeddingReaderBase(self.options)
 
+    def simpleStreamReader(self, schema):  # noqa: N802 (API name)
+        return NpySimpleStreamReader(self.options)
+
 
 # ---------------------------------------------------------------------------
 # Fixture + registered query
@@ -275,3 +279,49 @@ def npy_source_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("nm").cast("double") / 1000000.0).alias("sum_norm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming side: SimpleDataSourceStreamReader over the same matrix
+# ---------------------------------------------------------------------------
+
+
+class NpySimpleStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch tail over the matrix: offset = {"row": k}; each batch
+    serves the next ``stream_batch_rows`` rows. Models the arrival pattern
+    of embedding shards from a training job (append-only, replayable by
+    offset range — ``readBetweenOffsets`` re-serves any committed slice, so
+    recovery is exactly-once). State is ONE integer; at scale the offset
+    would be (shard file, row) and ``initialOffset`` would list the shard
+    directory."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.batch = int(options.get("stream_batch_rows", "100"))
+        self.n_rows, self.dim, _, _ = parse_npy_header(self.path)
+
+    def initialOffset(self) -> dict:  # noqa: N802 (API name)
+        return {"row": 0}
+
+    def _slice(self, s: int, e: int):
+        # a list ITERATOR: the prefetch wrapper advances it (so a bare list
+        # fails) and then pickles it to ship rows to executors (so a
+        # generator fails) — list iterators are the type that does both
+        if e <= s:
+            return iter([])
+        mat = np.load(self.path, mmap_mode="r")
+        chunk = np.asarray(mat[s:e], dtype=np.float32)
+        return iter(
+            [(int(s + i), [float(x) for x in chunk[i]]) for i in range(e - s)]
+        )
+
+    def read(self, start: dict):
+        s = int(start["row"])
+        e = min(s + self.batch, self.n_rows)
+        return self._slice(s, e), {"row": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
+        return self._slice(int(start["row"]), int(end["row"]))
+
+    def commit(self, end: dict) -> None:
+        pass  # no upstream to acknowledge; offsets live in the checkpoint

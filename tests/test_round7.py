@@ -393,3 +393,71 @@ def test_frequent_triples_ordering_and_closure(spark, sf_dir):
         assert (r.brand_a, r.brand_b) in fp
         assert (r.brand_a, r.brand_c) in fp
         assert (r.brand_b, r.brand_c) in fp
+
+
+# -- npy streaming source ----------------------------------------------------
+
+
+def test_npy_stream_reader_offsets_and_replay(sf_dir):
+    from big_data_medical_analysis_spark.sources.npy_datasource import (
+        NpySimpleStreamReader,
+    )
+
+    p = npy_fixture_path(sf_dir)
+    r = NpySimpleStreamReader({"path": p, "stream_batch_rows": "64"})
+    off = r.initialOffset()
+    assert off == {"row": 0}
+    rows1, off1 = r.read(off)
+    rows1 = list(rows1)
+    assert len(rows1) == 64 and off1 == {"row": 64}
+    assert rows1[0][0] == 0 and len(rows1[0][1]) == 64
+    # replay of a committed range serves identical rows (exactly-once)
+    replay = list(r.readBetweenOffsets(off, off1))
+    assert [x[0] for x in replay] == [x[0] for x in rows1]
+    assert replay[5][1] == rows1[5][1]
+    # tail: reading past the end yields an empty batch at a fixed offset
+    n = r.n_rows
+    empty, off_end = r.read({"row": n})
+    assert list(empty) == [] and off_end == {"row": n}
+
+
+def test_npy_stream_equals_batch(spark, sf_dir, tmp_path):
+    """stream ≡ batch: draining the micro-batch source must reproduce the
+    batch scan exactly (count and per-vector content)."""
+    from big_data_medical_analysis_spark.sources.npy_datasource import (
+        NPY_SOURCE_NAME,
+        NpyEmbeddingDataSource,
+    )
+
+    try:
+        spark.dataSource.register(NpyEmbeddingDataSource)
+    except Exception:
+        pass
+    p = npy_fixture_path(sf_dir)
+    q = (
+        spark.readStream.format(NPY_SOURCE_NAME)
+        .option("path", p)
+        .option("stream_batch_rows", "150")
+        .load()
+        .selectExpr("vec_id", "round(aggregate(embedding, 0D, (a, x) -> a + abs(x)), 4) AS l1")
+        .writeStream.format("memory")
+        .queryName("npy_stream_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.vec_id: r.l1 for r in spark.sql("SELECT * FROM npy_stream_t").collect()}
+    want = {
+        r.vec_id: r.l1
+        for r in spark.read.format(NPY_SOURCE_NAME)
+        .option("path", p)
+        .load()
+        .selectExpr(
+            "vec_id", "round(aggregate(embedding, 0D, (a, x) -> a + abs(x)), 4) AS l1"
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
