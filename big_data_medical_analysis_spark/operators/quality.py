@@ -191,3 +191,107 @@ def orders_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("c")
     ).select("c.*")
     return pk.unionAll(fk).unionAll(rest)
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (privacy tier of the quality pillar) — round 7
+# ---------------------------------------------------------------------------
+
+K_ANON = 5
+
+_KANON_SQL = f"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS gs
+  FROM customer GROUP BY 1, 2
+)
+SELECT {K_ANON} AS k,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(count(*) FILTER (gs < {K_ANON}) AS BIGINT) AS n_groups_below_k,
+       CAST(min(gs) AS BIGINT) AS min_group_size,
+       CAST(coalesce(sum(gs) FILTER (gs < {K_ANON}), 0) AS BIGINT)
+         AS n_rows_at_risk
+FROM g
+"""
+
+
+@register("k_anonymity_audit", oracle=_KANON_SQL, category="quality")
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market segment) quasi-identifier
+    pair: a released record is re-identifiable when its quasi-identifier
+    group holds fewer than k individuals, so the audit reports group count,
+    how many groups fall below k={K_ANON}, the worst group size, and the
+    number of at-risk rows — the privacy gate that complements content-level
+    PII scrubbing (``pii_scrub_stats``) with STRUCTURAL disclosure risk.
+
+    Scale: one aggregate keyed on the quasi-identifier tuple (map-side
+    combinable), then a fold over GROUP-sized state — the audit never holds
+    more than |QI domain| rows. Generalization lattices (coarsening nation
+    → region until every group clears k) are iterations of this same
+    aggregate up the hierarchy.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("gs")
+    )
+    return g.agg(
+        F.lit(K_ANON).alias("k"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count_if(F.col("gs") < K_ANON).alias("n_groups_below_k"),
+        F.min("gs").alias("min_group_size"),
+        F.coalesce(
+            F.sum(F.when(F.col("gs") < K_ANON, F.col("gs"))), F.lit(0)
+        ).alias("n_rows_at_risk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit — round 7
+# ---------------------------------------------------------------------------
+
+_BENFORD_SQL = """
+WITH d AS (
+  SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+           AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+t AS (SELECT sum(n) AS tot FROM c)
+SELECT CAST(digit AS INTEGER) AS digit, n,
+       round(CAST(n AS DOUBLE) / tot, 6) AS observed_share,
+       round(ln(1.0 + 1.0 / CAST(digit AS INTEGER)) / ln(10.0), 6)
+         AS benford_share
+FROM c, t
+"""
+
+
+@register("benford_first_digit", oracle=_BENFORD_SQL, category="quality")
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    fabricated-data / anomaly screen (natural multi-scale amounts follow
+    P(d) = log10(1 + 1/d); synthetic or tampered columns usually don't —
+    this corpus's prices are range-bounded, so the observed shares visibly
+    DEVIATE, which is exactly what the audit is for). First digit extracted
+    from the exact int64 cents via integer→string — no float log in the
+    digit path, so bucketing is engine-identical; only the reference
+    Benford share computes a ln, rounded at 6 dp.
+
+    Scale: 9-key aggregate, map-side combinable, constant state.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    cents_c = F.round(F.col("o_totalprice") * 100).cast("long")
+    d = orders.filter(F.col("o_totalprice") > 0).select(
+        F.substring(cents_c.cast("string"), 1, 1).alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("tot"))
+    return c.crossJoin(F.broadcast(t)).select(
+        F.col("digit").cast("int").alias("digit"),
+        "n",
+        F.round(F.col("n").cast("double") / F.col("tot"), 6).alias(
+            "observed_share"
+        ),
+        F.round(
+            F.log(1.0 + 1.0 / F.col("digit").cast("int")) / F.log(F.lit(10.0)),
+            6,
+        ).alias("benford_share"),
+    )

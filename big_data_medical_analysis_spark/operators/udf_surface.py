@@ -809,3 +809,72 @@ def grouped_agg_median_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 10. applyInArrow grouped map (pyarrow.Table in/out) — round 7
+# ---------------------------------------------------------------------------
+
+_ARROW_GROUPED_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_value,
+       CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS min_value,
+       CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS max_value
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("arrow_grouped_stats", oracle=_ARROW_GROUPED_SQL, category="udf")
+def arrow_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``applyInArrow`` — the grouped-map form that hands each group as a
+    ``pyarrow.Table`` and takes one back, skipping pandas entirely (the
+    zero-copy sibling of applyInPandas; mapInArrow covers the ungrouped
+    form, grouped-agg/scalar/iterator/cogrouped/UDTF live elsewhere —
+    this closes the Arrow API family). The kernel computes per-priority
+    order-value stats with pyarrow.compute on exact int64 cents, so the
+    DuckDB oracle matches bit-for-bit.
+
+    Scale: same contract as every grouped map — whole group to one worker
+    as Arrow batches, no partial aggregation; right for group-sized
+    kernels (5 priority groups here). For plain stats the built-in
+    aggregate is strictly better (map-side combine) — the value of this
+    surface is arbitrary columnar kernels (numpy/pyarrow compute) per
+    group without a pandas materialization.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    orders = read_table(spark, sf_dir, "orders")
+
+    def stats(t: pa.Table) -> pa.Table:
+        cents_a = pc.cast(
+            pc.round(pc.multiply(t.column("o_totalprice"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "o_orderpriority": [t.column("o_orderpriority")[0].as_py()],
+                "n_orders": [t.num_rows],
+                "total_value": [pc.sum(cents_a).as_py() / 100.0],
+                "min_value": [pc.min(cents_a).as_py() / 100.0],
+                "max_value": [pc.max(cents_a).as_py() / 100.0],
+            }
+        )
+
+    return (
+        fan_out(
+            orders.select("o_orderpriority", "o_totalprice"), "o_orderpriority"
+        )
+        .groupBy("o_orderpriority")
+        .applyInArrow(
+            stats,
+            schema=(
+                "o_orderpriority string, n_orders long, total_value double, "
+                "min_value double, max_value double"
+            ),
+        )
+    )

@@ -92,9 +92,12 @@ def _load_all() -> None:
 #      nations_customers_only) — rotate to round 8.
 #   3. queries NEW in round 7 (stats-aggregate suite, posting-list index,
 #      co-purchase mining, entropy/diversity, asof-forward, per-group
-#      downsample) queue right after the staleness backfill: they have
-#      local selfchecks + pytest now and take their first driver row in
-#      round 8 alongside the six rotated r4 stragglers.
+#      downsample; second batch: portable minhash/HLL, pagerank, chi-square,
+#      grouped-agg UDAF, npy source, quality pillar, Q7 star, PMI,
+#      split-leakage audit, a-priori triples) queue right after the
+#      staleness backfill: they have local selfchecks + pytest now and take
+#      their first driver row in round 8 alongside the six rotated r4
+#      stragglers.
 #   4. everything else (latest row r5/r6) follows in registration order —
 #      steady-state rotation keeps every query's latest row within two
 #      rounds once the r4 debt clears.

@@ -461,3 +461,60 @@ def test_npy_stream_equals_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+# -- k-anonymity + Benford (quality tier 2) ----------------------------------
+
+
+def test_k_anonymity_consistency(spark, sf_dir):
+    r = _q("k_anonymity_audit")(spark, sf_dir).collect()[0]
+    assert r.k == 5
+    g = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .count()
+        .collect()
+    )
+    assert r.n_groups == len(g)
+    assert r.min_group_size == min(x["count"] for x in g)
+    below = [x for x in g if x["count"] < 5]
+    assert r.n_groups_below_k == len(below)
+    assert r.n_rows_at_risk == sum(x["count"] for x in below)
+
+
+def test_benford_shares_sum_to_one(spark, sf_dir):
+    import math
+
+    rows = _q("benford_first_digit")(spark, sf_dir).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.observed_share for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        want = math.log10(1 + 1 / r.digit)
+        assert abs(r.benford_share - want) < 1e-5
+    # full Benford reference mass over digits 1-9 is exactly 1
+    assert abs(sum(math.log10(1 + 1 / d) for d in range(1, 10)) - 1.0) < 1e-12
+
+
+# -- applyInArrow ------------------------------------------------------------
+
+
+def test_arrow_grouped_stats_matches_builtin(spark, sf_dir):
+    got = {
+        r.o_orderpriority: r
+        for r in _q("arrow_grouped_stats")(spark, sf_dir).collect()
+    }
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    want = {
+        r.o_orderpriority: r
+        for r in orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias("tot"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k].n_orders == want[k].n
+        assert got[k].total_value == pytest.approx(want[k].tot)
+        assert got[k].min_value <= got[k].max_value
