@@ -86,6 +86,7 @@ COHORTS: dict[str, list[str]] = {
         "doc_chunk_udtf",
         "arrow_l1_norms",
         "grouped_agg_median_order",
+        "arrow_grouped_stats",
     ],
     "multimodal": [
         "image_augment_fanout",
@@ -175,6 +176,8 @@ COHORTS: dict[str, list[str]] = {
     "quality": [
         "orders_column_profile",
         "orders_dq_checks",
+        "k_anonymity_audit",
+        "benford_first_digit",
     ],
     # iterative recursive-CTE executor: cost = per-iteration job overhead ×
     # longest per-customer chain (depth-bound pytest in test_analytics);
