@@ -539,3 +539,43 @@ def test_runtime_bloom_filter_join_injection(spark, sf_dir):
                 spark.conf.set(k, v)
     without = {(r.c_mktsegment, r.n) for r in build().collect()}
     assert with_bloom == without and with_bloom
+
+
+def test_minhash_portable_no_join_bounded_exchanges(spark, sf_dir):
+    """Portable MinHash banding is scan → HOF signature → band explode →
+    ONE hash aggregate: no join of any kind, bounded exchanges (fan_out +
+    the band/bucket aggregate). An all-pairs regression would surface as a
+    join node."""
+    df = QS["minhash_portable_groups"](spark, sf_dir)
+    assert not P.has_node(df, "Join")  # matches SortMergeJoin/Broadcast*/Shuffled*
+    assert P.exchange_count(df) <= 3
+
+
+def test_hll_portable_register_bounded_state(spark, sf_dir):
+    """HLL = distinct hash → register max → 1-row fold (+1-row broadcast
+    cross for the exact twin). No window, no data-sized join."""
+    df = QS["hll_portable_distinct"](spark, sf_dir)
+    assert P.node_count(df, "Window") == 0
+    assert not P.has_node(df, "SortMergeJoin")
+    assert P.exchange_count(df) <= 5
+
+
+def test_trade_volume_star_broadcasts_dims(spark, sf_dir):
+    """Q7 star: nation (x2) and supplier broadcast; never a cartesian."""
+    df = QS["nation_trade_volume"](spark, sf_dir)
+    assert P.broadcast_join_count(df) >= 3
+    assert not P.has_node(df, "CartesianProduct")
+    # fact scan pruned: lineitem reads only the 5 consumed columns
+    schemas = P.read_schemas(df)
+    li = [s for s in schemas if "l_suppkey" in s]
+    assert li and "l_comment" not in li[0] and "l_returnflag" not in li[0]
+
+
+def test_column_profile_single_pass_expand(spark, sf_dir):
+    """Profiler = ONE multi-distinct aggregate (Expand) over one scan; the
+    row reshape is a shuffle-free generate. A per-column-job regression
+    would appear as extra exchanges."""
+    df = QS["orders_column_profile"](spark, sf_dir)
+    assert P.has_node(df, "Expand")
+    assert not P.has_node(df, "Join")
+    assert P.exchange_count(df) <= 3
