@@ -107,6 +107,8 @@ COHORTS: dict[str, list[str]] = {
         "event_label_entropy",
         "hll_portable_distinct",
         "chisq_event_type_segment",
+        "mad_robust_stats",
+        "feature_zscore_by_label",
     ],
     "sampling_etl": [
         "weighted_sample_docs",

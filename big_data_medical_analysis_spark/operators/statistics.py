@@ -502,3 +502,137 @@ def chisq_event_type_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_total_raw").cast("long").alias("n_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics: median / MAD / outlier fences — round 7
+# ---------------------------------------------------------------------------
+
+# Dialect-shared SQL (both engines run this text verbatim): order statistics
+# are rank-based on exact int64 cents, so no float enters until the final
+# render; the 3×MAD fence compares integers.
+_MAD_SQL = """
+WITH oc AS (
+  SELECT o_orderpriority AS pri,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+),
+med AS (
+  SELECT pri,
+         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c) AS BIGINT) AS m
+  FROM oc GROUP BY pri
+),
+dev AS (
+  SELECT oc.pri, oc.c, med.m, abs(oc.c - med.m) AS d
+  FROM oc JOIN med ON med.pri = oc.pri
+),
+mad AS (
+  SELECT pri,
+         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY d) AS BIGINT)
+           AS mad_c
+  FROM dev GROUP BY pri
+)
+SELECT dev.pri AS o_orderpriority,
+       CAST(max(dev.m) AS DOUBLE) / 100.0 AS median_value,
+       CAST(max(mad.mad_c) AS DOUBLE) / 100.0 AS mad_value,
+       CAST(count(*) FILTER (WHERE dev.d > 3 * mad.mad_c) AS BIGINT)
+         AS n_outliers,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM dev JOIN mad ON mad.pri = dev.pri
+GROUP BY dev.pri
+"""
+
+
+@register("mad_robust_stats", oracle=_MAD_SQL, category="statistics")
+def mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion per order priority: discrete median, median
+    absolute deviation (MAD — the robust stddev), and a 3×MAD outlier
+    fence count — the outlier-screening family that mean/stddev
+    (quantity_higher_moments) cannot provide because both are themselves
+    outlier-sensitive. All rank statistics on exact int64 cents via
+    dialect-shared ``percentile_disc WITHIN GROUP``; the fence is an
+    integer comparison, so the count is exact in any engine.
+
+    Scale: two grouped exact percentiles (each a per-group sort at
+    dimension-group cardinality — 5 groups) with the deviation join
+    broadcast on the 5-row median table. The fact-scale substitute swaps
+    each percentile_disc for the GK sketch (approx_price_quantiles),
+    keeping the same two-pass shape.
+    """
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_MAD_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Per-group feature standardization (z-scores) — round 7
+# ---------------------------------------------------------------------------
+
+_ZSCORE_SQL = """
+WITH nm AS (
+  SELECT vec_id, label,
+         CAST(round(sqrt(CAST(list_sum(list_transform(embedding,
+                y -> CAST(round(y::DOUBLE * 1000000) AS BIGINT)
+                     * CAST(round(y::DOUBLE * 1000000) AS BIGINT)))
+              AS DOUBLE))) AS BIGINT) AS x
+  FROM embeddings
+),
+st AS (
+  SELECT label,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38, 0))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(x AS DECIMAL(38, 0)) * CAST(x AS DECIMAL(38, 0)))
+              AS DOUBLE) AS sx2
+  FROM nm GROUP BY label
+)
+SELECT nm.vec_id, nm.label,
+       round((CAST(nm.x AS DOUBLE) - st.sx / st.n)
+             / sqrt((st.n * st.sx2 - st.sx * st.sx) / (st.n * (st.n - 1.0))),
+             4) AS z_norm
+FROM nm JOIN st ON st.label = nm.label
+"""
+
+
+@register("feature_zscore_by_label", oracle=_ZSCORE_SQL, category="statistics")
+def feature_zscore_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature standardization — z-score of each embedding's L2
+    norm within its label group, the normalize-per-class step of a feature
+    pipeline (and the scalar sibling of the per-dimension standardization
+    a whitening layer applies). The norm is the exact-integer micro-unit
+    idiom; group mean/variance come from exact decimal(38,0) sufficient
+    statistics (Σx, Σx² — the corr/covar discipline), so the only
+    engine-shared floats are one subtraction, one sqrt, one division per
+    row, rounded at 4 dp.
+
+    Scale: one linear scan for norms, one map-side-combinable aggregate
+    for the per-label stats (label-domain state), one broadcast join back.
+    The same shape standardizes any per-row feature at 100 TB.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    sq = F.transform(
+        "embedding",
+        lambda y: F.round(y.cast("double") * 1000000).cast("long")
+        * F.round(y.cast("double") * 1000000).cast("long"),
+    )
+    x = F.round(
+        F.sqrt(
+            F.aggregate(sq, F.lit(0).cast("long"), lambda a, b: a + b).cast(
+                "double"
+            )
+        )
+    ).cast("long")
+    nm = emb.select("vec_id", "label", x.alias("x"))
+    xd = F.col("x").cast("decimal(38,0)")
+    st = nm.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(xd * xd).cast("double").alias("sx2"),
+    )
+    nd = F.col("n").cast("double")
+    var = (nd * F.col("sx2") - F.col("sx") * F.col("sx")) / (nd * (nd - 1.0))
+    return nm.join(F.broadcast(st), "label").select(
+        "vec_id",
+        "label",
+        F.round(
+            (F.col("x").cast("double") - F.col("sx") / nd) / F.sqrt(var), 4
+        ).alias("z_norm"),
+    )

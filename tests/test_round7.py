@@ -518,3 +518,42 @@ def test_arrow_grouped_stats_matches_builtin(spark, sf_dir):
         assert got[k].n_orders == want[k].n
         assert got[k].total_value == pytest.approx(want[k].tot)
         assert got[k].min_value <= got[k].max_value
+
+
+# -- robust stats + z-score --------------------------------------------------
+
+
+def test_mad_robust_stats_properties(spark, sf_dir):
+    rows = _q("mad_robust_stats")(spark, sf_dir).collect()
+    assert len(rows) == 5
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pri = rows[0].o_orderpriority
+    vals = sorted(
+        int(round(r.o_totalprice * 100))
+        for r in orders.filter(F.col("o_orderpriority") == pri).collect()
+    )
+    med = vals[(len(vals) - 1) // 2]
+    # percentile_disc(0.5) picks the ceil(n/2)-th order statistic
+    import math
+    med_disc = vals[math.ceil(len(vals) * 0.5) - 1]
+    r0 = [r for r in rows if r.o_orderpriority == pri][0]
+    assert r0.median_value in (med / 100.0, med_disc / 100.0)
+    devs = sorted(abs(v - int(round(r0.median_value * 100))) for v in vals)
+    mad = devs[math.ceil(len(devs) * 0.5) - 1]
+    assert r0.mad_value == mad / 100.0
+    n_out = sum(1 for v in vals if abs(v - int(round(r0.median_value * 100))) > 3 * mad)
+    assert r0.n_outliers == n_out
+
+
+def test_zscore_group_mean_zero_unit_var(spark, sf_dir):
+    import statistics as pystats
+
+    rows = _q("feature_zscore_by_label")(spark, sf_dir).collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r.z_norm)
+    assert by_label
+    for zs in by_label.values():
+        if len(zs) > 2:
+            assert abs(pystats.fmean(zs)) < 1e-2
+            assert abs(pystats.stdev(zs) - 1.0) < 1e-2
