@@ -49,6 +49,7 @@ COHORTS: dict[str, list[str]] = {
         "benchmark_decontamination",
         "minhash_portable_groups",
         "split_leakage_audit",
+        "prefix_filter_jaccard_join",
     ],
     "similarity": [
         "cosine_topk",

@@ -557,3 +557,61 @@ def test_zscore_group_mean_zero_unit_var(spark, sf_dir):
         if len(zs) > 2:
             assert abs(pystats.fmean(zs)) < 1e-2
             assert abs(pystats.stdev(zs) - 1.0) < 1e-2
+
+
+# -- prefix-filter similarity join --------------------------------------------
+
+
+def test_prefix_filter_is_exact_vs_bruteforce(spark, sf_dir):
+    """The prefix-filtered join must return EXACTLY the brute-force pair
+    set at the threshold — completeness is the whole point (banding tiers
+    may miss pairs; this one may not)."""
+    from big_data_medical_analysis_spark.operators.dedup import PREFIX_JACCARD_T
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in _q("prefix_filter_jaccard_join")(spark, sf_dir).collect()
+    }
+    sets = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.array_distinct(F.split("text", " ")).alias("s"))
+    )
+    a = sets.select(F.col("doc_id").alias("da"), F.col("s").alias("sa"))
+    b = sets.select(F.col("doc_id").alias("db"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    brute = {
+        (r.da, r.db): r.j
+        for r in a.join(b, F.col("da") < F.col("db"))
+        .select("da", "db", F.round(inter.cast("double") / union, 6).alias("j"))
+        .filter(F.col("j") >= PREFIX_JACCARD_T)
+        .collect()
+    }
+    assert got == brute and len(got) > 0
+
+
+def test_prefix_filter_prunes_candidates(spark, sf_dir):
+    """The prefix explode must be strictly smaller than the full token
+    explode — the pruning that makes the join subquadratic."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sets = docs.select("doc_id", F.array_distinct(F.split("text", " ")).alias("s"))
+    full = sets.select(F.explode("s")).count()
+    n = sets.select(F.size("s").alias("n")).agg(
+        F.sum(F.col("n") - F.floor((19 * F.col("n") + 19) / 5 / 4) + 1)
+    )
+    # direct recount of the prefix rows used by the query
+    tok = sets.select("doc_id", F.explode("s").alias("w"))
+    from pyspark.sql import Window as W
+
+    df_t = tok.groupBy("w").count()
+    ranked = tok.join(df_t, "w").select(
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy("doc_id").orderBy("count", "w"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("doc_id")).alias("n"),
+    )
+    pref = ranked.filter(
+        F.col("rn") <= F.col("n") - F.floor((19 * F.col("n") + 19) / 20) + 1
+    ).count()
+    assert 0 < pref < full / 5  # 95% threshold keeps ≤ ~1/10 of tokens
