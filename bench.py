@@ -110,6 +110,7 @@ COHORTS: dict[str, list[str]] = {
         "chisq_event_type_segment",
         "mad_robust_stats",
         "feature_zscore_by_label",
+        "hll_merge_returnflag",
     ],
     "sampling_etl": [
         "weighted_sample_docs",
@@ -181,6 +182,7 @@ COHORTS: dict[str, list[str]] = {
         "orders_dq_checks",
         "k_anonymity_audit",
         "benford_first_digit",
+        "fk_fanout_profile",
     ],
     # iterative recursive-CTE executor: cost = per-iteration job overhead ×
     # longest per-customer chain (depth-bound pytest in test_analytics);

@@ -295,3 +295,45 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("benford_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FK fan-out profile (join-cardinality audit) — round 7
+# ---------------------------------------------------------------------------
+
+_FANOUT_SQL = """
+WITH f AS (
+  SELECT o.o_orderkey, count(l.l_orderkey) AS fanout
+  FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1
+)
+SELECT CAST(fanout AS BIGINT) AS fanout,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM f GROUP BY 1
+"""
+
+
+@register("fk_fanout_profile", oracle=_FANOUT_SQL, category="quality")
+def fk_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality audit: the orders→lineitem fan-out histogram (how
+    many child rows each parent key joins to, INCLUDING zero-child parents
+    via the left join) — the statistic a planner needs to predict join
+    output size, and the data-quality screen that catches accidental
+    many-to-many blowups before they reach production (a fanout tail at
+    10⁴ is a skew/key-quality bug, not a plan problem).
+
+    Scale: child-side count keyed on the FK (map-side combinable), one
+    shuffle; histogram state bounded by max fan-out (≤ lines per order,
+    single digits here). The zero bucket requires the parent side — a
+    right-side count alone can't see childless parents.
+    """
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    per_parent = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"], "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("fanout"))
+    )
+    return per_parent.groupBy("fanout").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )

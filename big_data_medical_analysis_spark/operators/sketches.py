@@ -417,3 +417,116 @@ def hll_portable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct"), 4
         ).alias("rel_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL mergeability: per-group sketches union to the global sketch — round 7
+# ---------------------------------------------------------------------------
+
+_HLL_MERGE_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT l_returnflag AS flag,
+         CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))
+              AS BIGINT) AS v
+  FROM lineitem
+),
+reg AS (
+  SELECT flag, v // {1 << HLL_W_BITS} AS register,
+         max(CASE WHEN v % {1 << HLL_W_BITS} = 0 THEN {HLL_W_BITS + 1}
+                  ELSE {HLL_W_BITS + 1} - length(bin(v % {1 << HLL_W_BITS}))
+             END) AS rho
+  FROM h GROUP BY 1, 2
+),
+merged AS (
+  SELECT register, max(rho) AS rho FROM reg GROUP BY 1
+),
+direct AS (
+  SELECT v // {1 << HLL_W_BITS} AS register,
+         max(CASE WHEN v % {1 << HLL_W_BITS} = 0 THEN {HLL_W_BITS + 1}
+                  ELSE {HLL_W_BITS + 1} - length(bin(v % {1 << HLL_W_BITS}))
+             END) AS rho
+  FROM (SELECT DISTINCT v FROM h) GROUP BY 1
+),
+est AS (
+  SELECT flag AS scope,
+         CAST(count(*) AS BIGINT) AS n_seen,
+         sum(1.0 / CAST(1 << rho AS DOUBLE)) AS z_seen
+  FROM reg GROUP BY flag
+  UNION ALL
+  SELECT 'MERGED', CAST(count(*) AS BIGINT),
+         sum(1.0 / CAST(1 << rho AS DOUBLE)) FROM merged
+  UNION ALL
+  SELECT 'DIRECT', CAST(count(*) AS BIGINT),
+         sum(1.0 / CAST(1 << rho AS DOUBLE)) FROM direct
+)
+SELECT scope,
+       round(CAST({_HLL_ALPHA!r} AS DOUBLE) * {HLL_M * HLL_M}
+             / (z_seen + ({HLL_M} - n_seen)), 2) AS hll_estimate
+FROM est
+"""
+
+
+@register("hll_merge_returnflag", oracle=_HLL_MERGE_SQL, category="sketch")
+def hll_merge_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes HLL a DISTRIBUTED sketch, value-oracled:
+    per-returnflag register sets, register-wise-MAX-merged into one
+    sketch, land on the IDENTICAL registers a direct global sketch builds
+    — so the MERGED and DIRECT rows of this output carry the same
+    estimate by construction, and the oracle hash proves it (max is
+    associative/commutative/idempotent: union of sketches ≡ sketch of
+    union, the algebra every per-partition/per-day/per-shard rollup
+    relies on at 100 TB — build once per shard, merge in m-register
+    space, never rescan).
+
+    Emits the per-flag estimates plus MERGED and DIRECT rows; same
+    portable hash family and ln-free estimator as
+    ``hll_portable_distinct``.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    v = F.conv(
+        F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    h = li.select(F.col("l_returnflag").alias("flag"), v.alias("v")).distinct()
+    w = F.col("v") % F.lit(1 << HLL_W_BITS)
+    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
+    )
+    reg = (
+        h.select(
+            "flag",
+            (F.col("v") / F.lit(1 << HLL_W_BITS)).cast("long").alias("register"),
+            rho.alias("rho"),
+        )
+        .groupBy("flag", "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+    merged = (
+        reg.groupBy("register")
+        .agg(F.max("rho").alias("rho"))
+        .select(F.lit("MERGED").alias("scope"), "register", "rho")
+    )
+    direct = (
+        h.select("v").distinct()
+        .select(
+            (F.col("v") / F.lit(1 << HLL_W_BITS)).cast("long").alias("register"),
+            rho.alias("rho"),
+        )
+        .groupBy("register")
+        .agg(F.max("rho").alias("rho"))
+        .select(F.lit("DIRECT").alias("scope"), "register", "rho")
+    )
+    per_flag = reg.select(F.col("flag").alias("scope"), "register", "rho")
+    est_in = per_flag.unionAll(merged).unionAll(direct)
+    agg = est_in.groupBy("scope").agg(
+        F.count(F.lit(1)).alias("n_seen"),
+        F.sum(
+            F.lit(1.0) / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), rho) AS DOUBLE)")
+        ).alias("z_seen"),
+    )
+    z = F.col("z_seen") + (F.lit(HLL_M) - F.col("n_seen"))
+    return agg.select(
+        "scope",
+        F.round(F.lit(_HLL_ALPHA) * F.lit(HLL_M * HLL_M) / z, 2).alias(
+            "hll_estimate"
+        ),
+    )

@@ -615,3 +615,26 @@ def test_prefix_filter_prunes_candidates(spark, sf_dir):
         F.col("rn") <= F.col("n") - F.floor((19 * F.col("n") + 19) / 20) + 1
     ).count()
     assert 0 < pref < full / 5  # 95% threshold keeps ≤ ~1/10 of tokens
+
+
+# -- HLL mergeability + fanout profile ---------------------------------------
+
+
+def test_hll_merged_equals_direct(spark, sf_dir):
+    rows = {r.scope: r.hll_estimate for r in _q("hll_merge_returnflag")(spark, sf_dir).collect()}
+    assert "MERGED" in rows and "DIRECT" in rows
+    # union-of-sketches ≡ sketch-of-union: estimates identical, not close
+    assert rows["MERGED"] == rows["DIRECT"]
+    flags = {k for k in rows if k not in ("MERGED", "DIRECT")}
+    assert flags  # per-group rows present
+    for f in flags:
+        assert rows[f] <= rows["MERGED"] * 1.5  # group ≤ union (noise slack)
+
+
+def test_fk_fanout_histogram_mass(spark, sf_dir):
+    rows = _q("fk_fanout_profile")(spark, sf_dir).collect()
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    n_lines = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    assert sum(r.n_orders for r in rows) == n_orders
+    assert sum(r.fanout * r.n_orders for r in rows) == n_lines
+    assert all(r.fanout >= 0 for r in rows)
