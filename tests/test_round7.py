@@ -566,18 +566,27 @@ def test_prefix_filter_is_exact_vs_bruteforce(spark, sf_dir):
     """The prefix-filtered join must return EXACTLY the brute-force pair
     set at the threshold — completeness is the whole point (banding tiers
     may miss pairs; this one may not)."""
-    from big_data_medical_analysis_spark.operators.dedup import PREFIX_JACCARD_T
+    from big_data_medical_analysis_spark.operators.dedup import (
+        PREFIX_JACCARD_T,
+        PREFIX_SHINGLE_N,
+        shingles,
+    )
 
     got = {
         (r.doc_a, r.doc_b): r.jaccard
         for r in _q("prefix_filter_jaccard_join")(spark, sf_dir).collect()
     }
-    sets = (
+    # two INDEPENDENT reads: a self-join of one frame with renamed columns
+    # can misbind the two array columns to the same attribute id (classic
+    # Spark self-join ambiguity), silently computing intersect(sa, sa)
+    a = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .select("doc_id", F.array_distinct(F.split("text", " ")).alias("s"))
+        .select(F.col("doc_id").alias("da"), shingles("text", PREFIX_SHINGLE_N).alias("sa"))
     )
-    a = sets.select(F.col("doc_id").alias("da"), F.col("s").alias("sa"))
-    b = sets.select(F.col("doc_id").alias("db"), F.col("s").alias("sb"))
+    b = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").alias("db"), shingles("text", PREFIX_SHINGLE_N).alias("sb"))
+    )
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size("sa") + F.size("sb") - inter
     brute = {
@@ -591,18 +600,19 @@ def test_prefix_filter_is_exact_vs_bruteforce(spark, sf_dir):
 
 
 def test_prefix_filter_prunes_candidates(spark, sf_dir):
-    """The prefix explode must be strictly smaller than the full token
+    """The prefix explode must be a small fraction of the full shingle
     explode — the pruning that makes the join subquadratic."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sets = docs.select("doc_id", F.array_distinct(F.split("text", " ")).alias("s"))
-    full = sets.select(F.explode("s")).count()
-    n = sets.select(F.size("s").alias("n")).agg(
-        F.sum(F.col("n") - F.floor((19 * F.col("n") + 19) / 5 / 4) + 1)
-    )
-    # direct recount of the prefix rows used by the query
-    tok = sets.select("doc_id", F.explode("s").alias("w"))
     from pyspark.sql import Window as W
 
+    from big_data_medical_analysis_spark.operators.dedup import (
+        PREFIX_SHINGLE_N,
+        shingles,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sets = docs.select("doc_id", shingles("text", PREFIX_SHINGLE_N).alias("s"))
+    full = sets.select(F.explode("s")).count()
+    tok = sets.select("doc_id", F.explode("s").alias("w"))
     df_t = tok.groupBy("w").count()
     ranked = tok.join(df_t, "w").select(
         "doc_id",
@@ -612,9 +622,10 @@ def test_prefix_filter_prunes_candidates(spark, sf_dir):
         F.count(F.lit(1)).over(W.partitionBy("doc_id")).alias("n"),
     )
     pref = ranked.filter(
-        F.col("rn") <= F.col("n") - F.floor((19 * F.col("n") + 19) / 20) + 1
+        F.col("rn") <= F.col("n") - F.floor((4 * F.col("n") + 4) / 5) + 1
     ).count()
-    assert 0 < pref < full / 5  # 95% threshold keeps ≤ ~1/10 of tokens
+    assert 0 < pref < full / 3  # t=0.8 keeps ~1/5 of shingles
+
 
 
 # -- HLL mergeability + fanout profile ---------------------------------------
