@@ -158,6 +158,7 @@ COHORTS: dict[str, list[str]] = {
         "brand_pagerank",
         "nation_trade_volume",
         "frequent_triples_apriori",
+        "longest_daily_streak",
     ],
     "scalar_variant": [
         "balance_bracket_lookup",

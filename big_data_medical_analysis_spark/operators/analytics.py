@@ -1457,3 +1457,69 @@ def frequent_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triples.orderBy(
         F.col("support").desc(), "brand_a", "brand_b", "brand_c"
     ).limit(50)
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest consecutive-day streak per user — round 7
+# ---------------------------------------------------------------------------
+
+_STREAK_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS eday
+  FROM events
+),
+isl AS (
+  SELECT user_id, eday,
+         eday - row_number() OVER (PARTITION BY user_id ORDER BY eday)
+           AS island
+  FROM days
+),
+runs AS (
+  SELECT user_id, island, CAST(count(*) AS BIGINT) AS run_len
+  FROM isl GROUP BY 1, 2
+)
+SELECT user_id,
+       max(run_len) AS longest_streak,
+       CAST(sum(run_len) AS BIGINT) AS n_active_days,
+       CAST(count(*) AS BIGINT) AS n_streaks
+FROM runs GROUP BY user_id
+"""
+
+
+@register("longest_daily_streak", oracle=_STREAK_SQL, category="analytics")
+def longest_daily_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands on the DATE axis: each user's longest run of
+    consecutive active days (plus total active days and streak count) —
+    the classic engagement/retention streak metric, and the island
+    pattern's calendar form (``dynamic_gap_sessions`` is its
+    continuous-time sibling: there the island boundary is a data-driven
+    time gap, here it is a missed calendar day). The island key is
+    ``epoch_day − row_number`` — constant within a consecutive run,
+    strictly integer (epoch-day arithmetic, no date-type rendering in
+    the oracle path, timezone-independent by construction).
+
+    Scale: distinct (user, day) collapses map-side; ONE shuffle keys
+    everything by user (the window, both aggregates, and the island
+    grouping all share that partitioning — co-partitioned, no further
+    exchange); per-user state is active-day-sized.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("eday"),
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("eday")
+    isl = days.select(
+        "user_id",
+        "eday",
+        (F.col("eday") - F.row_number().over(w)).alias("island"),
+    )
+    runs = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").alias("longest_streak"),
+        F.sum("run_len").cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+    )

@@ -649,3 +649,39 @@ def test_fk_fanout_histogram_mass(spark, sf_dir):
     assert sum(r.n_orders for r in rows) == n_orders
     assert sum(r.fanout * r.n_orders for r in rows) == n_lines
     assert all(r.fanout >= 0 for r in rows)
+
+
+# -- gaps and islands --------------------------------------------------------
+
+
+def test_longest_streak_hand_check(spark, sf_dir):
+    rows = {r.user_id: r for r in _q("longest_daily_streak")(spark, sf_dir).collect()}
+    assert rows
+    # recompute one user by hand
+    uid = next(iter(rows))
+    days = sorted(
+        r.eday
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("user_id") == uid)
+        .select((F.floor(F.unix_timestamp("ts") / 86400)).cast("long").alias("eday"))
+        .distinct()
+        .collect()
+    )
+    longest = cur = 1
+    streaks = 1
+    for a, b in zip(days, days[1:]):
+        if b == a + 1:
+            cur += 1
+        else:
+            cur = 1
+            streaks += 1
+        longest = max(longest, cur)
+    r = rows[uid]
+    assert (r.longest_streak, r.n_active_days, r.n_streaks) == (
+        longest,
+        len(days),
+        streaks,
+    )
+    for r in rows.values():
+        assert r.longest_streak <= r.n_active_days
+        assert r.n_streaks >= 1
