@@ -88,6 +88,8 @@ COHORTS: dict[str, list[str]] = {
         "arrow_l1_norms",
         "grouped_agg_median_order",
         "arrow_grouped_stats",
+        "confusion_matrix_metrics",
+        "score_calibration_bins",
     ],
     "multimodal": [
         "image_augment_fanout",

@@ -636,3 +636,186 @@ def feature_zscore_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("x").cast("double") - F.col("sx") / nd) / F.sqrt(var), 4
         ).alias("z_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ML evaluation: confusion matrix + per-class precision/recall/F1 — round 7
+# ---------------------------------------------------------------------------
+
+# Deterministic surrogate classifier: predicted class = norm_micro mod 10
+# (engine-portable integer arithmetic over the exact-integer L2 norm), so
+# the confusion structure is reproducible and the metric pipeline — the
+# actual operator under test — carries a full value oracle.
+
+_NORM_MICRO_DUCK = """CAST(round(sqrt(CAST(list_sum(list_transform(embedding,
+      y -> CAST(round(y::DOUBLE * 1000000) AS BIGINT)
+           * CAST(round(y::DOUBLE * 1000000) AS BIGINT))) AS DOUBLE)))
+      AS BIGINT)"""
+
+_CONFUSION_SQL = f"""
+WITH scored AS (
+  SELECT label AS y_true,
+         CAST({_NORM_MICRO_DUCK} % 10 AS INTEGER) AS y_pred
+  FROM embeddings
+),
+cells AS (
+  SELECT y_true, y_pred, CAST(count(*) AS BIGINT) AS n
+  FROM scored GROUP BY 1, 2
+),
+tp AS (SELECT y_true AS cls, n AS tp FROM cells WHERE y_true = y_pred),
+actual AS (SELECT y_true AS cls, sum(n) AS n_actual FROM cells GROUP BY 1),
+pred AS (SELECT y_pred AS cls, sum(n) AS n_pred FROM cells GROUP BY 1)
+SELECT actual.cls AS label,
+       CAST(actual.n_actual AS BIGINT) AS n_actual,
+       CAST(coalesce(pred.n_pred, 0) AS BIGINT) AS n_pred,
+       CAST(coalesce(tp.tp, 0) AS BIGINT) AS tp,
+       round(CAST(coalesce(tp.tp, 0) AS DOUBLE)
+             / nullif(CAST(coalesce(pred.n_pred, 0) AS DOUBLE), 0), 6)
+         AS precision,
+       round(CAST(coalesce(tp.tp, 0) AS DOUBLE)
+             / CAST(actual.n_actual AS DOUBLE), 6) AS recall,
+       round(2.0 * CAST(coalesce(tp.tp, 0) AS DOUBLE)
+             / nullif(CAST(coalesce(pred.n_pred, 0) AS DOUBLE)
+                      + CAST(actual.n_actual AS DOUBLE), 0), 6) AS f1
+FROM actual
+LEFT JOIN pred ON pred.cls = actual.cls
+LEFT JOIN tp ON tp.cls = actual.cls
+"""
+
+
+@register("confusion_matrix_metrics", oracle=_CONFUSION_SQL, category="evaluation")
+def confusion_matrix_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-class evaluation: per-class actuals, predictions, true
+    positives, precision, recall, and F1 from a confusion-cell aggregate —
+    the metric layer every training loop runs after batch inference
+    (``model_eval_accuracy`` covers binary accuracy; this is the
+    multi-class PRF family; F1 computed as 2·TP/(pred+actual), the
+    division-order that avoids compounding rounded intermediates).
+    Zero-prediction classes yield NULL precision (0/0), kept as NULL —
+    the honest value, not a coalesced 0.
+
+    Scale: one pass to confusion CELLS (classes² state, map-side
+    combinable); everything after is arithmetic over that domain-sized
+    table with broadcast joins. The deterministic surrogate classifier
+    (norm mod 10) keeps the whole pipeline value-oracle-checked; swap in
+    any real scorer without touching the metric plan.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    sq = F.transform(
+        "embedding",
+        lambda y: F.round(y.cast("double") * 1000000).cast("long")
+        * F.round(y.cast("double") * 1000000).cast("long"),
+    )
+    norm_micro = F.round(
+        F.sqrt(F.aggregate(sq, F.lit(0).cast("long"), lambda a, b: a + b).cast("double"))
+    ).cast("long")
+    scored = emb.select(
+        F.col("label").alias("y_true"),
+        F.pmod(norm_micro, F.lit(10)).cast("int").alias("y_pred"),
+    )
+    cells = scored.groupBy("y_true", "y_pred").agg(F.count(F.lit(1)).alias("n"))
+    tp = cells.filter(F.col("y_true") == F.col("y_pred")).select(
+        F.col("y_true").alias("cls"), F.col("n").alias("tp")
+    )
+    actual = cells.groupBy("y_true").agg(F.sum("n").alias("n_actual")).select(
+        F.col("y_true").alias("cls"), "n_actual"
+    )
+    pred = cells.groupBy("y_pred").agg(F.sum("n").alias("n_pred")).select(
+        F.col("y_pred").alias("cls"), "n_pred"
+    )
+    j = (
+        actual.join(F.broadcast(pred), "cls", "left")
+        .join(F.broadcast(tp), "cls", "left")
+        .select(
+            F.col("cls").alias("label"),
+            F.col("n_actual").cast("long").alias("n_actual"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+        )
+    )
+    tp_d = F.col("tp").cast("double")
+    return j.select(
+        "label",
+        "n_actual",
+        "n_pred",
+        "tp",
+        F.round(
+            tp_d / F.nullif(F.col("n_pred").cast("double"), F.lit(0.0)), 6
+        ).alias("precision"),
+        F.round(tp_d / F.col("n_actual").cast("double"), 6).alias("recall"),
+        F.round(
+            2.0
+            * tp_d
+            / F.nullif(
+                (F.col("n_pred") + F.col("n_actual")).cast("double"), F.lit(0.0)
+            ),
+            6,
+        ).alias("f1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Score calibration bins (reliability-diagram data) — round 7
+# ---------------------------------------------------------------------------
+
+_CALIBRATION_SQL = """
+WITH scored AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR) || ':score'), 1, 8))
+              AS BIGINT) AS h,
+         CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+  FROM embeddings
+),
+b AS (
+  SELECT CAST(h * 10 // 4294967296 AS INTEGER) AS bin, h, y FROM scored
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(CAST(h AS DOUBLE) / 4294967296.0), 6) AS avg_score,
+       round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate
+FROM b GROUP BY bin
+"""
+
+
+@register("score_calibration_bins", oracle=_CALIBRATION_SQL, category="evaluation")
+def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability-diagram data: scores bucketed into 10
+    equal-width bins with per-bin mean score and observed positive rate —
+    the table a calibration plot or an ECE computation reads. The
+    deterministic surrogate score (portable md5 of the row key, uniform
+    on [0,1) and independent of the label) makes the expected shape a
+    flat line at the base rate — exactly what the operator should show
+    for an uninformative scorer — while keeping a full value oracle; the
+    bin id is integer arithmetic on the 32-bit hash (h·10 div 2³²), no
+    float boundary wobble.
+
+    Scale: one scan, 10-key combine aggregate — constant state; the same
+    plan calibrates any scored 100 TB eval set.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":score"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    scored = emb.select(
+        h.alias("h"),
+        F.when(F.col("label") >= 5, F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    b = scored.select(
+        F.floor(F.col("h") * 10 / F.lit(4294967296)).cast("int").alias("bin"),
+        "h",
+        "y",
+    )
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.col("h").cast("double") / 4294967296.0), 6).alias(
+            "avg_score"
+        ),
+        F.round(F.sum("y").cast("double") / F.count(F.lit(1)), 6).alias(
+            "pos_rate"
+        ),
+    )

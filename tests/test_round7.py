@@ -685,3 +685,34 @@ def test_longest_streak_hand_check(spark, sf_dir):
     for r in rows.values():
         assert r.longest_streak <= r.n_active_days
         assert r.n_streaks >= 1
+
+
+# -- ML evaluation -----------------------------------------------------------
+
+
+def test_confusion_metrics_identities(spark, sf_dir):
+    rows = _q("confusion_matrix_metrics")(spark, sf_dir).collect()
+    assert rows
+    n_total = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r.n_actual for r in rows) == n_total
+    # predictions distribute over the same rows (classes with preds only
+    # from labels present — all 10 labels exist in the corpus)
+    assert sum(r.n_pred for r in rows) == n_total
+    for r in rows:
+        assert 0 <= r.tp <= min(r.n_actual, r.n_pred)
+        if r.precision is not None and r.recall is not None and r.f1 is not None:
+            if r.precision + r.recall > 0:
+                expect_f1 = 2 * r.tp / (r.n_pred + r.n_actual)
+                assert abs(r.f1 - expect_f1) < 1e-5
+
+
+def test_calibration_bins_flat_for_uninformative_score(spark, sf_dir):
+    rows = _q("score_calibration_bins")(spark, sf_dir).collect()
+    assert len(rows) == 10
+    n = sum(r.n for r in rows)
+    base = sum(r.n * r.pos_rate for r in rows) / n
+    for r in rows:
+        # bin mean score sits inside the bin
+        assert r.bin / 10 <= r.avg_score <= (r.bin + 1) / 10
+        # independence: each bin's positive rate near the base rate
+        assert abs(r.pos_rate - base) < 0.25
