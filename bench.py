@@ -90,6 +90,8 @@ COHORTS: dict[str, list[str]] = {
         "arrow_grouped_stats",
         "confusion_matrix_metrics",
         "score_calibration_bins",
+        "feature_hash_encoding",
+        "roc_curve_points",
     ],
     "multimodal": [
         "image_augment_fanout",

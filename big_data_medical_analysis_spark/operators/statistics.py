@@ -819,3 +819,156 @@ def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the hashing trick) — round 7
+# ---------------------------------------------------------------------------
+
+FEATURE_HASH_DIM = 16
+
+_FEATURE_HASH_SQL = f"""
+WITH feats AS (
+  SELECT user_id, 'event_type:' || event_type AS feat FROM events
+  UNION ALL
+  SELECT user_id, 'dow:' || CAST(CAST(strftime(ts, '%w') AS INTEGER) AS VARCHAR)
+  FROM events
+)
+SELECT user_id,
+       CAST(CAST(concat('0x', substr(md5(feat), 1, 8)) AS BIGINT)
+            % {FEATURE_HASH_DIM} AS INTEGER) AS dim,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM feats
+GROUP BY 1, 2
+"""
+
+
+@register("feature_hash_encoding", oracle=_FEATURE_HASH_SQL, category="ml_prep")
+def feature_hash_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: categorical features (event type, day-of-week)
+    mapped into a FIXED {FEATURE_HASH_DIM}-dimension count vector per user
+    via a portable hash of "name:value" — the encoding that makes
+    unbounded-cardinality categoricals trainable at 100 TB with NO vocab
+    build, no dictionary broadcast, and no schema change when new values
+    appear (collisions are the disclosed trade-off; dimension is the
+    knob). Emitted sparse as (user, dim, count) rows — the layout a
+    trainer's sparse tensor loader wants.
+
+    Scale: one union-all scan, one map-side-combinable aggregate keyed on
+    (user, dim) — never wider than users × dims. md5-portable hashing
+    means the exact encoded matrix is value-oracle-checked, and any
+    engine reproduces the same features (training/serving skew guard).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    feats = ev.select(
+        "user_id",
+        F.concat(F.lit("event_type:"), F.col("event_type")).alias("feat"),
+    ).unionAll(
+        ev.select(
+            "user_id",
+            F.concat(
+                F.lit("dow:"),
+                # dayofweek is 1(Sun)..7 — minus 1 matches strftime %w
+                (F.dayofweek("ts") - 1).cast("string"),
+            ).alias("feat"),
+        )
+    )
+    dim = F.pmod(
+        F.conv(F.substring(F.md5("feat"), 1, 8), 16, 10).cast("long"),
+        F.lit(FEATURE_HASH_DIM),
+    ).cast("int")
+    return feats.select("user_id", dim.alias("dim")).groupBy(
+        "user_id", "dim"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Binned ROC curve points — round 7
+# ---------------------------------------------------------------------------
+
+_ROC_SQL = """
+WITH scored AS (
+  SELECT CAST(CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR) || ':score'), 1, 8))
+              AS BIGINT) * 10 // 4294967296 AS INTEGER) AS bin,
+         CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+  FROM embeddings
+),
+bins AS (
+  SELECT bin, CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+  FROM scored GROUP BY bin
+),
+tot AS (SELECT sum(n_pos) AS tp_all, sum(n_neg) AS fp_all FROM bins),
+k AS (SELECT unnest(range(0, 11)) AS thresh)
+SELECT k.thresh,
+       CAST(coalesce(sum(b.n_pos), 0) AS BIGINT) AS n_tp,
+       CAST(coalesce(sum(b.n_neg), 0) AS BIGINT) AS n_fp,
+       round(CAST(coalesce(sum(b.n_pos), 0) AS DOUBLE) / max(tot.tp_all), 6)
+         AS tpr,
+       round(CAST(coalesce(sum(b.n_neg), 0) AS DOUBLE) / max(tot.fp_all), 6)
+         AS fpr
+FROM k
+LEFT JOIN bins b ON b.bin >= k.thresh
+CROSS JOIN tot
+GROUP BY k.thresh
+"""
+
+
+@register("roc_curve_points", oracle=_ROC_SQL, category="evaluation")
+def roc_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned ROC curve: TPR/FPR at the 11 decile thresholds of the score
+    axis — the operating-characteristic table next to the calibration
+    bins (same portable surrogate score, so for this label-independent
+    scorer the correct curve hugs the diagonal — asserted by pytest).
+    Computed WITHOUT a global sort or an unpartitioned cumulative window:
+    the score axis is pre-binned (constant state), and the cumulative
+    ≥-threshold sums come from a tiny spine ⋈ bins range join (11×10
+    rows) — the distributed-ROC shape: exact ranks need a global sort at
+    100 TB; decile bins cost one combine aggregate and lose only
+    within-bin resolution (add bins to taste).
+
+    Scale: one scan → 10-key aggregate → arithmetic on domain-sized
+    tables; broadcast everywhere.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":score"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    scored = emb.select(
+        F.floor(h * 10 / F.lit(4294967296)).cast("int").alias("bin"),
+        F.when(F.col("label") >= 5, F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    bins = scored.groupBy("bin").agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n_neg"),
+    )
+    tot = bins.agg(
+        F.sum("n_pos").alias("tp_all"), F.sum("n_neg").alias("fp_all")
+    )
+    k = spark.range(0, 11).select(F.col("id").cast("int").alias("thresh"))
+    return (
+        F.broadcast(k)
+        .join(bins, bins["bin"] >= k["thresh"], "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("thresh")
+        .agg(
+            F.coalesce(F.sum("n_pos"), F.lit(0)).cast("long").alias("n_tp"),
+            F.coalesce(F.sum("n_neg"), F.lit(0)).cast("long").alias("n_fp"),
+            F.round(
+                F.coalesce(F.sum("n_pos"), F.lit(0)).cast("double")
+                / F.max("tp_all"),
+                6,
+            ).alias("tpr"),
+            F.round(
+                F.coalesce(F.sum("n_neg"), F.lit(0)).cast("double")
+                / F.max("fp_all"),
+                6,
+            ).alias("fpr"),
+        )
+    )

@@ -716,3 +716,32 @@ def test_calibration_bins_flat_for_uninformative_score(spark, sf_dir):
         assert r.bin / 10 <= r.avg_score <= (r.bin + 1) / 10
         # independence: each bin's positive rate near the base rate
         assert abs(r.pos_rate - base) < 0.25
+
+
+# -- feature hashing + ROC ---------------------------------------------------
+
+
+def test_feature_hash_dims_and_mass(spark, sf_dir):
+    from big_data_medical_analysis_spark.operators.statistics import (
+        FEATURE_HASH_DIM,
+    )
+
+    rows = _q("feature_hash_encoding")(spark, sf_dir).collect()
+    assert rows and all(0 <= r.dim < FEATURE_HASH_DIM for r in rows)
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    # two features per event → total count mass is exactly 2x events
+    assert sum(r.cnt for r in rows) == 2 * n_events
+
+
+def test_roc_points_monotone_and_diagonal(spark, sf_dir):
+    rows = sorted(
+        _q("roc_curve_points")(spark, sf_dir).collect(), key=lambda r: r.thresh
+    )
+    assert len(rows) == 11
+    assert rows[0].tpr == 1.0 and rows[0].fpr == 1.0  # threshold 0 keeps all
+    assert rows[-1].n_tp == 0 and rows[-1].n_fp == 0  # threshold 10 keeps none
+    for a, b in zip(rows, rows[1:]):
+        assert a.tpr >= b.tpr and a.fpr >= b.fpr  # monotone non-increasing
+    # label-independent score → curve hugs the diagonal
+    for r in rows:
+        assert abs(r.tpr - r.fpr) < 0.15
