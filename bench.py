@@ -71,6 +71,7 @@ COHORTS: dict[str, list[str]] = {
         "doc_lexical_diversity",
         "bpe_pair_merge_stats",
         "bigram_pmi_collocations",
+        "zipf_rank_frequency",
     ],
     "streaming_batch": [
         "tumbling_event_counts",
@@ -92,6 +93,8 @@ COHORTS: dict[str, list[str]] = {
         "score_calibration_bins",
         "feature_hash_encoding",
         "roc_curve_points",
+        "psi_distribution_drift",
+        "contrastive_negative_pairs",
     ],
     "multimodal": [
         "image_augment_fanout",

@@ -943,3 +943,97 @@ def kmeans_lloyd_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cm").alias("centroid_micro"),
         F.col("n").alias("n_members"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic contrastive negative sampling — round 7
+# ---------------------------------------------------------------------------
+
+N_CONTRASTIVE_NEGS = 3
+
+_CONTRASTIVE_SQL = f"""
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM embeddings),
+anchors AS (SELECT vec_id, label FROM embeddings WHERE vec_id % 10 = 0),
+negs AS (
+  SELECT a.vec_id AS anchor_id, k.k,
+         CAST((a.vec_id + 1 +
+               CAST(concat('0x', substr(md5(CAST(a.vec_id AS VARCHAR)
+                    || ':neg:' || CAST(k.k AS VARCHAR)), 1, 8)) AS BIGINT)
+               % (n.nn - 1)) % n.nn AS BIGINT) AS neg_id
+  FROM anchors a
+  CROSS JOIN (SELECT unnest(range(1, {N_CONTRASTIVE_NEGS + 1})) AS k) k
+  CROSS JOIN n
+)
+SELECT negs.anchor_id, CAST(negs.k AS INTEGER) AS k, negs.neg_id,
+       a.label AS anchor_label, e.label AS neg_label,
+       (a.label = e.label) AS same_label
+FROM negs
+JOIN embeddings a ON a.vec_id = negs.anchor_id
+JOIN embeddings e ON e.vec_id = negs.neg_id
+"""
+
+
+@register("contrastive_negative_pairs", oracle=_CONTRASTIVE_SQL, category="ml_prep")
+def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for each
+    anchor (every 10th vector) draw {N_CONTRASTIVE_NEGS} negatives by a
+    portable-hash jump — neg = (anchor + 1 + md5-hash mod (N−1)) mod N,
+    which NEVER lands on the anchor itself (the +1/mod(N−1) range
+    excludes offset 0) and is uniform over the other N−1 rows. Unlike
+    engine-RNG sampling, a rerun, another engine, or the serving side
+    reproduces the identical pair set — the property that makes
+    contrastive batches auditable — so the whole table is value-oracled.
+    Emits labels and a same-label flag (in-batch false negatives are the
+    consumer's filter/weight decision, surfaced not hidden).
+
+    Scale: anchors × K is a row-bounded explode; the two id joins are
+    hash joins on the vector key — at 100 TB the negative ids compute
+    map-side and only the JOIN fetches vectors; N comes from a 1-row
+    broadcast (or a catalog statistic, avoiding even that pass).
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.agg(F.count(F.lit(1)).alias("nn"))
+    anchors = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("anchor_id"), F.col("label").alias("anchor_label")
+    )
+    k = spark.range(1, N_CONTRASTIVE_NEGS + 1).select(
+        F.col("id").cast("int").alias("k")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("anchor_id").cast("string"),
+                    F.lit(":neg:"),
+                    F.col("k").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    negs = (
+        anchors.crossJoin(F.broadcast(k))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "k",
+            F.pmod(
+                F.col("anchor_id") + 1 + F.pmod(h, F.col("nn") - 1), F.col("nn")
+            ).alias("neg_id"),
+        )
+    )
+    e = emb.select(
+        F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label")
+    )
+    return negs.join(e, "neg_id").select(
+        "anchor_id",
+        "k",
+        "neg_id",
+        "anchor_label",
+        "neg_label",
+        (F.col("anchor_label") == F.col("neg_label")).alias("same_label"),
+    )

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from big_data_medical_analysis_spark.operators.common import cents
 from big_data_medical_analysis_spark.registry import register
 from big_data_medical_analysis_spark.sources.readers import read_table
 
@@ -971,4 +972,95 @@ def roc_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("fpr"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Population stability index (distribution drift) — round 7
+# ---------------------------------------------------------------------------
+
+_PSI_SQL = """
+WITH halves AS (
+  SELECT CASE WHEN o_orderdate < TIMESTAMP '1995-06-01' THEN 'ref'
+              ELSE 'cur' END AS slice,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+),
+binned AS (
+  SELECT slice,
+         CAST(least(floor((c - 90000000) / 3000000), 9) AS INTEGER) AS bin,
+         count(*) AS n
+  FROM halves GROUP BY 1, 2
+),
+tot AS (SELECT slice, sum(n) AS t FROM binned GROUP BY 1),
+p AS (
+  SELECT b.bin,
+         CAST(max(CASE WHEN b.slice = 'ref' THEN b.n END) AS DOUBLE)
+           / max(CASE WHEN t.slice = 'ref' THEN t.t END) AS p_ref,
+         CAST(max(CASE WHEN b.slice = 'cur' THEN b.n END) AS DOUBLE)
+           / max(CASE WHEN t.slice = 'cur' THEN t.t END) AS p_cur
+  FROM binned b CROSS JOIN tot t
+  GROUP BY b.bin
+)
+SELECT bin,
+       round(p_ref, 6) AS p_ref,
+       round(p_cur, 6) AS p_cur,
+       round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
+FROM p
+"""
+
+
+@register("psi_distribution_drift", oracle=_PSI_SQL, category="evaluation")
+def psi_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index terms — the drift metric every model-
+    monitoring stack computes between a reference slice and a current
+    slice (here: order values before vs after a date cut, binned into 10
+    fixed $30k-cent-wide buckets on exact cents with a top clamp). Each
+    bin's PSI term is (p_cur − p_ref)·ln(p_cur/p_ref); the consumer sums
+    terms (>0.2 total = actionable drift). Integer binning keeps bucket
+    membership engine-identical; ln only touches the final ratio
+    (entropy-query precedent). Both slices populate every bin in this
+    corpus, so no epsilon-smoothing is needed — a production variant adds
+    the standard +ε to both shares.
+
+    Scale: one scan, (slice × 10 bins) combine aggregate, arithmetic on a
+    20-row table. The same plan monitors any scored column at 100 TB.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    c = cents("o_totalprice")
+    halves = orders.select(
+        F.when(
+            F.col("o_orderdate") < F.lit("1995-06-01").cast("timestamp"),
+            F.lit("ref"),
+        )
+        .otherwise(F.lit("cur"))
+        .alias("slice"),
+        c.alias("c"),
+    )
+    binned = halves.select(
+        "slice",
+        F.least(F.floor((F.col("c") - 90000000) / 3000000), F.lit(9))
+        .cast("int")
+        .alias("bin"),
+    ).groupBy("slice", "bin").agg(F.count(F.lit(1)).alias("n"))
+    tot = binned.groupBy("slice").agg(F.sum("n").alias("t"))
+    ref = (
+        binned.join(tot, "slice")
+        .filter(F.col("slice") == "ref")
+        .select("bin", (F.col("n").cast("double") / F.col("t")).alias("p_ref"))
+    )
+    cur = (
+        binned.join(tot, "slice")
+        .filter(F.col("slice") == "cur")
+        .select("bin", (F.col("n").cast("double") / F.col("t")).alias("p_cur"))
+    )
+    return ref.join(cur, "bin").select(
+        "bin",
+        F.round("p_ref", 6).alias("p_ref"),
+        F.round("p_cur", 6).alias("p_cur"),
+        F.round(
+            (F.col("p_cur") - F.col("p_ref"))
+            * F.log(F.col("p_cur") / F.col("p_ref")),
+            6,
+        ).alias("psi_term"),
     )

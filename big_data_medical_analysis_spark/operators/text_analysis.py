@@ -1099,3 +1099,64 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency profile — round 7
+# ---------------------------------------------------------------------------
+
+_ZIPF_SQL = """
+WITH tf AS (
+  SELECT u.w AS token, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT string_split(text, ' ') AS t FROM documents), unnest(t) AS u(w)
+  GROUP BY 1
+)
+SELECT a.token, a.freq,
+       CAST(1 + (SELECT count(*) FROM tf b
+                 WHERE b.freq > a.freq
+                    OR (b.freq = a.freq AND b.token < a.token)) AS BIGINT)
+         AS rank,
+       round(ln(CAST(a.freq AS DOUBLE)), 6) AS ln_freq
+FROM tf a
+"""
+
+
+@register("zipf_rank_frequency", oracle=_ZIPF_SQL, category="text")
+def zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency profile of the corpus vocabulary — the
+    diagnostic behind tokenizer sizing and corpus-health checks (natural
+    language is near-log-log-linear; a missing tail or a flat head flags
+    synthetic or broken text — this word-soup corpus IS flat-headed,
+    which is exactly what the profile should reveal). Rank is computed
+    JOIN-free of any global sort window: rank(a) = 1 + |{{b : freq_b >
+    freq_a, ties by token}}| via a vocab×vocab count — exact, and the
+    vocab domain is bounded, so the quadratic term is a non-issue (at a
+    real corpus's million-token vocab, switch to the two-pass histogram
+    rank: group by freq, cumulative over the distinct-freq axis).
+
+    Scale: token explode is linear and the frequency aggregate combines
+    map-side; everything after runs on vocab-sized tables.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    b = tf.select(F.col("token").alias("tb"), F.col("freq").alias("fb"))
+    rank = (
+        tf.join(
+            F.broadcast(b),
+            (F.col("fb") > F.col("freq"))
+            | ((F.col("fb") == F.col("freq")) & (F.col("tb") < F.col("token"))),
+            "left",
+        )
+        .groupBy("token", "freq")
+        .agg((F.lit(1) + F.count("tb")).cast("long").alias("rank"))
+    )
+    return rank.select(
+        "token",
+        "freq",
+        "rank",
+        F.round(F.log(F.col("freq").cast("double")), 6).alias("ln_freq"),
+    )

@@ -745,3 +745,44 @@ def test_roc_points_monotone_and_diagonal(spark, sf_dir):
     # label-independent score → curve hugs the diagonal
     for r in rows:
         assert abs(r.tpr - r.fpr) < 0.15
+
+
+# -- PSI + contrastive + zipf ------------------------------------------------
+
+
+def test_psi_terms_and_shares(spark, sf_dir):
+    rows = _q("psi_distribution_drift")(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r.p_ref for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.p_cur for r in rows) - 1.0) < 1e-3
+    # psi terms are non-negative up to rounding: (q-p)ln(q/p) >= 0
+    assert all(r.psi_term >= -1e-6 for r in rows)
+
+
+def test_contrastive_negatives_deterministic_and_self_free(spark, sf_dir):
+    rows1 = sorted(
+        (r.anchor_id, r.k, r.neg_id)
+        for r in _q("contrastive_negative_pairs")(spark, sf_dir).collect()
+    )
+    rows2 = sorted(
+        (r.anchor_id, r.k, r.neg_id)
+        for r in _q("contrastive_negative_pairs")(spark, sf_dir).collect()
+    )
+    assert rows1 == rows2 and rows1  # rerun-identical
+    for a, _, n in rows1:
+        assert a != n  # never self
+    from big_data_medical_analysis_spark.operators.similarity import (
+        N_CONTRASTIVE_NEGS,
+    )
+
+    n_anchors = len({a for a, _, _ in rows1})
+    assert len(rows1) == n_anchors * N_CONTRASTIVE_NEGS
+
+
+def test_zipf_ranks_are_a_permutation(spark, sf_dir):
+    rows = _q("zipf_rank_frequency")(spark, sf_dir).collect()
+    ranks = sorted(r.rank for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))  # dense, unique
+    by_rank = sorted(rows, key=lambda r: r.rank)
+    for a, b in zip(by_rank, by_rank[1:]):
+        assert a.freq >= b.freq  # frequency non-increasing in rank
