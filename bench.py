@@ -95,6 +95,7 @@ COHORTS: dict[str, list[str]] = {
         "roc_curve_points",
         "psi_distribution_drift",
         "contrastive_negative_pairs",
+        "ab_test_proportions",
     ],
     "multimodal": [
         "image_augment_fanout",
@@ -166,6 +167,7 @@ COHORTS: dict[str, list[str]] = {
         "nation_trade_volume",
         "frequent_triples_apriori",
         "longest_daily_streak",
+        "event_transition_matrix",
     ],
     "scalar_variant": [
         "balance_bracket_lookup",

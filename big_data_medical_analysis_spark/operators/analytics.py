@@ -1523,3 +1523,63 @@ def longest_daily_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("run_len").cast("long").alias("n_active_days"),
         F.count(F.lit(1)).cast("long").alias("n_streaks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Next-event Markov transition matrix — round 7
+# ---------------------------------------------------------------------------
+
+_TRANSITION_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+cells AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+),
+r AS (SELECT from_type, sum(n) AS rn FROM cells GROUP BY 1)
+SELECT cells.from_type, cells.to_type, cells.n,
+       round(CAST(cells.n AS DOUBLE) / CAST(r.rn AS DOUBLE), 6) AS p
+FROM cells JOIN r USING (from_type)
+"""
+
+
+@register("event_transition_matrix", oracle=_TRANSITION_SQL, category="analytics")
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: P(next = b | current = a) with exact transition counts —
+    the behavioral model behind next-action prediction, anomaly scoring
+    (improbable transitions), and journey visualization; the
+    free-structure complement of ``event_funnel``'s FIXED sequence. The
+    (ts, event_id) order key makes ties deterministic, so counts are
+    engine-exact.
+
+    Scale: lead() runs in user-partitioned windows (one shuffle, per-user
+    state); the transition aggregate combines map-side into event-type²
+    cells; row-marginal normalization joins on the domain-sized table.
+    A k-th-order chain is the same plan with a composite (lag₁..lagₖ)
+    state key.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    cells = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    r = cells.groupBy("from_type").agg(F.sum("n").alias("rn"))
+    return cells.join(F.broadcast(r), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("rn").cast("double"), 6).alias(
+            "p"
+        ),
+    )

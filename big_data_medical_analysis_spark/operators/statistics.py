@@ -1064,3 +1064,106 @@ def psi_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment analysis: two-proportion z-test — round 7
+# ---------------------------------------------------------------------------
+
+_AB_SQL = """
+WITH assign AS (
+  SELECT CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)
+                    || ':exp1'), 1, 8)) AS BIGINT) % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS converted
+  FROM events
+),
+arms AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(converted) AS BIGINT) AS n_converted
+  FROM assign GROUP BY 1
+),
+w AS (
+  SELECT max(CASE WHEN arm = 'A' THEN n_users END) AS na,
+         max(CASE WHEN arm = 'A' THEN n_converted END) AS ca,
+         max(CASE WHEN arm = 'B' THEN n_users END) AS nb,
+         max(CASE WHEN arm = 'B' THEN n_converted END) AS cb
+  FROM arms
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+       CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+       round(CAST(ca AS DOUBLE) / na, 6) AS rate_a,
+       round(CAST(cb AS DOUBLE) / nb, 6) AS rate_b,
+       round((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+             / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                    * (1 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                    * (1.0 / na + 1.0 / nb)), 6) AS z_stat
+FROM w
+"""
+
+
+@register("ab_test_proportions", oracle=_AB_SQL, category="evaluation")
+def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation analysis: users hash-split into arms A/B (portable
+    md5 — the assignment IS the production pattern: sticky, uniform,
+    reproducible at serving time; every event inherits its user's arm),
+    per-arm conversion = an event being a purchase (user-LEVEL any-purchase
+    saturates at this corpus's event density — pooled rate 1.0, z
+    undefined — so the proportion is taken at event grain), and the
+    pooled two-proportion z-statistic — the read-out every
+    A/B platform computes (consumer maps z to a p-value; the normal CDF
+    is numerics, not data processing — same boundary as chi-square's
+    dof). A null experiment by construction (assignment independent of
+    behavior), so |z| should be small — pinned by pytest, the correct
+    answer for an A/A-shaped test.
+
+    Scale: one (user, arm) aggregate (map-side combinable), a 2-row arm
+    rollup, scalar arithmetic. The same plan scores any 100 TB
+    exposure/conversion log.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":exp1"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(2),
+        )
+        == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    assign = ev.select(
+        arm.alias("arm"),
+        (F.col("event_type") == "purchase").cast("int").alias("converted"),
+    )
+    arms = assign.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    w = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_converted"))).alias("ca"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_converted"))).alias("cb"),
+    )
+    na, ca, nb, cb = (F.col(x).cast("double") for x in ("na", "ca", "nb", "cb"))
+    pooled = (ca + cb) / (na + nb)
+    return w.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("ca").cast("long").alias("conv_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("cb").cast("long").alias("conv_b"),
+        F.round(ca / na, 6).alias("rate_a"),
+        F.round(cb / nb, 6).alias("rate_b"),
+        F.round(
+            (ca / na - cb / nb)
+            / F.sqrt(pooled * (1 - pooled) * (1.0 / na + 1.0 / nb)),
+            6,
+        ).alias("z_stat"),
+    )

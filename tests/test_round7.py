@@ -786,3 +786,33 @@ def test_zipf_ranks_are_a_permutation(spark, sf_dir):
     by_rank = sorted(rows, key=lambda r: r.rank)
     for a, b in zip(by_rank, by_rank[1:]):
         assert a.freq >= b.freq  # frequency non-increasing in rank
+
+
+# -- A/B test + transition matrix --------------------------------------------
+
+
+def test_ab_test_null_experiment_small_z(spark, sf_dir):
+    r = _q("ab_test_proportions")(spark, sf_dir).collect()[0]
+    assert r.n_a > 0 and r.n_b > 0
+    assert 0 < r.rate_a < 1 and 0 < r.rate_b < 1
+    # assignment independent of behavior → A/A-shaped test, small |z|
+    assert abs(r.z_stat) < 4.0
+    assert r.conv_a <= r.n_a and r.conv_b <= r.n_b
+
+
+def test_transition_matrix_rows_normalize(spark, sf_dir):
+    rows = _q("event_transition_matrix")(spark, sf_dir).collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r)
+    assert by_from
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_types = ev.select("event_type").distinct().count()
+    assert len(by_from) == n_types
+    for f, rs in by_from.items():
+        assert abs(sum(r.p for r in rs) - 1.0) < 1e-3
+        assert all(r.n >= 1 for r in rs)
+    # total transitions = events - users (each user loses one tail event)
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n for r in rows) == n_events - n_users
