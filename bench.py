@@ -50,6 +50,7 @@ COHORTS: dict[str, list[str]] = {
         "minhash_portable_groups",
         "split_leakage_audit",
         "prefix_filter_jaccard_join",
+        "minhash_estimate_accuracy",
     ],
     "similarity": [
         "cosine_topk",
@@ -96,6 +97,7 @@ COHORTS: dict[str, list[str]] = {
         "psi_distribution_drift",
         "contrastive_negative_pairs",
         "ab_test_proportions",
+        "fairness_parity_by_segment",
     ],
     "multimodal": [
         "image_augment_fanout",

@@ -1200,3 +1200,115 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= PREFIX_JACCARD_T)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator accuracy audit (sketch-quality validation) — round 7
+# ---------------------------------------------------------------------------
+
+N_MINHASH_AUDIT_PROBES = 30
+
+
+def _pmh_sig_sql_cols() -> str:
+    return ", ".join(
+        _pmh_component_sql(j) for j in range(PMH_BANDS * PMH_ROWS_PER_BAND)
+    )
+
+
+_MINHASH_ACC_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+),
+sig AS (SELECT doc_id, {{cols}} FROM tok),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+           / (len(ta.toks) + len(tb.toks)
+              - len(list_intersect(ta.toks, tb.toks))) AS exact_j,
+         ({{matches}}) / 16.0 AS est_j
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  JOIN tok ta ON ta.doc_id = a.doc_id
+  JOIN tok tb ON tb.doc_id = b.doc_id
+  WHERE a.doc_id < {N_MINHASH_AUDIT_PROBES} AND b.doc_id < {N_MINHASH_AUDIT_PROBES}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(abs(est_j - exact_j)), 6) AS mean_abs_err,
+       round(max(abs(est_j - exact_j)), 6) AS max_abs_err,
+       round(avg(est_j - exact_j), 6) AS mean_bias
+FROM pairs
+""".format(
+    cols=_pmh_sig_sql_cols(),
+    matches=" + ".join(
+        f"CASE WHEN a.h{j} = b.h{j} THEN 1.0 ELSE 0.0 END"
+        for j in range(PMH_BANDS * PMH_ROWS_PER_BAND)
+    ),
+)
+
+
+@register("minhash_estimate_accuracy", oracle=_MINHASH_ACC_SQL, category="dedup")
+def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit: on a probe block of documents, compare the
+    16-component portable-MinHash Jaccard ESTIMATE (matching components /
+    16 — the unbiased MinHash estimator) against the exact token Jaccard,
+    reporting mean/max absolute error and bias. The validation loop a
+    production dedup pipeline runs when tuning band geometry: expected
+    σ = sqrt(J(1−J)/16) ≈ 0.12 worst-case, so the mean error lands near
+    0.1 on this mid-similarity corpus — the query MEASURES that, and the
+    full value oracle pins the measurement itself.
+
+    Scale: probe-bounded (pairs within a {N_MINHASH_AUDIT_PROBES}-doc
+    block, the ngram_jaccard_pairs discipline) — quadratic only in the
+    audit sample, never the corpus; signatures come from the same one-
+    scan HOF chain as the banding tier.
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < N_MINHASH_AUDIT_PROBES
+    )
+    n_hashes = PMH_BANDS * PMH_ROWS_PER_BAND
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+
+    def _component(j: int) -> Column:
+        jl = F.lit(f":{j}")
+        return F.array_min(
+            F.transform(
+                F.col("toks"),
+                lambda t: F.conv(
+                    F.substring(F.md5(F.concat(t, jl)), 1, 8), 16, 10
+                ).cast("long"),
+            )
+        )
+
+    base = docs.select("doc_id", toks.alias("toks"))
+    sig = base.select(
+        "doc_id",
+        "toks",
+        *[_component(j).alias(f"h{j}") for j in range(n_hashes)],
+    )
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("ta"),
+        *[F.col(f"h{j}").alias(f"ha{j}") for j in range(n_hashes)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("tb"),
+        *[F.col(f"h{j}").alias(f"hb{j}") for j in range(n_hashes)],
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size("ta") + F.size("tb") - inter
+    exact_j = inter.cast("double") / union
+    est_j = sum(
+        F.when(F.col(f"ha{j}") == F.col(f"hb{j}"), F.lit(1.0)).otherwise(
+            F.lit(0.0)
+        )
+        for j in range(n_hashes)
+    ) / F.lit(16.0)
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b")).select(
+        (est_j - exact_j).alias("err")
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg(F.abs("err")), 6).alias("mean_abs_err"),
+        F.round(F.max(F.abs("err")), 6).alias("max_abs_err"),
+        F.round(F.avg("err"), 6).alias("mean_bias"),
+    )

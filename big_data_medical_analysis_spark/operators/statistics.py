@@ -1167,3 +1167,107 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Group fairness audit: demographic parity + equal opportunity — round 7
+# ---------------------------------------------------------------------------
+
+_FAIRNESS_SQL = """
+WITH scored AS (
+  SELECT c_mktsegment AS segment,
+         CASE WHEN CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)
+                    || ':clf'), 1, 8)) AS BIGINT) % 100 < 40
+              THEN 1 ELSE 0 END AS pred,
+         CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS y
+  FROM customer
+),
+g AS (
+  SELECT segment,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(pred) AS BIGINT) AS n_pred_pos,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(pred * y) AS BIGINT) AS n_tp
+  FROM scored GROUP BY 1
+),
+o AS (
+  SELECT CAST(sum(n_pred_pos) AS DOUBLE) / sum(n) AS ppr_all,
+         CAST(sum(n_tp) AS DOUBLE) / sum(n_pos) AS tpr_all
+  FROM g
+)
+SELECT g.segment, g.n, g.n_pred_pos, g.n_pos, g.n_tp,
+       round(CAST(g.n_pred_pos AS DOUBLE) / g.n, 6) AS pos_pred_rate,
+       round(CAST(g.n_tp AS DOUBLE) / g.n_pos, 6) AS tpr,
+       round(CAST(g.n_pred_pos AS DOUBLE) / g.n - o.ppr_all, 6)
+         AS parity_gap,
+       round(CAST(g.n_tp AS DOUBLE) / g.n_pos - o.tpr_all, 6)
+         AS opportunity_gap
+FROM g, o
+"""
+
+
+@register("fairness_parity_by_segment", oracle=_FAIRNESS_SQL, category="evaluation")
+def fairness_parity_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-fairness audit: per-segment demographic parity (positive-
+    prediction-rate gap vs overall) and equal opportunity (TPR gap vs
+    overall) — the two metrics every responsible-AI review reads first.
+    The deterministic surrogate classifier (hash percentile < 40, i.e.
+    independent of BOTH group and outcome) makes the correct audit result
+    "near-zero gaps", which the pytest pins — for a real scorer the same
+    plan surfaces genuine disparity. All counts exact int64; only the
+    final rates divide.
+
+    Scale: one (segment)-keyed combine aggregate over four conditional
+    counts + a 1-row overall fold joined back broadcast; state is
+    group-domain-sized. At 100 TB the only change is more conditional
+    counts per pass (one per metric), never more passes.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    pred = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(":clf"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(100),
+        )
+        < 40
+    ).cast("int")
+    y = (F.col("c_acctbal") > 0).cast("int")
+    scored = cust.select(
+        F.col("c_mktsegment").alias("segment"),
+        pred.alias("pred"),
+        y.alias("y"),
+    )
+    g = scored.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pred").cast("long").alias("n_pred_pos"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(F.col("pred") * F.col("y")).cast("long").alias("n_tp"),
+    )
+    o = g.agg(
+        (F.sum("n_pred_pos").cast("double") / F.sum("n")).alias("ppr_all"),
+        (F.sum("n_tp").cast("double") / F.sum("n_pos")).alias("tpr_all"),
+    )
+    return g.crossJoin(F.broadcast(o)).select(
+        "segment",
+        "n",
+        "n_pred_pos",
+        "n_pos",
+        "n_tp",
+        F.round(F.col("n_pred_pos").cast("double") / F.col("n"), 6).alias(
+            "pos_pred_rate"
+        ),
+        F.round(F.col("n_tp").cast("double") / F.col("n_pos"), 6).alias("tpr"),
+        F.round(
+            F.col("n_pred_pos").cast("double") / F.col("n") - F.col("ppr_all"), 6
+        ).alias("parity_gap"),
+        F.round(
+            F.col("n_tp").cast("double") / F.col("n_pos") - F.col("tpr_all"), 6
+        ).alias("opportunity_gap"),
+    )

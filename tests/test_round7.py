@@ -816,3 +816,28 @@ def test_transition_matrix_rows_normalize(spark, sf_dir):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert sum(r.n for r in rows) == n_events - n_users
+
+
+# -- fairness + sketch accuracy ----------------------------------------------
+
+
+def test_fairness_gaps_near_zero_for_independent_classifier(spark, sf_dir):
+    rows = _q("fairness_parity_by_segment")(spark, sf_dir).collect()
+    assert rows
+    # gaps are deviations from overall → group-size-weighted mean is 0
+    n = sum(r.n for r in rows)
+    wmean_gap = sum(r.parity_gap * r.n for r in rows) / n
+    assert abs(wmean_gap) < 1e-3
+    for r in rows:
+        assert 0 <= r.pos_pred_rate <= 1 and 0 <= r.tpr <= 1
+        # hash classifier independent of segment → gaps are sampling noise
+        assert abs(r.parity_gap) < 0.2 and abs(r.opportunity_gap) < 0.2
+
+
+def test_minhash_estimator_error_in_theory_band(spark, sf_dir):
+    r = _q("minhash_estimate_accuracy")(spark, sf_dir).collect()[0]
+    assert r.n_pairs == 30 * 29 // 2
+    # sigma = sqrt(J(1-J)/16) <= 0.125; mean |err| ~ 0.8*sigma, max ~ 4*sigma
+    assert r.mean_abs_err < 0.2
+    assert r.max_abs_err < 0.55
+    assert abs(r.mean_bias) < 0.1  # unbiased estimator
