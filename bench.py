@@ -90,6 +90,11 @@ COHORTS: dict[str, list[str]] = {
         "arrow_l1_norms",
         "grouped_agg_median_order",
         "arrow_grouped_stats",
+    ],
+    # ML evaluation + training-prep pillar (round 7): metric layers and
+    # deterministic-surrogate pipelines — split out of `udf` before any
+    # driver bench recorded them there, so cohort semantics stay clean
+    "eval_mlprep": [
         "confusion_matrix_metrics",
         "score_calibration_bins",
         "feature_hash_encoding",
