@@ -1574,12 +1574,14 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("from_type"),
         F.col("next_type").alias("to_type"),
     ).agg(F.count(F.lit(1)).alias("n"))
-    r = cells.groupBy("from_type").agg(F.sum("n").alias("rn"))
-    return cells.join(F.broadcast(r), "from_type").select(
+    # row marginal as a partitioned window over the type² cell table —
+    # joining a re-aggregate back would re-derive the whole upstream
+    # window branch in the plan (two Windows, five exchanges, measured);
+    # this form keeps ONE data-sized window and needs no join at all
+    rn = F.sum("n").over(W.partitionBy("from_type"))
+    return cells.select(
         "from_type",
         "to_type",
         "n",
-        F.round(F.col("n").cast("double") / F.col("rn").cast("double"), 6).alias(
-            "p"
-        ),
+        F.round(F.col("n").cast("double") / rn.cast("double"), 6).alias("p"),
     )

@@ -579,3 +579,42 @@ def test_column_profile_single_pass_expand(spark, sf_dir):
     assert P.has_node(df, "Expand")
     assert not P.has_node(df, "Join")
     assert P.exchange_count(df) <= 3
+
+
+def test_streak_single_shuffle_claim(spark, sf_dir):
+    """longest_daily_streak's docstring claims ONE user-keyed shuffle
+    shared by the window, the island grouping, and both aggregates."""
+    df = QS["longest_daily_streak"](spark, sf_dir)
+    assert P.node_count(df, "Window") == 1
+    assert P.exchange_count(df) <= 2  # distinct + the shared user shuffle
+    assert not P.has_node(df, "CartesianProduct")
+
+
+def test_transition_matrix_window_and_exchange_budget(spark, sf_dir):
+    """Exactly two windows — the data-sized user-partitioned lead() and
+    the cell-sized from_type marginal sum — and three exchanges; the
+    join-based marginal alternative re-derives the lead branch (2 windows
+    + 5 exchanges, measured) and must not come back."""
+    df = QS["event_transition_matrix"](spark, sf_dir)
+    assert P.node_count(df, "Window") == 2
+    assert P.exchange_count(df) <= 3
+    assert not P.has_node(df, "CartesianProduct")
+    assert not P.has_node(df, "SortMergeJoin")
+
+
+def test_prefix_join_never_cartesian(spark, sf_dir):
+    """The candidate stage must stay an equi hash join on the prefix
+    token — a planner regression to a nested-loop over doc pairs is the
+    quadratic failure the operator exists to avoid."""
+    df = QS["prefix_filter_jaccard_join"](spark, sf_dir)
+    assert not P.has_node(df, "CartesianProduct")
+    assert not P.has_node(df, "BroadcastNestedLoopJoin")
+
+
+def test_fairness_single_pass_no_data_join(spark, sf_dir):
+    """One segment-keyed aggregate + a 1-row overall fold — the only join
+    is the broadcast scalar cross."""
+    df = QS["fairness_parity_by_segment"](spark, sf_dir)
+    assert not P.has_node(df, "SortMergeJoin")
+    assert not P.has_node(df, "ShuffledHashJoin")
+    assert P.exchange_count(df) <= 3
