@@ -192,6 +192,7 @@ COHORTS: dict[str, list[str]] = {
         "priority_sets_by_segment",
         "join_hint_strategies",
         "time_hierarchy_rollup",
+        "collation_aware_distinct",
     ],
     # data-quality pillar (round 7): schema-bounded profiling + checks
     "quality": [

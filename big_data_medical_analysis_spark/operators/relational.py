@@ -2132,3 +2132,55 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg((F.sum("rev_e4").cast("double") / 10000.0).alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Collation-aware string semantics (Spark 4 collations) — round 7
+# ---------------------------------------------------------------------------
+
+_COLLATION_SQL = """
+WITH mixed AS (
+  SELECT CASE WHEN c_custkey % 2 = 1 THEN upper(c_mktsegment)
+              ELSE c_mktsegment END AS seg
+  FROM customer
+)
+SELECT CAST(count(DISTINCT seg) AS BIGINT) AS n_distinct_binary,
+       CAST(count(DISTINCT lower(seg)) AS BIGINT) AS n_distinct_lcase,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM mixed
+"""
+
+
+@register("collation_aware_distinct", oracle=_COLLATION_SQL, category="relational")
+def collation_aware_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collation surface: the same distinct-count under
+    UTF8_BINARY vs UTF8_LCASE collation, on a deliberately mixed-case
+    column (odd customer keys upper-cased) — binary sees 2× the segments,
+    the case-insensitive collation collapses them. ``F.collate(col,
+    'UTF8_LCASE')`` changes COMPARISON semantics for distinct/group/join
+    without rewriting values — the engine-level answer to the
+    lower()-everywhere idiom (and unlike lower(), collation-aware
+    equality survives into join keys and set ops with the optimizer fully
+    aware). The oracle spells the portable equivalent (DuckDB has no
+    UTF8_LCASE; lower() is the cross-engine twin for this ASCII domain —
+    for full-ICU domains the two genuinely diverge, which is the point of
+    engine collations).
+
+    Scale: two distinct aggregates over one scan, map-side combinable —
+    collation changes the hash/compare, not the plan shape.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    mixed = cust.select(
+        F.when(
+            F.col("c_custkey") % 2 == 1, F.upper("c_mktsegment")
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg")
+    )
+    return mixed.agg(
+        F.count_distinct(F.col("seg")).alias("n_distinct_binary"),
+        F.count_distinct(F.collate(F.col("seg"), "UTF8_LCASE")).alias(
+            "n_distinct_lcase"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

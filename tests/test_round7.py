@@ -841,3 +841,14 @@ def test_minhash_estimator_error_in_theory_band(spark, sf_dir):
     assert r.mean_abs_err < 0.2
     assert r.max_abs_err < 0.55
     assert abs(r.mean_bias) < 0.1  # unbiased estimator
+
+
+# -- collation ---------------------------------------------------------------
+
+
+def test_collation_collapses_case_variants(spark, sf_dir):
+    r = _q("collation_aware_distinct")(spark, sf_dir).collect()[0]
+    # 5 segments, odd keys upper-cased → binary sees both casings
+    assert r.n_distinct_lcase == 5
+    assert r.n_distinct_binary == 10
+    assert r.n_rows > 0
