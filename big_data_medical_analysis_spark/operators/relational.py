@@ -2140,7 +2140,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COLLATION_SQL = """
 WITH mixed AS (
-  SELECT CASE WHEN c_custkey % 2 = 1 THEN upper(c_mktsegment)
+  SELECT CASE WHEN c_custkey % 2 = 1 THEN lower(c_mktsegment)
               ELSE c_mktsegment END AS seg
   FROM customer
 )
@@ -2155,7 +2155,8 @@ FROM mixed
 def collation_aware_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 collation surface: the same distinct-count under
     UTF8_BINARY vs UTF8_LCASE collation, on a deliberately mixed-case
-    column (odd customer keys upper-cased) — binary sees 2× the segments,
+    column (odd customer keys lower-cased — the segment domain is already
+    uppercase, so upper() would be a no-op) — binary sees 2× the segments,
     the case-insensitive collation collapses them. ``F.collate(col,
     'UTF8_LCASE')`` changes COMPARISON semantics for distinct/group/join
     without rewriting values — the engine-level answer to the
@@ -2172,7 +2173,7 @@ def collation_aware_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer")
     mixed = cust.select(
         F.when(
-            F.col("c_custkey") % 2 == 1, F.upper("c_mktsegment")
+            F.col("c_custkey") % 2 == 1, F.lower("c_mktsegment")
         )
         .otherwise(F.col("c_mktsegment"))
         .alias("seg")
