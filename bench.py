@@ -126,6 +126,7 @@ COHORTS: dict[str, list[str]] = {
         "mad_robust_stats",
         "feature_zscore_by_label",
         "hll_merge_returnflag",
+        "bitmap_distinct_orders",
     ],
     "sampling_etl": [
         "weighted_sample_docs",

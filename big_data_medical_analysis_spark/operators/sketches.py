@@ -530,3 +530,56 @@ def hll_merge_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hll_estimate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap aggregates: EXACT mergeable distinct counts — round 7
+# ---------------------------------------------------------------------------
+
+_BITMAP_SQL = """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct_orders
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT 'ALL', CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem
+"""
+
+
+@register("bitmap_distinct_orders", oracle=_BITMAP_SQL, category="sketch")
+def bitmap_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's bitmap aggregate family (3.5+): EXACT distinct order counts
+    per returnflag via ``bitmap_construct_agg`` over bucketed bit
+    positions, then the flag bitmaps ``bitmap_or_agg``-merged into the
+    global count — the exact-and-mergeable middle ground the
+    distinct-counting tier was missing: HLL (``hll_portable_distinct``,
+    ``approx_distinct_users``) merges but approximates; plain
+    count(DISTINCT) is exact but re-aggregates from rows; bitmaps give
+    sketch-style register merging with NO error for dense integer key
+    domains (state ~ key-range/8 bytes per group — the knob is key
+    density, not accuracy). The oracle is plain count(DISTINCT): the
+    bitmap binary never leaves the plan, only exact integers do, so this
+    is a FULL value oracle on a sketch-family operator.
+
+    Scale: bucketed positions keep each bitmap ≤ 4KB (32768 bits);
+    per-(flag, bucket) partials combine map-side; the OR-merge of flag
+    bitmaps reuses the same domain-sized state — exactly the per-shard
+    build / register-space merge discipline of ``hll_merge_returnflag``,
+    with exactness traded against key-density sensitivity.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey")
+    per_bucket = li.groupBy(
+        "l_returnflag",
+        F.bitmap_bucket_number("l_orderkey").alias("bucket"),
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("l_orderkey")).alias("bm")
+    )
+    per_flag = per_bucket.groupBy("l_returnflag").agg(
+        F.sum(F.bitmap_count("bm")).cast("long").alias("n_distinct_orders")
+    )
+    merged = (
+        per_bucket.groupBy("bucket")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")).cast("long").alias("n_distinct_orders"))
+        .select(F.lit("ALL").alias("l_returnflag"), "n_distinct_orders")
+    )
+    return per_flag.unionAll(merged)

@@ -852,3 +852,22 @@ def test_collation_collapses_case_variants(spark, sf_dir):
     assert r.n_distinct_lcase == 5
     assert r.n_distinct_binary == 10
     assert r.n_rows > 0
+
+
+# -- bitmap aggregates -------------------------------------------------------
+
+
+def test_bitmap_counts_exact_and_merge_identity(spark, sf_dir):
+    rows = {r.l_returnflag: r.n_distinct_orders
+            for r in _q("bitmap_distinct_orders")(spark, sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact_all = li.select("l_orderkey").distinct().count()
+    assert rows["ALL"] == exact_all
+    for flag in [k for k in rows if k != "ALL"]:
+        exact = (
+            li.filter(F.col("l_returnflag") == flag)
+            .select("l_orderkey").distinct().count()
+        )
+        assert rows[flag] == exact
+    # flags overlap (an order spans flags), so the union is <= the sum
+    assert rows["ALL"] <= sum(v for k, v in rows.items() if k != "ALL")
