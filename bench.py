@@ -73,6 +73,7 @@ COHORTS: dict[str, list[str]] = {
         "bpe_pair_merge_stats",
         "bigram_pmi_collocations",
         "zipf_rank_frequency",
+        "comparator_sorted_tokens",
     ],
     "streaming_batch": [
         "tumbling_event_counts",
@@ -176,6 +177,7 @@ COHORTS: dict[str, list[str]] = {
         "frequent_triples_apriori",
         "longest_daily_streak",
         "event_transition_matrix",
+        "event_trigram_paths",
     ],
     "scalar_variant": [
         "balance_bracket_lookup",

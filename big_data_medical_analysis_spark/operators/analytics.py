@@ -1585,3 +1585,52 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / rn.cast("double"), 6).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Second-order sequence mining: top event trigram paths — round 7
+# ---------------------------------------------------------------------------
+
+_TRIGRAM_PATH_SQL = """
+WITH seq AS (
+  SELECT event_type AS a,
+         lead(event_type, 1) OVER w AS b,
+         lead(event_type, 2) OVER w AS c
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT a, b, c, CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE c IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, a, b, c
+LIMIT 20
+"""
+
+
+@register("event_trigram_paths", oracle=_TRIGRAM_PATH_SQL, category="analytics")
+def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order sequence mining: the top-20 three-step event paths —
+    the k=2 instantiation of the composite-lag state key the first-order
+    transition matrix's docstring promises (``event_transition_matrix``),
+    and the raw material for journey analysis beyond single transitions.
+    Deterministic (ts, event_id) ordering and a key tie-break on the
+    top-20 keep the output exact.
+
+    Scale: ONE user-partitioned window pass produces both leads (shared
+    sort, shared shuffle); the path aggregate combines map-side into
+    type³ cells; TakeOrderedAndProject gives the top-20 without a global
+    sort.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).filter(F.col("c").isNotNull())
+    return (
+        seq.groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "a", "b", "c")
+        .limit(20)
+    )

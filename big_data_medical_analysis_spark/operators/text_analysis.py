@@ -1160,3 +1160,50 @@ def zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         F.round(F.log(F.col("freq").cast("double")), 6).alias("ln_freq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom-comparator HOF sort — round 7
+# ---------------------------------------------------------------------------
+
+_CMP_SORT_SQL = """
+SELECT doc_id,
+       string_agg(w, ' ' ORDER BY len(w), w) AS by_len_then_lex
+FROM (
+  SELECT doc_id, u.w AS w
+  FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+        FROM documents), unnest(s) AS u(w)
+)
+WHERE doc_id < 100
+GROUP BY doc_id
+"""
+
+
+@register("comparator_sorted_tokens", oracle=_CMP_SORT_SQL, category="text")
+def comparator_sorted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``array_sort`` with a CUSTOM comparator lambda — the one
+    higher-order-function form the HOF suites hadn't exercised (transform
+    / filter / aggregate / zip_with / exists are covered elsewhere): each
+    doc's distinct tokens ordered by (length, lexicographic), entirely
+    inside the array column, no explode on the Spark side. The oracle
+    proves the semantics the long way (explode + multi-key ORDER BY +
+    re-aggregation) — which is also the honest statement of what the
+    comparator saves: a shuffle-bearing explode/sort/collect round-trip
+    becomes one map-side expression.
+
+    Scale: pure projection — zero exchanges beyond the scan; probe-
+    bounded to 100 docs only to keep the driver's string compare light.
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.array_distinct(F.split("text", " "))
+    cmp_sorted = F.array_sort(
+        toks,
+        lambda a, b: F.when(F.length(a) < F.length(b), F.lit(-1))
+        .when(F.length(a) > F.length(b), F.lit(1))
+        .when(a < b, F.lit(-1))
+        .when(a > b, F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    return docs.select(
+        "doc_id", F.array_join(cmp_sorted, " ").alias("by_len_then_lex")
+    )

@@ -871,3 +871,29 @@ def test_bitmap_counts_exact_and_merge_identity(spark, sf_dir):
         assert rows[flag] == exact
     # flags overlap (an order spans flags), so the union is <= the sum
     assert rows["ALL"] <= sum(v for k, v in rows.items() if k != "ALL")
+
+
+# -- trigram paths + comparator sort -----------------------------------------
+
+
+def test_trigram_paths_consistent_with_transitions(spark, sf_dir):
+    rows = _q("event_trigram_paths")(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    counts = [r.n for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    # a trigram (a,b,c) can never outnumber the (a,b) transition it extends
+    trans = {(r.from_type, r.to_type): r.n
+             for r in _q("event_transition_matrix")(spark, sf_dir).collect()}
+    for r in rows:
+        assert r.n <= trans[(r.a, r.b)]
+        assert r.n <= trans[(r.b, r.c)]
+
+
+def test_comparator_sort_orders_by_length_then_lex(spark, sf_dir):
+    rows = _q("comparator_sorted_tokens")(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:10]:
+        toks = r.by_len_then_lex.split(" ")
+        keys = [(len(t), t) for t in toks]
+        assert keys == sorted(keys)
+        assert len(set(toks)) == len(toks)  # distinct survived
