@@ -72,132 +72,95 @@ def _load_all() -> None:
     from big_data_medical_analysis_spark.streaming import windows  # noqa: F401
 
 
-# The driver's correctness harness checks roughly the first 50 queries it is
-# handed (CORRECTNESS_r02.json contains exactly the first 50 registration-order
-# names), so the order of the dicts returned below is a *priority* order, not
-# an accident of import order. Queries named here come first, in this order;
-# everything else follows in registration order. Round-7 policy (the r6
-# window went 50/50 clean; VERDICT r6 asks 1-2 set this round's rotation):
-#   1. the 10 round-6 queries that have NEVER had a driver row — they were
-#      registered after the r6 window was consumed, and the r6 _PRIORITY
-#      tuple as written would have re-checked the already-green r6 window
-#      forever (the one defect the r6 judge found). They lead.
-#   2. the 46 queries whose latest driver row is round 4 — highest-risk
-#      first (rows-only multimodal/codec/sampling blocks, Arrow-UDF
-#      embedding ops, dedup), then full-oracle relational. With a 50-query
-#      window, slots 51-56 — the SIX lowest-novelty r4 queries (trivial
-#      projections/counts whose exact patterns re-run green every round
-#      inside other queries: distinct_labels, label_distribution,
-#      event_type_stats, key_dedup_count, nations_with_both,
-#      nations_customers_only) — rotate to round 8.
-#   3. queries NEW in round 7 (stats-aggregate suite, posting-list index,
-#      co-purchase mining, entropy/diversity, asof-forward, per-group
-#      downsample; second batch: portable minhash/HLL, pagerank, chi-square,
-#      grouped-agg UDAF, npy source, quality pillar, Q7 star, PMI,
-#      split-leakage audit, a-priori triples) queue right after the
-#      staleness backfill: they have local selfchecks + pytest now and take
-#      their first driver row in round 8 alongside the six rotated r4
-#      stragglers.
-#   4. everything else (latest row r5/r6) follows in registration order —
-#      steady-state rotation keeps every query's latest row within two
-#      rounds once the r4 debt clears.
-_PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked (registered after the r6 window ran) --
-    "daily_value_locf",
-    "date_functions",
-    "string_functions_extended",
-    "morton_layout_keys",
-    "explode_outer_q_tokens",
-    "dynamic_gap_sessions",
-    "kmeans_lloyd_centroids",
-    "session_overlap_pairs",
-    "balance_bracket_lookup",
-    "nation_revenue_share",
-    # -- latest row r4: rows-only multimodal + codec block (highest risk:
-    #    no value oracle, so a driver row is the only external signal) --
-    "image_resize_stats",
-    "jpeg_decode_stats",
-    "video_frame_sample",
-    "audio_clip_stats",
-    "image_augment_fanout",
-    # -- latest row r4: Arrow-UDF embedding surface --
-    "embeddings_l2_normalize",
-    "embedding_int8_quantize",
-    "rp_embedding_project",
-    "embedding_array_ops",
-    # -- latest row r4: dedup + sampling --
-    "docs_exact_dedup",
-    "dedup_guard",
-    "deterministic_client_split",
-    "exact_stratified_split",
-    "stratified_sample_by",
-    "random_split_shards",
-    # -- latest row r4: relational / analytic full-oracle block --
-    "pricing_summary",
-    "nation_order_cohorts",
-    "top_orders_by_segment",
-    "regional_revenue",
-    "customer_order_stats",
-    "monthly_revenue",
-    "event_props_json",
-    "qty_cube",
-    "revenue_rollup",
-    "revenue_grouping_sets",
-    "nation_activity_full_outer",
-    "topk_parts_per_brand",
-    "moving_order_totals",
-    "brand_price_range_frame",
-    "top_customers_by_balance",
-    "segment_nations_union",
-    "part_string_functions",
-    "explode_part_tokens",
-    "customers_with_orders",
-    "customers_without_orders",
-    "approx_distinct_users",
-    "distinct_users_by_type",
-    "top_revenue_suppliers",
-    "rich_idle_customers",
-    "partitioned_parquet_prune",
-    # -- slots 51-56: lowest-novelty r4 stragglers; rotate to round 8 if
-    #    the window stays at 50 --
-    "distinct_labels",
-    "label_distribution",
-    "event_type_stats",
-    "key_dedup_count",
-    "nations_with_both",
-    "nations_customers_only",
-    # -- NEW in round 7 (policy item 3): first driver exposure in round 8 --
-    "corr_covar_price_qty",
-    "regr_price_date_trend",
-    "median_mode_quantity",
+# ---------------------------------------------------------------------------
+# Mechanical verification-window rotation.
+#
+# The driver's correctness harness checks roughly the first _WINDOW queries it
+# is handed (every CORRECTNESS_r*.json to date contains exactly 50 names), so
+# the order of the dicts returned below is a *priority* order. Rounds 6 and 7
+# both shipped a hand-edited priority tuple that led with the just-consumed
+# window — the same stale-window defect twice. The priority is therefore now
+# COMPUTED from the checked-in driver artifacts (CORRECTNESS_r*.json at the
+# repo root) at import time:
+#
+#   1. queries with NO driver row ever, in registration order — except the
+#      names in _DEFER_WITHIN_NEVER_CHECKED, which sort to the end of the
+#      never-checked block (lowest-risk full-oracle relational patterns whose
+#      building blocks are already green inside other checked queries; when
+#      never-checked count exceeds the window, these are the right residue);
+#   2. everything else by latest driver round ASCENDING (stalest first),
+#      ties broken by registration order.
+#
+# When a new CORRECTNESS_rN.json lands, the next import rotates automatically:
+# freshly-checked queries fall to the back, never-checked and stale ones lead.
+# tests/test_entry.py pins the invariant (first min(window, never_checked)
+# names are all never-checked).
+# ---------------------------------------------------------------------------
+
+_WINDOW = 50
+
+# Editorial tiebreaker *within* the never-checked block only — everything else
+# is artifact-driven. Rationale per VERDICT r7 task 1: with 54 never-checked
+# and a 50-slot window, 4 must wait a round; defer the ones whose failure
+# modes are already covered by green queries (plain window/rollup/aggregate
+# over orders/lineitem), not the sketches/UDAFs/sources with novel surface.
+_DEFER_WITHIN_NEVER_CHECKED: tuple[str, ...] = (
     "bool_count_if_flags",
     "percent_rank_cume_orders",
-    "event_label_entropy",
-    "priority_sets_by_segment",
-    "posting_list_index",
-    "doc_lexical_diversity",
-    "order_next_event_asof",
-    "copurchase_brand_pairs",
-    "per_group_downsample",
     "frame_value_functions",
-    "join_hint_strategies",
     "time_hierarchy_rollup",
-    "bpe_pair_merge_stats",
-    "triangle_count_brand_graph",
-    "dynamic_partition_pruning",
 )
+
+
+def _repo_root() -> str:
+    import os
+
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def latest_driver_rounds() -> dict[str, int]:
+    """name -> latest round with a driver correctness row, from artifacts."""
+    import glob
+    import json
+    import os
+    import re
+
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name in rows:
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _priority_order(registered: list[str]) -> list[str]:
+    latest = latest_driver_rounds()
+    reg_index = {n: i for i, n in enumerate(registered)}
+    defer_rank = {n: i for i, n in enumerate(_DEFER_WITHIN_NEVER_CHECKED)}
+
+    def key(name: str):
+        if name not in latest:  # never driver-checked: lead
+            deferred = name in defer_rank
+            return (0, int(deferred), defer_rank.get(name, 0), reg_index[name])
+        return (1, 0, latest[name], reg_index[name])
+
+    return sorted(registered, key=key)
 
 
 def all_queries() -> dict[str, Query]:
     _load_all()
-    ordered: dict[str, Query] = {}
-    for name in _PRIORITY:
-        if name in _REGISTRY:
-            ordered[name] = _REGISTRY[name]
-    for name, q in _REGISTRY.items():
-        if name not in ordered:
-            ordered[name] = q
-    return ordered
+    order = _priority_order(list(_REGISTRY))
+    return {name: _REGISTRY[name] for name in order}
 
 
 def queries() -> dict[str, QueryFn]:

@@ -34,18 +34,37 @@ def test_representative_queries_run(spark, sf_dir, name):
     assert df.count() > 0
 
 
-def test_priority_names_all_resolve():
-    """Every name in the correctness-window priority list must be a
-    registered query — a typo would silently forfeit that window slot
-    (all_queries() skips unknown names instead of raising)."""
+def test_window_head_is_never_checked_first():
+    """VERDICT r7 task 2: the correctness-window rotation must be mechanical.
+
+    The driver checks the first ~_WINDOW queries returned by queries(); the
+    registry computes that order from the checked-in CORRECTNESS_r*.json
+    artifacts. Invariant: the first min(window, #never-checked) names are all
+    queries with NO driver row in any artifact — a regression to a stale
+    hand-edited order (the r6 AND r7 defect) fails here."""
     from big_data_medical_analysis_spark import registry
 
-    registry._load_all()
-    unknown = [n for n in registry._PRIORITY if n not in registry._REGISTRY]
-    assert unknown == []
-    # and the window head must match the priority order exactly
-    head = list(registry.all_queries())[: len(registry._PRIORITY)]
-    assert head == list(registry._PRIORITY)
+    latest = registry.latest_driver_rounds()
+    ordered = list(registry.all_queries())
+    never = [n for n in ordered if n not in latest]
+    head = ordered[: min(registry._WINDOW, len(never))]
+    rechecked = [n for n in head if n in latest]
+    assert rechecked == [], f"window head wastes slots on already-checked: {rechecked}"
+    # deferred names are still never-checked, so they must immediately follow
+    # the window head (no checked query may outrank a never-checked one)
+    overflow = ordered[len(head) : len(never)]
+    assert all(n not in latest for n in overflow), overflow
+
+
+def test_priority_after_window_is_stalest_first():
+    """Beyond the never-checked block, queries rotate stalest-round-first so
+    every query's latest driver row stays recent (VERDICT r7 task 2)."""
+    from big_data_medical_analysis_spark import registry
+
+    latest = registry.latest_driver_rounds()
+    ordered = list(registry.all_queries())
+    checked_rounds = [latest[n] for n in ordered if n in latest]
+    assert checked_rounds == sorted(checked_rounds)
 
 
 def test_every_query_has_scale_documentation():
