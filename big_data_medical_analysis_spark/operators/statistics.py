@@ -666,21 +666,23 @@ cells AS (
 tp AS (SELECT y_true AS cls, n AS tp FROM cells WHERE y_true = y_pred),
 actual AS (SELECT y_true AS cls, sum(n) AS n_actual FROM cells GROUP BY 1),
 pred AS (SELECT y_pred AS cls, sum(n) AS n_pred FROM cells GROUP BY 1)
-SELECT actual.cls AS label,
-       CAST(actual.n_actual AS BIGINT) AS n_actual,
+SELECT coalesce(actual.cls, pred.cls) AS label,
+       CAST(coalesce(actual.n_actual, 0) AS BIGINT) AS n_actual,
        CAST(coalesce(pred.n_pred, 0) AS BIGINT) AS n_pred,
        CAST(coalesce(tp.tp, 0) AS BIGINT) AS tp,
        round(CAST(coalesce(tp.tp, 0) AS DOUBLE)
              / nullif(CAST(coalesce(pred.n_pred, 0) AS DOUBLE), 0), 6)
          AS precision,
        round(CAST(coalesce(tp.tp, 0) AS DOUBLE)
-             / CAST(actual.n_actual AS DOUBLE), 6) AS recall,
+             / nullif(CAST(coalesce(actual.n_actual, 0) AS DOUBLE), 0), 6)
+         AS recall,
        round(2.0 * CAST(coalesce(tp.tp, 0) AS DOUBLE)
              / nullif(CAST(coalesce(pred.n_pred, 0) AS DOUBLE)
-                      + CAST(actual.n_actual AS DOUBLE), 0), 6) AS f1
+                      + CAST(coalesce(actual.n_actual, 0) AS DOUBLE), 0), 6)
+         AS f1
 FROM actual
-LEFT JOIN pred ON pred.cls = actual.cls
-LEFT JOIN tp ON tp.cls = actual.cls
+FULL JOIN pred ON pred.cls = actual.cls
+LEFT JOIN tp ON tp.cls = coalesce(actual.cls, pred.cls)
 """
 
 
@@ -692,8 +694,12 @@ def confusion_matrix_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``model_eval_accuracy`` covers binary accuracy; this is the
     multi-class PRF family; F1 computed as 2·TP/(pred+actual), the
     division-order that avoids compounding rounded intermediates).
-    Zero-prediction classes yield NULL precision (0/0), kept as NULL —
-    the honest value, not a coalesced 0.
+    The class domain is the UNION of actual and predicted classes (full
+    outer join of the marginals), so a scorer emitting an out-of-support
+    class still surfaces its false positives as a row with n_actual=0.
+    Zero-prediction classes yield NULL precision (0/0) and zero-actual
+    classes NULL recall, kept as NULL — the honest value, not a
+    coalesced 0.
 
     Scale: one pass to confusion CELLS (classes² state, map-side
     combinable); everything after is arithmetic over that domain-sized
@@ -725,11 +731,11 @@ def confusion_matrix_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y_pred").alias("cls"), "n_pred"
     )
     j = (
-        actual.join(F.broadcast(pred), "cls", "left")
+        actual.join(pred, "cls", "full_outer")
         .join(F.broadcast(tp), "cls", "left")
         .select(
             F.col("cls").alias("label"),
-            F.col("n_actual").cast("long").alias("n_actual"),
+            F.coalesce("n_actual", F.lit(0)).cast("long").alias("n_actual"),
             F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
             F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
         )
@@ -743,7 +749,9 @@ def confusion_matrix_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             tp_d / F.nullif(F.col("n_pred").cast("double"), F.lit(0.0)), 6
         ).alias("precision"),
-        F.round(tp_d / F.col("n_actual").cast("double"), 6).alias("recall"),
+        F.round(
+            tp_d / F.nullif(F.col("n_actual").cast("double"), F.lit(0.0)), 6
+        ).alias("recall"),
         F.round(
             2.0
             * tp_d
@@ -988,7 +996,7 @@ WITH halves AS (
 ),
 binned AS (
   SELECT slice,
-         CAST(least(floor((c - 90000000) / 3000000), 9) AS INTEGER) AS bin,
+         CAST(greatest(least(floor(c / 5000000), 9), 0) AS INTEGER) AS bin,
          count(*) AS n
   FROM halves GROUP BY 1, 2
 ),
@@ -1015,13 +1023,16 @@ def psi_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index terms — the drift metric every model-
     monitoring stack computes between a reference slice and a current
     slice (here: order values before vs after a date cut, binned into 10
-    fixed $30k-cent-wide buckets on exact cents with a top clamp). Each
-    bin's PSI term is (p_cur − p_ref)·ln(p_cur/p_ref); the consumer sums
-    terms (>0.2 total = actionable drift). Integer binning keeps bucket
-    membership engine-identical; ln only touches the final ratio
-    (entropy-query precedent). Both slices populate every bin in this
-    corpus, so no epsilon-smoothing is needed — a production variant adds
-    the standard +ε to both shares.
+    fixed $50k-wide buckets on exact cents, clamped to [0, 9] — anchored
+    at the o_totalprice data range ~$900..$500k, so bin-count state is a
+    constant 10 regardless of input). Each bin's PSI term is
+    (p_cur − p_ref)·ln(p_cur/p_ref); the consumer sums terms (>0.2 total
+    = actionable drift). Integer binning keeps bucket membership
+    engine-identical; ln only touches the final ratio (entropy-query
+    precedent). Bins populated by only ONE slice still appear (full outer
+    join on bin) with NULL for the missing share and a NULL psi_term —
+    the honest divergent-bin signal; a production variant
+    epsilon-smooths both shares instead of emitting NULL.
 
     Scale: one scan, (slice × 10 bins) combine aggregate, arithmetic on a
     20-row table. The same plan monitors any scored column at 100 TB.
@@ -1039,7 +1050,7 @@ def psi_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     binned = halves.select(
         "slice",
-        F.least(F.floor((F.col("c") - 90000000) / 3000000), F.lit(9))
+        F.greatest(F.least(F.floor(F.col("c") / 5000000), F.lit(9)), F.lit(0))
         .cast("int")
         .alias("bin"),
     ).groupBy("slice", "bin").agg(F.count(F.lit(1)).alias("n"))
@@ -1054,7 +1065,7 @@ def psi_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("slice") == "cur")
         .select("bin", (F.col("n").cast("double") / F.col("t")).alias("p_cur"))
     )
-    return ref.join(cur, "bin").select(
+    return ref.join(cur, "bin", "full_outer").select(
         "bin",
         F.round("p_ref", 6).alias("p_ref"),
         F.round("p_cur", 6).alias("p_cur"),

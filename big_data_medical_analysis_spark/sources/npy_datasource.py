@@ -187,23 +187,35 @@ _FIXTURE_ROOT = "/tmp/spark_graft_npy"
 def npy_fixture_path(sf_dir: str) -> str:
     """Materialize <sf_dir>/embeddings.parquet as an .npy matrix once
     (row i = vec_id i — contiguity is asserted, it's what makes vec_id
-    pushdown row-range pruning sound). Atomic rename so concurrent callers
-    never see a torn file."""
+    pushdown row-range pruning sound). Each writer saves to a unique
+    mkstemp name in the target dir before os.replace, so concurrent
+    callers never interleave writes into one tmp file and never see a
+    torn fixture; a fixture older than its parquet twin is rebuilt, so a
+    regenerated sf_dir can't serve stale vectors."""
+    import tempfile
+
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(_FIXTURE_ROOT, tag, "embeddings.npy")
-    if os.path.exists(path):
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.exists(path) and os.path.getmtime(path) >= os.path.getmtime(src):
         return path
     import pyarrow.parquet as pq
 
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    t = pq.read_table(src)
     df = t.to_pandas().sort_values("vec_id").reset_index(drop=True)
     if not (df["vec_id"].to_numpy() == np.arange(len(df))).all():
         raise ValueError("vec_id is not the contiguous row index")
     mat = np.stack(df["embedding"].to_numpy()).astype(np.float32)
-    tmp = path + ".tmp.npy"  # np.save appends .npy to unsuffixed names
-    np.save(tmp, mat)
-    os.replace(tmp, path)
+    fd, tmp = tempfile.mkstemp(suffix=".npy", dir=os.path.dirname(path))
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.save(f, mat)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
     return path
 
 
