@@ -49,6 +49,27 @@ def fan_out(df: DataFrame, *cols: str) -> DataFrame:
     return df.repartition(n)
 
 
+def explode_pinned(df: DataFrame, src: str, alias: str, *keep: str) -> DataFrame:
+    """``explode`` of a COMPUTED array column without re-deriving it.
+
+    Plain ``F.explode`` makes Catalyst infer ``size(arr) > 0 AND
+    isnotnull(arr)`` (InferFiltersFromGenerate) and then push that filter
+    through every projection and exchange down to the SCAN — substituting
+    the array's full defining expression, so an expensive derivation (HOF
+    shingles, hash chains) that an exchange deliberately materialized gets
+    re-evaluated per source row in unmaterialized form (measured on
+    prefix_filter_jaccard_join: 4.2s of a 5s query was this hidden filter).
+    ``explode_outer`` infers nothing; the null-filter on the generator's
+    OUTPUT attribute cannot be pushed below the Generate, so the pinned
+    materialization is actually reused. Rows with empty/null arrays are
+    dropped either way — semantics identical to ``explode``.
+    """
+    cols = [F.col(c) for c in (keep or [c for c in df.columns if c != src])]
+    return df.select(*cols, F.explode_outer(src).alias(alias)).filter(
+        F.col(alias).isNotNull()
+    )
+
+
 def cents(col: Column | str, scale: int = 100) -> Column:
     """``round(col * scale)`` as int64 — exact-sum building block.
 
