@@ -432,8 +432,14 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
     )
 
-    # centroid build: one explode + two aggregates, all JVM-side
-    exploded = scaled.select("label", F.posexplode("iv").alias("i", "ix"))
+    # centroid build: one explode + two aggregates, all JVM-side.
+    # posexplode_outer + null-filter on the OUTPUT, not posexplode: the
+    # plain generator makes Catalyst infer size(iv)>0 and push it to the
+    # scan with the _iscaled transform substituted — re-scaling every
+    # vector a second time per row (see common.explode_pinned).
+    exploded = scaled.select(
+        "label", F.posexplode_outer("iv").alias("i", "ix")
+    ).filter(F.col("i").isNotNull())
     centc = exploded.groupBy("label", "i").agg(
         F.round(F.sum("ix").cast("double") / F.count(F.lit(1)))
         .cast("long")
@@ -917,8 +923,14 @@ def kmeans_lloyd_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rnk") == 1)
             .select("vec_id", "cluster")
         )
-        exploded = members.join(vm, "vec_id").select(
-            "cluster", F.posexplode("v").alias("pos", "val")
+        # posexplode_outer + output null-filter: posexplode's inferred
+        # size(v)>0 filter pushes through the join to the embeddings scan
+        # with the int-scaling transform substituted (a full second
+        # per-row scaling pass each iteration — seen in the plan audit)
+        exploded = (
+            members.join(vm, "vec_id")
+            .select("cluster", F.posexplode_outer("v").alias("pos", "val"))
+            .filter(F.col("pos").isNotNull())
         )
         update = exploded.groupBy(
             "cluster", (F.col("pos") + 1).alias("dim")

@@ -663,26 +663,28 @@ cells AS (
   SELECT y_true, y_pred, CAST(count(*) AS BIGINT) AS n
   FROM scored GROUP BY 1, 2
 ),
-tp AS (SELECT y_true AS cls, n AS tp FROM cells WHERE y_true = y_pred),
-actual AS (SELECT y_true AS cls, sum(n) AS n_actual FROM cells GROUP BY 1),
+actual AS (
+  SELECT y_true AS cls, sum(n) AS n_actual,
+         sum(CASE WHEN y_true = y_pred THEN n ELSE 0 END) AS tp
+  FROM cells GROUP BY 1
+),
 pred AS (SELECT y_pred AS cls, sum(n) AS n_pred FROM cells GROUP BY 1)
 SELECT coalesce(actual.cls, pred.cls) AS label,
        CAST(coalesce(actual.n_actual, 0) AS BIGINT) AS n_actual,
        CAST(coalesce(pred.n_pred, 0) AS BIGINT) AS n_pred,
-       CAST(coalesce(tp.tp, 0) AS BIGINT) AS tp,
-       round(CAST(coalesce(tp.tp, 0) AS DOUBLE)
+       CAST(coalesce(actual.tp, 0) AS BIGINT) AS tp,
+       round(CAST(coalesce(actual.tp, 0) AS DOUBLE)
              / nullif(CAST(coalesce(pred.n_pred, 0) AS DOUBLE), 0), 6)
          AS precision,
-       round(CAST(coalesce(tp.tp, 0) AS DOUBLE)
+       round(CAST(coalesce(actual.tp, 0) AS DOUBLE)
              / nullif(CAST(coalesce(actual.n_actual, 0) AS DOUBLE), 0), 6)
          AS recall,
-       round(2.0 * CAST(coalesce(tp.tp, 0) AS DOUBLE)
+       round(2.0 * CAST(coalesce(actual.tp, 0) AS DOUBLE)
              / nullif(CAST(coalesce(pred.n_pred, 0) AS DOUBLE)
                       + CAST(coalesce(actual.n_actual, 0) AS DOUBLE), 0), 6)
          AS f1
 FROM actual
 FULL JOIN pred ON pred.cls = actual.cls
-LEFT JOIN tp ON tp.cls = coalesce(actual.cls, pred.cls)
 """
 
 
@@ -721,24 +723,31 @@ def confusion_matrix_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(norm_micro, F.lit(10)).cast("int").alias("y_pred"),
     )
     cells = scored.groupBy("y_true", "y_pred").agg(F.count(F.lit(1)).alias("n"))
-    tp = cells.filter(F.col("y_true") == F.col("y_pred")).select(
-        F.col("y_true").alias("cls"), F.col("n").alias("tp")
-    )
-    actual = cells.groupBy("y_true").agg(F.sum("n").alias("n_actual")).select(
-        F.col("y_true").alias("cls"), "n_actual"
+    # tp is folded into the actual-marginal aggregate (a conditional sum)
+    # rather than derived via cells.filter(y_true == y_pred): that filter's
+    # predicate is on grouping columns, so Catalyst pushes it below the
+    # aggregate all the way to the scan — re-evaluating the full norm-chain
+    # HOF per row in a third scan branch (seen in the optimized plan).
+    actual = (
+        cells.groupBy("y_true")
+        .agg(
+            F.sum("n").alias("n_actual"),
+            F.sum(
+                F.when(F.col("y_true") == F.col("y_pred"), F.col("n")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("tp"),
+        )
+        .select(F.col("y_true").alias("cls"), "n_actual", "tp")
     )
     pred = cells.groupBy("y_pred").agg(F.sum("n").alias("n_pred")).select(
         F.col("y_pred").alias("cls"), "n_pred"
     )
-    j = (
-        actual.join(pred, "cls", "full_outer")
-        .join(F.broadcast(tp), "cls", "left")
-        .select(
-            F.col("cls").alias("label"),
-            F.coalesce("n_actual", F.lit(0)).cast("long").alias("n_actual"),
-            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
-            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
-        )
+    j = actual.join(pred, "cls", "full_outer").select(
+        F.col("cls").alias("label"),
+        F.coalesce("n_actual", F.lit(0)).cast("long").alias("n_actual"),
+        F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+        F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
     )
     tp_d = F.col("tp").cast("double")
     return j.select(
