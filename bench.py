@@ -200,6 +200,7 @@ COHORTS: dict[str, list[str]] = {
     # data-quality pillar (round 7): schema-bounded profiling + checks
     "quality": [
         "orders_column_profile",
+        "orders_column_profile_approx",
         "orders_dq_checks",
         "k_anonymity_audit",
         "benford_first_digit",
@@ -226,6 +227,52 @@ SINGLE_PARTITION_WINDOW_OK = {
     "nation_revenue_share": 1,
     "cumulative_unique_users": 1,
 }
+
+# Box calibration (VERDICT r7 task 4): rounds 6 and 7 both explained
+# cross-round headline shifts with a prose "the box was slower this boot".
+# That claim is now MEASURED: before the timed passes, the bench runs two
+# fixed probes — a pure JVM whole-stage-codegen spin (no I/O, no Python,
+# no shuffle: raw CPU/scheduler throughput) and pricing_summary solo (scan
+# + agg representative) — and reports the headline BOTH raw and normalized
+# by the blended slowdown factor vs the reference constants below.
+# References were measured 2026-08-14 (round 8) on this box, min of 5
+# after JIT warm-up, during a quiet window; a factor near 1.0 means the
+# box matches that state, >1 means this boot is slower and the normalized
+# number is the comparable one. The factor is clamped to [0.8, 1.6]: the
+# probes justify at most that much correction — anything beyond is a real
+# regression that must be bisected, not normalized away.
+CALIBRATION_REF = {"jvm_spin_sec": 0.523, "pricing_solo_sec": 0.782}
+SPIN_ROWS = 4_000_000_000
+
+
+def calibrate(spark, qs, sf_dir: str) -> dict:
+    spins = []
+    for _ in range(5):
+        t0 = time.time()
+        spark.range(0, SPIN_ROWS, 1, 32).selectExpr("sum(id % 7)").collect()
+        spins.append(time.time() - t0)
+    solos = []
+    for _ in range(5):
+        t0 = time.time()
+        qs["pricing_summary"](spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        solos.append(time.time() - t0)
+    spin, solo = min(spins), min(solos)
+    f_spin = spin / CALIBRATION_REF["jvm_spin_sec"]
+    f_solo = solo / CALIBRATION_REF["pricing_solo_sec"]
+    # the solo reference is an sf0.1 measurement; at any other scale factor
+    # only the scale-independent JVM spin is meaningful
+    at_ref_sf = os.path.basename(os.path.normpath(sf_dir)) == "sf0.1"
+    blended = (f_spin * f_solo) ** 0.5 if at_ref_sf else f_spin
+    return {
+        "jvm_spin_sec": round(spin, 3),
+        "pricing_solo_sec": round(solo, 3),
+        "factor_spin": round(f_spin, 3),
+        "factor_solo": round(f_solo, 3),
+        "factor": round(min(max(blended, 0.8), 1.6), 3),
+        "reference": CALIBRATION_REF,
+    }
 
 
 def main() -> None:
@@ -272,6 +319,8 @@ def main() -> None:
     spark.range(n * 4).repartition(n).select(
         _warm(F.col("id").cast("double"))
     ).write.mode("overwrite").format("noop").save()
+
+    calibration = calibrate(spark, qs, sf_dir)
 
     # N_RUNS passes over the whole set, round-robin, NOT back-to-back per
     # query: a transient load spike (GC pause, noisy neighbor on the bench
@@ -326,6 +375,7 @@ def main() -> None:
         "pass_totals": [
             round(sum(samples[n][p] for n in names), 3) for p in range(N_RUNS)
         ],
+        "calibration": calibration,
     }
     with open(os.path.join(os.path.dirname(__file__) or ".",
                            "BENCH_DETAIL.json"), "w") as fh:
@@ -343,6 +393,15 @@ def main() -> None:
                 # extensions added later
                 "headline_total": round(
                     sum(times[n] for n in HEADLINE if n in times), 3
+                ),
+                # box-speed calibration (see CALIBRATION_REF): raw headline
+                # divided by the measured slowdown factor vs the pinned
+                # reference probes — the cross-round comparable number
+                "calibration_factor": calibration["factor"],
+                "headline_calibrated": round(
+                    sum(times[n] for n in HEADLINE if n in times)
+                    / calibration["factor"],
+                    3,
                 ),
                 "optional_total": round(
                     sum(t for n, t in times.items() if n not in HEADLINE), 3

@@ -103,6 +103,51 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p.*")
 
 
+@register("orders_column_profile_approx", oracle=None, category="quality")
+def orders_column_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB deployment form of ``orders_column_profile``: identical
+    single-pass plan with ``approx_count_distinct`` (HyperLogLog++, default
+    rsd 0.05) in place of the exact multi-distinct — constant sketch state
+    per column instead of one Expand input replica per distinct column, so
+    the profile pass stays one combine-enabled aggregate regardless of
+    column count or cardinality. Registered rows-only: HLL++ estimates are
+    engine-specific (DuckDB's approx_distinct uses a different sketch), so
+    there is no cross-engine value oracle — the error-bound pytest against
+    the exact profile (each estimate within 3·rsd of truth) and the shared
+    row-shape are the semantic checks (COVERAGE.md census entry).
+
+    Scale: the point of the swap. The exact form's Expand multiplies scan
+    output by the number of distinct-counted columns (6× here); this plan
+    reads each row once and carries six ~1.5 KB sketches per partition.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    aggs = []
+    for c, k in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"nn_{c}"),
+            F.approx_count_distinct(F.col(c)).alias(f"nd_{c}"),
+            _spark_render(c, k, F.min).alias(f"mn_{c}"),
+            _spark_render(c, k, F.max).alias(f"mx_{c}"),
+        ]
+    one = orders.agg(*aggs)
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(f"nn_{c}").alias("n_nulls"),
+                        F.col(f"nd_{c}").alias("n_distinct_approx"),
+                        F.col(f"mn_{c}").alias("min_value"),
+                        F.col(f"mx_{c}").alias("max_value"),
+                    )
+                    for c, _ in _PROFILE_COLS
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+
+
 _DQ_SQL = """
 SELECT 'pk_unique_orderkey' AS check_name,
        CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations

@@ -288,6 +288,35 @@ def test_column_profile_covers_schema_and_counts(spark, sf_dir):
     assert rows["o_totalprice"].min_value.lstrip("-").isdigit()
 
 
+def test_approx_profile_matches_exact_within_bound(spark, sf_dir):
+    """The approx profiler (the 100 TB swap, rows-only by contract) must
+    agree with the exact profiler on every non-sketch statistic and land
+    each HLL++ estimate within 3·rsd of the true distinct count — the
+    fixture-independent semantic check standing in for a value oracle."""
+    exact = {
+        r.column_name: r
+        for r in _q("orders_column_profile")(spark, sf_dir).collect()
+    }
+    approx_df = _q("orders_column_profile_approx")(spark, sf_dir)
+    approx = {r.column_name: r for r in approx_df.collect()}
+    assert set(exact) == set(approx)
+    for c, e in exact.items():
+        a = approx[c]
+        assert (a.n_nulls, a.min_value, a.max_value) == (
+            e.n_nulls,
+            e.min_value,
+            e.max_value,
+        ), c
+        assert abs(a.n_distinct_approx - e.n_distinct) <= max(
+            3 * 0.05 * e.n_distinct, 1
+        ), (c, a.n_distinct_approx, e.n_distinct)
+    # and the scale claim must hold in the PLAN: exact needs the Expand
+    # (one replica per distinct column), approx must not
+    exact_plan = _q("orders_column_profile")(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    approx_plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in exact_plan and "Expand" not in approx_plan
+
+
 def test_dq_checks_all_pass_on_clean_corpus(spark, sf_dir):
     rows = {r.check_name: r.n_violations for r in _q("orders_dq_checks")(spark, sf_dir).collect()}
     assert set(rows) == {
