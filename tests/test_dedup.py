@@ -261,3 +261,14 @@ def test_token_pack_bins_conserve_tokens(spark, sf_dir):
         shard_rows.sort(key=lambda r: r.bin)
         for a, b in zip(shard_rows, shard_rows[1:]):
             assert a.last_doc <= b.first_doc
+
+
+def test_shingles_short_doc_yields_empty_not_error(spark):
+    """Docs with fewer than n tokens have zero n-shingles. Unguarded,
+    sequence(0, size-n) goes DESCENDING for short docs and element_at
+    hits index 0 (1-based API -> runtime error)."""
+    df = spark.createDataFrame(
+        [("a b",), ("a",), ("a b c",), ("a b c d",)], ["text"]
+    ).select(D.shingles("text", 3).alias("s"))
+    got = [r.s for r in df.collect()]
+    assert got == [[], [], ["a b c"], ["a b c", "b c d"]]
