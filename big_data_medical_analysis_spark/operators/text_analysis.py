@@ -482,19 +482,22 @@ def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").alias("top_term"),
         F.count(F.lit(1)).alias("n_distinct"),
     )
-    grams = base.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 1),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(F.col("toks"), i),
-                    F.element_at(F.col("toks"), i + 1),
-                ),
-            )
-        ).alias("gram"),
-    )
+    # guarded for 1-token docs: sequence(1, 0) is DESCENDING in Spark, so
+    # the unguarded transform would call element_at(toks, 0) (runtime
+    # error); such docs have zero bigrams and drop at the join, which is
+    # the documented semantics
+    bigram_list = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i),
+                F.element_at(F.col("toks"), i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select("doc_id", F.explode(bigram_list).alias("gram"))
     bc = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
     bs = bc.groupBy("doc_id").agg(
         F.max("c").alias("top_bigram"), F.sum("c").alias("n_bigrams")
