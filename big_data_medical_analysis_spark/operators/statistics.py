@@ -470,10 +470,17 @@ def chisq_event_type_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
     )
+    # the contingency table is domain-sized (types × segments ≤ 40 rows)
+    # but has SIX downstream consumers (row/col marginals, total, R, C,
+    # and the statistic join); unpinned, each consumer re-derives the
+    # events scan + join + aggregate (12 parquet scans in the executed
+    # plan). localCheckpoint materializes the 25-row table once — the
+    # same persist-the-derived-table pattern as _brand_baskets.
     cells = (
         ev.join(F.broadcast(cust), "user_id")
         .groupBy("event_type", "segment")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
     r = cells.groupBy("event_type").agg(F.sum("n").alias("rn"))
     cl = cells.groupBy("segment").agg(F.sum("n").alias("cn"))
