@@ -661,3 +661,21 @@ def test_no_inferred_filter_recomputes_expensive_chain(spark, sf_dir):
                 offenders[name] = line.strip()[:160]
                 break
     assert offenders == {}, offenders
+
+
+def test_mining_family_reads_checkpointed_baskets_not_rescans(spark, sf_dir):
+    """Round-8 fix pin: the mining/graph family derives the (order, brand)
+    basket table ONCE via localCheckpoint — before, each self-join branch
+    re-derived the lineitem⋈part distinct (24-36 parquet scans per query,
+    zero ReusedExchange). The returned plan must contain no parquet scans
+    at all (everything reads the checkpointed table); a regression brings
+    the repeated fact-table derivation back."""
+    for name in (
+        "copurchase_brand_pairs",
+        "frequent_triples_apriori",
+        "triangle_count_brand_graph",
+        "brand_pagerank",
+        "chisq_event_type_segment",
+    ):
+        df = QS[name](spark, sf_dir)
+        assert P.node_count(df, "Scan parquet") == 0, name
