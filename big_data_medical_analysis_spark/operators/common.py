@@ -62,7 +62,12 @@ def explode_pinned(df: DataFrame, src: str, alias: str, *keep: str) -> DataFrame
     ``explode_outer`` infers nothing; the null-filter on the generator's
     OUTPUT attribute cannot be pushed below the Generate, so the pinned
     materialization is actually reused. Rows with empty/null arrays are
-    dropped either way — semantics identical to ``explode``.
+    dropped either way. ONE semantic difference from ``explode``: null
+    ELEMENTS inside the array are also dropped (explode keeps them as
+    null rows). Only use this helper on arrays whose elements are
+    provably non-null (concat_ws/hash/cast chains — every current call
+    site); for nullable elements, keep ``F.explode`` and pay the
+    inferred filter, or pre-coalesce the elements.
     """
     cols = [F.col(c) for c in (keep or [c for c in df.columns if c != src])]
     return df.select(*cols, F.explode_outer(src).alias(alias)).filter(

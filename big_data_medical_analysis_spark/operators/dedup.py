@@ -292,9 +292,13 @@ def shingles_from_tokens(toks: Column | str, n: int) -> Column:
     # guard docs shorter than n tokens: sequence(0, negative) is a
     # DESCENDING sequence in Spark, so the unguarded form would call
     # element_at(toks, 0) (1-based API → runtime error). Such docs have
-    # zero n-shingles by definition.
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
+    # zero n-shingles by definition. NULL input stays NULL (size(NULL) is
+    # -1, which would otherwise fall through to the empty array and
+    # diverge from the n=1 path's NULL-propagating array_distinct(split)).
+    return (
+        F.when(toks.isNull(), F.lit(None).cast("array<string>"))
+        .when(F.size(toks) >= n, F.array_distinct(grams))
+        .otherwise(F.array().cast("array<string>"))
     )
 
 

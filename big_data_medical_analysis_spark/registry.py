@@ -122,8 +122,17 @@ def _repo_root() -> str:
     return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+_LATEST_ROUNDS_CACHE: dict[str, int] | None = None
+
+
 def latest_driver_rounds() -> dict[str, int]:
-    """name -> latest round with a driver correctness row, from artifacts."""
+    """name -> latest round with a driver correctness row, from artifacts.
+    Cached per process: the checked-in CORRECTNESS_r*.json set is fixed
+    for a process lifetime, and queries()/oracle_sql() are called in
+    loops by tests and tooling."""
+    global _LATEST_ROUNDS_CACHE
+    if _LATEST_ROUNDS_CACHE is not None:
+        return _LATEST_ROUNDS_CACHE
     import glob
     import json
     import os
@@ -144,6 +153,7 @@ def latest_driver_rounds() -> dict[str, int]:
             continue
         for name in rows:
             latest[name] = max(latest.get(name, 0), rnd)
+    _LATEST_ROUNDS_CACHE = latest
     return latest
 
 

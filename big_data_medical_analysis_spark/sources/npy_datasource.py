@@ -197,7 +197,10 @@ def npy_fixture_path(sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(_FIXTURE_ROOT, tag, "embeddings.npy")
     src = os.path.join(sf_dir, "embeddings.parquet")
-    if os.path.exists(path) and os.path.getmtime(path) >= os.path.getmtime(src):
+    if os.path.exists(path) and (
+        not os.path.exists(src)  # twin archived: serve the cached fixture
+        or os.path.getmtime(path) >= os.path.getmtime(src)
+    ):
         return path
     import pyarrow.parquet as pq
 
@@ -211,6 +214,9 @@ def npy_fixture_path(sf_dir: str) -> str:
     try:
         with os.fdopen(fd, "wb") as f:
             np.save(f, mat)
+        # mkstemp creates 0600; the shared /tmp fixture must stay readable
+        # by other users' executors (np.save's umask default)
+        os.chmod(tmp, 0o644)
         os.replace(tmp, path)
     except BaseException:
         if os.path.exists(tmp):

@@ -56,6 +56,23 @@ def test_window_head_is_never_checked_first():
     assert all(n not in latest for n in overflow), overflow
 
 
+def test_defer_list_names_all_resolve():
+    """Every name in _DEFER_WITHIN_NEVER_CHECKED must be a registered
+    query — a typo silently matches nothing, so the intended query is NOT
+    deferred and a different never-checked query drops out of the window
+    while both ordering invariant tests stay green (the silent-slot-
+    forfeit failure the old _PRIORITY resolve test used to catch)."""
+    from big_data_medical_analysis_spark import registry
+
+    registry._load_all()
+    unknown = [
+        n
+        for n in registry._DEFER_WITHIN_NEVER_CHECKED
+        if n not in registry._REGISTRY
+    ]
+    assert unknown == []
+
+
 def test_priority_after_window_is_stalest_first():
     """Beyond the never-checked block, queries rotate stalest-round-first so
     every query's latest driver row stays recent (VERDICT r7 task 2)."""

@@ -644,9 +644,11 @@ def test_no_inferred_filter_recomputes_expensive_chain(spark, sf_dir):
         "countmin_user_counts",     # isnotnull(md5 bucket), 1 hash
         "bloom_customer_filter",    # isnotnull(md5 bucket), 1 hash
     }
-    # chain markers: interpreted HOFs — any of these inside a Filter means
-    # a per-row re-evaluation of a derivation the plan already computed
-    CHAIN = ("transform(", "aggregate(", "zip_with(", "filter(lambdafunction")
+    # chain marker: EVERY interpreted HOF (transform/aggregate/zip_with/
+    # filter/exists/forall) renders its lambda as "lambdafunction(" in the
+    # plan string — one marker covers the whole family (a per-HOF list
+    # missed filter(), whose rendering is "filter(arr#N, lambdafunction")
+    CHAIN = ("lambdafunction(",)
     offenders: dict[str, str] = {}
     for name, q in registry.all_queries().items():
         if name in ALLOWED:

@@ -212,21 +212,28 @@ def test_npy_pushdown_reduces_partition_count(spark, sf_dir):
     assert len(full.partitions()) == 8
     assert len(pruned.partitions()) == 3  # span 3 < n_splits → 3 ranges
 
+    prior = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     try:
-        spark.dataSource.register(NpyEmbeddingDataSource)
-    except Exception:
-        pass
-    scan = (
-        spark.read.format(NPY_SOURCE_NAME)
-        .option("path", p)
-        .option("n_splits", "8")
-        .option("pushdown", "true")
-        .load()
-    )
-    # .rdd materializes the physical scan's partitioning 1:1 (no shuffle)
-    assert scan.rdd.getNumPartitions() == 8
-    assert scan.filter(F.col("vec_id") < 3).rdd.getNumPartitions() == 3
+        try:
+            spark.dataSource.register(NpyEmbeddingDataSource)
+        except Exception:
+            pass
+        scan = (
+            spark.read.format(NPY_SOURCE_NAME)
+            .option("path", p)
+            .option("n_splits", "8")
+            .option("pushdown", "true")
+            .load()
+        )
+        # .rdd materializes the physical scan's partitioning 1:1 (no shuffle)
+        assert scan.rdd.getNumPartitions() == 8
+        assert scan.filter(F.col("vec_id") < 3).rdd.getNumPartitions() == 3
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", prior)
 
 
 def test_npy_fixture_rebuilds_when_parquet_newer(sf_dir):
