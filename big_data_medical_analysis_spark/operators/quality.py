@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from big_data_medical_analysis_spark.operators.common import fan_out
 from big_data_medical_analysis_spark.registry import register
 from big_data_medical_analysis_spark.sources.readers import read_table
 
@@ -74,8 +75,15 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     values bit-for-bit. Min/max render via the engine's portability
     conventions (int/string cast, money→cents, timestamp→explicit format),
     so no engine-default float/timestamp formatting leaks into the hash.
+
+    The scan is fan_out BEFORE the aggregate: the single-file test layout
+    plans a one-task partial aggregate otherwise, and the multi-distinct
+    rewrite makes that partial pass the expensive stage (Expand ×6 then
+    group-by over the union of per-column distinct values — measured 3.2s
+    single-task vs 2.0s at 32-way at sf0.1). At 100 TB the scan arrives
+    in thousands of splits and the exchange is noise.
     """
-    orders = read_table(spark, sf_dir, "orders")
+    orders = fan_out(read_table(spark, sf_dir, "orders"))
     aggs = []
     for c, k in _PROFILE_COLS:
         aggs += [
@@ -119,8 +127,10 @@ def orders_column_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the point of the swap. The exact form's Expand multiplies scan
     output by the number of distinct-counted columns (6× here); this plan
     reads each row once and carries six ~1.5 KB sketches per partition.
+    Same fan_out-before-aggregate as the exact twin (one-task partial
+    agg on the single-file test layout otherwise).
     """
-    orders = read_table(spark, sf_dir, "orders")
+    orders = fan_out(read_table(spark, sf_dir, "orders"))
     aggs = []
     for c, k in _PROFILE_COLS:
         aggs += [
