@@ -272,3 +272,66 @@ def test_shingles_short_doc_yields_empty_not_error(spark):
     ).select(D.shingles("text", 3).alias("s"))
     got = [r.s for r in df.collect()]
     assert got == [[], [], ["a b c"], ["a b c", "b c d"]]
+
+
+# --- hypothesis: PPJoin prefix+positional candidate generation is COMPLETE --
+# Pure-Python mirror of prefix_filter_jaccard_join's integer arithmetic
+# (same ceil forms), checked against brute force: no pair with Jaccard >= t
+# may ever be dropped by the prefix, length, or positional filter.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _ppjoin_candidates(sets):
+    """(prefix ∩ + length + positional)-surviving pairs, mirroring the
+    operator: df-ordered prefixes of length n - ceil(4n/5) + 1, length
+    filter 4na<=5nb ∧ 4nb<=5na, positional bound
+    1 + min(na-ia, nb-ib) >= ceil(4(na+nb)/9)."""
+    from collections import Counter
+
+    df = Counter()
+    for s in sets:
+        for w in s:
+            df[w] += 1
+    order = {w: (df[w], w) for s in sets for w in s}
+    ranked = [sorted(s, key=lambda w: order[w]) for s in sets]
+    prefixes = []
+    for toks in ranked:
+        n = len(toks)
+        plen = n - (4 * n + 4) // 5 + 1
+        prefixes.append({w: i + 1 for i, w in enumerate(toks[:plen])})
+    out = set()
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            na, nb = len(ranked[i]), len(ranked[j])
+            if not (4 * na <= 5 * nb and 4 * nb <= 5 * na):
+                continue
+            shared = set(prefixes[i]) & set(prefixes[j])
+            if not shared:
+                continue
+            ia = min(prefixes[i][w] for w in shared)
+            ib = min(prefixes[j][w] for w in shared)
+            alpha = (4 * (na + nb) + 8) // 9
+            if 1 + min(na - ia, nb - ib) >= alpha:
+                out.add((i, j))
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.sets(st.integers(min_value=0, max_value=15), min_size=1, max_size=12),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_ppjoin_candidates_complete(token_sets):
+    sets = [frozenset(s) for s in token_sets]
+    cands = _ppjoin_candidates(sets)
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i] | sets[j])
+            if inter / union >= 0.8:
+                assert (i, j) in cands, (sets[i], sets[j], inter / union)
