@@ -93,3 +93,21 @@ def test_every_query_has_scale_documentation():
         n for n, q in registry.all_queries().items() if len(q.doc) < 40
     ]
     assert undocumented == []
+
+
+def test_priority_order_pure_logic(monkeypatch):
+    """The rotation sort itself, on synthetic artifacts: never-checked
+    first (registration order, deferred names at the block's tail), then
+    checked stalest-round-first with registration-order ties."""
+    from big_data_medical_analysis_spark import registry
+
+    monkeypatch.setattr(
+        registry, "latest_driver_rounds", lambda: {"b": 3, "d": 2, "f": 2}
+    )
+    monkeypatch.setattr(
+        registry, "_DEFER_WITHIN_NEVER_CHECKED", ("c",), raising=True
+    )
+    order = registry._priority_order(["a", "b", "c", "d", "e", "f"])
+    # a, e never-checked (registration order); c never-checked but deferred;
+    # d and f stalest (r2, registration order); b freshest (r3)
+    assert order == ["a", "e", "c", "d", "f", "b"]
