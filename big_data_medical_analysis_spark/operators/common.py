@@ -49,7 +49,7 @@ def fan_out(df: DataFrame, *cols: str) -> DataFrame:
     return df.repartition(n)
 
 
-def explode_pinned(df: DataFrame, src: str, alias: str, *keep: str) -> DataFrame:
+def explode_nonnull_pinned(df: DataFrame, src: str, alias: str, *keep: str) -> DataFrame:
     """``explode`` of a COMPUTED array column without re-deriving it.
 
     Plain ``F.explode`` makes Catalyst infer ``size(arr) > 0 AND
@@ -64,10 +64,14 @@ def explode_pinned(df: DataFrame, src: str, alias: str, *keep: str) -> DataFrame
     materialization is actually reused. Rows with empty/null arrays are
     dropped either way. ONE semantic difference from ``explode``: null
     ELEMENTS inside the array are also dropped (explode keeps them as
-    null rows). Only use this helper on arrays whose elements are
-    provably non-null (concat_ws/hash/cast chains — every current call
-    site); for nullable elements, keep ``F.explode`` and pay the
-    inferred filter, or pre-coalesce the elements.
+    null rows). The ``nonnull`` in the name IS the precondition: only use
+    this helper on arrays whose elements are provably non-null
+    (concat_ws/hash/cast chains — every current call site); for nullable
+    elements, keep ``F.explode`` and pay the inferred filter, or
+    pre-coalesce the elements. The precondition is not runtime-checked —
+    element nullability in the schema is conservatively True for most
+    computed arrays, so a schema assert would reject every sound call
+    site; the name makes new call sites self-audit instead.
     """
     cols = [F.col(c) for c in (keep or [c for c in df.columns if c != src])]
     return df.select(*cols, F.explode_outer(src).alias(alias)).filter(

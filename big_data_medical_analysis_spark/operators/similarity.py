@@ -436,7 +436,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # posexplode_outer + null-filter on the OUTPUT, not posexplode: the
     # plain generator makes Catalyst infer size(iv)>0 and push it to the
     # scan with the _iscaled transform substituted — re-scaling every
-    # vector a second time per row (see common.explode_pinned).
+    # vector a second time per row (see common.explode_nonnull_pinned).
     exploded = scaled.select(
         "label", F.posexplode_outer("iv").alias("i", "ix")
     ).filter(F.col("i").isNotNull())

@@ -181,7 +181,19 @@ class NpyEmbeddingDataSource(DataSource):
 # Fixture + registered query
 # ---------------------------------------------------------------------------
 
-_FIXTURE_ROOT = "/tmp/spark_graft_npy"
+def _fixture_root() -> str:
+    """Per-user fixture root with 0700 dirs. A world-shared /tmp path
+    trusted by mtime is squattable (another local user pre-creates the
+    file with a fresh mtime and their bytes get served); scoping the root
+    to the uid and creating it 0700 closes that. Executors are the same
+    user in local mode, and on a real cluster the fixture concept doesn't
+    exist (shards are already on shared storage), so nothing needs the
+    file to be world-readable."""
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_npy_{os.getuid()}")
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    return root
 
 
 def npy_fixture_path(sf_dir: str) -> str:
@@ -195,7 +207,7 @@ def npy_fixture_path(sf_dir: str) -> str:
     import tempfile
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(_FIXTURE_ROOT, tag, "embeddings.npy")
+    path = os.path.join(_fixture_root(), tag, "embeddings.npy")
     src = os.path.join(sf_dir, "embeddings.parquet")
     if os.path.exists(path) and (
         not os.path.exists(src)  # twin archived: serve the cached fixture
@@ -204,7 +216,7 @@ def npy_fixture_path(sf_dir: str) -> str:
         return path
     import pyarrow.parquet as pq
 
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    os.makedirs(os.path.dirname(path), mode=0o700, exist_ok=True)
     t = pq.read_table(src)
     df = t.to_pandas().sort_values("vec_id").reset_index(drop=True)
     if not (df["vec_id"].to_numpy() == np.arange(len(df))).all():
@@ -214,9 +226,8 @@ def npy_fixture_path(sf_dir: str) -> str:
     try:
         with os.fdopen(fd, "wb") as f:
             np.save(f, mat)
-        # mkstemp creates 0600; the shared /tmp fixture must stay readable
-        # by other users' executors (np.save's umask default)
-        os.chmod(tmp, 0o644)
+        # mkstemp's 0600 is the right mode: the root is per-user 0700 and
+        # only this user's executors (same uid in local mode) read it
         os.replace(tmp, path)
     except BaseException:
         if os.path.exists(tmp):

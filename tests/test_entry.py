@@ -95,6 +95,27 @@ def test_every_query_has_scale_documentation():
     assert undocumented == []
 
 
+def test_rows_only_registrations_match_census():
+    """VERDICT r8 task 5: the oracle discipline ("full DuckDB oracle unless
+    impossible") is pinned mechanically. Every query registered with
+    ``oracle=None`` must carry an entry (name + one-line reason) in
+    ``rows_only_census.ROWS_ONLY_CENSUS``, and the census may not list
+    queries that have an oracle or don't exist — so neither a silent new
+    rows-only registration nor a stale census line can land."""
+    from big_data_medical_analysis_spark import registry
+    from big_data_medical_analysis_spark.rows_only_census import (
+        ROWS_ONLY_CENSUS,
+    )
+
+    rows_only = {n for n, q in registry.all_queries().items() if q.oracle is None}
+    uncensused = rows_only - set(ROWS_ONLY_CENSUS)
+    stale = set(ROWS_ONLY_CENSUS) - rows_only
+    assert uncensused == set(), f"rows-only without census reason: {uncensused}"
+    assert stale == set(), f"census lists non-rows-only queries: {stale}"
+    empty = [n for n, why in ROWS_ONLY_CENSUS.items() if len(why.strip()) < 10]
+    assert empty == [], f"census reasons too thin: {empty}"
+
+
 def test_priority_order_pure_logic(monkeypatch):
     """The rotation sort itself, on synthetic artifacts: never-checked
     first (registration order, deferred names at the block's tail), then
