@@ -51,6 +51,7 @@ COHORTS: dict[str, list[str]] = {
         "split_leakage_audit",
         "prefix_filter_jaccard_join",
         "minhash_estimate_accuracy",
+        "minhash_incremental_probe",
     ],
     "similarity": [
         "cosine_topk",
@@ -86,6 +87,7 @@ COHORTS: dict[str, list[str]] = {
         "label_centroids",
         "model_eval_accuracy",
         "fedavg_rounds",
+        "fedavg_eval_loop",
         "cogrouped_user_profile",
         "doc_chunk_udtf",
         "arrow_l1_norms",

@@ -1372,3 +1372,110 @@ def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(F.abs("err")), 6).alias("max_abs_err"),
         F.round(F.avg("err"), 6).alias("mean_bias"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus-vs-index near-dup probe (round 9)
+# ---------------------------------------------------------------------------
+
+# The "new batch" is every 10th doc (doc_id % 10 = 0); the signature index
+# is built from the other 90%. Same split predicate on both engines.
+_PMH_INCR_PROBE = "doc_id % 10 = 0"
+_PMH_INCR_INDEX = "doc_id % 10 <> 0"
+
+_PMH_INCR_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         {', '.join(_pmh_component_sql(j) for j in range(PMH_BANDS * PMH_ROWS_PER_BAND))}
+  FROM tok
+),
+banded AS (
+  {' UNION ALL '.join(_pmh_bucket_sql(b) for b in range(PMH_BANDS))}
+)
+SELECT p.doc_id,
+       CAST(count(DISTINCT p.band) AS BIGINT) AS n_bands_hit,
+       CAST(count(DISTINCT i.doc_id) AS BIGINT) AS n_index_matches,
+       min(i.doc_id) AS min_index_doc
+FROM banded p JOIN banded i ON p.band = i.band AND p.bucket = i.bucket
+WHERE p.{_PMH_INCR_PROBE} AND i.{_PMH_INCR_INDEX}
+GROUP BY p.doc_id
+"""
+
+
+def pmh_index_dir(sf_dir: str) -> str:
+    """Fixed per-user, per-sf location of the persisted signature index
+    (band-partitioned parquet). Per-user like every other roundtrip
+    fixture; per-sf so an sf0.01 driver pass never probes an index built
+    from sf0.1 documents."""
+    import getpass
+    import os
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_pmh_index_{getpass.getuser()}",
+        tag,
+    )
+
+
+@register("minhash_incremental_probe", oracle=_PMH_INCR_SQL, category="dedup")
+def minhash_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION dedup shape: dedup each NEW ingest batch against a
+    PERSISTED signature index instead of re-deduping the whole corpus.
+    Every other operator in this family (minhash_portable_groups, SimHash,
+    PPJoin) treats the corpus as one static table; a real 100 TB pipeline
+    ingests continuously, and re-banding 100 TB per batch is the cost this
+    operator removes: the index side is banded ONCE, written as parquet
+    partitioned by band, and each batch only (a) bands its own documents
+    and (b) equi-joins the persisted band table.
+
+    Here the 90% index slice ({_PMH_INCR_INDEX}) is banded with the
+    portable md5 MinHash family (same {PMH_BANDS}x{PMH_ROWS_PER_BAND}
+    geometry as minhash_portable_groups), persisted band-partitioned, and
+    read BACK from parquet; the 10% "new batch" ({_PMH_INCR_PROBE}) bands
+    itself and probes with a (band, bucket) equi-join. Output: one row per
+    new document that collides with the index — how many bands hit, how
+    many distinct index near-dups, and the minimum (keeper) index doc_id.
+    The DuckDB oracle recomputes both sides from the raw corpus, so a
+    green row ALSO proves the parquet persist/reload of the index lost
+    nothing.
+
+    Scale: batch cost is O(batch x bands) banding + one shuffle equi-join
+    against the index's matching band partitions — never re-touching index
+    documents' text. At 100 TB the index table would additionally be
+    bucketed by `bucket` (bucketBy on write) so probe joins co-locate
+    without shuffling the index side at all, and new batches APPEND their
+    own band rows after probing — the same table serves as index and
+    accumulating state. Note the probe-vs-index join intentionally misses
+    probe-internal duplicates; a batch self-dedup (minhash_portable_groups
+    over the batch alone, batch-sized cost) runs beside it — the union of
+    the two legs reconstructs exactly the whole-corpus groups
+    (tests/test_dedup.py pins this on the fixture).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    out_dir = pmh_index_dir(sf_dir)
+    # Build + persist the signature index (the "already have it" state a
+    # real pipeline amortizes over every future batch). Band-partitioned:
+    # a probe that only needs band b prunes to that directory.
+    pmh_banded_buckets(docs.filter(F.expr(_PMH_INCR_INDEX))).write.mode(
+        "overwrite"
+    ).partitionBy("band").parquet(out_dir)
+    index = (
+        spark.read.parquet(out_dir)
+        .withColumnRenamed("doc_id", "index_doc_id")
+        .withColumn("band", F.col("band").cast("int"))
+    )
+    probe = pmh_banded_buckets(docs.filter(F.expr(_PMH_INCR_PROBE)))
+    return (
+        probe.join(index, ["band", "bucket"])
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("band").alias("n_bands_hit"),
+            F.countDistinct("index_doc_id").alias("n_index_matches"),
+            F.min("index_doc_id").alias("min_index_doc"),
+        )
+    )

@@ -544,6 +544,142 @@ def model_eval_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 5b. Federated train -> eval loop in ONE query (round 9)
+# ---------------------------------------------------------------------------
+
+# Absolute residual of the FINAL global model on one shard row, in exact
+# int64 cents: prediction = round((s0m + s1m*qc)/1e6) cents, a single shared
+# op tree so Spark and DuckDB agree bit-for-bit. (s0m/s1m are the int64
+# micro-unit server weights whose whole trajectory fedavg_rounds already
+# value-checks.)
+_FEDAVG_EVAL_RESID = (
+    "abs(yc - CAST(round(CAST(s0m + s1m * qc AS DOUBLE) / 1000000.0) "
+    "AS BIGINT)) AS arc"
+)
+
+# Eval metrics over the absolute residual cents — identical text on both
+# engines: exact integer sums, ONE rounded division each at the end.
+_FEDAVG_EVAL_METRICS = (
+    "CAST(count(*) AS BIGINT) AS n",
+    "round(CAST(sum(arc) AS DOUBLE) / count(*) / 100.0, 6) AS mae",
+    "CAST(max(arc) AS DOUBLE) / 100.0 AS max_abs_err",
+    "round(CAST(sum(CASE WHEN arc <= 100000 THEN 1 ELSE 0 END) AS DOUBLE)"
+    " / count(*), 6) AS within_1k_rate",
+)
+
+
+def _fedavg_eval_oracle() -> str:
+    """DuckDB twin: the SAME CTE chain as _fedavg_oracle up to the final
+    server aggregate, then the shared residual + metric expressions."""
+    w0m, w1m = _fedavg_fit_exprs(FEDAVG_LAMBDA)
+    s0m, s1m, total = _FEDAVG_SRV_EXPRS
+    parts = [
+        f"""WITH shards AS (
+  SELECT {_FEDAVG_CLIENT_DUCK} AS client,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+  FROM lineitem
+), stats AS (
+  SELECT client, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(qc) AS BIGINT) AS sx, CAST(sum(yc) AS BIGINT) AS sy,
+         CAST(sum(qc * qc) AS BIGINT) AS sxx,
+         CAST(sum(qc * yc) AS BIGINT) AS sxy
+  FROM shards GROUP BY client
+), srv0 AS (SELECT 0.0 AS s0, 0.0 AS s1)"""
+    ]
+    for r in range(1, FEDAVG_N_ROUNDS + 1):
+        parts.append(
+            f""", fit{r} AS (
+  SELECT client, n, {w0m}, {w1m} FROM stats, srv{r - 1}
+), srv{r}agg AS (
+  SELECT {s0m}, {s1m}, {total} FROM fit{r}
+), srv{r} AS (
+  SELECT CAST(s0m AS DOUBLE) / 1000000.0 AS s0,
+         CAST(s1m AS DOUBLE) / 1000000.0 AS s1 FROM srv{r}agg
+)"""
+        )
+    metrics = ", ".join(_FEDAVG_EVAL_METRICS)
+    return (
+        "".join(parts)
+        + f""", evalrows AS (
+  SELECT shards.client, {_FEDAVG_EVAL_RESID}
+  FROM shards, srv{FEDAVG_N_ROUNDS}agg
+)
+SELECT client, {metrics} FROM evalrows GROUP BY client
+UNION ALL
+SELECT -1 AS client, {metrics} FROM evalrows"""
+    )
+
+
+@register("fedavg_eval_loop", oracle=_fedavg_eval_oracle(), category="udf")
+def fedavg_eval_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL federated pipeline in one query: train
+    {FEDAVG_N_ROUNDS} federated-averaging rounds, then evaluate the FINAL
+    global model on every client's local data plus a pooled global row
+    (src/federated_learning_pipeline.py:135-171 — the train loop feeding
+    model.evaluate on the trained server state). fedavg_rounds (§2.1 row
+    34) and model_eval_accuracy (row 35) pin the two halves separately;
+    this query closes the loop end-to-end under ONE full value oracle.
+
+    Train: identical to fedavg_rounds — one map-side-combinable pass
+    computes per-client exact int64 sufficient statistics (localCheckpointed
+    at K rows), then each round is closed-form ridge arithmetic on the
+    K-row frame against a broadcast 1-row server state. Eval: a SECOND
+    (and last) pass over the shards joins the broadcast final server
+    weights, forms exact integer residual cents per row via a shared
+    expression template, and aggregates per client + overall: n, mean
+    absolute error, max absolute error, and the share of rows within
+    $1,000. Output: one row per client plus a client=-1 pooled row.
+
+    Scale: two linear passes over the 100 TB total — the train-statistics
+    pass and the eval pass — both pure map + partial-aggregate shapes with
+    only K-row / 1-row states crossing stages; round count touches neither.
+    That is the fundamental win of sufficient-statistics federation and
+    exactly how a real eval-after-training job should be shaped (never a
+    per-round data pass, never a driver-side dataset).
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    shards = li.selectExpr(
+        f"{_FEDAVG_CLIENT_SPARK} AS client",
+        "CAST(round(l_quantity * 100) AS BIGINT) AS qc",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS yc",
+    )
+    stats = (
+        shards.groupBy("client")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qc").alias("sx"),
+            F.sum("yc").alias("sy"),
+            F.sum(F.col("qc") * F.col("qc")).alias("sxx"),
+            F.sum(F.col("qc") * F.col("yc")).alias("sxy"),
+        )
+        .localCheckpoint()  # K rows; cuts the lineitem scan out of the loop
+    )
+    w0m, w1m = _fedavg_fit_exprs(FEDAVG_LAMBDA)
+    server = spark.range(1).selectExpr("0.0 AS s0", "0.0 AS s1")
+    srv: DataFrame | None = None
+    for _ in range(FEDAVG_N_ROUNDS):
+        fits = stats.crossJoin(F.broadcast(server)).selectExpr(
+            "client", "n", w0m, w1m
+        )
+        srv = fits.selectExpr(*_FEDAVG_SRV_EXPRS)
+        server = srv.selectExpr(
+            "CAST(s0m AS DOUBLE) / 1000000.0 AS s0",
+            "CAST(s1m AS DOUBLE) / 1000000.0 AS s1",
+        )
+    assert srv is not None
+    evalrows = shards.crossJoin(F.broadcast(srv.select("s0m", "s1m"))).selectExpr(
+        "client", _FEDAVG_EVAL_RESID
+    )
+    metrics = [F.expr(e) for e in _FEDAVG_EVAL_METRICS]
+    per_client = evalrows.groupBy("client").agg(*metrics)
+    pooled = evalrows.groupBy(F.lit(-1).alias("client")).agg(*metrics)
+    return per_client.unionAll(pooled)
+
+
+# ---------------------------------------------------------------------------
 # Python UDTF (table function, Arrow-optimized) — SURVEY §2.3 UDF surface
 # ---------------------------------------------------------------------------
 

