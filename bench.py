@@ -230,30 +230,80 @@ SINGLE_PARTITION_WINDOW_OK = {
     "cumulative_unique_users": 1,
 }
 
-# Box calibration (VERDICT r7 task 4): rounds 6 and 7 both explained
-# cross-round headline shifts with a prose "the box was slower this boot".
-# That claim is now MEASURED: before the timed passes, the bench runs two
-# fixed probes — a pure JVM whole-stage-codegen spin (no I/O, no Python,
-# no shuffle: raw CPU/scheduler throughput) and pricing_summary solo (scan
-# + agg representative) — and reports the headline BOTH raw and normalized
-# by the blended slowdown factor vs the reference constants below.
+# Box calibration (VERDICT r7 task 4, reworked r9 per VERDICT r8 task 4 +
+# ADVICE): rounds 6 and 7 both explained cross-round headline shifts with a
+# prose "the box was slower this boot". That claim is MEASURED: the bench
+# runs two fixed probes — a pure JVM whole-stage-codegen spin (no I/O, no
+# Python, no shuffle: raw CPU/scheduler throughput) and a CODE-FROZEN scan+
+# agg probe — and reports the headline BOTH raw and normalized by the
+# blended slowdown factor vs the reference constants below.
+#
+# The solo probe is _frozen_probe below: a PINNED copy of the round-6
+# pricing_summary plan written out in this file, NOT a call into current
+# operator code (ADVICE r8: probing with a live headline query conflates
+# code speed with box speed — a pricing_summary regression would partially
+# mask itself in every calibrated number; and pre-timed probe passes gave
+# that one query extra warm-up vs its peers). The frozen probe also fixes
+# both: it is not a member of the timed set at all.
+#
+# Calibration now runs TWICE per bench — once before the timed passes and
+# once after — so within-round box drift is itself measurable
+# (BENCH_DETAIL.calibration_start / calibration_close); the factor of
+# record is the SMALLER of the two (the quietest reading corrects least,
+# so the calibrated headline errs high rather than hiding a regression).
+#
 # References: the solo reference is pricing_summary's min in the ROUND-6
 # DRIVER bench (0.519 — the fastest boot on record, the anchor every
-# cross-round comparison implicitly uses); the spin reference was measured
-# 2026-08-14 during a quiet round-8 window (min of 5 after JIT warm-up; no
-# earlier boot has a spin on record). A factor near 1.0 means the box
-# matches the r6 boot, >1 means this boot is slower and the normalized
-# number is the comparable one. The factor is clamped to [0.8, 1.6]: the
-# probes justify at most that much correction — anything beyond is a real
-# regression that must be bisected, not normalized away. Ground truth for
-# round 8's bisect is in BENCH_NOTES: on one fixed boot, the r6 code ran
-# the 11-query headline in 6.589s and the r8 code in 6.256s — the code
-# got FASTER while the recorded number rose; the delta is the box.
-CALIBRATION_REF = {"jvm_spin_sec": 0.523, "pricing_solo_sec": 0.519}
+# cross-round comparison implicitly uses; the frozen probe IS that plan);
+# the spin reference was measured 2026-08-14 during a quiet round-8 window
+# (min of 5 after JIT warm-up; no earlier boot has a spin on record). A
+# factor near 1.0 means the box matches the r6 boot, >1 means this boot is
+# slower and the normalized number is the comparable one. The factor is
+# clamped to [0.8, 1.6]: the probes justify at most that much correction —
+# anything beyond is a real regression that must be bisected, not
+# normalized away (the written rule lives in BENCH_NOTES). Ground truth
+# for round 8's bisect is in BENCH_NOTES: on one fixed boot, the r6 code
+# ran the 11-query headline in 6.589s and the r8 code in 6.256s — the code
+# got FASTER while the recorded number rose; the delta was the box.
+CALIBRATION_REF = {"jvm_spin_sec": 0.523, "probe_solo_sec": 0.519}
 SPIN_ROWS = 4_000_000_000
 
 
-def calibrate(spark, qs, sf_dir: str) -> dict:
+def _frozen_probe(spark, sf_dir: str):
+    """FROZEN snapshot of the round-6 pricing_summary plan (TPC-H Q1 shape:
+    pushed-filter parquet scan → 8-way partial+final hash aggregate).
+    Deliberately self-contained — direct parquet read, inline expressions,
+    no imports from the engine package — so operator-code changes can NEVER
+    move the calibration probe. Do not edit; edits reset the 0.519
+    reference."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).filter(
+        F.col("l_shipdate")
+        <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+    )
+
+    def isum(col, scale):
+        return F.sum(F.round(col * scale).cast("long")).cast("double") / scale
+
+    def iavg(col, scale):
+        return F.round(isum(col, scale) / F.count(F.lit(1)), 6)
+
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        isum(F.col("l_quantity"), 100).alias("sum_qty"),
+        isum(F.col("l_extendedprice"), 100).alias("sum_base_price"),
+        isum(disc_price, 10000).alias("sum_disc_price"),
+        isum(charge, 1000000).alias("sum_charge"),
+        iavg(F.col("l_quantity"), 100).alias("avg_qty"),
+        iavg(F.col("l_extendedprice"), 100).alias("avg_price"),
+        iavg(F.col("l_discount"), 100).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def calibrate(spark, sf_dir: str) -> dict:
     spins = []
     for _ in range(5):
         t0 = time.time()
@@ -262,20 +312,20 @@ def calibrate(spark, qs, sf_dir: str) -> dict:
     solos = []
     for _ in range(5):
         t0 = time.time()
-        qs["pricing_summary"](spark, sf_dir).write.mode("overwrite").format(
+        _frozen_probe(spark, sf_dir).write.mode("overwrite").format(
             "noop"
         ).save()
         solos.append(time.time() - t0)
     spin, solo = min(spins), min(solos)
     f_spin = spin / CALIBRATION_REF["jvm_spin_sec"]
-    f_solo = solo / CALIBRATION_REF["pricing_solo_sec"]
+    f_solo = solo / CALIBRATION_REF["probe_solo_sec"]
     # the solo reference is an sf0.1 measurement; at any other scale factor
     # only the scale-independent JVM spin is meaningful
     at_ref_sf = os.path.basename(os.path.normpath(sf_dir)) == "sf0.1"
     blended = (f_spin * f_solo) ** 0.5 if at_ref_sf else f_spin
     return {
         "jvm_spin_sec": round(spin, 3),
-        "pricing_solo_sec": round(solo, 3),
+        "probe_solo_sec": round(solo, 3),
         "factor_spin": round(f_spin, 3),
         "factor_solo": round(f_solo, 3),
         "factor": round(min(max(blended, 0.8), 1.6), 3),
@@ -328,7 +378,7 @@ def main() -> None:
         _warm(F.col("id").cast("double"))
     ).write.mode("overwrite").format("noop").save()
 
-    calibration = calibrate(spark, qs, sf_dir)
+    calibration_start = calibrate(spark, sf_dir)
 
     # N_RUNS passes over the whole set, round-robin, NOT back-to-back per
     # query: a transient load spike (GC pause, noisy neighbor on the bench
@@ -346,6 +396,17 @@ def main() -> None:
 
     times = {n: round(min(v), 3) for n, v in samples.items()}
     spread = {n: round(max(v) - min(v), 3) for n, v in samples.items()}
+
+    # second calibration AFTER the timed passes: within-round drift is now
+    # data, not narration; the factor of record is the smaller (quietest)
+    # reading so the calibrated headline errs high, never masking a code
+    # regression behind a "slow box" story
+    calibration_close = calibrate(spark, sf_dir)
+    calibration = (
+        calibration_start
+        if calibration_start["factor"] <= calibration_close["factor"]
+        else calibration_close
+    )
 
     bad_windows = {
         n: c
@@ -384,6 +445,8 @@ def main() -> None:
             round(sum(samples[n][p] for n in names), 3) for p in range(N_RUNS)
         ],
         "calibration": calibration,
+        "calibration_start": calibration_start,
+        "calibration_close": calibration_close,
     }
     with open(os.path.join(os.path.dirname(__file__) or ".",
                            "BENCH_DETAIL.json"), "w") as fh:

