@@ -245,3 +245,29 @@ def test_fedavg_ridge_closed_form_matches_linalg(n, xs, s0, s1):
     scale = max(1.0, abs(ref[0]), abs(ref[1]))
     assert abs(w0 - ref[0]) / scale < 1e-8
     assert abs(w1 - ref[1]) / scale < 1e-8
+
+
+def test_fedavg_eval_loop_pools_and_bounds(spark, sf_dir):
+    """Structural invariants of the composed train->eval query beyond what
+    the value oracle pins: the pooled (client=-1) row aggregates exactly
+    the per-client rows (n sums match), rates are probabilities, and the
+    pooled MAE is inside the per-client min/max envelope (it is a
+    row-weighted mean of exact per-row residuals)."""
+    from big_data_medical_analysis_spark.operators.udf_surface import (
+        fedavg_eval_loop,
+    )
+
+    rows = fedavg_eval_loop(spark, sf_dir).collect()
+    per_client = [r for r in rows if r.client >= 0]
+    pooled = [r for r in rows if r.client == -1]
+    assert len(pooled) == 1 and len(per_client) >= 2
+    p = pooled[0]
+    assert p.n == sum(r.n for r in per_client)
+    for r in rows:
+        assert 0.0 <= r.within_1k_rate <= 1.0
+        assert 0.0 <= r.mae <= r.max_abs_err
+    assert (
+        min(r.mae for r in per_client)
+        <= p.mae
+        <= max(r.mae for r in per_client)
+    )
