@@ -184,19 +184,24 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
     nothing is broadcast: candidates come from an equi-join on
     (lang, band_idx, band_val), so the same plan runs unchanged at 100 TB.
     """
-    # Exchange sandwich around the expensive 32-bit-majority projection:
-    # the inner fan_out spreads the single-file scan across all tasks
-    # BEFORE the heavy HOF work (a small local parquet scans as one task);
-    # the outer fan_out materializes the finished 8-byte fingerprints so
-    # CollapseProject can't fold the 32-pass derivation into the band
-    # Generate and recompute it per banded row. Both exchanges move tiny
-    # rows; the fingerprint computes exactly once per doc at full
-    # parallelism.
-    fp = fan_out(
+    # The expensive 32-bit-majority projection is computed ONCE and
+    # localCheckpointed: the fan_out spreads the single-file scan across
+    # all tasks before the heavy HOF work (a small local parquet scans as
+    # one task), and the checkpoint materializes the finished 24-byte
+    # (doc_id, lang, fingerprint) rows so (a) CollapseProject can't fold
+    # the 32-pass derivation into the band Generate, and (b) the banded
+    # SELF-join's two branches read the same materialized rows instead of
+    # each re-running the whole chain over the corpus — measured r9: the
+    # executed plan carried TWO parquet scans and zero ReusedExchange (the
+    # r8 basket-rescan class; an exchange sandwich alone did not
+    # canonicalize to a reused subtree across the join branches). At
+    # 100 TB the equivalent is persist(DISK_ONLY) of the fingerprint
+    # table — same as the mining-family baskets.
+    fp = (
         fan_out(docs.select("doc_id", "lang", "text"), "doc_id")
         .select("doc_id", "lang", _token_hashes("text").alias("hs"))
-        .select("doc_id", "lang", simhash(F.col("hs")).alias("simhash")),
-        "doc_id",
+        .select("doc_id", "lang", simhash(F.col("hs")).alias("simhash"))
+        .localCheckpoint()
     )
     # Banded pairing — the 100 TB form, and EXACT by pigeonhole: a pair at
     # Hamming distance ≤ SIMHASH_MAX_HDIST differs in at most

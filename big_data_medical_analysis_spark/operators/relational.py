@@ -1438,19 +1438,28 @@ def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one map-side-combinable aggregate whose state is the O(accuracy)
     sketch per group — no sort, no second pass, same shape as count-min /
-    HLL in the sketch pillar.
+    HLL in the sketch pillar. The four quantiles are asked of ONE sketch
+    (array-of-percentages form), not four separate single-q aggregates:
+    each GK sketch pays the same per-row insertion/compression cost, so
+    the scalar form quadruples aggregate state and per-row work for
+    byte-identical answers (measured 1.58s -> ~0.6s at sf0.1, r9).
     """
     li = read_table(spark, sf_dir, "lineitem")
     px = cents("l_extendedprice")
-    return li.groupBy("l_returnflag").agg(
+    qs = (0.25, 0.50, 0.75, 0.95)
+    sketch = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            px, F.array(*[F.lit(q) for q in qs]), F.lit(APPROX_PCT_ACCURACY)
+        ).alias("aps")
+    )
+    return sketch.select(
+        "l_returnflag",
         *[
-            (
-                F.percentile_approx(px, F.lit(q), F.lit(APPROX_PCT_ACCURACY))
-                .cast("double")
-                / 100.0
-            ).alias(f"ap{int(q * 100)}")
-            for q in (0.25, 0.50, 0.75, 0.95)
-        ]
+            (F.col("aps")[i].cast("double") / 100.0).alias(
+                f"ap{int(q * 100)}"
+            )
+            for i, q in enumerate(qs)
+        ],
     )
 
 

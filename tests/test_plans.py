@@ -78,8 +78,10 @@ def test_fanout_exchange_is_pinned(spark, sf_dir):
     """fan_out's explicit-count repartition survives into the plan as a
     REPARTITION_BY_NUM exchange — the AQE-coalesce-proof form (a bare
     repartition(col) would plan as REPARTITION_BY_COL and be coalescible
-    back to one task)."""
-    df = QS["simhash_near_dup"](spark, sf_dir)
+    back to one task). Pinned on minhash_portable_groups since r9:
+    simhash_near_dup's fan_out now sits below a localCheckpoint (the
+    fingerprint materialization) and is no longer visible in its plan."""
+    df = QS["minhash_portable_groups"](spark, sf_dir)
     assert "REPARTITION_BY_NUM" in P.physical_plan(df)
 
 
@@ -691,3 +693,16 @@ def test_mining_family_reads_checkpointed_baskets_not_rescans(spark, sf_dir):
     ):
         df = QS[name](spark, sf_dir)
         assert P.node_count(df, "Scan parquet") == 0, name
+
+
+def test_simhash_family_reads_checkpointed_fingerprints_not_rescans(spark, sf_dir):
+    """Round-9 fix pin: the SimHash banded SELF-join consumed its two
+    branches as separate full derivations (two parquet scans of the
+    corpus, each re-running the 32-bit-majority HOF chain; zero
+    ReusedExchange) — same class as the r8 basket rescans. The
+    fingerprint table is now localCheckpointed once; the returned plan
+    must contain no parquet scans at all. (edit_distance_pairs still
+    scans documents for its two TEXT joins — the bodies are genuinely
+    needed there and only there.)"""
+    df = QS["simhash_near_dup"](spark, sf_dir)
+    assert P.node_count(df, "Scan parquet") == 0
