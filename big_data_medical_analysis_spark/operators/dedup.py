@@ -1043,7 +1043,13 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise comparison, state linear in corpus (bucket keys), the probe
     is one hash join each. The same plan audits a 100 TB corpus; the
     MinHash scan is shared with the dedup tier in production (compute
-    signatures once, reuse for dedup AND leakage).
+    signatures once, reuse for dedup AND leakage). The content-hash and
+    band tables are localCheckpointed once (r9): before, the query's
+    branch structure re-scanned documents EIGHT times, re-running the
+    md5-split and 16-hash signature chains per branch (the r8
+    basket-rescan class) — now each chain runs once and every tier reads
+    the two narrow materialized tables; at 100 TB that is two corpus
+    passes instead of eight.
     """
     docs = read_table(spark, sf_dir, "documents")
     split_col = F.when(
@@ -1063,15 +1069,22 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("train"),
     ).otherwise(F.lit("eval"))
     sp = docs.select("doc_id", "text", split_col.alias("split"))
-    hashes = sp.select("doc_id", "split", F.md5("text").alias("h"))
+    # one corpus pass each, materialized once, consumed by every branch
+    hashes = sp.select(
+        "doc_id", "split", F.md5("text").alias("h")
+    ).localCheckpoint()
+    banded = (
+        pmh_banded_buckets(sp.select("doc_id", "text"))
+        # split comes from the already-materialized hashes table — joining
+        # sp again would re-scan documents a third time just for the flag
+        .join(hashes.select("doc_id", "split"), "doc_id")
+        .localCheckpoint()
+    )
     train_h = hashes.filter(F.col("split") == "train").select("h").distinct()
     exact_n = (
         hashes.filter(F.col("split") == "eval")
         .join(train_h, "h", "left_semi")
         .agg(F.count_distinct("doc_id").alias("n_eval_leaked"))
-    )
-    banded = pmh_banded_buckets(sp.select("doc_id", "text")).join(
-        sp.select("doc_id", "split"), "doc_id"
     )
     train_b = (
         banded.filter(F.col("split") == "train")
@@ -1083,7 +1096,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(train_b, ["band", "bucket"], "left_semi")
         .agg(F.count_distinct("doc_id").alias("n_eval_leaked"))
     )
-    n_eval = sp.filter(F.col("split") == "eval").agg(
+    n_eval = hashes.filter(F.col("split") == "eval").agg(
         F.count(F.lit(1)).alias("n_eval_docs")
     )
     ex = (
@@ -1198,18 +1211,25 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     # single-file scan → split to a token ARRAY and exchange (materializing
     # the tokens, so the shingle HOF reads an array instead of re-running
-    # the regex split per element_at — see shingles_from_tokens), then pin
-    # the computed shingle arrays with a second exchange so tok/x/y reuse
-    # one materialization (the minhash exchange-sandwich pattern)
-    sets = fan_out(
+    # the regex split per element_at — see shingles_from_tokens), then
+    # localCheckpoint the computed shingle arrays: the frame has FOUR
+    # consumers (tok feeding df_t and ranked, plus both verify sides x/y)
+    # and the executed plan showed six parquet scans with zero exchange
+    # reuse — i.e. the shingle chain re-ran per consumer (the r8
+    # basket-rescan class; an exchange sandwich pins projection
+    # boundaries but does not canonicalize to a reused subtree here).
+    # One derivation, zero scans downstream; at 100 TB this is one
+    # tokenize+shingle pass over the corpus instead of six.
+    sets = (
         fan_out(
             docs.select("doc_id", F.split("text", " ").alias("toks")),
             "doc_id",
-        ).select(
+        )
+        .select(
             "doc_id",
             shingles_from_tokens("toks", PREFIX_SHINGLE_N).alias("s"),
-        ),
-        "doc_id",
+        )
+        .localCheckpoint()
     )
     tok = explode_nonnull_pinned(sets, "s", "w", "doc_id")
     df_t = tok.groupBy("w").agg(F.count(F.lit(1)).alias("dfc"))

@@ -896,13 +896,20 @@ def kmeans_lloyd_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     not its shape.
     """
     emb = read_table(spark, sf_dir, "embeddings")
+    # int-scale ONCE and localCheckpoint: vm is consumed by the init
+    # centroids plus twice per Lloyd iteration (assignment + update), and
+    # the executed plan re-read parquet and re-ran the scaling transform
+    # for each consumer (5 scans at 2 iterations — the r8 rescan class).
+    # Lloyd's per-iteration pass over the vectors is inherent; re-deriving
+    # them per pass is not. At 100 TB: persist(DISK_ONLY) of the scaled
+    # table, same trade as the mining baskets.
     vm = emb.select(
         "vec_id",
         F.transform(
             "embedding",
             lambda y: F.round(y.cast("double") * 1_000_000).cast("long"),
         ).alias("v"),
-    )
+    ).localCheckpoint()
     centroids = (
         vm.filter(F.col("vec_id") < KMEANS_K)
         .select(F.col("vec_id").cast("integer").alias("cluster"), F.col("v").alias("c"))

@@ -1051,7 +1051,12 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: bigram explode is linear in tokens and map-side; both count
     aggregates combine partially and their state is vocab-bounded
     (vocab² worst case for bigrams, floor-trimmed); the unigram joins
-    broadcast. No data-sized state anywhere.
+    broadcast. No data-sized state anywhere. Both aggregates are
+    localCheckpointed (r9): each has multiple consumers (uni → u1/u2/tu,
+    bg → output/tb) and the executed plan re-tokenized the corpus FIVE
+    times — now each tokenize+explode+agg runs once and the consumers
+    read vocab-bounded materialized rows (one corpus pass per aggregate
+    at 100 TB, not five).
     """
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
@@ -1070,11 +1075,13 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_ab"))
+        .localCheckpoint()
     )
     uni = (
         toks.select(F.explode("t").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n_w"))
+        .localCheckpoint()
     )
     tb = bg.agg(F.sum("n_ab").alias("tb"))
     tu = uni.agg(F.sum("n_w").alias("tu"))
