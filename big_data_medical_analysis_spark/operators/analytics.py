@@ -69,13 +69,20 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id — the event bodies never leave their user partition, and with
     all three stages co-partitioned on user_id the whole funnel is one
     shuffle of the events table plus per-key joins of one-row-per-user
-    frames. No window over the full event list, no collect.
+    frames. No window over the full event list, no collect. The s1/s2
+    stage frames are localCheckpointed (r9): each is consumed twice
+    (next stage's join + its own funnel count) and the executed plan
+    re-ran the upstream stage chain per consumer — SIX event scans where
+    the three per-stage pushdown-pruned reads are the honest cost. The
+    stage frames are one-row-per-user aggregates, the cheapest possible
+    thing to materialize.
     """
     ev = read_table(spark, sf_dir, "events")
     s1 = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_signup"))
+        .localCheckpoint()
     )
     s2 = (
         ev.filter(F.col("event_type") == "view")
@@ -83,6 +90,7 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t_signup"))
         .groupBy("user_id", "t_signup")
         .agg(F.min("ts").alias("t_view"))
+        .localCheckpoint()
     )
     s3 = (
         ev.filter(F.col("event_type") == "purchase")

@@ -777,7 +777,12 @@ def orders_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     physically (copy-on-write); both sides shuffle on the merge key once,
     and with the base bucketed on the key the anti join is co-located. A
     format with deletion vectors turns the anti join into a filter —
-    same logical plan, cheaper physical.
+    same logical plan, cheaper physical. The change batch is
+    localCheckpointed (r9): in production it arrives as its own small
+    table; here it is DERIVED from the base fixture, and its two
+    consumers (anti-join key side + union) re-derived it — five base
+    scans where a real MERGE does one base pass against a materialized
+    batch.
     """
     from big_data_medical_analysis_spark.operators.common import money_sum
 
@@ -790,7 +795,7 @@ def orders_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_orderkey", F.col("o_orderkey") + 100000000)
         .withColumn("o_orderstatus", F.lit("N"))
     )
-    changes = updates.unionByName(inserts)
+    changes = updates.unionByName(inserts).localCheckpoint()
     merged = orders.join(
         changes.select("o_orderkey"), "o_orderkey", "left_anti"
     ).unionByName(changes)

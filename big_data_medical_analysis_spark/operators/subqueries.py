@@ -404,13 +404,24 @@ def null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-condition — Spark hashes the key with a null marker; it does NOT
     degrade to nested-loop). NULL keys all hash together, so a NULL-heavy
     corpus makes the null-safe join a skew hotspot — salt or pre-split the
-    NULL cohort at 100 TB.
+    NULL cohort at 100 TB. The two key frames are localCheckpointed (r9):
+    each is consumed by three branches (both joins + its null count) and
+    the executed plan re-ran the per-row JSON key extraction per branch
+    (six event scans); now the parse runs once per side.
     """
     ev = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
     k = F.get_json_object("props", "$.k").cast("long") % 10
     key = F.when(k == 0, F.lit(None).cast("long")).otherwise(k)
-    left = ev.filter(F.col("event_id") % 2 == 0).select(key.alias("key"))
-    right = ev.filter(F.col("event_id") % 2 == 1).select(key.alias("key"))
+    left = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .select(key.alias("key"))
+        .localCheckpoint()
+    )
+    right = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .select(key.alias("key"))
+        .localCheckpoint()
+    )
     lk, rk = left.alias("l"), right.alias("r")
     eq = lk.join(rk, F.col("l.key") == F.col("r.key")).agg(
         F.count(F.lit(1)).alias("n_eq_matches")
