@@ -422,15 +422,20 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     entire point of IVF. Tie-breaks: (cell_cos DESC, label), then
     (cos_sim DESC, cand_id).
     """
-    # iv projection below the fan_out exchange: shuffled rows carry the
-    # scaled vectors, so downstream joins never re-derive them per pair
-    # (CollapseProject hazard — see quantized_cosine_topk).
+    # iv projection materialized ONCE via localCheckpoint: scaled has
+    # three consumers (centroid build, probe slice, candidate side) and
+    # the executed plan re-scanned parquet and re-ran the _iscaled
+    # transform per consumer (3 scans, 18 HOF nodes — the r8 rescan
+    # class; the exchange alone did not canonicalize to a reused
+    # subtree). One scaling pass; downstream joins never re-derive the
+    # vectors per pair (CollapseProject hazard — see
+    # quantized_cosine_topk).
     scaled = fan_out(
         read_table(spark, sf_dir, "embeddings").select(
             "vec_id", "label", F.transform("embedding", _iscaled).alias("iv")
         ),
         "vec_id",
-    )
+    ).localCheckpoint()
 
     # centroid build: one explode + two aggregates, all JVM-side.
     # posexplode_outer + null-filter on the OUTPUT, not posexplode: the
