@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from big_data_medical_analysis_spark.operators.common import (
     cents,
+    checkpoint_pinned,
     date_str,
     money_sum,
     ts_str,
@@ -82,7 +83,7 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_signup"))
-        .localCheckpoint()
+        .transform(checkpoint_pinned)
     )
     s2 = (
         ev.filter(F.col("event_type") == "view")
@@ -90,7 +91,7 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t_signup"))
         .groupBy("user_id", "t_signup")
         .agg(F.min("ts").alias("t_view"))
-        .localCheckpoint()
+        .transform(checkpoint_pinned)
     )
     s3 = (
         ev.filter(F.col("event_type") == "purchase")
@@ -1123,7 +1124,7 @@ def _brand_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_pinned)
     )
 
 
@@ -1325,7 +1326,7 @@ def brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Dimension-sized graph: materialize once so the 3 iterations reuse one
     # computed edge list instead of re-deriving the basket self-join per round.
-    e = e.localCheckpoint(eager=True)
+    e = checkpoint_pinned(e)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("d"))
     n = deg.agg(F.count(F.lit(1)).cast("double").alias("nn"))
     ranks = deg.crossJoin(F.broadcast(n)).select(

@@ -79,6 +79,81 @@ def explode_nonnull_pinned(df: DataFrame, src: str, alias: str, *keep: str) -> D
     )
 
 
+def checkpoint_pinned(df: DataFrame, allow_hof_filter: bool = False) -> DataFrame:
+    """``localCheckpoint`` for multi-consumer derived tables, with the
+    repo's plan audits applied to the PRE-checkpoint plan first.
+
+    Checkpoints truncate lineage: everything upstream becomes an opaque
+    LogicalRDD, invisible to the bench's undisclosed-single-partition-
+    window audit and the test suite's HOF-chain-in-Filter audit. A defect
+    introduced above a raw ``localCheckpoint`` would therefore pass both
+    audits silently. This wrapper closes the hole at the exact point it
+    opens: it runs the same two checks on the sub-plan at construction
+    time (plan-string inspection only — nothing executes beyond the
+    checkpoint job itself) and raises on a violation. A call site whose
+    checkpointed plan legitimately carries a HOF predicate passes
+    ``allow_hof_filter=True`` and discloses why in its docstring — the
+    same discipline as bench.SINGLE_PARTITION_WINDOW_OK.
+    """
+    from big_data_medical_analysis_spark import plans as P
+
+    n = P.unpartitioned_window_count(df)
+    if n:
+        raise ValueError(
+            f"checkpoint_pinned: {n} single-partition window(s) in the "
+            "pre-checkpoint plan would be hidden from the bench audit — "
+            "partition the window or checkpoint above it"
+        )
+    if not allow_hof_filter:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        bad = [
+            ln.strip()[:160]
+            for ln in plan.split("\n")
+            if "Filter" in ln and "lambdafunction(" in ln
+        ]
+        if bad:
+            raise ValueError(
+                "checkpoint_pinned: a Filter evaluates a HOF chain in the "
+                f"pre-checkpoint plan ({bad[0]}) — fix the recompute or "
+                "pass allow_hof_filter=True with a docstring disclosure"
+            )
+    return df.localCheckpoint()
+
+
+def per_user_tmpdir(name: str) -> str:
+    """Create-or-validate a per-user scratch root under the system temp
+    dir: ``<tmp>/<name>_<uid>``, mode 0700.
+
+    A predictable shared-/tmp path is squattable: another local user
+    pre-creates it (possibly world-writable) and can then replace the
+    files this engine writes/reads there, poisoning fixtures or persisted
+    intermediates. ``makedirs(exist_ok=True)`` alone does NOT close that —
+    it happily accepts an attacker-owned pre-existing directory — so this
+    helper additionally requires the directory to be OWNED by the current
+    uid and not writable by group/other, and raises otherwise. Test/
+    fixture scaffolding only; on a real cluster these intermediates live
+    on job-scoped shared storage and this concept does not exist.
+    """
+    import os
+    import stat
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"{name}_{os.getuid()}")
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    st = os.stat(root)
+    if st.st_uid != os.getuid():
+        raise PermissionError(
+            f"{root} is owned by uid {st.st_uid}, not {os.getuid()} — "
+            "refusing to use a squattable scratch root"
+        )
+    if st.st_mode & (stat.S_IWGRP | stat.S_IWOTH):
+        raise PermissionError(
+            f"{root} is group/other-writable (mode {oct(st.st_mode)}) — "
+            "refusing to use a squattable scratch root"
+        )
+    return root
+
+
 def cents(col: Column | str, scale: int = 100) -> Column:
     """``round(col * scale)`` as int64 — exact-sum building block.
 

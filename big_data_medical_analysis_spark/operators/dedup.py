@@ -33,7 +33,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from big_data_medical_analysis_spark.operators.common import explode_nonnull_pinned, fan_out
+from big_data_medical_analysis_spark.operators.common import (
+    checkpoint_pinned,
+    explode_nonnull_pinned,
+    fan_out,
+)
 from big_data_medical_analysis_spark.registry import register
 from big_data_medical_analysis_spark.sources.readers import read_table
 
@@ -201,7 +205,7 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
         fan_out(docs.select("doc_id", "lang", "text"), "doc_id")
         .select("doc_id", "lang", _token_hashes("text").alias("hs"))
         .select("doc_id", "lang", simhash(F.col("hs")).alias("simhash"))
-        .localCheckpoint()
+        .transform(checkpoint_pinned)
     )
     # Banded pairing — the 100 TB form, and EXACT by pigeonhole: a pair at
     # Hamming distance ≤ SIMHASH_MAX_HDIST differs in at most
@@ -1072,13 +1076,13 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one corpus pass each, materialized once, consumed by every branch
     hashes = sp.select(
         "doc_id", "split", F.md5("text").alias("h")
-    ).localCheckpoint()
+    ).transform(checkpoint_pinned)
     banded = (
         pmh_banded_buckets(sp.select("doc_id", "text"))
         # split comes from the already-materialized hashes table — joining
         # sp again would re-scan documents a third time just for the flag
         .join(hashes.select("doc_id", "split"), "doc_id")
-        .localCheckpoint()
+        .transform(checkpoint_pinned)
     )
     train_h = hashes.filter(F.col("split") == "train").select("h").distinct()
     exact_n = (
@@ -1229,7 +1233,7 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             shingles_from_tokens("toks", PREFIX_SHINGLE_N).alias("s"),
         )
-        .localCheckpoint()
+        .transform(checkpoint_pinned)
     )
     tok = explode_nonnull_pinned(sets, "s", "w", "doc_id")
     df_t = tok.groupBy("w").agg(F.count(F.lit(1)).alias("dfc"))
@@ -1432,19 +1436,19 @@ GROUP BY p.doc_id
 
 def pmh_index_dir(sf_dir: str) -> str:
     """Fixed per-user, per-sf location of the persisted signature index
-    (band-partitioned parquet). Per-user like every other roundtrip
-    fixture; per-sf so an sf0.01 driver pass never probes an index built
-    from sf0.1 documents."""
-    import getpass
+    (band-partitioned parquet). The root comes from common.per_user_tmpdir
+    — uid-suffixed, 0700, ownership-verified — so another local user can
+    neither pre-own the directory nor swap index files between the write
+    and the probe read. Per-sf so an sf0.01 driver pass never probes an
+    index built from sf0.1 documents."""
     import os
-    import tempfile
+
+    from big_data_medical_analysis_spark.operators.common import (
+        per_user_tmpdir,
+    )
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_pmh_index_{getpass.getuser()}",
-        tag,
-    )
+    return os.path.join(per_user_tmpdir("spark_graft_pmh_index"), tag)
 
 
 @register("minhash_incremental_probe", oracle=_PMH_INCR_SQL, category="dedup")

@@ -795,7 +795,11 @@ def orders_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_orderkey", F.col("o_orderkey") + 100000000)
         .withColumn("o_orderstatus", F.lit("N"))
     )
-    changes = updates.unionByName(inserts).localCheckpoint()
+    from big_data_medical_analysis_spark.operators.common import (
+        checkpoint_pinned,
+    )
+
+    changes = checkpoint_pinned(updates.unionByName(inserts))
     merged = orders.join(
         changes.select("o_orderkey"), "o_orderkey", "left_anti"
     ).unionByName(changes)

@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from big_data_medical_analysis_spark.operators.common import fan_out
+from big_data_medical_analysis_spark.operators.common import checkpoint_pinned, fan_out
 from big_data_medical_analysis_spark.registry import register
 from big_data_medical_analysis_spark.sources.readers import read_table
 
@@ -435,7 +435,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "label", F.transform("embedding", _iscaled).alias("iv")
         ),
         "vec_id",
-    ).localCheckpoint()
+    ).transform(checkpoint_pinned)
 
     # centroid build: one explode + two aggregates, all JVM-side.
     # posexplode_outer + null-filter on the OUTPUT, not posexplode: the
@@ -914,7 +914,7 @@ def kmeans_lloyd_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
             lambda y: F.round(y.cast("double") * 1_000_000).cast("long"),
         ).alias("v"),
-    ).localCheckpoint()
+    ).transform(checkpoint_pinned)
     centroids = (
         vm.filter(F.col("vec_id") < KMEANS_K)
         .select(F.col("vec_id").cast("integer").alias("cluster"), F.col("v").alias("c"))

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from big_data_medical_analysis_spark.operators.common import checkpoint_pinned
 from big_data_medical_analysis_spark.registry import register
 from big_data_medical_analysis_spark.sources.readers import read_table
 
@@ -415,12 +416,12 @@ def null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = (
         ev.filter(F.col("event_id") % 2 == 0)
         .select(key.alias("key"))
-        .localCheckpoint()
+        .transform(checkpoint_pinned)
     )
     right = (
         ev.filter(F.col("event_id") % 2 == 1)
         .select(key.alias("key"))
-        .localCheckpoint()
+        .transform(checkpoint_pinned)
     )
     lk, rk = left.alias("l"), right.alias("r")
     eq = lk.join(rk, F.col("l.key") == F.col("r.key")).agg(

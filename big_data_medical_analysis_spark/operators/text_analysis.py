@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from big_data_medical_analysis_spark.operators.common import checkpoint_pinned
 from big_data_medical_analysis_spark.registry import register
 from big_data_medical_analysis_spark.sources.readers import read_table
 
@@ -1075,13 +1076,13 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_ab"))
-        .localCheckpoint()
+        .transform(checkpoint_pinned)
     )
     uni = (
         toks.select(F.explode("t").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n_w"))
-        .localCheckpoint()
+        .transform(checkpoint_pinned)
     )
     tb = bg.agg(F.sum("n_ab").alias("tb"))
     tu = uni.agg(F.sum("n_w").alias("tu"))

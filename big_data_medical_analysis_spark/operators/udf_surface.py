@@ -30,7 +30,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from big_data_medical_analysis_spark.operators.common import cents, fan_out
+from big_data_medical_analysis_spark.operators.common import (
+    cents,
+    checkpoint_pinned,
+    fan_out,
+)
 from big_data_medical_analysis_spark.operators.etl import assign_client
 from big_data_medical_analysis_spark.registry import register
 from big_data_medical_analysis_spark.sources.readers import read_table
@@ -311,7 +315,12 @@ _FEDAVG_SRV_EXPRS = (
 )
 
 
-def _fedavg_oracle() -> str:
+def _fedavg_cte_prefix() -> str:
+    """The shared DuckDB CTE chain for the federated trajectory — shards →
+    exact sufficient statistics → srv0..srv{N}. ONE source of truth for
+    both _fedavg_oracle and _fedavg_eval_oracle, mirroring how
+    _fedavg_train is the one source for both Spark plans: an edit to the
+    train path can no longer desynchronize a query from its oracle twin."""
     w0m, w1m = _fedavg_fit_exprs(FEDAVG_LAMBDA)
     s0m, s1m, total = _FEDAVG_SRV_EXPRS
     parts = [
@@ -339,6 +348,50 @@ def _fedavg_oracle() -> str:
          CAST(s1m AS DOUBLE) / 1000000.0 AS s1 FROM srv{r}agg
 )"""
         )
+    return "".join(parts)
+
+
+def _fedavg_train(spark: SparkSession, sf_dir: str):
+    """Shared Spark construction of the federated trajectory: returns
+    (shards, per-round fits list, per-round srv list). The fits/srv
+    frames are what fedavg_rounds reports; srv[-1] is the final server
+    state fedavg_eval_loop evaluates — one construction, two queries, so
+    the train path cannot drift between them (review r9)."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    shards = li.selectExpr(
+        f"{_FEDAVG_CLIENT_SPARK} AS client",
+        "CAST(round(l_quantity * 100) AS BIGINT) AS qc",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS yc",
+    )
+    stats = checkpoint_pinned(  # K rows; cuts the lineitem scan out of the loop
+        shards.groupBy("client").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qc").alias("sx"),
+            F.sum("yc").alias("sy"),
+            F.sum(F.col("qc") * F.col("qc")).alias("sxx"),
+            F.sum(F.col("qc") * F.col("yc")).alias("sxy"),
+        )
+    )
+    w0m, w1m = _fedavg_fit_exprs(FEDAVG_LAMBDA)
+    server = spark.range(1).selectExpr("0.0 AS s0", "0.0 AS s1")
+    fits_rounds, srv_rounds = [], []
+    for _ in range(FEDAVG_N_ROUNDS):
+        fits = stats.crossJoin(F.broadcast(server)).selectExpr(
+            "client", "n", w0m, w1m
+        )
+        srv = fits.selectExpr(*_FEDAVG_SRV_EXPRS)
+        fits_rounds.append(fits)
+        srv_rounds.append(srv)
+        server = srv.selectExpr(
+            "CAST(s0m AS DOUBLE) / 1000000.0 AS s0",
+            "CAST(s1m AS DOUBLE) / 1000000.0 AS s1",
+        )
+    return shards, fits_rounds, srv_rounds
+
+
+def _fedavg_oracle() -> str:
     selects = []
     for r in range(1, FEDAVG_N_ROUNDS + 1):
         selects.append(
@@ -351,7 +404,7 @@ def _fedavg_oracle() -> str:
        CAST(s0m AS DOUBLE) / 1000000.0 AS w0,
        CAST(s1m AS DOUBLE) / 1000000.0 AS w1 FROM srv{r}agg"""
         )
-    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+    return _fedavg_cte_prefix() + "\n" + "\nUNION ALL\n".join(selects)
 
 
 @register("fedavg_rounds", oracle=_fedavg_oracle(), category="udf")
@@ -378,33 +431,9 @@ def fedavg_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw shards. The driver-loop-with-K-row-state split of
     ``fedavg_weights`` stays available for non-closed-form local trainers.
     """
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
-    )
-    shards = li.selectExpr(
-        f"{_FEDAVG_CLIENT_SPARK} AS client",
-        "CAST(round(l_quantity * 100) AS BIGINT) AS qc",
-        "CAST(round(l_extendedprice * 100) AS BIGINT) AS yc",
-    )
-    stats = (
-        shards.groupBy("client")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("qc").alias("sx"),
-            F.sum("yc").alias("sy"),
-            F.sum(F.col("qc") * F.col("qc")).alias("sxx"),
-            F.sum(F.col("qc") * F.col("yc")).alias("sxy"),
-        )
-        .localCheckpoint()  # K rows; cuts the lineitem scan out of the loop
-    )
-    w0m, w1m = _fedavg_fit_exprs(FEDAVG_LAMBDA)
-    server = spark.range(1).selectExpr("0.0 AS s0", "0.0 AS s1")
+    _, fits_rounds, srv_rounds = _fedavg_train(spark, sf_dir)
     out: DataFrame | None = None
-    for r in range(1, FEDAVG_N_ROUNDS + 1):
-        fits = stats.crossJoin(F.broadcast(server)).selectExpr(
-            "client", "n", w0m, w1m
-        )
-        srv = fits.selectExpr(*_FEDAVG_SRV_EXPRS)
+    for r, (fits, srv) in enumerate(zip(fits_rounds, srv_rounds), start=1):
         client_rows = fits.selectExpr(
             f"{r} AS fed_round",
             "client",
@@ -421,10 +450,6 @@ def fedavg_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = client_rows if out is None else out.unionAll(client_rows)
         out = out.unionAll(server_row)
-        server = srv.selectExpr(
-            "CAST(s0m AS DOUBLE) / 1000000.0 AS s0",
-            "CAST(s1m AS DOUBLE) / 1000000.0 AS s1",
-        )
     assert out is not None
     return out
 
@@ -569,38 +594,12 @@ _FEDAVG_EVAL_METRICS = (
 
 
 def _fedavg_eval_oracle() -> str:
-    """DuckDB twin: the SAME CTE chain as _fedavg_oracle up to the final
-    server aggregate, then the shared residual + metric expressions."""
-    w0m, w1m = _fedavg_fit_exprs(FEDAVG_LAMBDA)
-    s0m, s1m, total = _FEDAVG_SRV_EXPRS
-    parts = [
-        f"""WITH shards AS (
-  SELECT {_FEDAVG_CLIENT_DUCK} AS client,
-         CAST(round(l_quantity * 100) AS BIGINT) AS qc,
-         CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
-  FROM lineitem
-), stats AS (
-  SELECT client, CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(qc) AS BIGINT) AS sx, CAST(sum(yc) AS BIGINT) AS sy,
-         CAST(sum(qc * qc) AS BIGINT) AS sxx,
-         CAST(sum(qc * yc) AS BIGINT) AS sxy
-  FROM shards GROUP BY client
-), srv0 AS (SELECT 0.0 AS s0, 0.0 AS s1)"""
-    ]
-    for r in range(1, FEDAVG_N_ROUNDS + 1):
-        parts.append(
-            f""", fit{r} AS (
-  SELECT client, n, {w0m}, {w1m} FROM stats, srv{r - 1}
-), srv{r}agg AS (
-  SELECT {s0m}, {s1m}, {total} FROM fit{r}
-), srv{r} AS (
-  SELECT CAST(s0m AS DOUBLE) / 1000000.0 AS s0,
-         CAST(s1m AS DOUBLE) / 1000000.0 AS s1 FROM srv{r}agg
-)"""
-        )
+    """DuckDB twin: the SHARED CTE chain (_fedavg_cte_prefix — same text
+    as _fedavg_oracle) up to the final server aggregate, then the shared
+    residual + metric expressions."""
     metrics = ", ".join(_FEDAVG_EVAL_METRICS)
     return (
-        "".join(parts)
+        _fedavg_cte_prefix()
         + f""", evalrows AS (
   SELECT shards.client, {_FEDAVG_EVAL_RESID}
   FROM shards, srv{FEDAVG_N_ROUNDS}agg
@@ -638,38 +637,8 @@ def fedavg_eval_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly how a real eval-after-training job should be shaped (never a
     per-round data pass, never a driver-side dataset).
     """
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
-    )
-    shards = li.selectExpr(
-        f"{_FEDAVG_CLIENT_SPARK} AS client",
-        "CAST(round(l_quantity * 100) AS BIGINT) AS qc",
-        "CAST(round(l_extendedprice * 100) AS BIGINT) AS yc",
-    )
-    stats = (
-        shards.groupBy("client")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("qc").alias("sx"),
-            F.sum("yc").alias("sy"),
-            F.sum(F.col("qc") * F.col("qc")).alias("sxx"),
-            F.sum(F.col("qc") * F.col("yc")).alias("sxy"),
-        )
-        .localCheckpoint()  # K rows; cuts the lineitem scan out of the loop
-    )
-    w0m, w1m = _fedavg_fit_exprs(FEDAVG_LAMBDA)
-    server = spark.range(1).selectExpr("0.0 AS s0", "0.0 AS s1")
-    srv: DataFrame | None = None
-    for _ in range(FEDAVG_N_ROUNDS):
-        fits = stats.crossJoin(F.broadcast(server)).selectExpr(
-            "client", "n", w0m, w1m
-        )
-        srv = fits.selectExpr(*_FEDAVG_SRV_EXPRS)
-        server = srv.selectExpr(
-            "CAST(s0m AS DOUBLE) / 1000000.0 AS s0",
-            "CAST(s1m AS DOUBLE) / 1000000.0 AS s1",
-        )
-    assert srv is not None
+    shards, _, srv_rounds = _fedavg_train(spark, sf_dir)
+    srv = srv_rounds[-1]
     evalrows = shards.crossJoin(F.broadcast(srv.select("s0m", "s1m"))).selectExpr(
         "client", _FEDAVG_EVAL_RESID
     )

@@ -182,18 +182,18 @@ class NpyEmbeddingDataSource(DataSource):
 # ---------------------------------------------------------------------------
 
 def _fixture_root() -> str:
-    """Per-user fixture root with 0700 dirs. A world-shared /tmp path
-    trusted by mtime is squattable (another local user pre-creates the
-    file with a fresh mtime and their bytes get served); scoping the root
-    to the uid and creating it 0700 closes that. Executors are the same
-    user in local mode, and on a real cluster the fixture concept doesn't
-    exist (shards are already on shared storage), so nothing needs the
-    file to be world-readable."""
-    import tempfile
+    """Per-user fixture root, 0700, OWNERSHIP-VERIFIED (common.
+    per_user_tmpdir): a world-shared /tmp path trusted by mtime is
+    squattable — another local user pre-creates the file (or the whole
+    root, which bare makedirs(exist_ok=True) would accept) with a fresh
+    mtime and their bytes get served. Executors are the same user in
+    local mode, and on a real cluster the fixture concept doesn't exist
+    (shards are already on shared storage)."""
+    from big_data_medical_analysis_spark.operators.common import (
+        per_user_tmpdir,
+    )
 
-    root = os.path.join(tempfile.gettempdir(), f"spark_graft_npy_{os.getuid()}")
-    os.makedirs(root, mode=0o700, exist_ok=True)
-    return root
+    return per_user_tmpdir("spark_graft_npy")
 
 
 def npy_fixture_path(sf_dir: str) -> str:

@@ -103,3 +103,32 @@ def test_events_reader_handles_all_physical_ts_generations(spark, tmp_path):
             "sum(unix_micros(ts)) AS s", "count(*) AS n"
         ).collect()[0]
         assert (got.s, got.n) == (want.s, want.n), label
+
+
+def test_per_user_tmpdir_refuses_squattable_root(tmp_path, monkeypatch):
+    """The scratch-root helper must reject a pre-existing directory that
+    is group/other-writable (and, when not owned by this uid, reject that
+    too — not directly testable without a second uid): makedirs with
+    exist_ok=True alone would silently accept an attacker-owned dir."""
+    import os
+
+    import pytest as _pytest
+
+    from big_data_medical_analysis_spark.operators.common import (
+        per_user_tmpdir,
+    )
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    tempfile.tempdir = None  # force re-read of TMPDIR
+    try:
+        root = per_user_tmpdir("squat_check")
+        assert root.startswith(str(tmp_path))
+        assert os.stat(root).st_mode & 0o077 == 0
+        # now make it world-writable, as a squatter would have
+        os.chmod(root, 0o777)
+        with _pytest.raises(PermissionError):
+            per_user_tmpdir("squat_check")
+    finally:
+        tempfile.tempdir = None
