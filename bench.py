@@ -130,6 +130,7 @@ COHORTS: dict[str, list[str]] = {
         "feature_zscore_by_label",
         "hll_merge_returnflag",
         "bitmap_distinct_orders",
+        "hll_incremental_daily",
     ],
     "sampling_etl": [
         "weighted_sample_docs",

@@ -583,3 +583,168 @@ def bitmap_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("ALL").alias("l_returnflag"), "n_distinct_orders")
     )
     return per_flag.unionAll(merged)
+
+
+# ---------------------------------------------------------------------------
+# Incremental daily HLL state table + range merges (round 9)
+# ---------------------------------------------------------------------------
+
+# Week-of-month scope from the 'YYYY-MM-DD' day STRING — pure substring
+# arithmetic so both engines derive it identically (no calendar functions).
+_HLL_DAILY_SCOPE_SPARK = (
+    "concat('W', CAST((CAST(substring(day, 9, 2) AS INT) - 1) DIV 7 + 1 "
+    "AS STRING))"
+)
+_HLL_DAILY_SCOPE_DUCK = (
+    "concat('W', CAST((CAST(substr(day, 9, 2) AS INTEGER) - 1) // 7 + 1 "
+    "AS VARCHAR))"
+)
+
+_HLL_DAILY_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS v
+  FROM events
+),
+state AS (
+  SELECT day, v // {1 << HLL_W_BITS} AS register,
+         max(CASE WHEN v % {1 << HLL_W_BITS} = 0 THEN {HLL_W_BITS + 1}
+                  ELSE {HLL_W_BITS + 1} - length(bin(v % {1 << HLL_W_BITS}))
+             END) AS rho
+  FROM h GROUP BY 1, 2
+),
+scoped AS (
+  SELECT {_HLL_DAILY_SCOPE_DUCK} AS scope, register, max(rho) AS rho
+  FROM state GROUP BY 1, 2
+  UNION ALL
+  SELECT 'ALL', register, max(rho) FROM state GROUP BY 2
+),
+est AS (
+  SELECT scope, CAST(count(*) AS BIGINT) AS n_seen,
+         sum(1.0 / CAST(1 << rho AS DOUBLE)) AS z_seen
+  FROM scoped GROUP BY scope
+),
+ex AS (
+  SELECT {_HLL_DAILY_SCOPE_DUCK.replace("day", "strftime(ts, '%Y-%m-%d')")}
+           AS scope,
+         CAST(count(DISTINCT event_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY 1
+  UNION ALL
+  SELECT 'ALL', CAST(count(DISTINCT event_id) AS BIGINT) FROM events
+)
+SELECT est.scope,
+       round(CAST({_HLL_ALPHA!r} AS DOUBLE) * {HLL_M * HLL_M}
+             / (z_seen + ({HLL_M} - n_seen)), 2) AS hll_estimate,
+       exact_distinct,
+       round(abs(CAST({_HLL_ALPHA!r} AS DOUBLE) * {HLL_M * HLL_M}
+                 / (z_seen + ({HLL_M} - n_seen)) - exact_distinct)
+             / exact_distinct, 4) AS rel_error
+FROM est JOIN ex ON est.scope = ex.scope
+"""
+
+
+def hll_state_dir(sf_dir: str) -> str:
+    """Per-user, per-sf location of the persisted daily HLL register table
+    (squat-proof root via common.per_user_tmpdir, same discipline as
+    dedup.pmh_index_dir)."""
+    import os
+
+    from big_data_medical_analysis_spark.operators.common import (
+        per_user_tmpdir,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(per_user_tmpdir("spark_graft_hll_state"), tag)
+
+
+@register("hll_incremental_daily", oracle=_HLL_DAILY_SQL, category="sketch")
+def hll_incremental_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION sketch shape: a per-day HLL register STATE TABLE,
+    persisted as day-partitioned parquet, answering distinct-count
+    queries over arbitrary date ranges by register-max merge — without
+    ever re-touching the raw events. The sketch-pillar twin of
+    ``minhash_incremental_probe``: each ingest day appends only its own
+    {HLL_M}-register block (constant state per day regardless of volume),
+    and any range query reads just the matching day partitions. Here the
+    state table is built, written, read BACK from parquet, and queried at
+    week-of-month scopes plus ALL; the DuckDB oracle recomputes both
+    sides from raw events, so a green row also proves the persist/reload
+    of the register table lost nothing.
+
+    Same portable register recipe as ``hll_portable_distinct`` (md5
+    32-bit hash, {HLL_P}-bit register index, integer/string rho, exact
+    power-of-two harmonic sum, raw estimate without the libm-dependent
+    small-range correction — rel_error is honestly reported). Key is
+    ``event_id`` (the ingest-dedup monitoring cardinality: distinct
+    records per period under CDC redelivery), whose n/m ≈ 10-100 at the
+    test SFs sits in the sketch's working regime.
+
+    Scale: the daily build is one map-side-combinable (day, register)
+    aggregate; the range merge reads day-pruned partitions of a table
+    whose size is days × {HLL_M} rows — bytes, not terabytes. The exact
+    twin column re-scans events only because the oracle needs the truth
+    to report rel_error against; a production rollup serves the estimate
+    alone and never re-reads raw data.
+    """
+    from big_data_medical_analysis_spark.operators.common import date_str
+
+    ev = read_table(spark, sf_dir, "events")
+    v = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    h = ev.select(date_str("ts").alias("day"), v.alias("v")).distinct()
+    w = F.col("v") % F.lit(1 << HLL_W_BITS)
+    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
+    )
+    state = (
+        h.select(
+            "day",
+            (F.col("v") / F.lit(1 << HLL_W_BITS)).cast("long").alias("register"),
+            rho.alias("rho"),
+        )
+        .groupBy("day", "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+    out_dir = hll_state_dir(sf_dir)
+    state.write.mode("overwrite").partitionBy("day").parquet(out_dir)
+    # partition-column type inference may parse the day dir as DATE;
+    # normalize back to the 'YYYY-MM-DD' string the scope arithmetic uses
+    back = spark.read.parquet(out_dir).withColumn(
+        "day", F.col("day").cast("string")
+    )
+    scoped = back.selectExpr(
+        f"{_HLL_DAILY_SCOPE_SPARK} AS scope", "register", "rho"
+    ).unionAll(
+        back.selectExpr("'ALL' AS scope", "register", "rho")
+    ).groupBy("scope", "register").agg(F.max("rho").alias("rho"))
+    est = scoped.groupBy("scope").agg(
+        F.count(F.lit(1)).alias("n_seen"),
+        F.sum(
+            F.lit(1.0)
+            / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), rho) AS DOUBLE)")
+        ).alias("z_seen"),
+    )
+    day_scope = _HLL_DAILY_SCOPE_SPARK.replace(
+        "day", "date_format(ts, 'yyyy-MM-dd')"
+    )
+    ex = (
+        ev.selectExpr(f"{day_scope} AS scope", "event_id")
+        .groupBy("scope")
+        .agg(F.count_distinct("event_id").alias("exact_distinct"))
+        .unionAll(
+            ev.agg(F.count_distinct("event_id").alias("exact_distinct"))
+            .selectExpr("'ALL' AS scope", "exact_distinct")
+        )
+    )
+    z = F.col("z_seen") + (F.lit(HLL_M) - F.col("n_seen"))
+    estv = F.lit(_HLL_ALPHA) * F.lit(HLL_M * HLL_M) / z
+    return est.join(ex, "scope").select(
+        "scope",
+        F.round(estv, 2).alias("hll_estimate"),
+        "exact_distinct",
+        F.round(
+            F.abs(estv - F.col("exact_distinct")) / F.col("exact_distinct"), 4
+        ).alias("rel_error"),
+    )

@@ -152,3 +152,52 @@ def test_approx_percentile_rank_error_bounded(spark, sf_dir):
             v = row[f"ap{int(q * 100)}"] * 100.0
             rank = sum(1 for x in grp if x <= v)
             assert abs(rank - q * n) <= tol + 1, (flag, q, rank, q * n)
+
+
+def test_hll_daily_state_merge_equals_direct_build(spark, sf_dir):
+    """Incremental-state pin (the sketch twin of the dedup probe test):
+    merging the per-day register table over ANY day range must equal the
+    register table built directly from that range's raw values — max is
+    associative/commutative over the per-day partials, which is the whole
+    reason a persisted daily state table can answer range queries without
+    re-reading events."""
+    from pyspark.sql import functions as F
+
+    from big_data_medical_analysis_spark.operators.sketches import (
+        HLL_W_BITS,
+    )
+    from big_data_medical_analysis_spark.sources.readers import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    v = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    h = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), v.alias("v")
+    ).distinct()
+    w = F.col("v") % F.lit(1 << HLL_W_BITS)
+    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
+    )
+    reg = h.select(
+        "day",
+        (F.col("v") / F.lit(1 << HLL_W_BITS)).cast("long").alias("register"),
+        rho.alias("rho"),
+    )
+    daily = reg.groupBy("day", "register").agg(F.max("rho").alias("rho"))
+    for cutoff in ("2024-01-08", "2024-01-20"):
+        merged = {
+            (r.register, r.rho)
+            for r in daily.filter(F.col("day") < cutoff)
+            .groupBy("register")
+            .agg(F.max("rho").alias("rho"))
+            .collect()
+        }
+        direct = {
+            (r.register, r.rho)
+            for r in reg.filter(F.col("day") < cutoff)
+            .groupBy("register")
+            .agg(F.max("rho").alias("rho"))
+            .collect()
+        }
+        assert merged == direct and merged, cutoff
