@@ -706,3 +706,45 @@ def test_simhash_family_reads_checkpointed_fingerprints_not_rescans(spark, sf_di
     needed there and only there.)"""
     df = QS["simhash_near_dup"](spark, sf_dir)
     assert P.node_count(df, "Scan parquet") == 0
+
+
+def test_no_excessive_table_rescans(spark, sf_dir):
+    """Repo-wide rescan budget (round 9): the executed-plan audit found
+    queries whose branch structure re-scanned one table 3-8x, re-running
+    expensive derivations per consumer (fixed via checkpoint_pinned).
+    This pins the remaining state: at most TWO scans of any single table
+    per query (self-joins and two-pass algorithms), except the explicit
+    allowlist below — every entry a documented cheap pruned-column
+    re-read (multi-branch aggregates over 2-3 int columns, set-op
+    branches, two-pass medians), NOT a repeated HOF/hash/text
+    derivation, per the dividing line in BENCH_NOTES round-9. A new
+    query (or a regression) that re-scans beyond its budget fails here
+    instead of surfacing as a mystery at 100 TB."""
+    import re
+    from collections import Counter
+
+    ALLOWED = {
+        "contrastive_negative_pairs": 3,
+        "daily_user_value_gapfill": 3,
+        "daily_value_locf": 3,
+        "heavy_hitter_users": 3,
+        "hll_merge_returnflag": 3,
+        "lineitem_set_ops_all": 4,
+        "mad_robust_stats": 4,
+        "median_mode_quantity": 3,
+        "orders_dq_checks": 3,
+        "orders_not_in_null_semantics": 3,
+        "psi_distribution_drift": 4,
+        "rich_idle_customers": 3,
+        "tfidf_top_terms": 3,
+    }
+    offenders = {}
+    for name, q in registry.all_queries().items():
+        df = q.fn(spark, sf_dir)
+        counts = Counter(
+            re.findall(r"Scan parquet[^\n]*?/(\w+)\.parquet", P.physical_plan(df))
+        )
+        worst = max(counts.values(), default=0)
+        if worst > ALLOWED.get(name, 2):
+            offenders[name] = dict(counts)
+    assert offenders == {}, offenders
