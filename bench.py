@@ -142,6 +142,7 @@ COHORTS: dict[str, list[str]] = {
         "portable_client_split",
         "orc_roundtrip_revenue",
         "jsonl_roundtrip_revenue",
+        "corrupt_jsonl_quarantine",
         "xml_roundtrip_revenue",
         "schema_evolution_read",
         "incremental_agg_merge",

@@ -1031,6 +1031,111 @@ def jsonl_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corrupt-record quarantine (PERMISSIVE ingest, round 9)
+# ---------------------------------------------------------------------------
+
+# Deterministic malformation rule, shared text with the oracle: every
+# 13th order key's JSON line is truncated mid-object.
+_CORRUPT_PRED = "o_orderkey % 13 = 0"
+
+_CORRUPT_QUARANTINE_SQL = f"""
+SELECT
+  CAST(sum(CASE WHEN NOT ({_CORRUPT_PRED}) THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_good,
+  CAST(sum(CASE WHEN {_CORRUPT_PRED} THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+  CAST(sum(CASE WHEN NOT ({_CORRUPT_PRED})
+                THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                ELSE 0 END) AS DOUBLE) / 100.0 AS good_total_price,
+  min(CASE WHEN NOT ({_CORRUPT_PRED}) THEN o_orderkey END) AS min_good_key,
+  max(CASE WHEN NOT ({_CORRUPT_PRED}) THEN o_orderkey END) AS max_good_key
+FROM orders
+"""
+
+
+@register(
+    "corrupt_jsonl_quarantine",
+    oracle=_CORRUPT_QUARANTINE_SQL,
+    category="etl",
+)
+def corrupt_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode ingest with corrupt-record quarantine — the
+    malformed-input surface every production landing job needs and the
+    roundtrip queries deliberately avoid: a JSONL batch where every 13th
+    order's line is TRUNCATED mid-object is read back with an explicit
+    schema plus ``columnNameOfCorruptRecord``; parse failures land intact
+    in the quarantine column (data columns null) instead of killing the
+    job (FAILFAST) or silently vanishing (DROPMALFORMED). The query
+    aggregates both populations — good/bad counts, exact money sum and
+    key range over the parseable rows — and the oracle recomputes all of
+    it from the source parquet with the same malformation rule, so a
+    green row proves (a) not one good row was lost or altered around the
+    corruption and (b) every malformed line was quarantined, not
+    dropped.
+
+    Scale: quarantine is a per-row parse concern — embarrassingly
+    parallel, no extra shuffle (the aggregate is the same partial+final
+    fold as any ingest audit). The production pattern this pins: land
+    with PERMISSIVE + corrupt column, route ``_corrupt_record IS NOT
+    NULL`` to a dead-letter sink, alert on the ratio — never FAILFAST a
+    100 TB backfill at 99.999% health, never DROPMALFORMED (silent
+    loss).
+    """
+    from pyspark.sql import types as T
+
+    from big_data_medical_analysis_spark.operators.common import (
+        cents,
+        per_user_tmpdir,
+    )
+
+    out_dir = os.path.join(
+        per_user_tmpdir("spark_graft_corrupt_jsonl"),
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    good_json = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("k"),
+            cents("o_totalprice").alias("pc"),
+        )
+    )
+    truncated = F.concat(
+        F.lit('{"k": '), F.col("o_orderkey").cast("string"), F.lit(', "pc":')
+    )
+    lines = orders.select(
+        F.when(F.expr(_CORRUPT_PRED), truncated)
+        .otherwise(good_json)
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(out_dir)
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("pc", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out_dir)
+    )
+    good = F.col("_corrupt_record").isNull()
+    return back.agg(
+        F.sum(good.cast("long")).alias("n_good"),
+        F.sum((~good).cast("long")).alias("n_bad"),
+        (
+            F.sum(F.when(good, F.col("pc")).otherwise(F.lit(0))).cast("double")
+            / 100.0
+        ).alias("good_total_price"),
+        F.min(F.when(good, F.col("k"))).alias("min_good_key"),
+        F.max(F.when(good, F.col("k"))).alias("max_good_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # XML write → read roundtrip (round 6; Spark 4 native XML source)
 # ---------------------------------------------------------------------------
 

@@ -318,3 +318,52 @@ def test_curated_corpus_composition(spark, sf_dir):
     # the token-count gate is not a post-scan afterthought: the scan node
     # carries a data Filter (pushdown of the derived predicates)
     assert "Filter" in physical_plan(E.curated_corpus(spark, sf_dir))
+
+
+def test_corrupt_quarantine_preserves_raw_lines(spark, sf_dir):
+    """PERMISSIVE quarantine must keep the MALFORMED text verbatim in the
+    corrupt column (that is what makes a dead-letter sink debuggable):
+    every quarantined line is exactly the truncated prefix the writer
+    emitted, and no parseable line is quarantined."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from big_data_medical_analysis_spark.operators.etl import (
+        corrupt_jsonl_quarantine,
+    )
+
+    corrupt_jsonl_quarantine(spark, sf_dir)  # materializes the batch dir
+    from big_data_medical_analysis_spark.operators.common import (
+        per_user_tmpdir,
+    )
+
+    out_dir = os.path.join(
+        per_user_tmpdir("spark_graft_corrupt_jsonl"),
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("pc", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out_dir)
+        .cache()
+    )
+    bad = back.filter(F.col("_corrupt_record").isNotNull())
+    assert bad.count() > 0
+    for r in bad.collect():
+        assert r._corrupt_record.startswith('{"k": ')
+        assert r._corrupt_record.endswith(', "pc":')
+        assert r.k is None and r.pc is None
+    # no parseable row was quarantined: good rows re-serialize cleanly
+    good = back.filter(F.col("_corrupt_record").isNull())
+    assert good.filter(F.col("k").isNull()).count() == 0
+    back.unpersist()
