@@ -22,6 +22,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from big_data_medical_analysis_spark.operators.common import (
+    per_user_tmpdir,
+)
 from big_data_medical_analysis_spark.registry import register
 from big_data_medical_analysis_spark.sources.readers import read_table
 
@@ -343,16 +346,12 @@ def csv_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     harness/bench passes previously leaked one temp dir per call. The
     eager write at construction time is inherent to a write→read
     roundtrip query (the glob scan needs the files to exist to plan)."""
-    import getpass
-    import tempfile
 
     from big_data_medical_analysis_spark.operators.common import money_sum
     from big_data_medical_analysis_spark.schemas import CUSTOMER
     from big_data_medical_analysis_spark.sources.readers import read_csv
 
-    out_dir = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_csv_roundtrip_{getpass.getuser()}"
-    )
+    out_dir = per_user_tmpdir("spark_graft_csv_roundtrip")
     customer = read_table(spark, sf_dir, "customer")
     write_client_shards_csv(customer, ["c_custkey"], 4, out_dir)
     back = read_csv(spark, f"{out_dir}/client=*/*.csv", CUSTOMER)
@@ -390,15 +389,10 @@ def partitioned_parquet_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates the SOURCE parquet with the same predicate, so a green row
     also proves the partitioned write relocated every row losslessly
     (values, including timestamps, survive the parquet→parquet move)."""
-    import getpass
-    import tempfile
 
     from big_data_medical_analysis_spark.operators.common import money_sum
 
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_partitioned_orders_{getpass.getuser()}",
-    )
+    out_dir = per_user_tmpdir("spark_graft_partitioned_orders")
     orders = read_table(spark, sf_dir, "orders")
     # Cluster by the partition key before the write: each task then owns
     # whole partition values and writes one file per value, instead of
@@ -717,15 +711,11 @@ def orc_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins that the reader applies the declared schema rather than
     re-inferring.
     """
-    import getpass
-    import tempfile
 
     from big_data_medical_analysis_spark.operators.common import money_sum
     from big_data_medical_analysis_spark.schemas import SUPPLIER
 
-    out_dir = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_orc_roundtrip_{getpass.getuser()}"
-    )
+    out_dir = per_user_tmpdir("spark_graft_orc_roundtrip")
     supplier = read_table(spark, sf_dir, "supplier")
     supplier.write.mode("overwrite").orc(out_dir)
     back = spark.read.schema(SUPPLIER).orc(out_dir)
@@ -845,15 +835,10 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog instead of re-inferring per query) — the scan itself remains
     ordinary pruned/pushed-down parquet.
     """
-    import getpass
-    import tempfile
 
     from big_data_medical_analysis_spark.operators.common import money_sum
 
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_schema_evo_{getpass.getuser()}",
-    )
+    out_dir = per_user_tmpdir("spark_graft_schema_evo")
     orders = read_table(spark, sf_dir, "orders")
     old_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
     orders.filter(F.col("o_orderkey") % 2 == 0).select(old_cols).write.mode(
@@ -999,18 +984,13 @@ def jsonl_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushdown, no pruning, full-text parse per row (the docstring IS the
     guidance: land JSONL once, convert to parquet, query parquet).
     """
-    import getpass
-    import tempfile
 
     from pyspark.sql import types as T
 
     from big_data_medical_analysis_spark.operators.common import money_sum
     from big_data_medical_analysis_spark.sources.readers import read_json
 
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_jsonl_roundtrip_{getpass.getuser()}",
-    )
+    out_dir = per_user_tmpdir("spark_graft_jsonl_roundtrip")
     cols = [
         "o_orderkey",
         "o_orderstatus",
@@ -1163,14 +1143,10 @@ def xml_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet. The roundtrip pins that the reader applies the declared
     schema, parses numerics exactly, and preserves row multiplicity.
     """
-    import getpass
-    import tempfile
 
     from big_data_medical_analysis_spark.operators.common import money_sum
 
-    out_dir = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_xml_roundtrip_{getpass.getuser()}"
-    )
+    out_dir = per_user_tmpdir("spark_graft_xml_roundtrip")
     cols = ["c_custkey", "c_nationkey", "c_acctbal"]
     cust = read_table(spark, sf_dir, "customer").select(*cols)
     (
@@ -1340,14 +1316,10 @@ def dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast dim doubles as the DPP filter source, so pruning reuses the
     broadcast rather than running an extra job.
     """
-    import getpass
-    import tempfile
 
     from big_data_medical_analysis_spark.operators.common import cents
 
-    out_dir = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_dpp_{getpass.getuser()}"
-    )
+    out_dir = per_user_tmpdir("spark_graft_dpp")
     orders = read_table(spark, sf_dir, "orders")
     orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out_dir)
     fact = spark.read.parquet(out_dir)

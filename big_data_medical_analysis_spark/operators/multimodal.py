@@ -46,6 +46,9 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from big_data_medical_analysis_spark.operators.common import fan_out
+from big_data_medical_analysis_spark.operators.common import (
+    per_user_tmpdir,
+)
 from big_data_medical_analysis_spark.registry import register
 from big_data_medical_analysis_spark.sources.readers import read_table
 
@@ -690,15 +693,11 @@ def pkl_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions — no shuffle until the final tiny per-task aggregate; each
     blob crosses the Arrow boundary exactly once.
     """
-    import getpass
     import os
-    import tempfile
 
     from big_data_medical_analysis_spark.sources.readers import read_binary_dir
 
-    out_dir = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_pkl_blobs_{getpass.getuser()}"
-    )
+    out_dir = per_user_tmpdir("spark_graft_pkl_blobs")
     docs = read_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("img_id")
     ).filter(F.col("img_id") < PKL_N_BLOBS)

@@ -132,3 +132,32 @@ def test_per_user_tmpdir_refuses_squattable_root(tmp_path, monkeypatch):
             per_user_tmpdir("squat_check")
     finally:
         tempfile.tempdir = None
+
+
+def test_all_scratch_paths_go_through_per_user_tmpdir():
+    """Convention pin: every scratch location in the engine must come from
+    common.per_user_tmpdir (uid-scoped, 0700, ownership-verified). A raw
+    tempfile.gettempdir() join reintroduces the squattable-path class the
+    round-9 review closed."""
+    import os
+    import re
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "big_data_medical_analysis_spark",
+    )
+    offenders = []
+    for root, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            src = open(path).read()
+            if fn == "common.py":
+                continue  # the helper itself
+            for i, ln in enumerate(src.splitlines(), 1):
+                if re.search(r"tempfile\.gettempdir\(\)", ln):
+                    offenders.append(f"{path}:{i}")
+                if "getpass.getuser()" in ln:
+                    offenders.append(f"{path}:{i}")
+    assert offenders == [], offenders
