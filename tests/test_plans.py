@@ -748,3 +748,33 @@ def test_no_excessive_table_rescans(spark, sf_dir):
         if worst > ALLOWED.get(name, 2):
             offenders[name] = dict(counts)
     assert offenders == {}, offenders
+
+
+def test_checkpoint_pinned_audits_fire(spark, sf_dir):
+    """The checkpoint wrapper's two pre-checkpoint audits must actually
+    raise — otherwise the lineage-truncation blind spot it exists to
+    close is still open. Negative cases: a single-partition window, and
+    a Filter evaluating an interpreted HOF lambda."""
+    import pytest as _pytest
+    from pyspark.sql import Window, functions as F
+
+    from big_data_medical_analysis_spark.operators.common import (
+        checkpoint_pinned,
+    )
+    from big_data_medical_analysis_spark.sources.readers import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    global_window = orders.withColumn(
+        "rn", F.row_number().over(Window.orderBy("o_orderkey"))
+    )
+    with _pytest.raises(ValueError, match="single-partition window"):
+        checkpoint_pinned(global_window)
+
+    docs = read_table(spark, sf_dir, "documents")
+    hof_filter = docs.filter(
+        F.exists(F.split("text", " "), lambda t: F.length(t) > 3)
+    )
+    with _pytest.raises(ValueError, match="HOF chain"):
+        checkpoint_pinned(hof_filter)
+    # and the disclosed escape hatch works
+    assert checkpoint_pinned(hof_filter, allow_hof_filter=True).count() >= 0
