@@ -644,6 +644,33 @@ FROM est JOIN ex ON est.scope = ex.scope
 """
 
 
+def daily_event_registers(ev: DataFrame) -> DataFrame:
+    """(day, register, rho) HLL state rows for an events-shaped frame
+    (``ts`` timestamp, ``event_id`` key) — the per-day register builder
+    shared by the batch query below and the streaming foreachBatch merge
+    (streaming/windows.py): one recipe, so the incremental stream state
+    is definitionally comparable to the batch-built table."""
+    from big_data_medical_analysis_spark.operators.common import date_str
+
+    v = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    h = ev.select(date_str("ts").alias("day"), v.alias("v")).distinct()
+    w = F.col("v") % F.lit(1 << HLL_W_BITS)
+    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
+    )
+    return (
+        h.select(
+            "day",
+            (F.col("v") / F.lit(1 << HLL_W_BITS)).cast("long").alias("register"),
+            rho.alias("rho"),
+        )
+        .groupBy("day", "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
 def hll_state_dir(sf_dir: str) -> str:
     """Per-user, per-sf location of the persisted daily HLL register table
     (squat-proof root via common.per_user_tmpdir, same discipline as
@@ -687,26 +714,8 @@ def hll_incremental_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     to report rel_error against; a production rollup serves the estimate
     alone and never re-reads raw data.
     """
-    from big_data_medical_analysis_spark.operators.common import date_str
-
     ev = read_table(spark, sf_dir, "events")
-    v = F.conv(
-        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
-    ).cast("long")
-    h = ev.select(date_str("ts").alias("day"), v.alias("v")).distinct()
-    w = F.col("v") % F.lit(1 << HLL_W_BITS)
-    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
-        F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
-    )
-    state = (
-        h.select(
-            "day",
-            (F.col("v") / F.lit(1 << HLL_W_BITS)).cast("long").alias("register"),
-            rho.alias("rho"),
-        )
-        .groupBy("day", "register")
-        .agg(F.max("rho").alias("rho"))
-    )
+    state = daily_event_registers(ev)
     out_dir = hll_state_dir(sf_dir)
     state.write.mode("overwrite").partitionBy("day").parquet(out_dir)
     # partition-column type inference may parse the day dir as DATE;

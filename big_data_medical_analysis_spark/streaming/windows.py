@@ -520,3 +520,76 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming HLL state maintenance (round 9): foreachBatch register merge
+# ---------------------------------------------------------------------------
+
+
+def make_hll_state_merger(state_dir: str):
+    """``foreachBatch`` function that folds each micro-batch's per-day HLL
+    registers into a persisted (day, register, rho) parquet state table —
+    the STREAMING form of ``sketches.hll_incremental_daily``'s state
+    build: the batch query materializes the whole table at once; this
+    merger maintains the same table incrementally as events arrive.
+
+    Merge semantics are register-max (associative, commutative,
+    IDEMPOTENT — max(a, a) = a), which is what makes the fold safe under
+    Structured Streaming's at-least-once foreachBatch replay: a
+    redelivered batch re-maxes the same rhos and changes nothing, so
+    checkpoint + this merger is effectively-once WITHOUT the batch_id
+    bookkeeping the row-appending sink needs. The swap is
+    write-new-then-replace (never read+overwrite one path in a single
+    job — the lazy read would see its own deletes): new state lands in a
+    staging dir, then atomically replaces the current table.
+
+    Scale: per-batch work is one (day, register) partial aggregate over
+    the batch plus a merge against a table bounded by days × m registers
+    — KBs; the raw events are never re-read. The same shape runs on a
+    cluster with a transactional table format replacing the directory
+    swap.
+    """
+    import os
+    import shutil
+
+    from big_data_medical_analysis_spark.operators.sketches import (
+        daily_event_registers,
+    )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = daily_event_registers(batch_df)
+        cur_dir = os.path.join(state_dir, "current")
+        if os.path.exists(cur_dir):
+            cur = spark.read.parquet(cur_dir)
+            new = (
+                cur.unionByName(new)
+                .groupBy("day", "register")
+                .agg(F.max("rho").alias("rho"))
+            )
+        staging = os.path.join(state_dir, f"staging_{batch_id}")
+        new.write.mode("overwrite").parquet(staging)
+        old = os.path.join(state_dir, f"old_{batch_id}")
+        if os.path.exists(cur_dir):
+            os.replace(cur_dir, old)
+        os.replace(staging, cur_dir)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+    return _merge
+
+
+def hll_state_stream(
+    spark: SparkSession, input_dir: str, state_dir: str, checkpoint: str
+):
+    """Start the incremental HLL state maintenance stream: event files →
+    per-batch register build → idempotent register-max merge into the
+    persisted state table (checkpoint carries the source offsets)."""
+    return (
+        read_event_stream(spark, input_dir)
+        .writeStream.foreachBatch(make_hll_state_merger(state_dir))
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )

@@ -443,3 +443,60 @@ def test_running_user_totals_tws_matches_legacy_and_batch(spark, tmp_path):
     assert after_b0 == {1: (2, 3.51), 2: (1, 3.0)}
     tuples = sorted((r.user_id, r.n_events, r.total_value) for r in rows)
     assert tuples == [(1, 2, 3.51), (1, 3, 7.51), (2, 1, 3.0)]
+
+
+def test_hll_state_stream_matches_batch_and_is_idempotent(spark, tmp_path):
+    """The streaming register merger must converge to EXACTLY the state
+    the batch builder computes over the same events (register-level
+    equality — same recipe, sketches.daily_event_registers), and
+    re-merging a batch (at-least-once redelivery) must change nothing:
+    register-max is idempotent, which is the design claim that makes the
+    foreachBatch fold effectively-once without batch_id bookkeeping."""
+    from big_data_medical_analysis_spark.operators.sketches import (
+        daily_event_registers,
+    )
+
+    indir = str(tmp_path / "hll_in")
+    state = str(tmp_path / "hll_state")
+    ckpt = str(tmp_path / "hll_ckpt")
+    day1 = [(i, f"2024-01-01 0{i % 9}:00:00.000000", i, "click", 1.0)
+            for i in range(40)]
+    day2 = [(100 + i, f"2024-01-02 0{i % 9}:00:00.000000", i, "view", 2.0)
+            for i in range(40)]
+    _write_events(indir, "a.json", day1)
+    q = SW.hll_state_stream(spark, indir, state, ckpt)
+    try:
+        q.processAllAvailable()
+        _write_events(indir, "b.json", day2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    cur = os.path.join(state, "current")
+    spark.catalog.refreshByPath(cur)
+    streamed = {
+        (r.day, r.register, r.rho)
+        for r in spark.read.parquet(cur).collect()
+    }
+    batch_ev = spark.createDataFrame(
+        [(eid, ts, uid, et, v) for eid, ts, uid, et, v in day1 + day2],
+        "event_id long, ts_s string, user_id long, event_type string, value double",
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts")
+    expected = {
+        (r.day, r.register, r.rho)
+        for r in daily_event_registers(batch_ev).collect()
+    }
+    assert streamed == expected and len({d for d, _, _ in streamed}) == 2
+
+    # redelivery idempotence: re-merge day1 by hand with the same merger
+    replay = spark.createDataFrame(
+        [(eid, ts, uid, et, v) for eid, ts, uid, et, v in day1],
+        "event_id long, ts_s string, user_id long, event_type string, value double",
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts")
+    SW.make_hll_state_merger(state)(replay, 99)
+    spark.catalog.refreshByPath(cur)
+    again = {
+        (r.day, r.register, r.rho)
+        for r in spark.read.parquet(cur).collect()
+    }
+    assert again == streamed
