@@ -778,3 +778,26 @@ def test_checkpoint_pinned_audits_fire(spark, sf_dir):
         checkpoint_pinned(hof_filter)
     # and the disclosed escape hatch works
     assert checkpoint_pinned(hof_filter, allow_hof_filter=True).count() >= 0
+
+
+def test_incremental_probe_joins_on_band_bucket(spark, sf_dir):
+    """The new-batch probe must be an equi-join on (band, bucket) against
+    the reloaded index — never a nested-loop comparison, never a join on
+    band alone (band has only 4 values; bucket is the high-cardinality
+    key that bounds bucket work)."""
+    df = QS["minhash_incremental_probe"](spark, sf_dir)
+    assert not P.has_node(df, "BroadcastNestedLoopJoin")
+    plan = P.physical_plan(df)
+    join_lines = [
+        ln for ln in plan.splitlines()
+        if "HashJoin" in ln or "SortMergeJoin" in ln
+    ]
+    assert join_lines and any("bucket" in ln for ln in join_lines), plan
+
+
+def test_corrupt_quarantine_single_aggregate(spark, sf_dir):
+    """Quarantine ingest is a per-row parse + ONE partial+final fold —
+    any extra exchange means the malformed-handling added a shuffle it
+    doesn't need."""
+    df = QS["corrupt_jsonl_quarantine"](spark, sf_dir)
+    assert P.exchange_count(df) == 1

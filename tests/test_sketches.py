@@ -201,3 +201,31 @@ def test_hll_daily_state_merge_equals_direct_build(spark, sf_dir):
             .collect()
         }
         assert merged == direct and merged, cutoff
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=(1 << 32) - 1))
+def test_hll_rho_bit_arithmetic_matches_reference(v):
+    """The engine computes rho (leading-zeros+1 of the register payload)
+    as `W+1 - length(bin(w))` string arithmetic so Spark and DuckDB agree
+    bit-for-bit; this checks that formula against a direct Python
+    bit-scan reference over the full 32-bit hash domain."""
+    from big_data_medical_analysis_spark.operators.sketches import (
+        HLL_W_BITS,
+    )
+
+    w = v % (1 << HLL_W_BITS)
+    engine_rho = (
+        HLL_W_BITS + 1 if w == 0 else HLL_W_BITS + 1 - len(bin(w)[2:])
+    )
+    # reference: position of the first 1-bit scanning from the MSB of the
+    # W-bit payload (rho = leading zeros + 1; all-zero payload -> W+1)
+    ref = HLL_W_BITS + 1
+    for i in range(HLL_W_BITS - 1, -1, -1):
+        if w >> i & 1:
+            ref = HLL_W_BITS - i
+            break
+    assert engine_rho == ref
