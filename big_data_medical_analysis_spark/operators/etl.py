@@ -1032,6 +1032,32 @@ FROM orders
 """
 
 
+CORRUPT_JSONL_FIELDS = (
+    ("k", "long"),
+    ("pc", "long"),
+    ("_corrupt_record", "string"),
+)
+
+
+def corrupt_jsonl_dir(sf_dir: str) -> str:
+    """Per-user, per-sf location of the malformed-batch fixture — shared
+    with tests so the path/tag can never drift between the query and its
+    quarantine-content assertions."""
+    return os.path.join(
+        per_user_tmpdir("spark_graft_corrupt_jsonl"),
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+
+
+def corrupt_jsonl_schema():
+    from pyspark.sql import types as T
+
+    typemap = {"long": T.LongType(), "string": T.StringType()}
+    return T.StructType(
+        [T.StructField(n, typemap[t]) for n, t in CORRUPT_JSONL_FIELDS]
+    )
+
+
 @register(
     "corrupt_jsonl_quarantine",
     oracle=_CORRUPT_QUARANTINE_SQL,
@@ -1060,17 +1086,9 @@ def corrupt_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB backfill at 99.999% health, never DROPMALFORMED (silent
     loss).
     """
-    from pyspark.sql import types as T
+    from big_data_medical_analysis_spark.operators.common import cents
 
-    from big_data_medical_analysis_spark.operators.common import (
-        cents,
-        per_user_tmpdir,
-    )
-
-    out_dir = os.path.join(
-        per_user_tmpdir("spark_graft_corrupt_jsonl"),
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
+    out_dir = corrupt_jsonl_dir(sf_dir)
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
@@ -1089,15 +1107,8 @@ def corrupt_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value")
     )
     lines.write.mode("overwrite").text(out_dir)
-    schema = T.StructType(
-        [
-            T.StructField("k", T.LongType()),
-            T.StructField("pc", T.LongType()),
-            T.StructField("_corrupt_record", T.StringType()),
-        ]
-    )
     back = (
-        spark.read.schema(schema)
+        spark.read.schema(corrupt_jsonl_schema())
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(out_dir)

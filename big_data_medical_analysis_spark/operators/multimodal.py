@@ -45,8 +45,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from big_data_medical_analysis_spark.operators.common import fan_out
 from big_data_medical_analysis_spark.operators.common import (
+    fan_out,
     per_user_tmpdir,
 )
 from big_data_medical_analysis_spark.registry import register

@@ -542,14 +542,25 @@ def make_hll_state_merger(state_dir: str):
     bookkeeping the row-appending sink needs. The swap is
     write-new-then-replace (never read+overwrite one path in a single
     job — the lazy read would see its own deletes): new state lands in a
-    staging dir, then atomically replaces the current table.
+    staging dir, then replaces the current table.
+
+    The two-rename swap is NOT atomic, so every merge begins with
+    RECOVERY over the swap's crash windows (review r9 — without this, a
+    crash between the renames lost the whole accumulated table on
+    replay, and a crash before the leftover cleanup wedged the stream on
+    ENOTEMPTY): if ``current`` is missing, promote the newest COMPLETE
+    staging table (parquet ``_SUCCESS`` marker — a half-written staging
+    is never trusted) or else restore the displaced ``old_*`` copy; then
+    delete every leftover ``staging_*``/``old_*``. Re-merging a batch
+    against recovered post-merge state is exactly the idempotent case.
 
     Scale: per-batch work is one (day, register) partial aggregate over
     the batch plus a merge against a table bounded by days × m registers
     — KBs; the raw events are never re-read. The same shape runs on a
-    cluster with a transactional table format replacing the directory
-    swap.
+    cluster with a transactional table format (commit replaces the
+    swap+recovery entirely).
     """
+    import glob
     import os
     import shutil
 
@@ -557,10 +568,26 @@ def make_hll_state_merger(state_dir: str):
         daily_event_registers,
     )
 
+    cur_dir = os.path.join(state_dir, "current")
+
+    def _recover() -> None:
+        stagings = sorted(glob.glob(os.path.join(state_dir, "staging_*")))
+        olds = sorted(glob.glob(os.path.join(state_dir, "old_*")))
+        if not os.path.exists(cur_dir):
+            done = [s for s in stagings
+                    if os.path.exists(os.path.join(s, "_SUCCESS"))]
+            if done:
+                os.replace(done[-1], cur_dir)
+            elif olds:
+                os.replace(olds[-1], cur_dir)
+        for d in stagings + olds:
+            if os.path.exists(d):
+                shutil.rmtree(d)
+
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _recover()
         new = daily_event_registers(batch_df)
-        cur_dir = os.path.join(state_dir, "current")
         if os.path.exists(cur_dir):
             cur = spark.read.parquet(cur_dir)
             new = (

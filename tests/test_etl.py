@@ -325,33 +325,18 @@ def test_corrupt_quarantine_preserves_raw_lines(spark, sf_dir):
     corrupt column (that is what makes a dead-letter sink debuggable):
     every quarantined line is exactly the truncated prefix the writer
     emitted, and no parseable line is quarantined."""
-    import os
-
     from pyspark.sql import functions as F
-    from pyspark.sql import types as T
 
     from big_data_medical_analysis_spark.operators.etl import (
+        corrupt_jsonl_dir,
         corrupt_jsonl_quarantine,
+        corrupt_jsonl_schema,
     )
 
     corrupt_jsonl_quarantine(spark, sf_dir)  # materializes the batch dir
-    from big_data_medical_analysis_spark.operators.common import (
-        per_user_tmpdir,
-    )
-
-    out_dir = os.path.join(
-        per_user_tmpdir("spark_graft_corrupt_jsonl"),
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
-    schema = T.StructType(
-        [
-            T.StructField("k", T.LongType()),
-            T.StructField("pc", T.LongType()),
-            T.StructField("_corrupt_record", T.StringType()),
-        ]
-    )
+    out_dir = corrupt_jsonl_dir(sf_dir)
     back = (
-        spark.read.schema(schema)
+        spark.read.schema(corrupt_jsonl_schema())
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(out_dir)

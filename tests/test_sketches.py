@@ -184,7 +184,14 @@ def test_hll_daily_state_merge_equals_direct_build(spark, sf_dir):
         (F.col("v") / F.lit(1 << HLL_W_BITS)).cast("long").alias("register"),
         rho.alias("rho"),
     )
-    daily = reg.groupBy("day", "register").agg(F.max("rho").alias("rho"))
+    # the per-day table comes from the PRODUCTION builder, so this pin
+    # tracks the real recipe; only the ungrouped `reg` reference stays
+    # inline as the direct-build comparison input
+    from big_data_medical_analysis_spark.operators.sketches import (
+        daily_event_registers,
+    )
+
+    daily = daily_event_registers(ev)
     for cutoff in ("2024-01-08", "2024-01-20"):
         merged = {
             (r.register, r.rho)

@@ -500,3 +500,59 @@ def test_hll_state_stream_matches_batch_and_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(cur).collect()
     }
     assert again == streamed
+
+
+def test_hll_state_merger_recovers_both_crash_windows(spark, tmp_path):
+    """The two-rename state swap is not atomic; the merger's entry-time
+    recovery must survive BOTH crash windows (review r9): (a) death
+    between the renames — `current` gone, the displaced `old_*` copy and
+    a complete `staging_*` both on disk — must NOT lose accumulated
+    state on replay; (b) death after the swap but before leftover
+    cleanup — a stale non-empty `old_*` — must not wedge the next merge
+    with ENOTEMPTY."""
+    import shutil
+
+    state = str(tmp_path / "crash_state")
+    os.makedirs(state)
+
+    def ev_df(rows):
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts_s string, user_id long",
+        ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts")
+
+    day1 = [(i, "2024-01-01 01:00:00", i) for i in range(30)]
+    day2 = [(100 + i, "2024-01-02 01:00:00", i) for i in range(30)]
+    merger = SW.make_hll_state_merger(state)
+    merger(ev_df(day1), 0)
+    cur = os.path.join(state, "current")
+    baseline = {
+        (r.day, r.register, r.rho) for r in spark.read.parquet(cur).collect()
+    }
+
+    # window (a): batch 1 wrote staging + displaced current, died pre-swap
+    merger(ev_df(day2), 1)  # produce the real post-batch-1 state first
+    spark.catalog.refreshByPath(cur)
+    full = {
+        (r.day, r.register, r.rho) for r in spark.read.parquet(cur).collect()
+    }
+    shutil.copytree(cur, os.path.join(state, "staging_1"))  # complete (_SUCCESS)
+    os.replace(cur, os.path.join(state, "old_1"))  # current is now MISSING
+    merger(ev_df(day2), 1)  # redelivery
+    spark.catalog.refreshByPath(cur)
+    recovered = {
+        (r.day, r.register, r.rho) for r in spark.read.parquet(cur).collect()
+    }
+    assert recovered == full  # nothing lost, replay idempotent
+    assert not os.path.exists(os.path.join(state, "old_1"))
+    assert not os.path.exists(os.path.join(state, "staging_1"))
+
+    # window (b): stale non-empty old_2 left behind after a completed swap
+    shutil.copytree(cur, os.path.join(state, "old_2"))
+    merger(ev_df(day2), 2)  # must not raise ENOTEMPTY
+    spark.catalog.refreshByPath(cur)
+    again = {
+        (r.day, r.register, r.rho) for r in spark.read.parquet(cur).collect()
+    }
+    assert again == full
+    assert baseline <= full  # day1 state never disappeared along the way
