@@ -75,6 +75,7 @@ COHORTS: dict[str, list[str]] = {
         "bigram_pmi_collocations",
         "zipf_rank_frequency",
         "comparator_sorted_tokens",
+        "source_mixture_weights",
     ],
     "streaming_batch": [
         "tumbling_event_counts",

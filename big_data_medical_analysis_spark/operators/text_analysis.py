@@ -1218,3 +1218,81 @@ def comparator_sorted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.array_join(cmp_sorted, " ").alias("by_len_then_lex")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixture weights (round 9)
+# ---------------------------------------------------------------------------
+
+MIXTURE_EPOCH = 10_000  # samples per "epoch" for the expected-count column
+
+_MIXTURE_SQL = f"""
+WITH per_source AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+weighted AS (
+  SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000)
+                 AS BIGINT) AS w_micro
+  FROM per_source
+),
+tot AS (SELECT CAST(sum(w_micro) AS BIGINT) AS total_micro FROM weighted)
+SELECT source, n_docs, n_tokens,
+       round(CAST(w_micro AS DOUBLE) / total_micro, 6) AS mix_share,
+       CAST(round({MIXTURE_EPOCH}.0 * w_micro / total_micro) AS BIGINT)
+         AS expected_per_epoch
+FROM weighted, tot
+"""
+
+
+@register("source_mixture_weights", oracle=_MIXTURE_SQL, category="text")
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data-mixture weights per source — the sampling
+    schedule every multi-source LLM training run needs: raw proportional
+    sampling lets the largest corpus drown the rest, so sources are
+    sampled with probability ∝ n^α (α = 1/2 here, the multilingual
+    up-sampling temperature family): smaller sources are up-weighted,
+    larger ones capped. Output per source: exact doc/token counts, the
+    normalized mixture share, and the expected draw count in a
+    {MIXTURE_EPOCH}-sample epoch.
+
+    Cross-engine exactness for a formula with an irrational weight
+    (sqrt(n_tokens)): the weight is quantized to int64 MICRO-units
+    immediately after the single IEEE sqrt (identical on both engines),
+    the normalizer is an exact integer sum of those micro-weights, and
+    each output is ONE rounded division — the same convention as every
+    money aggregate, extended to a sampling-weight computation.
+
+    Scale: one map-side-combinable aggregate over (source) — the state is
+    source-cardinality-bounded; the token count rides the same scan. The
+    weights table is then dimension-sized input for a weighted sampler
+    (``weighted_sample_docs`` is the corpus-side mechanism it feeds).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    weighted = per_source.withColumn(
+        "w_micro",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")) * 1_000_000)
+        .cast("long"),
+    )
+    tot = weighted.agg(F.sum("w_micro").cast("long").alias("total_micro"))
+    return weighted.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("w_micro").cast("double") / F.col("total_micro"), 6
+        ).alias("mix_share"),
+        F.round(
+            F.lit(float(MIXTURE_EPOCH))
+            * F.col("w_micro")
+            / F.col("total_micro")
+        )
+        .cast("long")
+        .alias("expected_per_epoch"),
+    )
