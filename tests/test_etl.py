@@ -352,3 +352,30 @@ def test_corrupt_quarantine_preserves_raw_lines(spark, sf_dir):
     good = back.filter(F.col("_corrupt_record").isNull())
     assert good.filter(F.col("k").isNull()).count() == 0
     back.unpersist()
+
+
+def test_mixture_weights_normalize_and_temper(spark, sf_dir):
+    """Mixture invariants the oracle's value-hash can't express as
+    intent: shares form a distribution (sum ≈ 1, all positive), expected
+    epoch counts sum to ≈ the epoch size, and the α=1/2 temperature
+    actually tempers — every source's share sits between uniform and
+    proportional-to-tokens (up-weighting small sources, capping large
+    ones)."""
+    from big_data_medical_analysis_spark.operators.text_analysis import (
+        MIXTURE_EPOCH,
+        source_mixture_weights,
+    )
+
+    rows = source_mixture_weights(spark, sf_dir).collect()
+    n_sources = len(rows)
+    assert n_sources >= 2
+    total_share = sum(r.mix_share for r in rows)
+    assert abs(total_share - 1.0) < 1e-4
+    assert abs(sum(r.expected_per_epoch for r in rows) - MIXTURE_EPOCH) <= n_sources
+    total_tokens = sum(r.n_tokens for r in rows)
+    uniform = 1.0 / n_sources
+    for r in rows:
+        assert r.mix_share > 0
+        prop = r.n_tokens / total_tokens
+        lo, hi = sorted((uniform, prop))
+        assert lo - 1e-6 <= r.mix_share <= hi + 1e-6, (r.source, r.mix_share, lo, hi)
