@@ -1508,3 +1508,112 @@ def minhash_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("index_doc_id").alias("min_index_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplicate attribution matrix (round 9)
+# ---------------------------------------------------------------------------
+
+_SRC_DUP_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         {', '.join(_pmh_component_sql(j) for j in range(PMH_BANDS * PMH_ROWS_PER_BAND))}
+  FROM tok
+),
+banded AS (
+  {' UNION ALL '.join(_pmh_bucket_sql(b) for b in range(PMH_BANDS))}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+attributed AS (
+  SELECT least(da.source, db.source) AS src_a,
+         greatest(da.source, db.source) AS src_b,
+         p.doc_a, p.doc_b
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.doc_a
+  JOIN documents db ON db.doc_id = p.doc_b
+)
+SELECT src_a, src_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT doc_a) + count(DISTINCT doc_b) AS BIGINT)
+         AS n_docs_implicated,
+       min(doc_a) AS first_doc
+FROM attributed
+GROUP BY src_a, src_b
+"""
+
+
+@register("intersource_dup_matrix", oracle=_SRC_DUP_SQL, category="dedup")
+def intersource_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate ATTRIBUTION: which sources duplicate which — the
+    governance view a pretraining pipeline builds right after near-dup
+    detection, because the remedy differs by pair (two crawls of the same
+    site -> drop one source; a curated set leaking into a crawl -> keep
+    curated, de-prioritize crawl; self-pairs measure within-source
+    redundancy that mixture weighting (``source_mixture_weights``) should
+    discount). Pairs come from the portable md5 MinHash bands (same
+    {PMH_BANDS}x{PMH_ROWS_PER_BAND} geometry as
+    ``minhash_portable_groups``, so the matrix is consistent with the
+    dedup tier it audits); each distinct colliding pair is attributed to
+    its unordered source pair and aggregated into a src_a <= src_b
+    matrix: pair count, docs implicated per side (summed over the
+    canonical orientation), and a deterministic first-doc anchor.
+
+    Scale: banding is O(N x bands) into a (band, bucket) equi-join —
+    never all-pairs, pair volume is bounded by bucket sizes exactly as in
+    the dedup tier. The banded table is derived ONCE
+    (checkpoint_pinned) and self-joined; source attribution is a key
+    join against the narrow (doc_id, source) projection, and the final
+    matrix is at most |sources|^2 rows — driver-side tiny at any corpus
+    size. At 100 TB the same matrix is the input to source-level
+    dedup policy (drop/keep lists), so it must not sample: every
+    colliding pair is counted exactly.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    banded = checkpoint_pinned(pmh_banded_buckets(docs))
+    left = banded.select(
+        F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_a")
+    )
+    right = banded.select(
+        F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_b")
+    )
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    src = docs.select("doc_id", "source")
+    attributed = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+            "doc_a",
+            "doc_b",
+        )
+    )
+    return attributed.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.countDistinct("doc_a") + F.countDistinct("doc_b")).alias(
+            "n_docs_implicated"
+        ),
+        F.min("doc_a").alias("first_doc"),
+    )

@@ -1061,3 +1061,279 @@ def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_label",
         (F.col("anchor_label") == F.col("neg_label")).alias("same_label"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ANN: persisted sign-LSH index probed by a new batch (round 9)
+# ---------------------------------------------------------------------------
+
+# L tables x B sign bits. Near-random 64-dim corpus => each bit is ~fair,
+# so a random pair collides in a given table with p ~= 2^-B = 1/256 while a
+# cos=0.5 pair collides with ((1 - acos(.5)/pi))^B ~= (2/3)^8 ~= 4%/table,
+# ~20% across 6 tables — a real selectivity gap at the corpus's cosine
+# spread. Hyperplanes are a seeded ±1 matrix embedded as LITERALS in both
+# engines (the rp_sign_matrix discipline), so bucket ids are bit-identical
+# and the query carries a FULL value oracle.
+ANN_LSH_TABLES = 6
+ANN_LSH_BITS = 8
+ANN_LSH_SEED = 524287
+
+# Probe/index split: every 10th vector is the "new batch".
+_ANN_PROBE = "vec_id % 10 = 0"
+_ANN_INDEX = "vec_id % 10 <> 0"
+
+
+def ann_sign_matrix() -> list[list[int]]:
+    """(ANN_LSH_TABLES*ANN_LSH_BITS) x RP_IN_DIM ±1 hyperplane matrix,
+    drawn once from a fixed-seed PRNG — table t owns rows
+    [t*B, (t+1)*B)."""
+    import random
+
+    rng = random.Random(ANN_LSH_SEED)
+    return [
+        [rng.choice((-1, 1)) for _ in range(RP_IN_DIM)]
+        for _ in range(ANN_LSH_TABLES * ANN_LSH_BITS)
+    ]
+
+
+def _ann_bucket_mapper():
+    """mapInPandas closure: (vec_id, embedding) -> L rows (vec_id, tbl,
+    bucket). int64-scaled components, exact integer dots; bit r of table
+    t's bucket is [dot(iv, plane[t*B+r]) >= 0]."""
+    import numpy as np
+    import pandas as pd
+
+    planes_t = np.array(ann_sign_matrix(), dtype=np.int64).T  # IN x (L*B)
+    weights = (1 << np.arange(ANN_LSH_BITS, dtype=np.int64))
+
+    def _buckets(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            s = mat * float(_SCALE)
+            iv = np.copysign(np.floor(np.abs(s) + 0.5), s).astype(np.int64)
+            bits = (iv @ planes_t) >= 0  # N x (L*B) booleans
+            bkt = (
+                bits.reshape(len(pdf), ANN_LSH_TABLES, ANN_LSH_BITS)
+                .astype(np.int64)
+                @ weights
+            )  # N x L bucket ints
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), ANN_LSH_TABLES),
+                    "tbl": np.tile(
+                        np.arange(ANN_LSH_TABLES, dtype=np.int32), n
+                    ),
+                    "bucket": bkt.reshape(-1),
+                }
+            )
+
+    return _buckets
+
+
+def ann_lsh_buckets(emb: DataFrame) -> DataFrame:
+    """(vec_id, tbl int, bucket long): L bucket rows per vector on the
+    seeded sign-LSH family. One Arrow-batched pass, no shuffle."""
+    return fan_out(emb.select("vec_id", "embedding"), "vec_id").mapInPandas(
+        _ann_bucket_mapper(), "vec_id long, tbl int, bucket long"
+    )
+
+
+def ann_index_dir(sf_dir: str) -> str:
+    """Per-user, per-sf location of the persisted LSH index (table-
+    partitioned parquet) — same squat-proof root discipline as
+    dedup.pmh_index_dir."""
+    import os
+
+    from big_data_medical_analysis_spark.operators.common import (
+        per_user_tmpdir,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(per_user_tmpdir("spark_graft_ann_index"), tag)
+
+
+def _ann_bucket_sql_cols() -> list[str]:
+    planes = ann_sign_matrix()
+    cols = []
+    for t in range(ANN_LSH_TABLES):
+        bits = []
+        for r in range(ANN_LSH_BITS):
+            signs = "[" + ", ".join(
+                str(s) for s in planes[t * ANN_LSH_BITS + r]
+            ) + "]"
+            bits.append(
+                "(CASE WHEN list_sum(list_transform(list_zip(iv, "
+                f"{signs}), z -> z[1] * z[2])) >= 0 THEN {1 << r} ELSE 0 END)"
+            )
+        cols.append("(" + " + ".join(bits) + f") AS b{t}")
+    return cols
+
+
+def _ann_incr_sql() -> str:
+    bucket_cols = ",\n         ".join(_ann_bucket_sql_cols())
+    banded = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, b{t} AS bucket FROM sig"
+        for t in range(ANN_LSH_TABLES)
+    )
+    return f"""
+WITH scaled AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x::DOUBLE * {_SCALE}) AS BIGINT))
+           AS iv
+  FROM embeddings
+),
+sig AS (
+  SELECT vec_id, iv,
+         {bucket_cols}
+  FROM scaled
+),
+banded AS (
+  {banded}
+),
+hits AS (
+  SELECT p.vec_id AS probe_id, i.vec_id AS cand_id, p.tbl
+  FROM banded p JOIN banded i ON p.tbl = i.tbl AND p.bucket = i.bucket
+  WHERE p.{_ANN_PROBE} AND i.{_ANN_INDEX}
+),
+stats AS (
+  SELECT probe_id,
+         CAST(count(DISTINCT tbl) AS BIGINT) AS n_tables_hit,
+         CAST(count(DISTINCT cand_id) AS BIGINT) AS n_candidates
+  FROM hits GROUP BY probe_id
+),
+pairs AS (
+  SELECT DISTINCT probe_id, cand_id FROM hits
+),
+normed AS (
+  SELECT vec_id, iv,
+         list_sum(list_transform(iv, x -> x * x)) AS n2
+  FROM scaled
+),
+scored AS (
+  SELECT pr.probe_id, pr.cand_id,
+         round(
+           CAST(list_sum(list_transform(list_zip(p.iv, c.iv),
+                                        z -> z[1] * z[2])) AS DOUBLE)
+           / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))), 6)
+           AS cos_sim
+  FROM pairs pr
+  JOIN normed p ON p.vec_id = pr.probe_id
+  JOIN normed c ON c.vec_id = pr.cand_id
+),
+best AS (
+  SELECT probe_id, cand_id AS best_cand_id, cos_sim AS best_cos
+  FROM (
+    SELECT *, row_number() OVER (
+             PARTITION BY probe_id ORDER BY cos_sim DESC, cand_id) AS rnk
+    FROM scored
+  ) WHERE rnk = 1
+)
+SELECT s.probe_id, s.n_tables_hit, s.n_candidates, b.best_cand_id, b.best_cos
+FROM stats s JOIN best b ON b.probe_id = s.probe_id
+"""
+
+
+@register("ann_incremental_probe", oracle=_ann_incr_sql(), category="similarity")
+def ann_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION ANN shape — the similarity-pillar twin of
+    ``minhash_incremental_probe`` and ``hll_incremental_daily``: a
+    persisted LSH index over the existing corpus, probed by each NEW
+    ingest batch, instead of re-indexing everything per batch. Every
+    other ANN operator here (brute force, IVF, BRP-LSH) indexes and
+    queries one static table; a real 100 TB embedding store ingests
+    continuously, and this operator is the batch-vs-index join that
+    amortizes the index build.
+
+    The 90% index slice ({_ANN_INDEX}) is bucketed on a seeded
+    {ANN_LSH_TABLES}-table x {ANN_LSH_BITS}-bit sign-LSH family
+    (hyperplanes are literal ±1 matrices on both engines — the
+    ``rp_sign_matrix`` portability discipline, so bucket ids carry a FULL
+    value oracle, unlike the engine-RNG ``ann_brp_lsh`` tier), written as
+    table-partitioned parquet, and read BACK; the 10% "new batch"
+    ({_ANN_PROBE}) buckets itself and probes with a (tbl, bucket)
+    equi-join. Candidates are then scored EXACTLY (int64 dot / sqrt-norm
+    cosine) by joining vectors back by key, and ranked per probe with
+    deterministic ties (cos DESC, cand_id). Output per colliding probe:
+    tables hit, distinct candidates, and the best candidate with its
+    cosine — a green row proves the parquet persist/reload of the index
+    lost nothing.
+
+    Scale: batch cost is O(batch x L) bucketing (one Arrow matmul pass,
+    no shuffle) + an equi-join that touches only matching (tbl, bucket)
+    partitions + a key-join to fetch candidate vectors — the index's
+    vectors are never re-scanned wholesale. At 100 TB the index table
+    would be bucketBy(bucket) so probes co-locate without shuffling the
+    index, and batches APPEND their bucket rows after probing (same
+    state-table pattern as the dedup twin). Candidate volume is bounded
+    by table geometry (E[random collisions] ~= N*L/2^B per probe), not
+    corpus size; raising B trades recall for candidates exactly as in
+    production LSH tuning.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    out_dir = ann_index_dir(sf_dir)
+    ann_lsh_buckets(emb.filter(F.expr(_ANN_INDEX))).write.mode(
+        "overwrite"
+    ).partitionBy("tbl").parquet(out_dir)
+    index = (
+        spark.read.parquet(out_dir)
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("tbl").cast("int").alias("tbl"),
+            "bucket",
+        )
+    )
+    probe = ann_lsh_buckets(emb.filter(F.expr(_ANN_PROBE))).select(
+        F.col("vec_id").alias("probe_id"), "tbl", "bucket"
+    )
+    hits = checkpoint_pinned(probe.join(index, ["tbl", "bucket"]))
+    stats = hits.groupBy("probe_id").agg(
+        F.countDistinct("tbl").alias("n_tables_hit"),
+        F.countDistinct("cand_id").alias("n_candidates"),
+    )
+    normed = emb.select(
+        "vec_id", "embedding", int_norm2("embedding").alias("n2")
+    )
+    pairs = hits.select("probe_id", "cand_id").distinct()
+    scored = (
+        pairs.join(
+            normed.select(
+                F.col("vec_id").alias("probe_id"),
+                F.col("embedding").alias("p_emb"),
+                F.col("n2").alias("p_n2"),
+            ),
+            "probe_id",
+        )
+        .join(
+            normed.select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("embedding").alias("c_emb"),
+                F.col("n2").alias("c_n2"),
+            ),
+            "cand_id",
+        )
+        .select(
+            "probe_id",
+            "cand_id",
+            cosine(
+                int_dot("p_emb", "c_emb"), F.col("p_n2"), F.col("c_n2")
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    best = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "probe_id",
+            F.col("cand_id").alias("best_cand_id"),
+            F.col("cos_sim").alias("best_cos"),
+        )
+    )
+    return stats.join(best, "probe_id").select(
+        "probe_id", "n_tables_hit", "n_candidates", "best_cand_id", "best_cos"
+    )

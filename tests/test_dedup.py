@@ -389,3 +389,35 @@ def test_incremental_probe_union_reconstructs_whole_corpus_groups(spark, sf_dir)
                 assert d in out_rows, (key, d)
                 assert out_rows[d].min_index_doc <= min(idx_m)
     banded.unpersist()
+
+
+def test_intersource_matrix_accounts_for_every_colliding_pair(spark, sf_dir):
+    """The attribution matrix must be a PARTITION of the distinct
+    colliding pairs: total n_pairs equals an independent pair recount
+    from the banded buckets, every cell is canonically oriented
+    (src_a <= src_b), and per-cell doc counts are bounded by pair
+    counts."""
+    docs = read_table(spark, sf_dir, "documents")
+    banded = D.pmh_banded_buckets(docs).collect()
+    by_bucket = {}
+    for r in banded:
+        by_bucket.setdefault((r.band, r.bucket), set()).add(r.doc_id)
+    all_pairs = set()
+    for members in by_bucket.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                all_pairs.add((ms[i], ms[j]))
+    src = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    expected_cells = {}
+    for a, b in all_pairs:
+        key = tuple(sorted((src[a], src[b])))
+        expected_cells[key] = expected_cells.get(key, 0) + 1
+
+    rows = D.intersource_dup_matrix(spark, sf_dir).collect()
+    assert sum(r.n_pairs for r in rows) == len(all_pairs)
+    got_cells = {(r.src_a, r.src_b): r.n_pairs for r in rows}
+    assert got_cells == expected_cells
+    for r in rows:
+        assert r.src_a <= r.src_b
+        assert 2 <= r.n_docs_implicated <= 2 * r.n_pairs

@@ -227,3 +227,60 @@ def test_kmeans_lloyd_matches_numpy_replay(spark, sf_dir):
             gcm, gn = got[cl][d]
             assert gn == n
             assert gcm == cm[d], (cl, d, gcm, cm[d])
+
+
+def test_ann_incremental_probe_matches_numpy_replay(spark, sf_dir):
+    """Full independent replay of the persisted-index LSH probe in numpy:
+    buckets, probe-vs-index collisions, per-probe candidate sets, and the
+    exact-cosine best candidate must all agree with the Spark output —
+    including that reading the index BACK from parquet lost nothing."""
+    import numpy as np
+
+    emb_rows = (
+        read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in emb_rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in emb_rows])
+    s = mat * 1_000_000.0
+    iv = np.copysign(np.floor(np.abs(s) + 0.5), s).astype(np.int64)
+    planes_t = np.array(S.ann_sign_matrix(), dtype=np.int64).T
+    bits = (iv @ planes_t) >= 0
+    weights = 1 << np.arange(S.ANN_LSH_BITS, dtype=np.int64)
+    bkt = (
+        bits.reshape(len(ids), S.ANN_LSH_TABLES, S.ANN_LSH_BITS).astype(np.int64)
+        @ weights
+    )  # N x L
+    by_id = {int(v): i for i, v in enumerate(ids)}
+    probe_ids = [int(v) for v in ids if v % 10 == 0]
+    index_ids = [int(v) for v in ids if v % 10 != 0]
+    expected = {}
+    for p in probe_ids:
+        tbls, cands = set(), set()
+        for t in range(S.ANN_LSH_TABLES):
+            pb = bkt[by_id[p], t]
+            for c in index_ids:
+                if bkt[by_id[c], t] == pb:
+                    tbls.add(t)
+                    cands.add(c)
+        if not cands:
+            continue
+        best = None
+        for c in sorted(cands):
+            dot = int((iv[by_id[p]] * iv[by_id[c]]).sum())
+            n2p = float((iv[by_id[p]] ** 2).sum())
+            n2c = float((iv[by_id[c]] ** 2).sum())
+            cos = round(dot / (np.sqrt(n2p) * np.sqrt(n2c)), 6)
+            if best is None or cos > best[1]:
+                best = (c, cos)
+        expected[p] = (len(tbls), len(cands), best[0], best[1])
+
+    got = {
+        r.probe_id: (r.n_tables_hit, r.n_candidates, r.best_cand_id, r.best_cos)
+        for r in S.ann_incremental_probe(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for p, exp in expected.items():
+        assert got[p][:3] == exp[:3], (p, got[p], exp)
+        assert abs(got[p][3] - exp[3]) < 2e-6, (p, got[p], exp)
