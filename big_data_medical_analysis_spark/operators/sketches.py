@@ -21,7 +21,7 @@ sketch, never shuffling the keys being estimated.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_medical_analysis_spark.registry import register
@@ -755,5 +755,223 @@ def hll_incremental_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_distinct",
         F.round(
             F.abs(estv - F.col("exact_distinct")) / F.col("exact_distinct"), 4
+        ).alias("rel_error"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental daily histogram state → range quantiles (round 9)
+# ---------------------------------------------------------------------------
+
+# $5 integer-cent bins over events.value (observed range ~[0, 491)): at most
+# ~99 live bins per day, so the state table is days × bins rows — bytes.
+HIST_BIN_CENTS = 500
+# Quantile levels as integer per-mille so the target-rank arithmetic is
+# exact integer math in both engines: k = (q_pm·n + 999) // 1000.
+HIST_QS_PM = (500, 900, 990)
+
+_HIST_QS_DUCK = ", ".join(str(q) for q in HIST_QS_PM)
+
+_HIST_DAILY_SQL = f"""
+WITH vals AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+state AS (
+  SELECT day, vc // {HIST_BIN_CENTS} AS bin, CAST(count(*) AS BIGINT) AS cnt
+  FROM vals GROUP BY 1, 2
+),
+scoped AS (
+  SELECT {_HLL_DAILY_SCOPE_DUCK} AS scope, bin, cnt FROM state
+  UNION ALL
+  SELECT 'ALL', bin, cnt FROM state
+),
+merged AS (
+  SELECT scope, bin, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM scoped GROUP BY 1, 2
+),
+cum AS (
+  SELECT scope, bin, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY scope ORDER BY bin) AS BIGINT)
+           AS cum
+  FROM merged
+),
+totals AS (
+  SELECT scope, CAST(sum(cnt) AS BIGINT) AS n FROM merged GROUP BY 1
+),
+targets AS (
+  SELECT scope, n, q_pm, (q_pm * n + 999) // 1000 AS k
+  FROM totals, (SELECT unnest([{_HIST_QS_DUCK}]) AS q_pm)
+),
+est AS (
+  SELECT t.scope, t.q_pm, t.n,
+         round((c.bin * {HIST_BIN_CENTS}
+                + {HIST_BIN_CENTS}.0 * (t.k - (c.cum - c.cnt)) / c.cnt)
+               / 100.0, 4) AS est_value
+  FROM targets t
+  JOIN cum c ON c.scope = t.scope AND c.cum >= t.k AND c.cum - c.cnt < t.k
+),
+svals AS (
+  SELECT {_HLL_DAILY_SCOPE_DUCK} AS scope, vc FROM vals
+  UNION ALL
+  SELECT 'ALL', vc FROM vals
+),
+ranked AS (
+  SELECT scope, vc,
+         row_number() OVER (PARTITION BY scope ORDER BY vc) AS rn
+  FROM svals
+),
+exact AS (
+  SELECT t.scope, t.q_pm, round(CAST(r.vc AS DOUBLE) / 100, 2) AS exact_value
+  FROM targets t JOIN ranked r ON r.scope = t.scope AND r.rn = t.k
+)
+SELECT e.scope, e.q_pm, e.n, e.est_value, x.exact_value,
+       round(abs(e.est_value - x.exact_value) / x.exact_value, 4) AS rel_error
+FROM est e JOIN exact x ON x.scope = e.scope AND x.q_pm = e.q_pm
+"""
+
+
+def daily_value_histogram(ev: DataFrame) -> DataFrame:
+    """(day, bin, cnt) fixed-width integer-cent histogram state rows for an
+    events-shaped frame — the per-day builder for the incremental
+    quantile query below; one map-side-combinable aggregate."""
+    from big_data_medical_analysis_spark.operators.common import cents, date_str
+
+    return (
+        ev.select(
+            date_str("ts").alias("day"),
+            (cents("value") / F.lit(HIST_BIN_CENTS)).cast("long").alias("bin"),
+        )
+        .groupBy("day", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_state_dir(sf_dir: str) -> str:
+    """Per-user, per-sf location of the persisted daily histogram state
+    table (squat-proof root, same discipline as hll_state_dir)."""
+    import os
+
+    from big_data_medical_analysis_spark.operators.common import (
+        per_user_tmpdir,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(per_user_tmpdir("spark_graft_hist_state"), tag)
+
+
+@register(
+    "histogram_incremental_daily", oracle=_HIST_DAILY_SQL, category="sketch"
+)
+def histogram_incremental_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range QUANTILES from a per-day histogram STATE TABLE — the third
+    mergeable-state instance next to ``hll_incremental_daily`` (distinct
+    counts) and ``minhash_incremental_probe`` (dedup): each ingest day
+    appends its own fixed-width bin counts ({HIST_BIN_CENTS}-cent bins
+    over ``events.value``), persisted as day-partitioned parquet, and any
+    date-range quantile query merges just the matching day partitions by
+    summing bin counts — never re-touching raw events. Unlike a GK/t-digest
+    sketch, fixed bins merge EXACTLY (sum is associative/commutative), so
+    the state is redelivery-safe under the same foreachBatch fold as the
+    HLL table.
+
+    The state is built, written, read BACK, merged at week-of-month
+    scopes plus ALL, and p50/p90/p99 are interpolated inside the target
+    bin with pure integer rank arithmetic (k = (q_pm·n+999)//1000,
+    per-mille levels — no engine-specific percentile definition). The
+    exact twin re-ranks raw values only because the oracle reports
+    rel_error against the truth; a production rollup serves the estimate
+    alone (error bound: bin width / 2 ≈ ${HIST_BIN_CENTS // 200}).
+
+    Scale: the daily build is one map-side-combinable (day, bin)
+    aggregate; merged state per scope is ≤ ~100 bins, so the cum-sum
+    window and the target-bin join run on driver-side-tiny frames no
+    matter the corpus size. The exact twin's per-scope global sort is the
+    oracle-truth side only, disclosed as in the HLL twin.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    state = daily_value_histogram(ev)
+    out_dir = hist_state_dir(sf_dir)
+    state.write.mode("overwrite").partitionBy("day").parquet(out_dir)
+    back = spark.read.parquet(out_dir).withColumn(
+        "day", F.col("day").cast("string")
+    )
+    merged = (
+        back.selectExpr(f"{_HLL_DAILY_SCOPE_SPARK} AS scope", "bin", "cnt")
+        .unionAll(back.selectExpr("'ALL' AS scope", "bin", "cnt"))
+        .groupBy("scope", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    cum = merged.withColumn(
+        "cum",
+        F.sum("cnt").over(Window.partitionBy("scope").orderBy("bin")),
+    )
+    totals = merged.groupBy("scope").agg(F.sum("cnt").alias("n"))
+    targets = totals.select(
+        "scope",
+        "n",
+        F.explode(
+            F.array(*[F.lit(q) for q in HIST_QS_PM])
+        ).alias("q_pm"),
+    ).withColumn("k", F.expr("(q_pm * n + 999) DIV 1000"))
+    est = (
+        targets.join(cum, "scope")
+        .filter(
+            (F.col("cum") >= F.col("k"))
+            & (F.col("cum") - F.col("cnt") < F.col("k"))
+        )
+        .select(
+            "scope",
+            "q_pm",
+            "n",
+            F.round(
+                (
+                    F.col("bin") * F.lit(HIST_BIN_CENTS)
+                    + F.lit(float(HIST_BIN_CENTS))
+                    * (F.col("k") - (F.col("cum") - F.col("cnt")))
+                    / F.col("cnt")
+                )
+                / F.lit(100.0),
+                4,
+            ).alias("est_value"),
+        )
+    )
+    from big_data_medical_analysis_spark.operators.common import cents, date_str
+
+    day_scope = _HLL_DAILY_SCOPE_SPARK.replace(
+        "day", "date_format(ts, 'yyyy-MM-dd')"
+    )
+    vals = ev.select(
+        F.expr(day_scope).alias("scope"), cents("value").alias("vc")
+    ).unionAll(
+        ev.select(F.lit("ALL").alias("scope"), cents("value").alias("vc"))
+    )
+    ranked = vals.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("scope").orderBy("vc")),
+    )
+    exact = (
+        targets.select("scope", "q_pm", "k")
+        .join(ranked, "scope")
+        .filter(F.col("rn") == F.col("k"))
+        .select(
+            "scope",
+            "q_pm",
+            F.round(F.col("vc").cast("double") / F.lit(100.0), 2).alias(
+                "exact_value"
+            ),
+        )
+    )
+    return est.join(exact, ["scope", "q_pm"]).select(
+        "scope",
+        "q_pm",
+        "n",
+        "est_value",
+        "exact_value",
+        F.round(
+            F.abs(F.col("est_value") - F.col("exact_value"))
+            / F.col("exact_value"),
+            4,
         ).alias("rel_error"),
     )

@@ -236,3 +236,61 @@ def test_hll_rho_bit_arithmetic_matches_reference(v):
             ref = HLL_W_BITS - i
             break
     assert engine_rho == ref
+
+
+def test_histogram_daily_state_merge_and_quantile_bounds(spark, sf_dir):
+    """Incremental-histogram pins: (1) merging the per-day bin table over
+    ANY day range equals the histogram built directly from that range's
+    raw values (sum is associative/commutative over per-day partials —
+    why the state answers range queries without re-reading events);
+    (2) the query's interpolated estimate brackets the exact rank-k value
+    within one bin width, and the exact value's rank really is
+    k = (q_pm*n + 999)//1000 in the scope's sorted multiset."""
+    ev = read_table(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100).cast("long")
+    raw = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), vc.alias("vc")
+    )
+    daily = SK.daily_value_histogram(ev)
+    for cutoff in ("2024-01-08", "2024-01-20"):
+        merged = {
+            (r.bin, r.cnt)
+            for r in daily.filter(F.col("day") < cutoff)
+            .groupBy("bin")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        }
+        direct = {
+            (r.bin, r.cnt)
+            for r in raw.filter(F.col("day") < cutoff)
+            .select((F.col("vc") / SK.HIST_BIN_CENTS).cast("long").alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        assert merged == direct and merged, cutoff
+
+    rows = registry.queries()["histogram_incremental_daily"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    scopes = {r.scope for r in rows}
+    assert "ALL" in scopes and len(scopes) >= 2
+    assert {r.q_pm for r in rows} == set(SK.HIST_QS_PM)
+    by_scope_vals = {}
+    for r in ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), vc.alias("vc")
+    ).collect():
+        week = f"W{(int(r.day[8:10]) - 1) // 7 + 1}"
+        by_scope_vals.setdefault(week, []).append(r.vc)
+        by_scope_vals.setdefault("ALL", []).append(r.vc)
+    width_dollars = SK.HIST_BIN_CENTS / 100.0
+    for r in rows:
+        vals = sorted(by_scope_vals[r.scope])
+        assert r.n == len(vals)
+        k = (r.q_pm * r.n + 999) // 1000
+        assert r.exact_value == round(vals[k - 1] / 100.0, 2), (r, k)
+        assert abs(r.est_value - r.exact_value) <= width_dollars, r
+        assert r.rel_error == round(
+            abs(r.est_value - r.exact_value) / r.exact_value, 4
+        )
