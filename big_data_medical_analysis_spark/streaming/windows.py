@@ -527,6 +527,47 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _recover_state_swap(state_dir: str, cur_dir: str, is_complete) -> None:
+    """Entry-time recovery for the write-new-then-replace state swap,
+    shared by every foreachBatch state merger: if ``current`` is missing
+    (death between the two renames), promote the newest staging dir that
+    ``is_complete`` accepts, else restore the displaced ``old_*`` copy;
+    then delete every leftover ``staging_*``/``old_*`` so a stale dir
+    can't wedge the next swap on ENOTEMPTY."""
+    import glob
+    import os
+    import shutil
+
+    stagings = sorted(glob.glob(os.path.join(state_dir, "staging_*")))
+    olds = sorted(glob.glob(os.path.join(state_dir, "old_*")))
+    if not os.path.exists(cur_dir):
+        done = [s for s in stagings if is_complete(s)]
+        if done:
+            os.replace(done[-1], cur_dir)
+        elif olds:
+            os.replace(olds[-1], cur_dir)
+    for d in stagings + olds:
+        if os.path.exists(d):
+            shutil.rmtree(d)
+
+
+def _commit_state_swap(
+    state_dir: str, cur_dir: str, staging: str, batch_id: int
+) -> None:
+    """Second half of the swap: displace ``current`` to ``old_<id>``,
+    promote the staging table, drop the displaced copy. Crash anywhere
+    in here is healed by ``_recover_state_swap`` on the next merge."""
+    import os
+    import shutil
+
+    old = os.path.join(state_dir, f"old_{batch_id}")
+    if os.path.exists(cur_dir):
+        os.replace(cur_dir, old)
+    os.replace(staging, cur_dir)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
 def make_hll_state_merger(state_dir: str):
     """``foreachBatch`` function that folds each micro-batch's per-day HLL
     registers into a persisted (day, register, rho) parquet state table —
@@ -560,9 +601,7 @@ def make_hll_state_merger(state_dir: str):
     cluster with a transactional table format (commit replaces the
     swap+recovery entirely).
     """
-    import glob
     import os
-    import shutil
 
     from big_data_medical_analysis_spark.operators.sketches import (
         daily_event_registers,
@@ -570,23 +609,12 @@ def make_hll_state_merger(state_dir: str):
 
     cur_dir = os.path.join(state_dir, "current")
 
-    def _recover() -> None:
-        stagings = sorted(glob.glob(os.path.join(state_dir, "staging_*")))
-        olds = sorted(glob.glob(os.path.join(state_dir, "old_*")))
-        if not os.path.exists(cur_dir):
-            done = [s for s in stagings
-                    if os.path.exists(os.path.join(s, "_SUCCESS"))]
-            if done:
-                os.replace(done[-1], cur_dir)
-            elif olds:
-                os.replace(olds[-1], cur_dir)
-        for d in stagings + olds:
-            if os.path.exists(d):
-                shutil.rmtree(d)
+    def _complete(staging: str) -> bool:
+        return os.path.exists(os.path.join(staging, "_SUCCESS"))
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        _recover()
+        _recover_state_swap(state_dir, cur_dir, _complete)
         new = daily_event_registers(batch_df)
         if os.path.exists(cur_dir):
             cur = spark.read.parquet(cur_dir)
@@ -597,12 +625,7 @@ def make_hll_state_merger(state_dir: str):
             )
         staging = os.path.join(state_dir, f"staging_{batch_id}")
         new.write.mode("overwrite").parquet(staging)
-        old = os.path.join(state_dir, f"old_{batch_id}")
-        if os.path.exists(cur_dir):
-            os.replace(cur_dir, old)
-        os.replace(staging, cur_dir)
-        if os.path.exists(old):
-            shutil.rmtree(old)
+        _commit_state_swap(state_dir, cur_dir, staging, batch_id)
 
     return _merge
 
@@ -616,6 +639,101 @@ def hll_state_stream(
     return (
         read_event_stream(spark, input_dir)
         .writeStream.foreachBatch(make_hll_state_merger(state_dir))
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming histogram state maintenance (round 9): exactly-once bin-sum fold
+# ---------------------------------------------------------------------------
+
+# Underscore prefix => Spark's parquet reader ignores it as a data file, so
+# the ledger can live INSIDE the state table dir and swap atomically with it.
+HIST_APPLIED_FILE = "_applied_batches.json"
+
+
+def make_hist_state_merger(state_dir: str):
+    """``foreachBatch`` function that folds each micro-batch's per-day
+    histogram bin counts into a persisted (day, bin, cnt) parquet state
+    table — the streaming form of
+    ``sketches.histogram_incremental_daily``'s state build, and the
+    DELIBERATE CONTRAST to ``make_hll_state_merger``: bin-count SUM is
+    associative and commutative but NOT idempotent (sum(a, a) = 2a), so
+    at-least-once foreachBatch replay WOULD double-count. Exactly-once
+    therefore needs batch_id bookkeeping: the set of applied batch ids is
+    a JSON ledger stored INSIDE the state table dir (underscore-prefixed,
+    so Spark's reader ignores it), and a batch already in the ledger is
+    skipped wholesale. Because ledger and table live in one directory,
+    the write-new-then-replace swap commits them ATOMICALLY together —
+    state can never disagree with its ledger.
+
+    Crash windows (same two-rename swap as the HLL merger, shared
+    ``_recover_state_swap``/``_commit_state_swap``): a staging table
+    counts as COMPLETE only when BOTH the parquet ``_SUCCESS`` marker and
+    the ledger file exist — the ledger is written LAST, so a staging that
+    died between parquet write and ledger write is never promoted (it
+    holds the batch's counts but doesn't record them; promoting it would
+    double-count on redelivery — exactly the failure the marker ordering
+    prevents).
+
+    Scale: per-batch work is one map-side-combinable (day, bin) aggregate
+    over the batch plus a merge against a table bounded by days × bins —
+    KBs; the ledger grows by one integer per batch (a production table
+    format's commit log subsumes both). Raw events are never re-read.
+    """
+    import json
+    import os
+
+    from big_data_medical_analysis_spark.operators.sketches import (
+        daily_value_histogram,
+    )
+
+    cur_dir = os.path.join(state_dir, "current")
+
+    def _complete(staging: str) -> bool:
+        return os.path.exists(
+            os.path.join(staging, "_SUCCESS")
+        ) and os.path.exists(os.path.join(staging, HIST_APPLIED_FILE))
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover_state_swap(state_dir, cur_dir, _complete)
+        applied: list[int] = []
+        ledger = os.path.join(cur_dir, HIST_APPLIED_FILE)
+        if os.path.exists(ledger):
+            with open(ledger) as f:
+                applied = json.load(f)
+        if batch_id in applied:
+            return  # redelivered batch: already folded in, skip wholesale
+        new = daily_value_histogram(batch_df)
+        if os.path.exists(cur_dir):
+            cur = spark.read.parquet(cur_dir).select("day", "bin", "cnt")
+            new = (
+                cur.unionByName(new)
+                .groupBy("day", "bin")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        staging = os.path.join(state_dir, f"staging_{batch_id}")
+        new.write.mode("overwrite").parquet(staging)
+        with open(os.path.join(staging, HIST_APPLIED_FILE), "w") as f:
+            json.dump(sorted(set(applied) | {batch_id}), f)
+        _commit_state_swap(state_dir, cur_dir, staging, batch_id)
+
+    return _merge
+
+
+def hist_state_stream(
+    spark: SparkSession, input_dir: str, state_dir: str, checkpoint: str
+):
+    """Start the incremental histogram state maintenance stream: event
+    files → per-batch bin-count build → ledger-gated exactly-once sum
+    merge into the persisted state table (checkpoint carries the source
+    offsets; the ledger carries the applied batch ids)."""
+    return (
+        read_event_stream(spark, input_dir)
+        .writeStream.foreachBatch(make_hist_state_merger(state_dir))
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
         .start()

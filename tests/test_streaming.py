@@ -556,3 +556,146 @@ def test_hll_state_merger_recovers_both_crash_windows(spark, tmp_path):
     }
     assert again == full
     assert baseline <= full  # day1 state never disappeared along the way
+
+
+def test_hist_state_stream_exactly_once_via_ledger(spark, tmp_path):
+    """The streaming bin-count merger must converge to EXACTLY the state
+    the batch builder computes over the same events, and — the contrast
+    with the idempotent HLL register merger — re-merging an
+    already-applied batch must change NOTHING because the ledger skips
+    it: sum is not idempotent, so without the ledger the redelivery
+    would double-count (also asserted, by merging the same rows under a
+    FRESH batch_id and seeing the counts double)."""
+    from big_data_medical_analysis_spark.operators.sketches import (
+        daily_value_histogram,
+    )
+
+    indir = str(tmp_path / "hist_in")
+    state = str(tmp_path / "hist_state")
+    ckpt = str(tmp_path / "hist_ckpt")
+    day1 = [(i, f"2024-01-01 0{i % 9}:00:00.000000", i, "click", 1.0 + i)
+            for i in range(40)]
+    day2 = [(100 + i, f"2024-01-02 0{i % 9}:00:00.000000", i, "view", 2.0 + i)
+            for i in range(40)]
+    _write_events(indir, "a.json", day1)
+    q = SW.hist_state_stream(spark, indir, state, ckpt)
+    try:
+        q.processAllAvailable()
+        _write_events(indir, "b.json", day2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    cur = os.path.join(state, "current")
+    spark.catalog.refreshByPath(cur)
+    streamed = {
+        (r.day, r.bin, r.cnt) for r in spark.read.parquet(cur).collect()
+    }
+    batch_ev = spark.createDataFrame(
+        day1 + day2,
+        "event_id long, ts_s string, user_id long, event_type string, value double",
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "value")
+    expected = {
+        (r.day, r.bin, r.cnt)
+        for r in daily_value_histogram(batch_ev).collect()
+    }
+    assert streamed == expected and len({d for d, _, _ in streamed}) == 2
+
+    replay = spark.createDataFrame(
+        day1,
+        "event_id long, ts_s string, user_id long, event_type string, value double",
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "value")
+    merger = SW.make_hist_state_merger(state)
+    # redelivery of an APPLIED batch id: ledger skip, state unchanged
+    with open(os.path.join(cur, SW.HIST_APPLIED_FILE)) as f:
+        applied = json.load(f)
+    merger(replay, applied[0])
+    spark.catalog.refreshByPath(cur)
+    again = {
+        (r.day, r.bin, r.cnt) for r in spark.read.parquet(cur).collect()
+    }
+    assert again == streamed
+
+    # control: the same rows under a FRESH id DO fold in (sum is not
+    # idempotent — the ledger, not the merge math, is the dedup)
+    merger(replay, max(applied) + 1)
+    spark.catalog.refreshByPath(cur)
+    doubled = {
+        (r.day, r.bin): r.cnt for r in spark.read.parquet(cur).collect()
+    }
+    day1_bins = {
+        (r.day, r.bin): r.cnt
+        for r in daily_value_histogram(
+            spark.createDataFrame(
+                day1,
+                "event_id long, ts_s string, user_id long, "
+                "event_type string, value double",
+            ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "value")
+        ).collect()
+    }
+    for (d, b), c in day1_bins.items():
+        assert doubled[(d, b)] == c * 2
+
+
+def test_hist_state_merger_half_committed_staging_never_promoted(
+    spark, tmp_path
+):
+    """The ledger is written LAST: a staging dir with parquet _SUCCESS but
+    NO ledger is a batch that died between state write and ledger write.
+    Recovery must NOT promote it (its counts are folded in but
+    unrecorded — promoting would double-count on redelivery); it must
+    fall back to the displaced old_* copy, and the redelivered batch
+    must then fold in exactly once. The two standard crash windows are
+    also exercised."""
+    import shutil
+
+    from big_data_medical_analysis_spark.operators.sketches import (
+        daily_value_histogram,
+    )
+
+    state = str(tmp_path / "hist_crash")
+    os.makedirs(state)
+
+    def ev_df(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts_s string, value double"
+        ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "value")
+
+    day1 = [(i, "2024-01-01 01:00:00", 1.0 + i) for i in range(30)]
+    day2 = [(100 + i, "2024-01-02 01:00:00", 2.0 + i) for i in range(30)]
+    merger = SW.make_hist_state_merger(state)
+    merger(ev_df(day1), 0)
+    cur = os.path.join(state, "current")
+    baseline = {
+        (r.day, r.bin, r.cnt) for r in spark.read.parquet(cur).collect()
+    }
+
+    # half-committed staging: parquet done, ledger missing
+    merger(ev_df(day2), 1)  # produce the true post-batch-1 state
+    spark.catalog.refreshByPath(cur)
+    full = {(r.day, r.bin, r.cnt) for r in spark.read.parquet(cur).collect()}
+    half = os.path.join(state, "staging_1")
+    shutil.copytree(cur, half)
+    os.remove(os.path.join(half, SW.HIST_APPLIED_FILE))  # died pre-ledger
+    os.replace(cur, os.path.join(state, "old_1"))  # current missing
+    merger(ev_df(day2), 1)  # redelivery
+    spark.catalog.refreshByPath(cur)
+    recovered = {
+        (r.day, r.bin, r.cnt) for r in spark.read.parquet(cur).collect()
+    }
+    # old_1 (the pre-batch-1 state) was restored, then batch 1 re-applied
+    # exactly once — equal to the true post-batch-1 state, not doubled
+    assert recovered == full
+    assert not os.path.exists(os.path.join(state, "old_1"))
+    assert not os.path.exists(half)
+
+    # complete staging (ledger present) IS promoted, and the ledger then
+    # skips the redelivered batch
+    shutil.copytree(cur, os.path.join(state, "staging_2"))
+    os.replace(cur, os.path.join(state, "old_2"))
+    merger(ev_df(day2), 1)  # already in promoted ledger: no-op fold
+    spark.catalog.refreshByPath(cur)
+    assert {
+        (r.day, r.bin, r.cnt) for r in spark.read.parquet(cur).collect()
+    } == full
+    assert baseline <= full
