@@ -1337,3 +1337,192 @@ def ann_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(best, "probe_id").select(
         "probe_id", "n_tables_hit", "n_candidates", "best_cand_id", "best_cos"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization codebooks + exact distortion audit (round 9)
+# ---------------------------------------------------------------------------
+
+PQ_SUBSPACES = 4
+PQ_SUB_DIM = 16  # PQ_SUBSPACES * PQ_SUB_DIM == _EMB_DIM
+PQ_K = 4
+PQ_ITERS = 2
+
+
+def _pq_oracle() -> str:
+    """Unrolled per-subspace Lloyd's iterations in DuckDB SQL — the
+    ``_kmeans_oracle`` recipe with a subspace key threaded through every
+    CTE: exact int64-micro subvectors, integer squared distances, argmin
+    tie-broken on cluster id, one round(sum/count) per (s, cluster, dim)."""
+    parts = [
+        f"""WITH vm AS (
+  SELECT vec_id, list_transform(embedding,
+           y -> CAST(round(y::DOUBLE * {_SCALE}) AS BIGINT)) AS v
+  FROM embeddings
+),
+svm AS (
+  SELECT vec_id, sp.s AS s,
+         list_slice(v, sp.s * {PQ_SUB_DIM} + 1, (sp.s + 1) * {PQ_SUB_DIM}) AS sv
+  FROM vm, (SELECT unnest(range(0, {PQ_SUBSPACES})) AS s) sp
+),
+c0 AS (
+  SELECT s, CAST(vec_id AS INTEGER) AS cluster, sv AS c
+  FROM svm WHERE vec_id < {PQ_K}
+)"""
+    ]
+    for it in range(1, PQ_ITERS + 1):
+        parts.append(
+            f""", a{it} AS (
+  SELECT vec_id, s, cluster,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cluster) AS rnk
+  FROM (
+    SELECT svm.vec_id, svm.s, c.cluster,
+           list_sum(list_transform(svm.sv,
+             (x, i) -> (x - c.c[i]) * (x - c.c[i]))) AS d
+    FROM svm JOIN c{it - 1} c ON c.s = svm.s
+  )
+), u{it} AS (
+  SELECT a.s, a.cluster, g.i AS dim,
+         CAST(round(CAST(sum(svm.sv[g.i]) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cm
+  FROM (SELECT vec_id, s, cluster FROM a{it} WHERE rnk = 1) a
+  JOIN svm ON svm.vec_id = a.vec_id AND svm.s = a.s,
+  (SELECT unnest(range(1, {PQ_SUB_DIM} + 1)) AS i) g
+  GROUP BY 1, 2, 3
+), c{it} AS (
+  SELECT s, cluster, list(cm ORDER BY dim) AS c FROM u{it} GROUP BY s, cluster
+)"""
+        )
+    parts.append(
+        f""", enc AS (
+  SELECT vec_id, s, cluster, d,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cluster) AS rnk
+  FROM (
+    SELECT svm.vec_id, svm.s, c.cluster,
+           list_sum(list_transform(svm.sv,
+             (x, i) -> (x - c.c[i]) * (x - c.c[i]))) AS d
+    FROM svm JOIN c{PQ_ITERS} c ON c.s = svm.s
+  )
+)
+SELECT CAST(s AS INTEGER) AS subspace, cluster,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(d) AS BIGINT) AS total_sq_err,
+       round(CAST(sum(d) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             / {float(_SCALE) * float(_SCALE)!r}, 6) AS avg_sq_err
+FROM enc WHERE rnk = 1
+GROUP BY 1, 2"""
+    )
+    return "".join(parts)
+
+
+@register("pq_codebook_distortion", oracle=_pq_oracle(), category="similarity")
+def pq_codebook_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization — the compression tier that completes the ANN
+    family (int8 symmetric quantize → JL projection → PQ): the
+    {_EMB_DIM}-dim space splits into {PQ_SUBSPACES} subspaces of
+    {PQ_SUB_DIM} dims, each trained with its own {PQ_K}-centroid Lloyd
+    codebook ({PQ_ITERS} iterations, deterministic first-k init), and
+    every vector is ENCODED as {PQ_SUBSPACES} one-byte codes — a
+    {PQ_SUBSPACES}·log2({PQ_K})-bit representation an IVF-PQ index
+    stores instead of the raw floats, scoring queries against codebook
+    lookup tables (ADC). Output is the per-(subspace, cluster) codebook
+    census: member counts and EXACT integer quantization distortion
+    (total + per-vector squared error in original units) — the
+    compression-quality audit that decides codebook size in production.
+
+    Everything is exact (int64-micro subvectors, integer squared
+    distances summed in any order, argmin tie-broken on cluster id, one
+    round(sum/count) per centroid component), so DuckDB replays the full
+    {PQ_SUBSPACES}-codebook training trajectory bit-for-bit — same
+    discipline as ``kmeans_lloyd_centroids``, which this generalizes by
+    threading a subspace key through every step.
+
+    Scale: the subvector table is the vector table exploded
+    {PQ_SUBSPACES}× (derived once, checkpoint-pinned; persist(DISK_ONLY)
+    at cluster scale); every iteration is a broadcast of
+    {PQ_SUBSPACES}·{PQ_K} short centroid rows against it — a map-side
+    argmin equi-joined on subspace, no vector shuffle — plus one
+    map-side-combinable (s, cluster, dim) aggregate. Training all
+    {PQ_SUBSPACES} codebooks rides ONE pass per iteration (the subspace
+    key is data, not a loop), which is exactly how PQ trains at 100 TB.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    vm = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda y: F.round(y.cast("double") * _SCALE).cast("long"),
+        ).alias("v"),
+    )
+    svm = vm.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("v", s * PQ_SUB_DIM + 1, PQ_SUB_DIM)
+                    for s in range(PQ_SUBSPACES)
+                ]
+            )
+        ).alias("s", "sv"),
+    ).transform(checkpoint_pinned)
+    centroids = svm.filter(F.col("vec_id") < PQ_K).select(
+        "s",
+        F.col("vec_id").cast("integer").alias("cluster"),
+        F.col("sv").alias("c"),
+    )
+    d = F.aggregate(
+        F.zip_with("sv", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wn = W.partitionBy("vec_id", "s").orderBy("d", "cluster")
+    for _ in range(PQ_ITERS):
+        scored = svm.join(F.broadcast(centroids), "s").select(
+            "vec_id", "s", "cluster", d.alias("d")
+        )
+        members = (
+            scored.withColumn("rnk", F.row_number().over(wn))
+            .filter(F.col("rnk") == 1)
+            .select("vec_id", "s", "cluster")
+        )
+        # posexplode_outer + null-filter: same inferred-generator-filter
+        # dodge as kmeans_lloyd_centroids (size(sv)>0 would re-run the
+        # slice/scale chain at the scan)
+        exploded = (
+            members.join(svm, ["vec_id", "s"])
+            .select("s", "cluster", F.posexplode_outer("sv").alias("pos", "val"))
+            .filter(F.col("pos").isNotNull())
+        )
+        update = exploded.groupBy(
+            "s", "cluster", (F.col("pos") + 1).alias("dim")
+        ).agg(
+            F.round(
+                F.sum("val").cast("double") / F.count(F.lit(1)).cast("double")
+            )
+            .cast("long")
+            .alias("cm")
+        )
+        centroids = update.groupBy("s", "cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cm"))),
+                lambda st: st.cm,
+            ).alias("c")
+        )
+    enc = (
+        svm.join(F.broadcast(centroids), "s")
+        .select("vec_id", "s", "cluster", d.alias("d"))
+        .withColumn("rnk", F.row_number().over(wn))
+        .filter(F.col("rnk") == 1)
+    )
+    return enc.groupBy(
+        F.col("s").cast("integer").alias("subspace"), "cluster"
+    ).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("d").alias("total_sq_err"),
+        F.round(
+            F.sum("d").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(float(_SCALE) * float(_SCALE)),
+            6,
+        ).alias("avg_sq_err"),
+    )

@@ -284,3 +284,65 @@ def test_ann_incremental_probe_matches_numpy_replay(spark, sf_dir):
     for p, exp in expected.items():
         assert got[p][:3] == exp[:3], (p, got[p], exp)
         assert abs(got[p][3] - exp[3]) < 2e-6, (p, got[p], exp)
+
+
+def test_pq_codebook_matches_numpy_replay(spark, sf_dir):
+    """Full independent replay of the product-quantization training in
+    numpy — per-subspace Lloyd iterations on int64-micro subvectors with
+    the same init/tie-break/centroid-rounding rules — must reproduce the
+    Spark census exactly: member counts AND the exact integer total
+    squared distortion per (subspace, cluster); per-subspace member
+    counts must each sum to N (every vector encoded in every subspace)."""
+    import numpy as np
+
+    from big_data_medical_analysis_spark import registry
+
+    rows = (
+        read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    sc = mat * 1_000_000.0
+    iv = np.copysign(np.floor(np.abs(sc) + 0.5), sc).astype(np.int64)
+    order = np.argsort(ids)
+    ids, iv = ids[order], iv[order]
+    n = len(ids)
+
+    expected = {}
+    for s in range(S.PQ_SUBSPACES):
+        sv = iv[:, s * S.PQ_SUB_DIM : (s + 1) * S.PQ_SUB_DIM]
+        cent = {int(v): sv[i].copy() for i, v in enumerate(ids) if v < S.PQ_K}
+        for _ in range(S.PQ_ITERS):
+            keys = sorted(cent)
+            cm = np.stack([cent[k] for k in keys])
+            d = ((sv[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+            assign = np.array(keys)[np.argmin(d, axis=1)]  # argmin ties → first key
+            cent = {}
+            for k in sorted(set(assign.tolist())):
+                m = sv[assign == k]
+                # exact int64 sum, ONE double division — the engines' op
+                mean = m.sum(axis=0, dtype=np.int64).astype(np.float64) / len(m)
+                cent[k] = np.copysign(
+                    np.floor(np.abs(mean) + 0.5), mean
+                ).astype(np.int64)
+        keys = sorted(cent)
+        cm = np.stack([cent[k] for k in keys])
+        d = ((sv[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+        j = np.argmin(d, axis=1)
+        assign = np.array(keys)[j]
+        dmin = d[np.arange(n), j]
+        for k in sorted(set(assign.tolist())):
+            mask = assign == k
+            expected[(s, k)] = (int(mask.sum()), int(dmin[mask].sum()))
+
+    got = {
+        (r.subspace, r.cluster): (r.n_members, r.total_sq_err)
+        for r in registry.queries()["pq_codebook_distortion"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expected
+    for s in range(S.PQ_SUBSPACES):
+        assert sum(v[0] for (ss, _), v in got.items() if ss == s) == n
