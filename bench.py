@@ -52,6 +52,7 @@ COHORTS: dict[str, list[str]] = {
         "prefix_filter_jaccard_join",
         "minhash_estimate_accuracy",
         "minhash_incremental_probe",
+        "intersource_dup_matrix",
     ],
     "similarity": [
         "cosine_topk",
@@ -60,6 +61,9 @@ COHORTS: dict[str, list[str]] = {
         "quantized_cosine_topk",
         "rp_embedding_project",
         "kmeans_lloyd_centroids",
+        "ann_incremental_probe",
+        "pq_codebook_distortion",
+        "pq_adc_topk",
     ],
     "text": [
         "doc_token_stats",
@@ -132,6 +136,7 @@ COHORTS: dict[str, list[str]] = {
         "hll_merge_returnflag",
         "bitmap_distinct_orders",
         "hll_incremental_daily",
+        "histogram_incremental_daily",
     ],
     "sampling_etl": [
         "weighted_sample_docs",

@@ -1349,11 +1349,15 @@ PQ_K = 4
 PQ_ITERS = 2
 
 
-def _pq_oracle() -> str:
-    """Unrolled per-subspace Lloyd's iterations in DuckDB SQL — the
-    ``_kmeans_oracle`` recipe with a subspace key threaded through every
-    CTE: exact int64-micro subvectors, integer squared distances, argmin
-    tie-broken on cluster id, one round(sum/count) per (s, cluster, dim)."""
+def _pq_train_sql() -> str:
+    """Shared DuckDB CTE prefix for every PQ oracle: unrolled per-subspace
+    Lloyd's iterations — the ``_kmeans_oracle`` recipe with a subspace key
+    threaded through every CTE: exact int64-micro subvectors, integer
+    squared distances, argmin tie-broken on cluster id, one
+    round(sum/count) per (s, cluster, dim). Ends with ``enc`` (per
+    (vector, subspace): nearest final-codebook entry at rnk=1) so tails
+    can read codes, distortions, or the trained ``c{PQ_ITERS}`` codebook
+    directly."""
     parts = [
         f"""WITH vm AS (
   SELECT vec_id, list_transform(embedding,
@@ -1403,7 +1407,16 @@ c0 AS (
              (x, i) -> (x - c.c[i]) * (x - c.c[i]))) AS d
     FROM svm JOIN c{PQ_ITERS} c ON c.s = svm.s
   )
-)
+)"""
+    )
+    return "".join(parts)
+
+
+def _pq_oracle() -> str:
+    """Codebook census tail over the shared training prefix."""
+    return (
+        _pq_train_sql()
+        + f"""
 SELECT CAST(s AS INTEGER) AS subspace, cluster,
        CAST(count(*) AS BIGINT) AS n_members,
        CAST(sum(d) AS BIGINT) AS total_sq_err,
@@ -1412,7 +1425,106 @@ SELECT CAST(s AS INTEGER) AS subspace, cluster,
 FROM enc WHERE rnk = 1
 GROUP BY 1, 2"""
     )
-    return "".join(parts)
+
+
+def _pq_w():
+    """Per-(vector, subspace) argmin window. Built lazily — a module-level
+    WindowSpec would require an active SparkSession at import time."""
+    return W.partitionBy("vec_id", "s").orderBy("d", "cluster")
+
+
+def _pq_sqdist() -> Column:
+    """Exact int64 squared distance between subvector ``sv`` and codebook
+    entry ``c`` (column names fixed by convention)."""
+    return F.aggregate(
+        F.zip_with("sv", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_intvecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vec_id → exact int64-micro full vector (column ``v``)."""
+    return read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda y: F.round(y.cast("double") * _SCALE).cast("long"),
+        ).alias("v"),
+    )
+
+
+def _pq_subvectors(vm: DataFrame) -> DataFrame:
+    """Explode each int vector into {PQ_SUBSPACES} subvectors (s, sv) —
+    checkpoint-pinned because training joins it once per iteration."""
+    return vm.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("v", s * PQ_SUB_DIM + 1, PQ_SUB_DIM)
+                    for s in range(PQ_SUBSPACES)
+                ]
+            )
+        ).alias("s", "sv"),
+    ).transform(checkpoint_pinned)
+
+
+def _pq_train(svm: DataFrame) -> DataFrame:
+    """{PQ_ITERS} Lloyd iterations per subspace in ONE pass each (the
+    subspace key is data, not a loop): broadcast-argmin assign, exact
+    int64 (s, cluster, dim) mean update, rounded once per component.
+    Returns the final codebook (s, cluster, c)."""
+    centroids = svm.filter(F.col("vec_id") < PQ_K).select(
+        "s",
+        F.col("vec_id").cast("integer").alias("cluster"),
+        F.col("sv").alias("c"),
+    )
+    d = _pq_sqdist()
+    for _ in range(PQ_ITERS):
+        scored = svm.join(F.broadcast(centroids), "s").select(
+            "vec_id", "s", "cluster", d.alias("d")
+        )
+        members = (
+            scored.withColumn("rnk", F.row_number().over(_pq_w()))
+            .filter(F.col("rnk") == 1)
+            .select("vec_id", "s", "cluster")
+        )
+        # posexplode_outer + null-filter: same inferred-generator-filter
+        # dodge as kmeans_lloyd_centroids (size(sv)>0 would re-run the
+        # slice/scale chain at the scan)
+        exploded = (
+            members.join(svm, ["vec_id", "s"])
+            .select("s", "cluster", F.posexplode_outer("sv").alias("pos", "val"))
+            .filter(F.col("pos").isNotNull())
+        )
+        update = exploded.groupBy(
+            "s", "cluster", (F.col("pos") + 1).alias("dim")
+        ).agg(
+            F.round(
+                F.sum("val").cast("double") / F.count(F.lit(1)).cast("double")
+            )
+            .cast("long")
+            .alias("cm")
+        )
+        centroids = update.groupBy("s", "cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cm"))),
+                lambda st: st.cm,
+            ).alias("c")
+        )
+    return centroids
+
+
+def _pq_assign(svm: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Encode: per (vector, subspace) the nearest final-codebook entry —
+    (vec_id, s, cluster, d) at rnk=1, ties on cluster id."""
+    return (
+        svm.join(F.broadcast(centroids), "s")
+        .select("vec_id", "s", "cluster", _pq_sqdist().alias("d"))
+        .withColumn("rnk", F.row_number().over(_pq_w()))
+        .filter(F.col("rnk") == 1)
+    )
 
 
 @register("pq_codebook_distortion", oracle=_pq_oracle(), category="similarity")
@@ -1446,74 +1558,8 @@ def pq_codebook_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     {PQ_SUBSPACES} codebooks rides ONE pass per iteration (the subspace
     key is data, not a loop), which is exactly how PQ trains at 100 TB.
     """
-    emb = read_table(spark, sf_dir, "embeddings")
-    vm = emb.select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda y: F.round(y.cast("double") * _SCALE).cast("long"),
-        ).alias("v"),
-    )
-    svm = vm.select(
-        "vec_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice("v", s * PQ_SUB_DIM + 1, PQ_SUB_DIM)
-                    for s in range(PQ_SUBSPACES)
-                ]
-            )
-        ).alias("s", "sv"),
-    ).transform(checkpoint_pinned)
-    centroids = svm.filter(F.col("vec_id") < PQ_K).select(
-        "s",
-        F.col("vec_id").cast("integer").alias("cluster"),
-        F.col("sv").alias("c"),
-    )
-    d = F.aggregate(
-        F.zip_with("sv", "c", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    wn = W.partitionBy("vec_id", "s").orderBy("d", "cluster")
-    for _ in range(PQ_ITERS):
-        scored = svm.join(F.broadcast(centroids), "s").select(
-            "vec_id", "s", "cluster", d.alias("d")
-        )
-        members = (
-            scored.withColumn("rnk", F.row_number().over(wn))
-            .filter(F.col("rnk") == 1)
-            .select("vec_id", "s", "cluster")
-        )
-        # posexplode_outer + null-filter: same inferred-generator-filter
-        # dodge as kmeans_lloyd_centroids (size(sv)>0 would re-run the
-        # slice/scale chain at the scan)
-        exploded = (
-            members.join(svm, ["vec_id", "s"])
-            .select("s", "cluster", F.posexplode_outer("sv").alias("pos", "val"))
-            .filter(F.col("pos").isNotNull())
-        )
-        update = exploded.groupBy(
-            "s", "cluster", (F.col("pos") + 1).alias("dim")
-        ).agg(
-            F.round(
-                F.sum("val").cast("double") / F.count(F.lit(1)).cast("double")
-            )
-            .cast("long")
-            .alias("cm")
-        )
-        centroids = update.groupBy("s", "cluster").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "cm"))),
-                lambda st: st.cm,
-            ).alias("c")
-        )
-    enc = (
-        svm.join(F.broadcast(centroids), "s")
-        .select("vec_id", "s", "cluster", d.alias("d"))
-        .withColumn("rnk", F.row_number().over(wn))
-        .filter(F.col("rnk") == 1)
-    )
+    svm = _pq_subvectors(_pq_intvecs(spark, sf_dir))
+    enc = _pq_assign(svm, _pq_train(svm))
     return enc.groupBy(
         F.col("s").cast("integer").alias("subspace"), "cluster"
     ).agg(
@@ -1525,4 +1571,141 @@ def pq_codebook_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(float(_SCALE) * float(_SCALE)),
             6,
         ).alias("avg_sq_err"),
+    )
+
+
+PQ_PROBE_MOD = 37
+PQ_PROBE_RES = 5
+PQ_ADC_K = 3
+
+
+def _pq_adc_oracle() -> str:
+    """ADC top-k tail over the shared training prefix: encode the
+    non-probe corpus, build each probe's per-(subspace, cluster) lookup
+    table, score by LUT sum, rank, then recompute the EXACT probe→cand
+    distance for the winners."""
+    return (
+        _pq_train_sql()
+        + f"""
+, codes AS (
+  SELECT vec_id AS cand_id, s, cluster FROM enc
+  WHERE rnk = 1 AND vec_id % {PQ_PROBE_MOD} <> {PQ_PROBE_RES}
+), plut AS (
+  SELECT svm.vec_id AS probe_id, svm.s, c.cluster,
+         list_sum(list_transform(svm.sv,
+           (x, i) -> (x - c.c[i]) * (x - c.c[i]))) AS pd
+  FROM svm JOIN c{PQ_ITERS} c ON c.s = svm.s
+  WHERE svm.vec_id % {PQ_PROBE_MOD} = {PQ_PROBE_RES}
+), adc AS (
+  SELECT probe_id, cand_id, CAST(sum(pd) AS BIGINT) AS adc_d
+  FROM codes JOIN plut ON plut.s = codes.s AND plut.cluster = codes.cluster
+  GROUP BY 1, 2
+), tk AS (
+  SELECT * FROM (
+    SELECT probe_id, cand_id, adc_d,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY adc_d, cand_id) AS rnk
+    FROM adc
+  ) WHERE rnk <= {PQ_ADC_K}
+), td AS (
+  SELECT tk.probe_id, CAST(tk.rnk AS INTEGER) AS rnk, tk.cand_id, tk.adc_d,
+         CAST(list_sum(list_transform(list_zip(p.v, c.v),
+              z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS true_d
+  FROM tk JOIN vm p ON p.vec_id = tk.probe_id
+          JOIN vm c ON c.vec_id = tk.cand_id
+)
+SELECT probe_id, rnk, cand_id, adc_d, true_d,
+       round(CAST(adc_d AS DOUBLE) / nullif(CAST(true_d AS DOUBLE), 0), 6)
+         AS adc_ratio
+FROM td"""
+    )
+
+
+@register("pq_adc_topk", oracle=_pq_adc_oracle(), category="similarity")
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric distance computation — the QUERY side of IVF-PQ, closing
+    the compression story ``pq_codebook_distortion`` opened: probes
+    (vec_id ≡ {PQ_PROBE_RES} mod {PQ_PROBE_MOD}) are scored against the
+    PQ-ENCODED corpus (every non-probe vector reduced to
+    {PQ_SUBSPACES} codebook ids) without ever touching candidate floats.
+    Each probe precomputes one {PQ_SUBSPACES}x{PQ_K} lookup table of
+    exact int64 subvector→centroid squared distances; a candidate's
+    approximate distance is the sum of {PQ_SUBSPACES} LUT entries keyed
+    by its codes — the classic ADC scan. Top-{PQ_ADC_K} per probe
+    (ties on cand_id), then the EXACT probe→candidate distance is
+    recomputed for the winners so the output audits the approximation:
+    adc_ratio = adc_d / true_d — the ADC estimator's bias (the error is
+    the candidate's quantization residual ||v-c||² plus a cross term of
+    either sign; on centroid-ward winners it skews low, as every audited
+    hit here does), which the PQ literature corrects with an added
+    residual term — made visible per hit instead of assumed.
+
+    Everything is exact integer arithmetic until the single audited
+    division, so DuckDB replays training + encoding + ADC bit-for-bit
+    (shared CTE prefix with the census oracle).
+
+    Scale: the LUT is P·{PQ_SUBSPACES}·{PQ_K} tiny rows — broadcast;
+    the ADC scan is ONE map-side pass over the code table (codes join
+    broadcast LUT, partial-aggregated sum per (probe, cand)) — no
+    vector shuffle, no float reads; the exact recompute touches only
+    P·{PQ_ADC_K} winners by key. At 100 TB the code table is ~64x
+    smaller than the float table (4 bytes of codes vs 256 of floats),
+    and the scan would be gated by IVF cells (``ivf_topk``) so each
+    probe reads only its cell's codes — IVF-PQ exactly.
+    """
+    vm = _pq_intvecs(spark, sf_dir)
+    svm = _pq_subvectors(vm)
+    centroids = _pq_train(svm)
+    is_probe = (F.col("vec_id") % PQ_PROBE_MOD) == PQ_PROBE_RES
+    codes = _pq_assign(svm.filter(~is_probe), centroids).select(
+        F.col("vec_id").alias("cand_id"), "s", "cluster"
+    )
+    lut = (
+        svm.filter(is_probe)
+        .join(F.broadcast(centroids), "s")
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            "s",
+            "cluster",
+            _pq_sqdist().alias("pd"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["s", "cluster"])
+        .groupBy("probe_id", "cand_id")
+        .agg(F.sum("pd").alias("adc_d"))
+    )
+    wk = W.partitionBy("probe_id").orderBy("adc_d", "cand_id")
+    tk = (
+        adc.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= PQ_ADC_K)
+        .select("probe_id", F.col("rnk").cast("integer").alias("rnk"),
+                "cand_id", "adc_d")
+    )
+    true_d = F.aggregate(
+        F.zip_with("pv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        tk.join(
+            vm.select(F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")),
+            "probe_id",
+        )
+        .join(
+            vm.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")),
+            "cand_id",
+        )
+        .select(
+            "probe_id", "rnk", "cand_id", "adc_d", true_d.alias("true_d")
+        )
+        .withColumn(
+            "adc_ratio",
+            F.when(F.col("true_d") == 0, F.lit(None).cast("double")).otherwise(
+                F.round(
+                    F.col("adc_d").cast("double") / F.col("true_d").cast("double"),
+                    6,
+                )
+            ),
+        )
     )

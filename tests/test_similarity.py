@@ -286,16 +286,10 @@ def test_ann_incremental_probe_matches_numpy_replay(spark, sf_dir):
         assert abs(got[p][3] - exp[3]) < 2e-6, (p, got[p], exp)
 
 
-def test_pq_codebook_matches_numpy_replay(spark, sf_dir):
-    """Full independent replay of the product-quantization training in
-    numpy — per-subspace Lloyd iterations on int64-micro subvectors with
-    the same init/tie-break/centroid-rounding rules — must reproduce the
-    Spark census exactly: member counts AND the exact integer total
-    squared distortion per (subspace, cluster); per-subspace member
-    counts must each sum to N (every vector encoded in every subspace)."""
+def _load_intvecs(spark, sf_dir):
+    """(ids, int64-micro vector matrix) sorted by vec_id — the engines'
+    exact integer quantization, replayed in numpy."""
     import numpy as np
-
-    from big_data_medical_analysis_spark import registry
 
     rows = (
         read_table(spark, sf_dir, "embeddings")
@@ -307,10 +301,17 @@ def test_pq_codebook_matches_numpy_replay(spark, sf_dir):
     sc = mat * 1_000_000.0
     iv = np.copysign(np.floor(np.abs(sc) + 0.5), sc).astype(np.int64)
     order = np.argsort(ids)
-    ids, iv = ids[order], iv[order]
-    n = len(ids)
+    return ids[order], iv[order]
 
-    expected = {}
+
+def _numpy_pq_train(ids, iv):
+    """Replay the per-subspace Lloyd training with the engines' exact
+    rules (first-k init, argmin ties → first key, int64 sum + ONE double
+    division + round per centroid component). Returns per-subspace
+    (sorted keys, centroid matrix)."""
+    import numpy as np
+
+    books = {}
     for s in range(S.PQ_SUBSPACES):
         sv = iv[:, s * S.PQ_SUB_DIM : (s + 1) * S.PQ_SUB_DIM]
         cent = {int(v): sv[i].copy() for i, v in enumerate(ids) if v < S.PQ_K}
@@ -318,17 +319,38 @@ def test_pq_codebook_matches_numpy_replay(spark, sf_dir):
             keys = sorted(cent)
             cm = np.stack([cent[k] for k in keys])
             d = ((sv[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
-            assign = np.array(keys)[np.argmin(d, axis=1)]  # argmin ties → first key
+            assign = np.array(keys)[np.argmin(d, axis=1)]
             cent = {}
             for k in sorted(set(assign.tolist())):
                 m = sv[assign == k]
-                # exact int64 sum, ONE double division — the engines' op
                 mean = m.sum(axis=0, dtype=np.int64).astype(np.float64) / len(m)
                 cent[k] = np.copysign(
                     np.floor(np.abs(mean) + 0.5), mean
                 ).astype(np.int64)
         keys = sorted(cent)
-        cm = np.stack([cent[k] for k in keys])
+        books[s] = (keys, np.stack([cent[k] for k in keys]))
+    return books
+
+
+def test_pq_codebook_matches_numpy_replay(spark, sf_dir):
+    """Full independent replay of the product-quantization training in
+    numpy — per-subspace Lloyd iterations on int64-micro subvectors with
+    the same init/tie-break/centroid-rounding rules — must reproduce the
+    Spark census exactly: member counts AND the exact integer total
+    squared distortion per (subspace, cluster); per-subspace member
+    counts must each sum to N (every vector encoded in every subspace)."""
+    import numpy as np
+
+    from big_data_medical_analysis_spark import registry
+
+    ids, iv = _load_intvecs(spark, sf_dir)
+    n = len(ids)
+    books = _numpy_pq_train(ids, iv)
+
+    expected = {}
+    for s in range(S.PQ_SUBSPACES):
+        sv = iv[:, s * S.PQ_SUB_DIM : (s + 1) * S.PQ_SUB_DIM]
+        keys, cm = books[s]
         d = ((sv[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
         j = np.argmin(d, axis=1)
         assign = np.array(keys)[j]
@@ -346,3 +368,61 @@ def test_pq_codebook_matches_numpy_replay(spark, sf_dir):
     assert got == expected
     for s in range(S.PQ_SUBSPACES):
         assert sum(v[0] for (ss, _), v in got.items() if ss == s) == n
+
+
+def test_pq_adc_topk_matches_numpy_replay(spark, sf_dir):
+    """Independent numpy replay of the full ADC pipeline — train (shared
+    replay), encode the non-probe corpus, build each probe's exact-int
+    LUT, score every candidate by LUT sum, rank with (adc_d, cand_id)
+    ties, recompute the exact distance for winners — must match the
+    Spark output row-for-row; every probe must surface exactly
+    PQ_ADC_K winners."""
+    import numpy as np
+
+    from big_data_medical_analysis_spark import registry
+
+    ids, iv = _load_intvecs(spark, sf_dir)
+    books = _numpy_pq_train(ids, iv)
+    probe_mask = ids % S.PQ_PROBE_MOD == S.PQ_PROBE_RES
+
+    # encode non-probe vectors: per subspace, the nearest codebook key
+    codes = {}
+    for s in range(S.PQ_SUBSPACES):
+        sv = iv[:, s * S.PQ_SUB_DIM : (s + 1) * S.PQ_SUB_DIM]
+        keys, cm = books[s]
+        d = ((sv[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+        codes[s] = (np.array(keys)[np.argmin(d, axis=1)], d)
+
+    expected = {}
+    cand_ids = ids[~probe_mask]
+    for pi in np.flatnonzero(probe_mask):
+        pid = int(ids[pi])
+        adc = {}
+        for ci in np.flatnonzero(~probe_mask):
+            cid = int(ids[ci])
+            total = 0
+            for s in range(S.PQ_SUBSPACES):
+                keys, cm = books[s]
+                code = codes[s][0][ci]
+                q = iv[pi, s * S.PQ_SUB_DIM : (s + 1) * S.PQ_SUB_DIM]
+                total += int(((q - cm[keys.index(int(code))]) ** 2).sum())
+            adc[cid] = total
+        top = sorted(adc.items(), key=lambda kv: (kv[1], kv[0]))[: S.PQ_ADC_K]
+        for rnk, (cid, a) in enumerate(top, start=1):
+            ci = int(np.flatnonzero(ids == cid)[0])
+            true_d = int(((iv[pi] - iv[ci]) ** 2).sum())
+            ratio = round(a / true_d, 6) if true_d else None
+            expected[(pid, rnk)] = (cid, a, true_d, ratio)
+
+    got = {
+        (r.probe_id, r.rnk): (r.cand_id, r.adc_d, r.true_d, r.adc_ratio)
+        for r in registry.queries()["pq_adc_topk"](spark, sf_dir).collect()
+    }
+    assert len(got) == int(probe_mask.sum()) * S.PQ_ADC_K
+    for k, exp in expected.items():
+        assert got[k][:3] == exp[:3], (k, got[k], exp)
+        if exp[3] is None:
+            assert got[k][3] is None
+        else:
+            assert abs(got[k][3] - exp[3]) < 2e-6, (k, got[k], exp)
+    assert len(cand_ids) + int(probe_mask.sum()) == len(ids)
