@@ -158,6 +158,7 @@ COHORTS: dict[str, list[str]] = {
         "per_group_downsample",
         "dynamic_partition_pruning",
         "npy_source_norms",
+        "bucketed_colocated_join",
     ],
     "analytics": [
         "rolling_7d_user_value",

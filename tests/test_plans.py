@@ -801,3 +801,23 @@ def test_corrupt_quarantine_single_aggregate(spark, sf_dir):
     doesn't need."""
     df = QS["corrupt_jsonl_quarantine"](spark, sf_dir)
     assert P.exchange_count(df) == 1
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    """The bucketed co-located join's reason to exist: both inputs come
+    from bucketed scans whose HashPartitioning satisfies the
+    SortMergeJoin's distribution, so the ONLY Exchange in the plan is the
+    final small per-priority aggregate — the join itself never shuffles.
+    A regression (bucket-count mismatch, lost hint, broadcast demotion)
+    re-introduces a join-side Exchange or a BroadcastHashJoin and fails
+    here instead of surfacing as a 100 TB shuffle."""
+    from big_data_medical_analysis_spark.operators.etl import (
+        bucketed_colocated_join,
+    )
+
+    df = bucketed_colocated_join(spark, sf_dir)
+    plan = P.physical_plan(df)
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Bucketed: true") == 2, plan
