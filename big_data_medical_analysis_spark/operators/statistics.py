@@ -1298,3 +1298,102 @@ def fairness_parity_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tp").cast("double") / F.col("n_pos") - F.col("tpr_all"), 6
         ).alias("opportunity_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K-fold leakage-free target encoding — round 9
+# ---------------------------------------------------------------------------
+
+TARGET_ENC_FOLDS = 5
+
+_TARGET_ENC_SQL = f"""
+WITH base AS (
+  SELECT c_mktsegment AS seg,
+         CAST(CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+              AS BIGINT) % {TARGET_ENC_FOLDS} AS INTEGER) AS fold,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cts
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+pf AS (
+  SELECT seg, fold, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(cts) AS BIGINT) AS s
+  FROM base GROUP BY 1, 2
+),
+g AS (
+  SELECT seg, CAST(sum(n_rows) AS BIGINT) AS gn, CAST(sum(s) AS BIGINT) AS gs
+  FROM pf GROUP BY 1
+)
+SELECT pf.seg, pf.fold, pf.n_rows,
+       round(CAST(gs - s AS DOUBLE)
+             / (100.0 * CAST(nullif(gn - n_rows, 0) AS DOUBLE)), 6)
+         AS target_enc
+FROM pf JOIN g ON g.seg = pf.seg
+"""
+
+
+@register("kfold_target_encoding", oracle=_TARGET_ENC_SQL, category="ml_prep")
+def kfold_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free mean-target encoding — the categorical-feature prep
+    that actually survives a train-time audit: each order's segment
+    encoding is the mean order total of that segment computed from the
+    OTHER {TARGET_ENC_FOLDS - 1} folds only (out-of-fold mean = (global
+    sum − own-fold sum) / (global count − own-fold count)), so no row's
+    own target ever reaches its feature. Folds are the portable md5 hash
+    of the order key — deterministic, engine-independent, and identical
+    to the split a non-Spark scorer would compute (the
+    ``portable_client_split`` discipline). Output is the full
+    (segment × fold) encoding table a trainer joins back by (seg, fold).
+
+    Exact arithmetic: integer target cents, integer fold sums/counts,
+    ONE double division per output row (nulled if a fold held the whole
+    segment) — bit-identical in DuckDB.
+
+    Scale: two map-side-combinable aggregates (per-(seg, fold), then
+    per-seg over {TARGET_ENC_FOLDS}-row groups) and one broadcast join of
+    a dimension-sized table — the encode-then-join-back pattern costs one
+    shuffle of (seg, fold) partials regardless of fact size; the
+    dimension join is a broadcast. High-cardinality categoricals change
+    nothing structurally (the encoding table grows with the category
+    count, not the row count); add ``feature_hash_encoding`` upstream
+    when the category domain is unbounded.
+    """
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    fold = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(TARGET_ENC_FOLDS),
+    ).cast("int")
+    base = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            fold.alias("fold"),
+            cents("o_totalprice").alias("cts"),
+        )
+    )
+    pf = base.groupBy("seg", "fold").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("cts").alias("s")
+    )
+    g = pf.groupBy("seg").agg(
+        F.sum("n_rows").alias("gn"), F.sum("s").alias("gs")
+    )
+    denom = F.when(
+        F.col("gn") == F.col("n_rows"), F.lit(None).cast("double")
+    ).otherwise((F.col("gn") - F.col("n_rows")).cast("double"))
+    return pf.join(F.broadcast(g), "seg").select(
+        "seg",
+        "fold",
+        "n_rows",
+        F.round(
+            (F.col("gs") - F.col("s")).cast("double") / (F.lit(100.0) * denom),
+            6,
+        ).alias("target_enc"),
+    )
