@@ -139,7 +139,19 @@ def per_user_tmpdir(name: str) -> str:
     import tempfile
 
     root = os.path.join(tempfile.gettempdir(), f"{name}_{os.getuid()}")
+    # Symlink squat: an attacker pre-plants a symlink at the predictable
+    # path aimed at a victim-owned dir — makedirs(exist_ok=True) accepts
+    # it and os.stat FOLLOWS it, so the uid/mode checks below would pass
+    # against the *target*. Reject the link itself before trusting it.
+    if os.path.islink(root):
+        raise PermissionError(
+            f"{root} is a symlink — refusing to use a squattable scratch root"
+        )
     os.makedirs(root, mode=0o700, exist_ok=True)
+    if os.path.islink(root):  # raced in between: still refuse
+        raise PermissionError(
+            f"{root} is a symlink — refusing to use a squattable scratch root"
+        )
     st = os.stat(root)
     if st.st_uid != os.getuid():
         raise PermissionError(

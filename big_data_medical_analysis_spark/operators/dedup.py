@@ -1538,14 +1538,25 @@ attributed AS (
   FROM pairs p
   JOIN documents da ON da.doc_id = p.doc_a
   JOIN documents db ON db.doc_id = p.doc_b
+),
+cells AS (
+  SELECT src_a, src_b,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         min(doc_a) AS first_doc
+  FROM attributed GROUP BY src_a, src_b
+),
+exploded AS (
+  SELECT src_a, src_b, doc_a AS doc FROM attributed
+  UNION ALL
+  SELECT src_a, src_b, doc_b AS doc FROM attributed
+),
+ndocs AS (
+  SELECT src_a, src_b,
+         CAST(count(DISTINCT doc) AS BIGINT) AS n_docs_implicated
+  FROM exploded GROUP BY src_a, src_b
 )
-SELECT src_a, src_b,
-       CAST(count(*) AS BIGINT) AS n_pairs,
-       CAST(count(DISTINCT doc_a) + count(DISTINCT doc_b) AS BIGINT)
-         AS n_docs_implicated,
-       min(doc_a) AS first_doc
-FROM attributed
-GROUP BY src_a, src_b
+SELECT c.src_a, c.src_b, c.n_pairs, n.n_docs_implicated, c.first_doc
+FROM cells c JOIN ndocs n ON n.src_a = c.src_a AND n.src_b = c.src_b
 """
 
 
@@ -1562,8 +1573,10 @@ def intersource_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``minhash_portable_groups``, so the matrix is consistent with the
     dedup tier it audits); each distinct colliding pair is attributed to
     its unordered source pair and aggregated into a src_a <= src_b
-    matrix: pair count, docs implicated per side (summed over the
-    canonical orientation), and a deterministic first-doc anchor.
+    matrix: pair count, distinct docs implicated (a TRUE distinct over
+    the union of both pair sides — a doc appearing as doc_a in one pair
+    and doc_b in another within the same cell counts once), and a
+    deterministic first-doc anchor.
 
     Scale: banding is O(N x bands) into a (band, bucket) equi-join —
     never all-pairs, pair volume is bounded by bucket sizes exactly as in
@@ -1610,10 +1623,24 @@ def intersource_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
         )
     )
-    return attributed.groupBy("src_a", "src_b").agg(
+    # The pair relation is derived once and feeds two tiny aggregates
+    # (cells and a union-distinct doc count) joined back on the cell key:
+    # countDistinct(doc_a) + countDistinct(doc_b) would double-count a
+    # doc that appears on both sides of different pairs in one cell.
+    attributed = checkpoint_pinned(attributed)
+    cells = attributed.groupBy("src_a", "src_b").agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        (F.countDistinct("doc_a") + F.countDistinct("doc_b")).alias(
-            "n_docs_implicated"
-        ),
         F.min("doc_a").alias("first_doc"),
+    )
+    ndocs = (
+        attributed.select(
+            "src_a",
+            "src_b",
+            F.explode(F.array("doc_a", "doc_b")).alias("doc"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.countDistinct("doc").alias("n_docs_implicated"))
+    )
+    return cells.join(ndocs, ["src_a", "src_b"]).select(
+        "src_a", "src_b", "n_pairs", "n_docs_implicated", "first_doc"
     )

@@ -1375,6 +1375,18 @@ def _drop_bucket_table(spark: SparkSession, name: str) -> None:
         shutil.rmtree(loc)
 
 
+def _bucket_table_name(base: str, sf_dir: str) -> str:
+    """Session-collision-proof managed-table name: ``<base>_<sftag>_<uid>``.
+    Fixed global names let two concurrent sessions on the same checkout
+    (bench + tests) drop each other's in-flight bucketed tables mid-query;
+    suffixing by sf tag and uid gives each (user, scale) pair its own
+    table, mirroring per_user_tmpdir's per-user discipline. (Concurrent
+    same-user same-sf sessions remain single-writer by assumption, as any
+    shared managed table is.)"""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    return f"{base}_{tag}_{os.getuid()}"
+
+
 _BUCKETED_JOIN_SQL = """
 SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_lines,
@@ -1417,16 +1429,18 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice"
     )
-    _drop_bucket_table(spark, "bj_orders")
-    _drop_bucket_table(spark, "bj_lineitem")
+    t_orders = _bucket_table_name("bj_orders", sf_dir)
+    t_li = _bucket_table_name("bj_lineitem", sf_dir)
+    _drop_bucket_table(spark, t_orders)
+    _drop_bucket_table(spark, t_li)
     orders.write.bucketBy(BUCKET_N, "o_orderkey").sortBy("o_orderkey").mode(
         "overwrite"
-    ).saveAsTable("bj_orders")
+    ).saveAsTable(t_orders)
     li.write.bucketBy(BUCKET_N, "l_orderkey").sortBy("l_orderkey").mode(
         "overwrite"
-    ).saveAsTable("bj_lineitem")
-    o = spark.table("bj_orders").hint("merge")
-    l = spark.table("bj_lineitem")
+    ).saveAsTable(t_li)
+    o = spark.table(t_orders).hint("merge")
+    l = spark.table(t_li)
     return (
         o.join(l, o.o_orderkey == l.l_orderkey)
         .groupBy("o_orderpriority")

@@ -841,7 +841,13 @@ def daily_value_histogram(ev: DataFrame) -> DataFrame:
     return (
         ev.select(
             date_str("ts").alias("day"),
-            (cents("value") / F.lit(HIST_BIN_CENTS)).cast("long").alias("bin"),
+            # F.floor, not cast('long'): the cast truncates toward zero
+            # while the DuckDB oracle's `vc // bin` floors — identical for
+            # the current all-positive values, but a negative value would
+            # silently split bin 0 into two and diverge from the oracle.
+            F.floor(cents("value") / F.lit(HIST_BIN_CENTS))
+            .cast("long")
+            .alias("bin"),
         )
         .groupBy("day", "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))

@@ -115,6 +115,35 @@ _DEFER_WITHIN_NEVER_CHECKED: tuple[str, ...] = (
     "join_hint_strategies",
 )
 
+# Explicit rotation key AHEAD of plain staleness (VERDICT r9 task 1): a query
+# whose implementation changed in round R but whose latest driver row predates
+# R is running on an unverified code path — the driver row is the contract
+# signal, so these lead the window (right after any never-checked queries).
+# Maintained by hand at change time: add/update `name: round` when a round
+# edits a query's value-producing code; the entry self-expires once a driver
+# row >= that round lands (the comparison below), so stale entries are
+# harmless. Non-value changes (plan pins, docstrings) don't belong here.
+_CODE_CHANGED_ROUND: dict[str, int] = {
+    # round 8/9 edits whose last driver row was r5 (VERDICT r9 audit list;
+    # tools/selfcheck.py re-verified all green, but the driver row is the
+    # signal of record):
+    "ivf_topk": 9,
+    "approx_price_quantiles": 9,
+    "order_chain_recursion": 9,
+    "kmeans_lloyd_centroids": 9,
+    "null_safe_join_counts": 9,
+    "split_leakage_audit": 9,
+    "prefix_filter_jaccard_join": 9,
+    "bigram_pmi_collocations": 9,
+    # round 10 edits (ADVICE fixes): intersource matrix semantics changed
+    # (true union-distinct docs), bucketed join table naming, histogram
+    # binning floor semantics (value-identical on current data, re-check
+    # anyway since the binning expression changed):
+    "intersource_dup_matrix": 10,
+    "bucketed_colocated_join": 10,
+    "histogram_incremental_daily": 10,
+}
+
 
 def _repo_root() -> str:
     import os
@@ -166,7 +195,11 @@ def _priority_order(registered: list[str]) -> list[str]:
         if name not in latest:  # never driver-checked: lead
             deferred = name in defer_rank
             return (0, int(deferred), defer_rank.get(name, 0), reg_index[name])
-        return (1, 0, latest[name], reg_index[name])
+        if latest[name] < _CODE_CHANGED_ROUND.get(name, 0):
+            # code changed after the last driver row: unverified path,
+            # jumps ahead of plain staleness (oldest driver row first)
+            return (1, 0, latest[name], reg_index[name])
+        return (2, 0, latest[name], reg_index[name])
 
     return sorted(registered, key=key)
 

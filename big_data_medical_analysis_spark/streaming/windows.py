@@ -538,8 +538,17 @@ def _recover_state_swap(state_dir: str, cur_dir: str, is_complete) -> None:
     import os
     import shutil
 
-    stagings = sorted(glob.glob(os.path.join(state_dir, "staging_*")))
-    olds = sorted(glob.glob(os.path.join(state_dir, "old_*")))
+    # Sort by the NUMERIC batch-id suffix — lexicographic order misranks
+    # ids >= 10 (staging_9 > staging_10), which could promote an older
+    # state table over a newer one after a crash left multiple leftovers.
+    def _bid(p: str) -> int:
+        try:
+            return int(p.rsplit("_", 1)[1])
+        except ValueError:
+            return -1
+
+    stagings = sorted(glob.glob(os.path.join(state_dir, "staging_*")), key=_bid)
+    olds = sorted(glob.glob(os.path.join(state_dir, "old_*")), key=_bid)
     if not os.path.exists(cur_dir):
         done = [s for s in stagings if is_complete(s)]
         if done:
