@@ -64,6 +64,7 @@ COHORTS: dict[str, list[str]] = {
         "ann_incremental_probe",
         "pq_codebook_distortion",
         "pq_adc_topk",
+        "ann_recall_audit",
     ],
     "text": [
         "doc_token_stats",

@@ -426,3 +426,31 @@ def test_pq_adc_topk_matches_numpy_replay(spark, sf_dir):
         else:
             assert abs(got[k][3] - exp[3]) < 2e-6, (k, got[k], exp)
     assert len(cand_ids) + int(probe_mask.sum()) == len(ids)
+
+
+def test_ann_recall_audit_invariants(spark, sf_dir):
+    """Recall audit semantics (the oracle pins values; this pins the
+    cross-tier invariants): one row per (tier, probe); recall = n_hits/K
+    in [0, 1]; n_hits <= min(K, n_scored); the pq_adc tier scores the
+    whole encoded candidate corpus while sign_lsh scores only bucket
+    collisions (n_scored strictly smaller on this near-random corpus)."""
+    from big_data_medical_analysis_spark import registry
+
+    rows = registry.queries()["ann_recall_audit"](spark, sf_dir).collect()
+    tiers = {"sign_lsh", "pq_adc"}
+    assert {r.tier for r in rows} == tiers
+    probes = {r.probe_id for r in rows}
+    assert len(rows) == len(tiers) * len(probes)
+    n_cands = (
+        read_table(spark, sf_dir, "embeddings")
+        .filter(F.expr(S._ANN_INDEX))
+        .count()
+    )
+    for r in rows:
+        assert 0.0 <= r.recall <= 1.0
+        assert abs(r.recall - round(r.n_hits / S.RA_K, 4)) < 1e-9
+        assert r.n_hits <= min(S.RA_K, r.n_scored)
+        if r.tier == "pq_adc":
+            assert r.n_scored == n_cands
+        else:
+            assert r.n_scored < n_cands
