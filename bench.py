@@ -160,6 +160,7 @@ COHORTS: dict[str, list[str]] = {
         "dynamic_partition_pruning",
         "npy_source_norms",
         "bucketed_colocated_join",
+        "bucketed_fact_chain",
     ],
     "analytics": [
         "rolling_7d_user_value",

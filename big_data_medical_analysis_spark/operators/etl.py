@@ -1449,3 +1449,81 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum("l_extendedprice").alias("revenue"),
         )
     )
+
+
+_BUCKETED_CHAIN_SQL = """
+SELECT c_mktsegment, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100
+         AS revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
+@register("bucketed_fact_chain", oracle=_BUCKETED_CHAIN_SQL, category="layout")
+def bucketed_fact_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shape 3-table chain over the bucketed layout:
+    customer ⋈ orders ⋈ lineitem with orders and lineitem bucketed on
+    orderkey — the fact⋈fact leg (o⋈l) sort-merges straight off the
+    bucketed scans with NO Exchange on either input, while the dimension
+    leg broadcasts INTO the streamed orders side (BroadcastHashJoin
+    preserves the streamed side's partitioning AND ordering, so the
+    broadcast join between the scan and the SMJ costs the bucketed leg
+    nothing). Pinned in tests/test_plans.py::
+    test_bucketed_fact_chain_plan: exactly one Exchange in the whole plan
+    (the final small 2-key aggregate), one BroadcastHashJoin (customer),
+    one SortMergeJoin (o⋈l), both fact scans ``Bucketed: true``.
+
+    Bucket-count CO-DESIGN (the knob that makes this work at 100 TB):
+    both fact tables MUST agree on count ({BUCKET_N}) and key (orderkey)
+    — Spark elides the exchange only when each scan's
+    HashPartitioning(orderkey, n) satisfies the join's required
+    distribution, and two different counts satisfy nothing (both sides
+    re-shuffle). Size the shared count so one bucket pair fits an
+    executor's sort buffer at the LARGER table's density: lineitem is
+    ~4x orders rows, so n = ceil(lineitem_bytes / target_task_bytes)
+    rounded to a power of two, and orders inherits it (its smaller
+    buckets are simply cheap). Dimensions stay UNbucketed: customer
+    rides the broadcast tier, so the layout investment is only spent on
+    tables big enough to repay it.
+
+    A green oracle row (plain 3-way SQL join over the SOURCE parquet)
+    proves the bucketed write/read round-trip of BOTH facts plus the
+    broadcast leg lost nothing.
+    """
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    t_orders = _bucket_table_name("bj3_orders", sf_dir)
+    t_li = _bucket_table_name("bj3_lineitem", sf_dir)
+    _drop_bucket_table(spark, t_orders)
+    _drop_bucket_table(spark, t_li)
+    orders.write.bucketBy(BUCKET_N, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable(t_orders)
+    li.write.bucketBy(BUCKET_N, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable(t_li)
+    o = spark.table(t_orders)
+    l = spark.table(t_li)
+    # Dimension first, INSIDE the bucketed leg: BHJ streams the bucketed
+    # orders scan unchanged, so the downstream merge join still sees
+    # HashPartitioning(o_orderkey, BUCKET_N) and elides both exchanges.
+    oc = o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey).hint("merge")
+    return (
+        oc.join(l, oc.o_orderkey == l.l_orderkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            money_sum("l_extendedprice").alias("revenue"),
+        )
+    )

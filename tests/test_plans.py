@@ -821,3 +821,24 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir):
     assert "BroadcastHashJoin" not in plan
     assert plan.count("Exchange") == 1, plan
     assert plan.count("Bucketed: true") == 2, plan
+
+
+def test_bucketed_fact_chain_plan(spark, sf_dir):
+    """3-table chain over the bucketed layout (VERDICT r9 task 4): the
+    o⋈l fact leg stays exchange-free off the bucketed scans WHILE the
+    customer dimension broadcasts into the streamed side — exactly one
+    shuffle Exchange in the whole plan (the final 2-key aggregate), one
+    BroadcastHashJoin, one SortMergeJoin, both fact scans bucketed. A
+    regression (bucket-count drift between the two facts, broadcast
+    demotion to SMJ, dimension joined OUTSIDE the bucketed leg forcing a
+    re-shuffle) adds an Exchange and fails here."""
+    from big_data_medical_analysis_spark.operators.etl import (
+        bucketed_fact_chain,
+    )
+
+    df = bucketed_fact_chain(spark, sf_dir)
+    plan = P.physical_plan(df)
+    assert P.exchange_count(df) == 1, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert plan.count("SortMergeJoin") == 1, plan
+    assert plan.count("Bucketed: true") == 2, plan
