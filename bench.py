@@ -53,6 +53,7 @@ COHORTS: dict[str, list[str]] = {
         "minhash_estimate_accuracy",
         "minhash_incremental_probe",
         "intersource_dup_matrix",
+        "governed_mixture_sample",
     ],
     "similarity": [
         "cosine_topk",

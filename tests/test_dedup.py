@@ -421,3 +421,87 @@ def test_intersource_matrix_accounts_for_every_colliding_pair(spark, sf_dir):
     for r in rows:
         assert r.src_a <= r.src_b
         assert 2 <= r.n_docs_implicated <= 2 * r.n_pairs
+
+
+def test_governed_mixture_sample_composition(spark, sf_dir):
+    """The governance loop's composition contract: the sample is drawn
+    only from KEPT docs (no doc that is the larger side of a verified
+    near-dup pair is ever sampled), per-source draw count is
+    min(quota, n_kept) with dense ranks 1..n, and the per-source quota
+    reproduces round(GOV_EPOCH * temperature-share) from the returned
+    kept_tokens columns."""
+    rows = D.governed_mixture_sample(spark, sf_dir).collect()
+    assert rows
+
+    # rebuild the redundant set exactly as the query defines it
+    docs = read_table(spark, sf_dir, "documents")
+    banded = D.pmh_banded_buckets(docs)
+    pairs = (
+        banded.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+        .join(
+            banded.select("band", "bucket", F.col("doc_id").alias("doc_b")),
+            ["band", "bucket"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    tokn = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    ).withColumn("tsz", F.size("toks"))
+    verified = (
+        pairs.join(
+            tokn.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("toks").alias("ta"),
+                F.col("tsz").alias("sa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            tokn.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("toks").alias("tb"),
+                F.col("tsz").alias("sb"),
+            ),
+            "doc_b",
+        )
+        .filter(
+            F.size(F.array_intersect("ta", "tb")) * 39
+            >= (F.col("sa") + F.col("sb")) * 19
+        )
+    )
+    redundant = {
+        r.doc_b for r in verified.select("doc_b").distinct().collect()
+    }
+    sampled = {r.doc_id for r in rows}
+    assert not (sampled & redundant)
+
+    # per-source: dense ranks, count == min(quota, n_kept), quota formula
+    import math
+    from collections import defaultdict
+
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r.source].append(r)
+    total_micro = None  # needs every source incl. zero-quota ones: recompute
+    # kept-token totals per source from the engine itself
+    kept_tokens = {
+        r.source: r.kept_tokens
+        for r in docs.select(
+            "doc_id", "source", F.size(F.split("text", " ")).alias("n_toks")
+        )
+        .filter(~F.col("doc_id").isin(list(redundant)))
+        .groupBy("source")
+        .agg(F.sum("n_toks").cast("long").alias("kept_tokens"))
+        .collect()
+    }
+    w = {s: round(math.sqrt(t) * 1_000_000) for s, t in kept_tokens.items()}
+    total_micro = sum(w.values())
+    for src, srows in by_src.items():
+        ranks = sorted(r.rnk for r in srows)
+        assert ranks == list(range(1, len(srows) + 1))
+        q = srows[0].quota
+        assert len(srows) == min(q, srows[0].n_kept)
+        assert kept_tokens[src] == srows[0].kept_tokens
+        assert q == round(D.GOV_EPOCH * w[src] / total_micro)
