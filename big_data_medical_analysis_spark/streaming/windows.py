@@ -640,18 +640,31 @@ def make_hll_state_merger(state_dir: str):
 
 
 def hll_state_stream(
-    spark: SparkSession, input_dir: str, state_dir: str, checkpoint: str
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint: str,
+    available_now: bool = False,
 ):
     """Start the incremental HLL state maintenance stream: event files →
     per-batch register build → idempotent register-max merge into the
-    persisted state table (checkpoint carries the source offsets)."""
-    return (
+    persisted state table (checkpoint carries the source offsets).
+
+    ``available_now=True`` is the operational BACKFILL shape
+    (Trigger.AvailableNow): drain everything currently in ``input_dir``
+    into the state table, then terminate — a later start with the same
+    checkpoint tails only files the backfill didn't consume. This is how
+    the maintainer is (re)started in production: catch up the backlog,
+    exit, run live."""
+    writer = (
         read_event_stream(spark, input_dir)
         .writeStream.foreachBatch(make_hll_state_merger(state_dir))
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 # ---------------------------------------------------------------------------
@@ -734,16 +747,28 @@ def make_hist_state_merger(state_dir: str):
 
 
 def hist_state_stream(
-    spark: SparkSession, input_dir: str, state_dir: str, checkpoint: str
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint: str,
+    available_now: bool = False,
 ):
     """Start the incremental histogram state maintenance stream: event
     files → per-batch bin-count build → ledger-gated exactly-once sum
     merge into the persisted state table (checkpoint carries the source
-    offsets; the ledger carries the applied batch ids)."""
-    return (
+    offsets; the ledger carries the applied batch ids).
+
+    ``available_now=True``: backfill shape (see ``hll_state_stream``).
+    The ledger spans the backfill/live boundary unchanged — batch ids
+    keep incrementing across restarts because they come from the shared
+    checkpoint, so a live redelivery of a backfill batch is still
+    skipped by the same ledger lookup."""
+    writer = (
         read_event_stream(spark, input_dir)
         .writeStream.foreachBatch(make_hist_state_merger(state_dir))
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

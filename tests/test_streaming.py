@@ -699,3 +699,103 @@ def test_hist_state_merger_half_committed_staging_never_promoted(
         (r.day, r.bin, r.cnt) for r in spark.read.parquet(cur).collect()
     } == full
     assert baseline <= full
+
+
+def test_backfill_then_tail_into_same_state(spark, tmp_path):
+    """The operational restart shape (VERDICT r9 task 5): a
+    Trigger.AvailableNow run drains the BACKLOG into the persisted state
+    table and terminates; a later live run with the SAME checkpoint
+    tails only the new files into the SAME state. Both mergers must end
+    exactly equal to their batch builders over backlog+live, and the
+    histogram's ledger must stay consistent across the backfill/live
+    boundary (ids from the shared checkpoint keep incrementing; every
+    applied batch recorded exactly once; no double counting)."""
+    import json
+
+    from big_data_medical_analysis_spark.operators.sketches import (
+        daily_event_registers,
+        daily_value_histogram,
+    )
+
+    indir = str(tmp_path / "bf_in")
+    backlog1 = [(i, f"2024-01-01 0{i % 9}:00:00.000000", i, "click", float(i))
+                for i in range(30)]
+    backlog2 = [(50 + i, f"2024-01-02 0{i % 9}:00:00.000000", i, "view",
+                 10.0 + i) for i in range(30)]
+    live = [(100 + i, f"2024-01-03 0{i % 9}:00:00.000000", i, "buy",
+             5.5 * i) for i in range(30)]
+    _write_events(indir, "a.json", backlog1)
+    _write_events(indir, "b.json", backlog2)
+
+    cases = {
+        "hll": (SW.hll_state_stream, str(tmp_path / "hll_state"),
+                str(tmp_path / "hll_ckpt")),
+        "hist": (SW.hist_state_stream, str(tmp_path / "hist_state"),
+                 str(tmp_path / "hist_ckpt")),
+    }
+    # Phase 1: backfill — AvailableNow drains both files, then terminates
+    for _, (starter, state, ckpt) in cases.items():
+        q = starter(spark, indir, state, ckpt, available_now=True)
+        assert q.awaitTermination(120), "availableNow run must terminate"
+
+    hist_state = cases["hist"][1]
+    ledger_path = os.path.join(hist_state, "current", SW.HIST_APPLIED_FILE)
+    with open(ledger_path) as f:
+        backfill_ids = json.load(f)
+    assert backfill_ids == sorted(set(backfill_ids))
+    n_backfill = len(backfill_ids)
+    assert n_backfill >= 1
+
+    # Phase 2: live tail — same checkpoint+state, only the new file lands
+    _write_events(indir, "c.json", live)
+    for _, (starter, state, ckpt) in cases.items():
+        q = starter(spark, indir, state, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    all_ev = spark.createDataFrame(
+        [(eid, ts, uid, et, v) for eid, ts, uid, et, v in
+         backlog1 + backlog2 + live],
+        "event_id long, ts_s string, user_id long, event_type string, "
+        "value double",
+    ).selectExpr(
+        "event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value"
+    )
+
+    hll_cur = os.path.join(cases["hll"][1], "current")
+    spark.catalog.refreshByPath(hll_cur)
+    streamed_hll = {
+        (r.day, r.register, r.rho)
+        for r in spark.read.parquet(hll_cur).collect()
+    }
+    expected_hll = {
+        (r.day, r.register, r.rho)
+        for r in daily_event_registers(all_ev).collect()
+    }
+    assert streamed_hll == expected_hll
+    assert len({d for d, _, _ in streamed_hll}) == 3  # backlog + live days
+
+    hist_cur = os.path.join(hist_state, "current")
+    spark.catalog.refreshByPath(hist_cur)
+    streamed_hist = {
+        (r.day, r.bin, r.cnt)
+        for r in spark.read.parquet(hist_cur)
+        .select("day", "bin", "cnt").collect()
+    }
+    expected_hist = {
+        (r.day, r.bin, r.cnt)
+        for r in daily_value_histogram(all_ev).collect()
+    }
+    assert streamed_hist == expected_hist
+
+    # Ledger across the boundary: backfill ids preserved, live ids appended
+    # and strictly greater (same checkpoint numbering), no duplicates.
+    with open(ledger_path) as f:
+        final_ids = json.load(f)
+    assert final_ids[:n_backfill] == backfill_ids
+    assert final_ids == sorted(set(final_ids))
+    assert len(final_ids) > n_backfill
+    assert min(final_ids[n_backfill:]) > max(backfill_ids)
