@@ -71,8 +71,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     ``cv2.imread``; src/federated_learning_pipeline.py:36-40
     ``tf.io.decode_jpeg``). Delegates to the from-scratch stdlib+numpy
     codec in ``jpeg_codec.py`` — grayscale baseline-sequential JFIF, the
-    same discipline as ``decode_png`` below. Replaced the round-2/3
-    NotImplementedError stub."""
+    same discipline as ``decode_png`` below."""
     from big_data_medical_analysis_spark.operators.jpeg_codec import (
         decode_jpeg as _decode,
     )
@@ -150,9 +149,9 @@ def decode_png(content: bytes) -> np.ndarray:
     """Stdlib-only PNG decoder (zlib inflate + scanline unfiltering, PNG
     spec §9): 8-bit non-interlaced grayscale → (H, W) uint8. Handles all
     five filter types and multi-IDAT streams; rejects what it can't decode
-    instead of guessing. Replaces the round-2 NotImplementedError stub —
-    the reference's decode step (src/preprocessing_pipeline.py:39) is now
-    real. Unfiltering Sub/Average/Paeth is inherently sequential in x
+    instead of guessing — the reference's decode step
+    (src/preprocessing_pipeline.py:39), implemented for real.
+    Unfiltering Sub/Average/Paeth is inherently sequential in x
     (each byte needs the *reconstructed* left neighbor), hence the per-byte
     loop; per-image cost is O(pixels) and the outer pipeline parallelizes
     per image, so the sequential inner loop is not a scale hazard."""
