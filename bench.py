@@ -66,6 +66,7 @@ COHORTS: dict[str, list[str]] = {
         "pq_codebook_distortion",
         "pq_adc_topk",
         "ann_recall_audit",
+        "ivf_pq_topk",
     ],
     "text": [
         "doc_token_stats",

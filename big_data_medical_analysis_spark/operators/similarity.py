@@ -1712,6 +1712,222 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF-PQ: coarse cells gate the ADC scan (round 10)
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_oracle() -> str:
+    """IVF-PQ tail over the shared PQ training prefix: per-label mean
+    centroids (exact ints), L2 cell ranking, nprobe gating, ADC only over
+    gated codes, exact recompute of the winners."""
+    return (
+        _pq_train_sql()
+        + f"""
+, lab AS (
+  SELECT vm.vec_id, e.label, vm.v FROM vm JOIN embeddings e ON e.vec_id = vm.vec_id
+), exploded AS (
+  SELECT label, unnest(v) AS ix, generate_subscripts(v, 1) AS i FROM lab
+), centc AS (
+  SELECT label, i,
+         CAST(round(CAST(sum(ix) AS DOUBLE) / count(*)) AS BIGINT) AS c
+  FROM exploded GROUP BY label, i
+), cent AS (
+  SELECT label, list(c ORDER BY i) AS cvec FROM centc GROUP BY label
+), probes AS (
+  SELECT vec_id AS probe_id, v FROM vm
+  WHERE vec_id % {PQ_PROBE_MOD} = {PQ_PROBE_RES}
+), cellsc AS (
+  SELECT p.probe_id, c.label,
+         list_sum(list_transform(list_zip(p.v, c.cvec),
+                  z -> (z[1] - z[2]) * (z[1] - z[2]))) AS cd
+  FROM probes p, cent c
+), topcells AS (
+  SELECT probe_id, label FROM (
+    SELECT *, row_number() OVER (PARTITION BY probe_id
+                                 ORDER BY cd, label) AS rn
+    FROM cellsc
+  ) WHERE rn <= {N_IVF_PROBE_CELLS}
+), codes AS (
+  SELECT vec_id AS cand_id, s, cluster FROM enc
+  WHERE rnk = 1 AND vec_id % {PQ_PROBE_MOD} <> {PQ_PROBE_RES}
+), gated AS (
+  SELECT t.probe_id, l.vec_id AS cand_id
+  FROM topcells t JOIN lab l ON l.label = t.label
+  WHERE l.vec_id % {PQ_PROBE_MOD} <> {PQ_PROBE_RES}
+), plut AS (
+  SELECT svm.vec_id AS probe_id, svm.s, c.cluster,
+         list_sum(list_transform(svm.sv,
+           (x, i) -> (x - c.c[i]) * (x - c.c[i]))) AS pd
+  FROM svm JOIN c{PQ_ITERS} c ON c.s = svm.s
+  WHERE svm.vec_id % {PQ_PROBE_MOD} = {PQ_PROBE_RES}
+), adc AS (
+  SELECT g.probe_id, g.cand_id, CAST(sum(p.pd) AS BIGINT) AS adc_d
+  FROM gated g
+  JOIN codes c2 ON c2.cand_id = g.cand_id
+  JOIN plut p ON p.probe_id = g.probe_id
+            AND p.s = c2.s AND p.cluster = c2.cluster
+  GROUP BY 1, 2
+), tk AS (
+  SELECT * FROM (
+    SELECT probe_id, cand_id, adc_d,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY adc_d, cand_id) AS rnk
+    FROM adc
+  ) WHERE rnk <= {PQ_ADC_K}
+), scanstat AS (
+  SELECT probe_id, CAST(count(*) AS BIGINT) AS n_gated FROM gated GROUP BY 1
+)
+SELECT tk.probe_id, CAST(tk.rnk AS INTEGER) AS rnk, tk.cand_id, tk.adc_d,
+       CAST(list_sum(list_transform(list_zip(p.v, c.v),
+            z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS true_d,
+       s.n_gated
+FROM tk
+JOIN vm p ON p.vec_id = tk.probe_id
+JOIN vm c ON c.vec_id = tk.cand_id
+JOIN scanstat s ON s.probe_id = tk.probe_id"""
+    )
+
+
+@register("ivf_pq_topk", oracle=_ivfpq_oracle(), category="similarity")
+def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the composition ``pq_adc_topk``'s docstring promises: the
+    coarse quantizer (per-cell mean centroids over the precomputed
+    ``label`` cells, the ``ivf_topk`` recipe in L2 space) gates WHICH
+    codes the ADC scan reads, so a probe touches only its
+    {N_IVF_PROBE_CELLS} nearest cells' codes instead of the whole code
+    table — both savings at once: IVF cuts candidates, PQ cuts
+    bytes/candidate. This is the structure of every production
+    billion-vector index (FAISS IVFPQ, ScaNN's AH tree).
+
+    Per probe (vec_id ≡ {PQ_PROBE_RES} mod {PQ_PROBE_MOD}): rank cells by
+    exact int64 probe→centroid squared L2 (ties on label), keep
+    {N_IVF_PROBE_CELLS}; ADC-score only gated candidates via the
+    broadcast {PQ_SUBSPACES}x{PQ_K} lookup table; take top-{PQ_ADC_K}
+    (ties on cand_id); recompute the winners' EXACT distances. Output
+    carries ``n_gated`` — the per-probe scan size the cell gate achieved
+    (vs the full corpus for ``pq_adc_topk``), making the IVF saving a
+    driver-checked quantity like ``ann_recall_audit``'s n_scored.
+
+    Everything is exact integer arithmetic (shared PQ training prefix,
+    integer centroid means, integer cell distances), so DuckDB replays
+    coarse quantizer + codebooks + gating + ADC bit-for-bit.
+
+    Scale: centroids are cells×dims — broadcast; cell ranking is a map
+    over the tiny probe panel; the gate is an equi-join on label
+    (partition-prunable if the code table is written partitioned BY
+    cell, which is exactly how IVF lists are laid out on disk); the ADC
+    scan then reads nprobe/cells of the codes. The same plan at 100 TB
+    reads ~{N_IVF_PROBE_CELLS}/16 of a table that is already ~64x
+    smaller than the floats.
+    """
+    vml = fan_out(
+        read_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", F.transform("embedding", _iscaled).alias("v")
+        ),
+        "vec_id",
+    ).transform(checkpoint_pinned)
+    svm = _pq_subvectors(vml.select("vec_id", "v"))
+    centroids = _pq_train(svm)
+    is_probe = (F.col("vec_id") % PQ_PROBE_MOD) == PQ_PROBE_RES
+
+    # coarse quantizer: per-label integer mean centroids (ivf_topk recipe)
+    exploded = vml.select(
+        "label", F.posexplode_outer("v").alias("i", "ix")
+    ).filter(F.col("i").isNotNull())
+    centc = exploded.groupBy("label", "i").agg(
+        F.round(F.sum("ix").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("c")
+    )
+    cent = centc.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))),
+            lambda s: s["c"],
+        ).alias("cvec")
+    )
+    probes = vml.filter(is_probe).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    cell_d = F.aggregate(
+        F.zip_with("pv", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cellsc = probes.crossJoin(F.broadcast(cent)).select(
+        "probe_id", "label", cell_d.alias("cd")
+    )
+    wc = W.partitionBy("probe_id").orderBy(F.asc("cd"), F.asc("label"))
+    topcells = (
+        cellsc.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= N_IVF_PROBE_CELLS)
+        .select("probe_id", "label")
+    )
+
+    # the gate: probe -> candidates in its cells (label equi-join)
+    gated = checkpoint_pinned(
+        F.broadcast(topcells).join(
+            vml.filter(~is_probe).select(
+                F.col("vec_id").alias("cand_id"), "label"
+            ),
+            "label",
+        ).select("probe_id", "cand_id")
+    )
+    codes = _pq_assign(svm.filter(~is_probe), centroids).select(
+        F.col("vec_id").alias("cand_id"), "s", "cluster"
+    )
+    lut = (
+        svm.filter(is_probe)
+        .join(F.broadcast(centroids), "s")
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            "s",
+            "cluster",
+            _pq_sqdist().alias("pd"),
+        )
+    )
+    adc = (
+        gated.join(codes, "cand_id")
+        .join(F.broadcast(lut), ["probe_id", "s", "cluster"])
+        .groupBy("probe_id", "cand_id")
+        .agg(F.sum("pd").alias("adc_d"))
+    )
+    wk = W.partitionBy("probe_id").orderBy(F.asc("adc_d"), F.asc("cand_id"))
+    tk = (
+        adc.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= PQ_ADC_K)
+        .select(
+            "probe_id",
+            F.col("rnk").cast("integer").alias("rnk"),
+            "cand_id",
+            "adc_d",
+        )
+    )
+    scanstat = gated.groupBy("probe_id").agg(
+        F.count(F.lit(1)).alias("n_gated")
+    )
+    true_d = F.aggregate(
+        F.zip_with("pv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        tk.join(
+            vml.select(F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")),
+            "probe_id",
+        )
+        .join(
+            vml.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")),
+            "cand_id",
+        )
+        .join(scanstat, "probe_id")
+        .select(
+            "probe_id", "rnk", "cand_id", "adc_d",
+            true_d.alias("true_d"), "n_gated",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # ANN recall audit: approximate tiers measured against exact truth (round 10)
 # ---------------------------------------------------------------------------
 

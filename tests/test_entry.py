@@ -74,14 +74,39 @@ def test_defer_list_names_all_resolve():
 
 
 def test_priority_after_window_is_stalest_first():
-    """Beyond the never-checked block, queries rotate stalest-round-first so
-    every query's latest driver row stays recent (VERDICT r7 task 2)."""
+    """Beyond the never-checked block, priority is two stalest-first tiers
+    (VERDICT r7 task 2 + r9 task 1): first every query whose code changed
+    AFTER its latest driver row (unverified path — jumps the plain-stale
+    queue), then everything else; each tier itself ordered by latest
+    driver round ascending."""
     from big_data_medical_analysis_spark import registry
 
     latest = registry.latest_driver_rounds()
-    ordered = list(registry.all_queries())
-    checked_rounds = [latest[n] for n in ordered if n in latest]
-    assert checked_rounds == sorted(checked_rounds)
+    ordered = [n for n in registry.all_queries() if n in latest]
+    changed = [
+        n
+        for n in ordered
+        if latest[n] < registry._CODE_CHANGED_ROUND.get(n, 0)
+    ]
+    plain = [n for n in ordered if n not in set(changed)]
+    # tier order: all code-changed before any plain-stale
+    assert ordered == changed + plain
+    # stalest-first inside each tier
+    for tier in (changed, plain):
+        rounds = [latest[n] for n in tier]
+        assert rounds == sorted(rounds)
+
+
+def test_code_changed_names_are_registered():
+    """Same typo-guard as the defer list: an unregistered name in
+    _CODE_CHANGED_ROUND silently prioritizes nothing."""
+    from big_data_medical_analysis_spark import registry
+
+    registry._load_all()
+    unknown = [
+        n for n in registry._CODE_CHANGED_ROUND if n not in registry._REGISTRY
+    ]
+    assert unknown == []
 
 
 def test_every_query_has_scale_documentation():

@@ -454,3 +454,26 @@ def test_ann_recall_audit_invariants(spark, sf_dir):
             assert r.n_scored == n_cands
         else:
             assert r.n_scored < n_cands
+
+
+def test_ivf_pq_gate_actually_gates(spark, sf_dir):
+    """IVF-PQ invariants (the oracle pins values; this pins the gating
+    claim): every probe's n_gated is strictly less than the full
+    candidate corpus (the cell gate reads nprobe cells, not everything),
+    ranks are dense 1..K, and adc_d/true_d are positive."""
+    from big_data_medical_analysis_spark import registry
+
+    rows = registry.queries()["ivf_pq_topk"](spark, sf_dir).collect()
+    assert rows
+    n_cands = (
+        read_table(spark, sf_dir, "embeddings")
+        .filter((F.col("vec_id") % S.PQ_PROBE_MOD) != S.PQ_PROBE_RES)
+        .count()
+    )
+    by_probe = {}
+    for r in rows:
+        assert 0 < r.n_gated < n_cands
+        assert r.adc_d >= 0 and r.true_d > 0
+        by_probe.setdefault(r.probe_id, []).append(r.rnk)
+    for rnks in by_probe.values():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
