@@ -772,3 +772,136 @@ def hist_state_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming MinHash index ingest (round 10): probe-then-append maintainer
+# ---------------------------------------------------------------------------
+
+
+def read_docs_stream(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source documents stream (JSON lines, explicit schema — the
+    documents-table subset the dedup tier needs)."""
+    schema = "doc_id long, text string, source string"
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(input_dir)
+    )
+
+
+def make_pmh_index_appender(index_dir: str, matches_dir: str):
+    """``foreachBatch`` function closing the loop
+    ``minhash_incremental_probe`` documents: each ingest batch PROBES the
+    persisted band index for duplicate candidates, then APPENDS its own
+    band rows — so the same table serves as index and accumulating state
+    and the NEXT batch dedups against everything before it.
+
+    Exactly-once on BOTH outputs without a ledger, because both are
+    per-batch overwrites keyed by batch_id (the
+    ``make_idempotent_batch_writer`` recipe): the batch's band rows land
+    in ``ingest_batch=<id>`` (sub-partitioned by band, so probes still
+    prune to one band directory per band), and its probe hits land in
+    ``batch_id=<id>`` under ``matches_dir``. Structured Streaming replays
+    a failed batch with the same (data, batch_id); each overwrite then
+    replaces its own partial output — no double-appended index rows, no
+    duplicated match rows. The probe read never sees half its OWN batch:
+    it runs before the append, against only prior batches' committed
+    directories.
+
+    The probe reads only ``ingest_batch < batch_id`` partitions: a
+    REPLAYED batch whose index append already committed would otherwise
+    probe its own rows (every doc self-matches) and write a different
+    matches file than the first attempt — partition-pruned replay
+    determinism, caught by the redelivery pytest.
+
+    Batch-boundary semantics (same as the batch twin): probe-vs-index
+    misses duplicates WITHIN the ingest batch; a batch-local self-dedup
+    (batch-sized cost) runs beside it in production. Scale: per-batch
+    cost is O(batch × bands) banding + a (band, bucket) equi-join against
+    a band-pruned index read — the accumulated corpus is never re-banded.
+    """
+    import os
+
+    from big_data_medical_analysis_spark.operators.dedup import (
+        pmh_banded_buckets,
+    )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        banded = pmh_banded_buckets(batch_df).persist()
+        try:
+            prior = [
+                e
+                for e in (
+                    os.listdir(index_dir) if os.path.isdir(index_dir) else []
+                )
+                if e.startswith("ingest_batch=")
+                and int(e.split("=", 1)[1]) < batch_id
+            ]
+            if prior:
+                index = (
+                    spark.read.parquet(index_dir)
+                    .filter(F.col("ingest_batch") < batch_id)
+                    .select(
+                        F.col("doc_id").alias("index_doc_id"),
+                        F.col("band").cast("int").alias("band"),
+                        "bucket",
+                    )
+                )
+                hits = (
+                    banded.withColumn("band", F.col("band").cast("int"))
+                    .join(index, ["band", "bucket"])
+                    .groupBy("doc_id")
+                    .agg(
+                        F.countDistinct("index_doc_id").alias(
+                            "n_index_matches"
+                        ),
+                        F.min("index_doc_id").alias("min_index_doc"),
+                    )
+                )
+            else:
+                hits = banded.select("doc_id").limit(0).select(
+                    "doc_id",
+                    F.lit(0).cast("long").alias("n_index_matches"),
+                    F.lit(None).cast("long").alias("min_index_doc"),
+                )
+            hits.write.mode("overwrite").parquet(
+                os.path.join(matches_dir, f"batch_id={batch_id}")
+            )
+            banded.write.mode("overwrite").partitionBy("band").parquet(
+                os.path.join(index_dir, f"ingest_batch={batch_id}")
+            )
+        finally:
+            banded.unpersist()
+
+    return _merge
+
+
+def pmh_index_stream(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    matches_dir: str,
+    checkpoint: str,
+    available_now: bool = False,
+):
+    """Start the incremental MinHash-index ingest stream: document files →
+    per-batch probe against the accumulated band index → idempotent
+    append of the batch's own band rows. ``available_now=True`` is the
+    backfill shape (see ``hll_state_stream``)."""
+    writer = (
+        read_docs_stream(spark, input_dir)
+        .writeStream.foreachBatch(
+            make_pmh_index_appender(index_dir, matches_dir)
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

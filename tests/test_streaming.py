@@ -16,6 +16,8 @@ import uuid
 import pytest
 from datetime import datetime
 
+from pyspark.sql import functions as F
+
 from big_data_medical_analysis_spark.streaming import windows as SW
 
 
@@ -799,3 +801,109 @@ def test_backfill_then_tail_into_same_state(spark, tmp_path):
     assert final_ids == sorted(set(final_ids))
     assert len(final_ids) > n_backfill
     assert min(final_ids[n_backfill:]) > max(backfill_ids)
+
+
+def _write_docs(dirpath, name, rows):
+    """rows: (doc_id, text, source)."""
+    os.makedirs(dirpath, exist_ok=True)
+    path = os.path.join(dirpath, name)
+    with open(path + ".tmp", "w") as f:
+        for did, text, src in rows:
+            f.write(json.dumps(
+                {"doc_id": did, "text": text, "source": src}) + "\n")
+    os.replace(path + ".tmp", path)
+
+
+def test_pmh_index_stream_probe_then_append(spark, tmp_path):
+    """The streaming ingest loop for the MinHash band index: batch 1
+    builds the index (no prior index to probe), batch 2 probes batch 1's
+    rows THEN appends its own — so the accumulated index after both
+    batches equals the batch-built index over all docs, batch 2's probe
+    hits equal the batch twin's probe-vs-index join, and redelivering a
+    batch (same batch_id) changes neither output (per-batch overwrite
+    idempotence)."""
+    from big_data_medical_analysis_spark.operators.dedup import (
+        pmh_banded_buckets,
+    )
+
+    indir = str(tmp_path / "docs_in")
+    index_dir = str(tmp_path / "pmh_index")
+    matches_dir = str(tmp_path / "pmh_matches")
+    ckpt = str(tmp_path / "pmh_ckpt")
+
+    # batch 2 contains an exact-text twin of a batch-1 doc => a full-band
+    # collision is guaranteed (identical signature), plus unrelated docs
+    b1 = [(1, "alpha beta gamma delta epsilon", "s1"),
+          (2, "one two three four five six", "s1"),
+          (3, "red green blue yellow purple", "s2")]
+    b2 = [(10, "alpha beta gamma delta epsilon", "s3"),  # dup of doc 1
+          (11, "totally different words entirely here", "s3")]
+
+    _write_docs(indir, "a.json", b1)
+    q = SW.pmh_index_stream(
+        spark, indir, index_dir, matches_dir, ckpt, available_now=True
+    )
+    assert q.awaitTermination(120)
+    _write_docs(indir, "b.json", b2)
+    q = SW.pmh_index_stream(
+        spark, indir, index_dir, matches_dir, ckpt, available_now=True
+    )
+    assert q.awaitTermination(120)
+
+    def docs_df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    # accumulated index == batch-built index over all docs
+    spark.catalog.refreshByPath(index_dir)
+    streamed_index = {
+        (r.doc_id, int(r.band), r.bucket)
+        for r in spark.read.parquet(index_dir)
+        .select("doc_id", "band", "bucket").collect()
+    }
+    expected_index = {
+        (r.doc_id, int(r.band), r.bucket)
+        for r in pmh_banded_buckets(docs_df(b1 + b2)).collect()
+    }
+    assert streamed_index == expected_index
+
+    # batch 2's probe hits == batch twin (probe new docs vs batch-1 index)
+    spark.catalog.refreshByPath(matches_dir)
+    matches = spark.read.parquet(matches_dir)
+    got_hits = {
+        (r.doc_id, r.n_index_matches, r.min_index_doc)
+        for r in matches.collect()
+    }
+    b1_banded = pmh_banded_buckets(docs_df(b1))
+    expected_hits = {
+        (r.doc_id, r.n_index_matches, r.min_index_doc)
+        for r in pmh_banded_buckets(docs_df(b2))
+        .join(
+            b1_banded.withColumnRenamed("doc_id", "index_doc_id"),
+            ["band", "bucket"],
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("index_doc_id").alias("n_index_matches"),
+            F.min("index_doc_id").alias("min_index_doc"),
+        )
+        .collect()
+    }
+    assert got_hits == expected_hits
+    assert any(d == 10 and m == 1 for d, _, m in got_hits)  # planted dup found
+
+    # redelivery: re-run batch id 1 with batch 2's data by hand — both
+    # outputs must be byte-identical afterwards (overwrite, not append)
+    SW.make_pmh_index_appender(index_dir, matches_dir)(docs_df(b2), 1)
+    spark.catalog.refreshByPath(index_dir)
+    again_index = {
+        (r.doc_id, int(r.band), r.bucket)
+        for r in spark.read.parquet(index_dir)
+        .select("doc_id", "band", "bucket").collect()
+    }
+    assert again_index == streamed_index
+    spark.catalog.refreshByPath(matches_dir)
+    again_hits = {
+        (r.doc_id, r.n_index_matches, r.min_index_doc)
+        for r in spark.read.parquet(matches_dir).collect()
+    }
+    assert again_hits == got_hits
