@@ -67,6 +67,7 @@ COHORTS: dict[str, list[str]] = {
         "pq_adc_topk",
         "ann_recall_audit",
         "ivf_pq_topk",
+        "ann_multiprobe_audit",
     ],
     "text": [
         "doc_token_stats",

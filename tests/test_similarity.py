@@ -477,3 +477,23 @@ def test_ivf_pq_gate_actually_gates(spark, sf_dir):
         by_probe.setdefault(r.probe_id, []).append(r.rnk)
     for rnks in by_probe.values():
         assert sorted(rnks) == list(range(1, len(rnks) + 1))
+
+
+def test_multiprobe_dominates_single(spark, sf_dir):
+    """Multiprobe set-dominance (the oracle pins values; this pins the
+    structural claim): per probe, the multiprobe candidate set contains
+    the single-probe set, so n_scored and n_hits are monotonically >= —
+    and across the panel the extra bucket finds strictly more candidates."""
+    from big_data_medical_analysis_spark import registry
+
+    rows = registry.queries()["ann_multiprobe_audit"](spark, sf_dir).collect()
+    single = {r.probe_id: r for r in rows if r.tier == "single"}
+    multi = {r.probe_id: r for r in rows if r.tier == "multiprobe_2"}
+    assert set(single) == set(multi) and single
+    for pid in single:
+        assert multi[pid].n_scored >= single[pid].n_scored
+        assert multi[pid].n_hits >= single[pid].n_hits
+        assert 0.0 <= single[pid].recall <= multi[pid].recall <= 1.0
+    assert sum(m.n_scored for m in multi.values()) > sum(
+        s.n_scored for s in single.values()
+    )
