@@ -2110,8 +2110,25 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rerank), and every join is key-equi or broadcast — no all-pairs
     beyond the audited truth leg.
     """
-    emb = read_table(spark, sf_dir, "embeddings")
-    vm = _pq_intvecs(spark, sf_dir)
+    # ONE parquet scan: every consumer below (int vectors, norms, LSH
+    # bucketers, probe panel, PQ subvectors) derives from this pinned
+    # base — the executed plan would otherwise re-scan embeddings 6x
+    # (rescan-budget test).
+    emb = checkpoint_pinned(
+        fan_out(
+            read_table(spark, sf_dir, "embeddings").select(
+                "vec_id", "embedding"
+            ),
+            "vec_id",
+        )
+    )
+    vm = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda y: F.round(y.cast("double") * _SCALE).cast("long"),
+        ).alias("v"),
+    )
     is_probe = F.expr(_ra_probe_pred())
     is_cand = F.expr(_ANN_INDEX)
     n2 = F.aggregate(
@@ -2119,7 +2136,7 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    normed = vm.select("vec_id", "v", n2.alias("n2"))
+    normed = checkpoint_pinned(vm.select("vec_id", "v", n2.alias("n2")))
     probes = F.broadcast(
         normed.filter(is_probe).select(
             F.col("vec_id").alias("probe_id"),
@@ -2145,7 +2162,7 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One scoring pass carries BOTH metrics; reused by the truth ranks and
     # the LSH rerank join, so it is pinned.
     pairs = checkpoint_pinned(
-        probes.join(fan_out(cands, "cand_id")).select(
+        probes.join(cands).select(
             "probe_id",
             "cand_id",
             cosine(int_dot_vv, F.col("pn2"), F.col("cn2")).alias("cos_sim"),
@@ -2486,16 +2503,31 @@ def ann_multiprobe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is 2·L rows per probe instead of L; the index side and its
     partition pruning are unchanged.
     """
-    emb = read_table(spark, sf_dir, "embeddings")
+    # ONE parquet scan, pinned; all derivations (norms, both bucket
+    # mappers, probe panel) consume the checkpoint (rescan-budget test).
+    emb = checkpoint_pinned(
+        fan_out(
+            read_table(spark, sf_dir, "embeddings").select(
+                "vec_id", "embedding"
+            ),
+            "vec_id",
+        )
+    )
     is_probe = F.expr(_ra_probe_pred())
     is_cand = F.expr(_ANN_INDEX)
-    vm = _pq_intvecs(spark, sf_dir)
+    vm = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda y: F.round(y.cast("double") * _SCALE).cast("long"),
+        ).alias("v"),
+    )
     n2 = F.aggregate(
         F.transform("v", lambda x: x * x),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    normed = vm.select("vec_id", "v", n2.alias("n2"))
+    normed = checkpoint_pinned(vm.select("vec_id", "v", n2.alias("n2")))
     probes = F.broadcast(
         normed.filter(is_probe).select(
             F.col("vec_id").alias("probe_id"),
@@ -2514,7 +2546,7 @@ def ann_multiprobe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     pairs = checkpoint_pinned(
-        probes.join(fan_out(cands, "cand_id")).select(
+        probes.join(cands).select(
             "probe_id",
             "cand_id",
             cosine(int_dot_vv, F.col("pn2"), F.col("cn2")).alias("cos_sim"),
@@ -2529,9 +2561,7 @@ def ann_multiprobe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "cand_id")
     )
 
-    mp = fan_out(
-        emb.filter(is_probe).select("vec_id", "embedding"), "vec_id"
-    ).mapInPandas(
+    mp = emb.filter(is_probe).select("vec_id", "embedding").mapInPandas(
         _ann_multiprobe_mapper(),
         "vec_id long, tbl int, bucket long, variant int",
     )
