@@ -164,6 +164,8 @@ COHORTS: dict[str, list[str]] = {
         "npy_source_norms",
         "bucketed_colocated_join",
         "bucketed_fact_chain",
+        "file_provenance_audit",
+        "compact_small_files",
     ],
     "analytics": [
         "rolling_7d_user_value",
@@ -221,6 +223,7 @@ COHORTS: dict[str, list[str]] = {
         "k_anonymity_audit",
         "benford_first_digit",
         "fk_fanout_profile",
+        "table_content_fingerprint",
     ],
     # iterative recursive-CTE executor: cost = per-iteration job overhead ×
     # longest per-customer chain (depth-bound pytest in test_analytics);

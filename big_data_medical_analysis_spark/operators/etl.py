@@ -1527,3 +1527,159 @@ def bucketed_fact_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum("l_extendedprice").alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# File provenance audit via the _metadata column (round 10)
+# ---------------------------------------------------------------------------
+
+_PROVENANCE_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(1 AS BIGINT) AS n_files,
+       CAST(0 AS BIGINT) AS n_path_mismatch,
+       min(o_orderkey) AS min_key,
+       max(o_orderkey) AS max_key
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("file_provenance_audit", oracle=_PROVENANCE_SQL, category="layout")
+def file_provenance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row→file provenance through the hidden ``_metadata`` struct — the
+    debugging handle a 100 TB incident actually needs ("which files fed
+    these bad rows?"): orders are written hive-partitioned by priority
+    (``repartition(col)`` first, so each partition value lands in exactly
+    ONE task ⇒ exactly one file per directory — the compaction-friendly
+    layout), read BACK, and audited per priority: row count, distinct
+    source files (pinned 1 by the layout contract), and a path↔content
+    consistency probe (the partition value parsed OUT of each row's
+    ``_metadata.file_path`` must equal the row's own column, URL-encoding
+    accounted — 0 mismatches pinned). The oracle derives the same counts
+    from the SOURCE table, so a green row proves the partitioned write /
+    metadata-read round trip lost nothing and mixed no rows across
+    partition directories.
+
+    Scale: ``_metadata`` is populated at scan time from the file index —
+    no extra I/O; the audit is one combine aggregate per partition
+    value. The same query over a damaged lake pinpoints the offending
+    files without re-reading healthy ones (partition pruning applies to
+    the audit itself).
+    """
+    out_dir = os.path.join(
+        per_user_tmpdir("spark_graft_provenance"),
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    orders.repartition("o_orderpriority").write.mode("overwrite").partitionBy(
+        "o_orderpriority"
+    ).parquet(out_dir)
+    back = spark.read.parquet(out_dir).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("_metadata.file_path").alias("fp"),
+    )
+    path_val = F.regexp_extract("fp", r"o_orderpriority=([^/]+)/", 1)
+    encoded = F.replace(
+        F.col("o_orderpriority"), F.lit(" "), F.lit("%20")
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("fp").alias("n_files"),
+        F.sum(
+            F.when(path_val != encoded, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_path_mismatch"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction (round 10)
+# ---------------------------------------------------------------------------
+
+COMPACT_SMALL_N = 64
+COMPACT_ROWS_PER_FILE = 4096
+
+_COMPACT_SQL = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST({COMPACT_SMALL_N} AS BIGINT) AS n_files_before,
+       CAST(ceil(count(*) / {COMPACT_ROWS_PER_FILE}.0) AS BIGINT)
+         AS n_files_after,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+         AS revenue,
+       CAST(bit_xor(CAST(concat('0x',
+              substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT))
+         AS BIGINT) AS key_fingerprint
+FROM orders
+"""
+
+
+@register("compact_small_files", oracle=_COMPACT_SQL, category="layout")
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-files maintenance job every 100 TB lake runs nightly:
+    a fragmented table ({COMPACT_SMALL_N} shards — the residue of
+    high-parallelism streaming ingest, where every micro-batch task
+    writes its own file) is rewritten into ceil(rows/
+    {COMPACT_ROWS_PER_FILE}) right-sized files. Fragmentation is a real
+    scale tax: planning cost and scan-task count scale with FILE count
+    not byte count, and a million 1 MB files turns a 1-minute scan into
+    a scheduler stall. The compactor sizes the target layout from ONE
+    count job (exactly how production compaction sizes by bytes — the
+    single driver-side scalar is the job's control plane, not a data
+    path), then `repartition(target)` rewrites once.
+
+    The audit output proves the rewrite lost nothing, cross-engine: row
+    count, before/after file counts (before pinned by the shard write,
+    after by the sizing contract; both measured from ``_metadata``, not
+    assumed), the exact-cents revenue total, and the XOR key fingerprint
+    (``table_content_fingerprint``'s algebra) — the oracle recomputes
+    all five from the SOURCE table.
+
+    Scale: one narrow scan of the fragmented table + one write at target
+    parallelism; the audit aggregates ride the compacted read. On a
+    cluster the same job runs per partition directory with bin-packing
+    by file size (`maxRecordsPerFile` bounds the other direction).
+    """
+    import math
+
+    root = os.path.join(
+        per_user_tmpdir("spark_graft_compaction"),
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    small_dir = os.path.join(root, "small")
+    compact_dir = os.path.join(root, "compacted")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    orders.repartition(COMPACT_SMALL_N).write.mode("overwrite").parquet(
+        small_dir
+    )
+    frag = spark.read.parquet(small_dir)
+    n_rows = frag.count()
+    target = max(1, math.ceil(n_rows / COMPACT_ROWS_PER_FILE))
+    frag.repartition(target).write.mode("overwrite").parquet(compact_dir)
+
+    files_before = frag.select(
+        F.countDistinct(F.col("_metadata.file_path")).alias("n_files_before")
+    )
+    comp = spark.read.parquet(compact_dir)
+    kh = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    audit = comp.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        money_sum("o_totalprice").alias("revenue"),
+        F.expr(
+            "bit_xor(cast(conv(substring(md5(cast(o_orderkey as string)),"
+            " 1, 15), 16, 10) as bigint))"
+        ).alias("key_fingerprint"),
+        F.countDistinct(F.col("_metadata.file_path")).alias("n_files_after"),
+    )
+    return audit.crossJoin(F.broadcast(files_before)).select(
+        "n_rows", "n_files_before", "n_files_after", "revenue",
+        "key_fingerprint",
+    )

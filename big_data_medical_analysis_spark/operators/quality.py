@@ -392,3 +392,96 @@ def fk_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_parent.groupBy("fanout").agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+
+
+# ---------------------------------------------------------------------------
+# Order-independent table content fingerprint (round 10)
+# ---------------------------------------------------------------------------
+
+_FPRINT_SQL = """
+WITH oh AS (
+  SELECT CAST(concat('0x', substr(md5(
+           concat(CAST(o_orderkey AS VARCHAR), '|',
+                  CAST(o_custkey AS VARCHAR), '|',
+                  CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR))
+         ), 1, 15)) AS BIGINT) AS h
+  FROM orders
+),
+lh AS (
+  SELECT CAST(concat('0x', substr(md5(
+           concat(CAST(l_orderkey AS VARCHAR), '|',
+                  CAST(l_linenumber AS VARCHAR), '|',
+                  CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR))
+         ), 1, 15)) AS BIGINT) AS h
+  FROM lineitem
+)
+SELECT 'orders' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(h) AS BIGINT) AS fingerprint
+FROM oh
+UNION ALL
+SELECT 'lineitem' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(h) AS BIGINT) AS fingerprint
+FROM lh
+"""
+
+
+@register("table_content_fingerprint", oracle=_FPRINT_SQL, category="quality")
+def table_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent whole-table content fingerprint — the equality
+    check two CLUSTERS can run independently to validate a 100 TB
+    replication/migration without moving data: each row is rendered
+    canonically (ints as decimal strings, money as exact cents — the
+    cross-engine rendering discipline every oracle here uses), md5'd,
+    truncated to 60 bits, and XOR-folded per table. XOR is commutative,
+    associative, and its own inverse, so the fold is insensitive to row
+    order and partitioning, map-side combinable, and incrementally
+    maintainable (ingesting a batch XORs its fingerprint in; deleting
+    XORs it back out — the sketch-algebra property the state-table
+    family exploits for counts, applied to content equality).
+
+    Caveat by design: XOR-fold cannot detect a row duplicated an EVEN
+    number of times (x XOR x = 0) — n_rows is emitted alongside
+    precisely because count+fingerprint together close the paired-dup
+    hole for the replication-validation use case.
+
+    The fingerprint itself is checked cross-engine by the driver (DuckDB
+    computes the identical md5/XOR fold), which is the strongest form of
+    the claim: two independent engines agree on the bit.
+
+    Scale: one projection-only scan per table, a 1-row XOR aggregate —
+    no shuffle beyond the final combine; at 100 TB this is the cheapest
+    full-content check that exists (no sort, no join, no sketch error).
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+
+    def h(*cols) -> Column:
+        return F.conv(
+            F.substring(F.md5(F.concat_ws("|", *cols)), 1, 15), 16, 10
+        ).cast("long")
+
+    def cents(c: str) -> Column:
+        return F.round(F.col(c) * 100).cast("long").cast("string")
+
+    oh = orders.select(
+        h(
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            cents("o_totalprice"),
+        ).alias("h")
+    )
+    lh = li.select(
+        h(
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            cents("l_extendedprice"),
+        ).alias("h")
+    )
+
+    def fold(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(h)").alias("fingerprint"),
+        ).select(F.lit(name).alias("tbl"), "n_rows", "fingerprint")
+
+    return fold(oh, "orders").unionByName(fold(lh, "lineitem"))

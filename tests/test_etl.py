@@ -379,3 +379,35 @@ def test_mixture_weights_normalize_and_temper(spark, sf_dir):
         prop = r.n_tokens / total_tokens
         lo, hi = sorted((uniform, prop))
         assert lo - 1e-6 <= r.mix_share <= hi + 1e-6, (r.source, r.mix_share, lo, hi)
+
+
+def test_compaction_reduces_file_count(spark, sf_dir):
+    """The compactor's layout contract (the oracle pins the audit values;
+    this pins the filesystem effect): the fragmented write really has
+    COMPACT_SMALL_N files on disk, the compacted write has
+    ceil(rows/COMPACT_ROWS_PER_FILE), and the audit row reports exactly
+    those counts."""
+    import math
+    import os
+
+    from big_data_medical_analysis_spark.operators import etl as E
+    from big_data_medical_analysis_spark.operators.common import (
+        per_user_tmpdir,
+    )
+
+    row = E.compact_small_files(spark, sf_dir).collect()[0]
+    root = os.path.join(
+        per_user_tmpdir("spark_graft_compaction"),
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+
+    def parquet_files(d):
+        return [f for f in os.listdir(d)
+                if f.endswith(".parquet") and not f.startswith("_")]
+
+    n_small = len(parquet_files(os.path.join(root, "small")))
+    n_comp = len(parquet_files(os.path.join(root, "compacted")))
+    assert n_small == E.COMPACT_SMALL_N == row.n_files_before
+    expected = max(1, math.ceil(row.n_rows / E.COMPACT_ROWS_PER_FILE))
+    assert n_comp == expected == row.n_files_after
+    assert n_comp < n_small
