@@ -158,6 +158,7 @@ COHORTS: dict[str, list[str]] = {
         "incremental_agg_merge",
         "latest_event_per_user",
         "orders_upsert_apply",
+        "cdc_tombstone_compaction",
         "morton_layout_keys",
         "per_group_downsample",
         "dynamic_partition_pruning",
@@ -224,6 +225,7 @@ COHORTS: dict[str, list[str]] = {
         "benford_first_digit",
         "fk_fanout_profile",
         "table_content_fingerprint",
+        "join_key_skew_audit",
     ],
     # iterative recursive-CTE executor: cost = per-iteration job overhead ×
     # longest per-customer chain (depth-bound pytest in test_analytics);

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from big_data_medical_analysis_spark.operators.common import (
+    checkpoint_pinned,
     money_sum,
     per_user_tmpdir,
 )
@@ -1682,4 +1683,113 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit.crossJoin(F.broadcast(files_before)).select(
         "n_rows", "n_files_before", "n_files_after", "revenue",
         "key_fingerprint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC tombstone compaction (round 10)
+# ---------------------------------------------------------------------------
+
+_TOMBSTONE_SQL = """
+WITH log AS (
+  SELECT o_orderkey AS key, o_orderstatus AS status,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         1 AS seq, 'I' AS op
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT) + 100,
+         2, 'U'
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, NULL, 3, 'D'
+  FROM orders WHERE o_orderkey % 7 = 3
+),
+latest AS (
+  SELECT key, status, price_cents, op
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+    FROM log
+  ) WHERE rn = 1
+)
+SELECT status,
+       CAST(count(*) AS BIGINT) AS n_live,
+       CAST(sum(price_cents) AS DOUBLE) / 100 AS total_price,
+       CAST((SELECT count(*) FROM latest WHERE op = 'D') AS BIGINT)
+         AS n_tombstoned
+FROM latest WHERE op <> 'D'
+GROUP BY status
+"""
+
+
+@register("cdc_tombstone_compaction", oracle=_TOMBSTONE_SQL, category="etl")
+def cdc_tombstone_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone-aware CDC log compaction — the read-side step
+    ``orders_upsert_apply`` (MERGE) and ``latest_event_per_user``
+    (latest-per-key) both stop short of: a change log carrying
+    Insert/Update/DELETE ops per key is compacted to current state by
+    taking the latest op per key (one ranking window on the key) and
+    DROPPING keys whose latest op is a delete — exactly how a
+    log-structured table (Hudi MOR read, Kafka compacted topic
+    materialization, Delta CDF consumer) resolves its view. The delete
+    is data, not an operation: until compaction/vacuum it travels the
+    log as a tombstone row, and forgetting to honor it resurrects
+    deleted records — the classic CDC consumer bug this query's oracle
+    would catch as an n_live/n_tombstoned mismatch.
+
+    The log here is derived deterministically from orders (seq 1 insert
+    for every key, seq 2 update (+$1) for keys ≡0 mod 10, seq 3 delete
+    for keys ≡3 mod 7), so the compacted aggregate per status — live
+    count, exact-cents total, global tombstone count — is fully
+    value-oracled.
+
+    Scale: ONE shuffle on the key for the ranking window (the log's
+    natural partitioning in production — a keyed topic — makes even
+    that co-located); state per key is one row. Compaction output is
+    what downstream reads, so the window cost amortizes over every
+    consumer.
+    """
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    ins = orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        cents.alias("price_cents"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    upd = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        (cents + F.lit(100)).alias("price_cents"),
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    dele = orders.filter(F.col("o_orderkey") % 7 == 3).select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit(None).cast("long").alias("price_cents"),
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    log = ins.unionByName(upd).unionByName(dele)
+    w = W.partitionBy("key").orderBy(F.desc("seq"))
+    latest = checkpoint_pinned(
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", "status", "price_cents", "op")
+    )
+    n_tomb = latest.filter(F.col("op") == "D").agg(
+        F.count(F.lit(1)).alias("n_tombstoned")
+    )
+    return (
+        latest.filter(F.col("op") != "D")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            (F.sum("price_cents").cast("double") / 100).alias("total_price"),
+        )
+        .crossJoin(F.broadcast(n_tomb))
     )
