@@ -1749,8 +1749,13 @@ def cdc_tombstone_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     what downstream reads, so the window cost amortizes over every
     consumer.
     """
-    orders = read_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
+    # one pinned base scan: the three log branches below would otherwise
+    # each re-scan orders (hidden under the downstream checkpoint, where
+    # the rescan-budget test cannot see them)
+    orders = checkpoint_pinned(
+        read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
     )
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     ins = orders.select(
