@@ -141,6 +141,7 @@ COHORTS: dict[str, list[str]] = {
         "bitmap_distinct_orders",
         "hll_incremental_daily",
         "histogram_incremental_daily",
+        "ks_drift_binned",
     ],
     "sampling_etl": [
         "weighted_sample_docs",

@@ -981,3 +981,132 @@ def histogram_incremental_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KS drift statistic over binned CDFs (round 10)
+# ---------------------------------------------------------------------------
+
+_KS_SQL = f"""
+WITH binned AS (
+  SELECT (epoch(CAST(ts AS DATE)) // 86400) % 2 AS slice,
+         CAST(round(value * 100) AS BIGINT) // {HIST_BIN_CENTS} AS bin
+  FROM events
+),
+cells AS (
+  SELECT bin,
+         CAST(count(*) FILTER (slice = 0) AS BIGINT) AS c_ref,
+         CAST(count(*) FILTER (slice = 1) AS BIGINT) AS c_cur
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT CAST(sum(c_ref) AS BIGINT) AS t_ref,
+         CAST(sum(c_cur) AS BIGINT) AS t_cur,
+         CAST(count(*) AS BIGINT) AS n_bins
+  FROM cells
+),
+cdf AS (
+  SELECT a.bin,
+         CAST(sum(b.c_ref) AS BIGINT) AS cum_ref,
+         CAST(sum(b.c_cur) AS BIGINT) AS cum_cur
+  FROM cells a JOIN cells b ON b.bin <= a.bin
+  GROUP BY a.bin
+),
+gaps AS (
+  SELECT c.bin,
+         abs(CAST(c.cum_ref AS DOUBLE) / t.t_ref
+             - CAST(c.cum_cur AS DOUBLE) / t.t_cur) AS gap,
+         t.t_ref, t.t_cur, t.n_bins
+  FROM cdf c, tot t
+)
+SELECT CAST(bin AS BIGINT) AS argmax_bin,
+       round(gap, 6) AS ks_stat,
+       t_ref, t_cur, n_bins
+FROM (
+  SELECT *, row_number() OVER (ORDER BY gap DESC, bin) AS rn FROM gaps
+) WHERE rn = 1
+"""
+
+
+@register("ks_drift_binned", oracle=_KS_SQL, category="sketch")
+def ks_drift_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic over BINNED CDFs —
+    the distribution-shape complement to ``psi_distribution_drift``
+    (PSI sums per-bin log-ratios; KS takes the max CDF gap, so it
+    catches a shifted mode PSI's coarse bins can dilute), computed on
+    the same {HIST_BIN_CENTS}-cent integer bins as the histogram state
+    tables — meaning at 100 TB this metric runs off the PERSISTED
+    ``daily_value_histogram`` state (two slices' bin vectors merged by
+    the bin-sum algebra), never re-touching raw events.
+
+    Slices: even vs odd epoch-day (the deterministic stand-in for the
+    reference-window vs current-window split a drift monitor uses).
+    CDFs are exact integer cumulative bin counts built with a
+    bounded-domain range join (bins² ≈ 71² cells here — the bin domain
+    is fixed by value range / bin width, NOT by row count, so no
+    unpartitioned cumulative window and no global sort); the only
+    floats are the two final CDF divisions and the max-gap compare,
+    rounded once. Output: the KS statistic, its argmax bin
+    (deterministic ties to the smaller bin), slice totals, bin count.
+
+    Scale: one map-side-combinable (slice, bin) aggregate over the scan
+    (or zero scans when fed from the state table) + bins²-bounded
+    arithmetic + a 1-row TakeOrdered — no shuffle grows with data.
+    """
+    from big_data_medical_analysis_spark.operators.common import (
+        cents,
+        checkpoint_pinned,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    binned = ev.select(
+        (
+            (F.floor(F.unix_timestamp(F.to_date("ts")) / 86400) % 2)
+        ).cast("int").alias("slice"),
+        F.floor(cents("value") / F.lit(HIST_BIN_CENTS))
+        .cast("long")
+        .alias("bin"),
+    )
+    cells = checkpoint_pinned(
+        binned.groupBy("bin").agg(
+            F.count(F.when(F.col("slice") == 0, 1)).alias("c_ref"),
+            F.count(F.when(F.col("slice") == 1, 1)).alias("c_cur"),
+        )
+    )
+    tot = F.broadcast(
+        cells.agg(
+            F.sum("c_ref").cast("long").alias("t_ref"),
+            F.sum("c_cur").cast("long").alias("t_cur"),
+            F.count(F.lit(1)).alias("n_bins"),
+        )
+    )
+    a = cells.select(F.col("bin").alias("abin"))
+    cdf = (
+        a.join(cells, F.col("bin") <= F.col("abin"))
+        .groupBy("abin")
+        .agg(
+            F.sum("c_ref").cast("long").alias("cum_ref"),
+            F.sum("c_cur").cast("long").alias("cum_cur"),
+        )
+    )
+    gaps = cdf.crossJoin(tot).select(
+        F.col("abin").alias("argmax_bin"),
+        F.abs(
+            F.col("cum_ref").cast("double") / F.col("t_ref")
+            - F.col("cum_cur").cast("double") / F.col("t_cur")
+        ).alias("gap"),
+        "t_ref",
+        "t_cur",
+        "n_bins",
+    )
+    return (
+        gaps.orderBy(F.desc("gap"), F.asc("argmax_bin"))
+        .limit(1)
+        .select(
+            "argmax_bin",
+            F.round("gap", 6).alias("ks_stat"),
+            "t_ref",
+            "t_cur",
+            "n_bins",
+        )
+    )
