@@ -842,3 +842,14 @@ def test_bucketed_fact_chain_plan(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") == 1, plan
     assert plan.count("SortMergeJoin") == 1, plan
     assert plan.count("Bucketed: true") == 2, plan
+
+
+def test_skew_audit_uses_take_ordered(spark, sf_dir):
+    """join_key_skew_audit's top-N must plan as TakeOrderedAndProject
+    (per-partition top-N + K-row merge), never a single-partition
+    row_number window — the form that survives billions of distinct
+    keys (the docstring's scale claim, pinned)."""
+    df = QS["join_key_skew_audit"](spark, sf_dir)
+    plan = P.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "row_number" not in plan
