@@ -339,8 +339,8 @@ def _read_symbol(rd: _BitReader, table: dict[tuple[int, int], int]) -> int:
 def decode_jpeg(content: bytes) -> np.ndarray:
     """Baseline-sequential grayscale JFIF → (H, W) uint8.
 
-    Replaces the round-2/3 NotImplementedError stub (the reference decodes
-    JPEGs at src/federated_learning_pipeline.py:36-40). Supports what
+    The reference decodes JPEGs at
+    src/federated_learning_pipeline.py:36-40. Supports what
     ``encode_jpeg`` and any standard single-component baseline encoder
     emit; rejects progressive/multi-component/16-bit-DQT/restart streams
     with a precise error instead of guessing."""
