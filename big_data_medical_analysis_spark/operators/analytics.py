@@ -827,8 +827,14 @@ WITH e AS (
 ),
 flagged AS (
   SELECT user_id, event_id, t, gap_us,
-         CASE WHEN lag(t) OVER w IS NULL
-                   OR t - lag(t) OVER w > lag(gap_us) OVER w
+         CASE WHEN max(t + gap_us) OVER (
+                PARTITION BY user_id ORDER BY t, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) IS NULL
+              OR t > max(t + gap_us) OVER (
+                PARTITION BY user_id ORDER BY t, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              )
               THEN 1 ELSE 0 END AS new_sess
   FROM e
   WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
@@ -857,8 +863,14 @@ def dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     {DYN_GAP_DEFAULT_US // 60_000_000} min): the batch twin of Spark's
     ``session_window(ts, gapExpr)`` dynamic form, which the fixed-gap
     ``event_session_ids`` doesn't exercise. A new session starts when the
-    gap to the previous event exceeds the PREVIOUS event's own threshold
-    (the "extend-by-my-gap" semantics of dynamic session windows).
+    event's time exceeds the RUNNING MAX of all prior events' window ends
+    (t + own gap) — the true merge semantics of ``session_window``: an
+    earlier long-gap event (a purchase) holds the session open even when
+    the immediately previous event's shorter gap has lapsed. (The
+    lag-only form — compare against just the previous event's gap —
+    mis-splits exactly that shadowing case; round 10 fixed this and
+    tests/test_streaming.py now proves batch ≡ F.session_window on a
+    shadowing fixture.)
 
     Scale: identical profile to the fixed-gap form — one shuffle on
     user_id, two stacked linear window passes on the same sort order, one
@@ -871,14 +883,15 @@ def dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "purchase", F.lit(DYN_GAP_PURCHASE_US)
     ).otherwise(F.lit(DYN_GAP_DEFAULT_US))
     w = W.partitionBy("user_id").orderBy(t.asc(), F.col("event_id").asc())
-    prev_t = F.lag(t).over(w)
-    prev_gap = F.lag(gap).over(w)
+    prior_end = F.max(t + gap).over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
     flagged = ev.select(
         "user_id",
         "event_id",
         t.alias("t"),
         F.when(
-            prev_t.isNull() | ((t - prev_t) > prev_gap), 1
+            prior_end.isNull() | (t > prior_end), 1
         ).otherwise(0).alias("new_sess"),
     )
     wo = W.partitionBy("user_id").orderBy("t", "event_id")

@@ -142,6 +142,9 @@ _CODE_CHANGED_ROUND: dict[str, int] = {
     "intersource_dup_matrix": 10,
     "bucketed_colocated_join": 10,
     "histogram_incremental_daily": 10,
+    # round 10 semantics fix: running-max merge (true session_window
+    # gapExpr semantics) replaced the previous-event-only gap test
+    "dynamic_gap_sessions": 10,
 }
 
 

@@ -907,3 +907,63 @@ def test_pmh_index_stream_probe_then_append(spark, tmp_path):
         for r in spark.read.parquet(matches_dir).collect()
     }
     assert again_hits == got_hits
+
+
+def test_dynamic_gap_sessions_match_session_window_gap_expr(spark, sf_dir):
+    """dynamic_gap_sessions (lag-free running-max merge semantics, round
+    10 fix) must produce EXACTLY the sessions Spark's native
+    ``session_window(ts, gapExpr)`` builds over the same events — and a
+    shadowing fixture (a long-gap purchase followed by a short-gap click)
+    pins the case the old previous-event-only logic mis-split."""
+    from big_data_medical_analysis_spark.operators import analytics as A
+    from big_data_medical_analysis_spark.sources.readers import read_table
+
+    def native_sessions(ev):
+        gap = F.when(
+            F.col("event_type") == "purchase", F.lit("3600 seconds")
+        ).otherwise(F.lit("1800 seconds"))
+        return (
+            ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                (
+                    F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+                ).cast("long").alias("duration_us"),
+            )
+            .select("user_id", "n_events", "duration_us")
+        )
+
+    # full-corpus equivalence (session ids are arbitrary numbering —
+    # compare per-user multisets of (n_events, duration))
+    def profile(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.user_id, []).append(
+                (r.n_events, r.duration_us)
+            )
+        return {u: sorted(v) for u, v in out.items()}
+
+    ours = profile(
+        A.dynamic_gap_sessions(spark, sf_dir).select(
+            "user_id", "n_events", "duration_us"
+        )
+    )
+    native = profile(native_sessions(read_table(spark, sf_dir, "events")))
+    assert ours == native
+
+    # shadowing fixture: click's 30-min gap lapses before event 3, but the
+    # purchase's 1-hour window still holds the session open
+    fixture = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 7, "purchase", 1.0),
+            (2, "2024-01-01 00:01:00", 7, "click", 1.0),
+            (3, "2024-01-01 00:40:00", 7, "view", 1.0),
+        ],
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double",
+    ).selectExpr(
+        "event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value"
+    )
+    nrows = native_sessions(fixture).collect()
+    assert len(nrows) == 1 and nrows[0].n_events == 3
