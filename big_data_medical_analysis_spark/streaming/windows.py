@@ -905,3 +905,122 @@ def pmh_index_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming ANN index ingest (round 10): sign-LSH probe-then-append twin
+# ---------------------------------------------------------------------------
+
+
+def read_embeddings_stream(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source embeddings stream (JSON lines with a float array —
+    the embeddings-table subset the ANN tier needs)."""
+    schema = "vec_id long, embedding array<double>"
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(input_dir)
+    )
+
+
+def make_ann_index_appender(index_dir: str, matches_dir: str):
+    """``foreachBatch`` twin of ``make_pmh_index_appender`` for the
+    similarity pillar, closing the loop ``ann_incremental_probe``
+    documents: each embedding batch buckets itself on the seeded sign-LSH
+    family (one Arrow matmul pass), PROBES the accumulated (tbl, bucket)
+    index for collision candidates, then APPENDS its own bucket rows.
+    Same exactly-once/replay discipline: both outputs are per-batch
+    overwrites keyed by batch_id, and the probe reads only
+    ``ingest_batch < batch_id`` partitions so a replayed batch whose
+    append already committed never self-matches. Candidates carry
+    (n_tables_hit, n_candidates, min_cand) per probing vector — the
+    rerank-by-exact-cosine step happens downstream against the vector
+    store by key join, exactly as in the batch twin.
+
+    Scale: per-batch cost is O(batch × L) bucketing + a bucket equi-join
+    that prunes to matching (tbl, bucket) partitions; the corpus is
+    never re-bucketed. At 100 TB the index table is additionally
+    bucketBy(bucket) so probes co-locate."""
+    import os
+
+    from big_data_medical_analysis_spark.operators.similarity import (
+        ann_lsh_buckets,
+    )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        banded = ann_lsh_buckets(batch_df).persist()
+        try:
+            prior = [
+                e
+                for e in (
+                    os.listdir(index_dir) if os.path.isdir(index_dir) else []
+                )
+                if e.startswith("ingest_batch=")
+                and int(e.split("=", 1)[1]) < batch_id
+            ]
+            if prior:
+                index = (
+                    spark.read.parquet(index_dir)
+                    .filter(F.col("ingest_batch") < batch_id)
+                    .select(
+                        F.col("vec_id").alias("cand_id"),
+                        F.col("tbl").cast("int").alias("tbl"),
+                        "bucket",
+                    )
+                )
+                hits = (
+                    banded.withColumn("tbl", F.col("tbl").cast("int"))
+                    .join(index, ["tbl", "bucket"])
+                    .groupBy("vec_id")
+                    .agg(
+                        F.countDistinct("tbl").alias("n_tables_hit"),
+                        F.countDistinct("cand_id").alias("n_candidates"),
+                        F.min("cand_id").alias("min_cand"),
+                    )
+                )
+            else:
+                hits = banded.select("vec_id").limit(0).select(
+                    "vec_id",
+                    F.lit(0).cast("long").alias("n_tables_hit"),
+                    F.lit(0).cast("long").alias("n_candidates"),
+                    F.lit(None).cast("long").alias("min_cand"),
+                )
+            hits.write.mode("overwrite").parquet(
+                os.path.join(matches_dir, f"batch_id={batch_id}")
+            )
+            banded.write.mode("overwrite").partitionBy("tbl").parquet(
+                os.path.join(index_dir, f"ingest_batch={batch_id}")
+            )
+        finally:
+            banded.unpersist()
+
+    return _merge
+
+
+def ann_index_stream(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    matches_dir: str,
+    checkpoint: str,
+    available_now: bool = False,
+):
+    """Start the incremental sign-LSH index ingest stream (see
+    ``make_ann_index_appender``); ``available_now=True`` is the backfill
+    shape."""
+    writer = (
+        read_embeddings_stream(spark, input_dir)
+        .writeStream.foreachBatch(
+            make_ann_index_appender(index_dir, matches_dir)
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

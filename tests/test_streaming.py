@@ -967,3 +967,88 @@ def test_dynamic_gap_sessions_match_session_window_gap_expr(spark, sf_dir):
     )
     nrows = native_sessions(fixture).collect()
     assert len(nrows) == 1 and nrows[0].n_events == 3
+
+
+def test_ann_index_stream_probe_then_append(spark, tmp_path):
+    """Sign-LSH twin of the MinHash ingest loop: batch 2 contains an
+    exact copy of a batch-1 vector (identical buckets in every table ⇒
+    n_tables_hit = ANN_LSH_TABLES), the accumulated index equals the
+    batch-built buckets over all vectors, and redelivery with an
+    already-committed append changes neither output."""
+    import random
+
+    from big_data_medical_analysis_spark.operators import similarity as S
+
+    rng = random.Random(77)
+
+    def vec():
+        return [rng.uniform(-1, 1) for _ in range(64)]
+
+    v_dup = vec()
+    b1 = [(1, v_dup), (2, vec()), (3, vec())]
+    b2 = [(10, v_dup), (11, vec())]
+
+    indir = str(tmp_path / "emb_in")
+    index_dir = str(tmp_path / "ann_index")
+    matches_dir = str(tmp_path / "ann_matches")
+    ckpt = str(tmp_path / "ann_ckpt")
+
+    def write_batch(name, rows):
+        os.makedirs(indir, exist_ok=True)
+        with open(os.path.join(indir, name + ".tmp"), "w") as f:
+            for vid, emb in rows:
+                f.write(json.dumps({"vec_id": vid, "embedding": emb}) + "\n")
+        os.replace(os.path.join(indir, name + ".tmp"),
+                   os.path.join(indir, name))
+
+    def emb_df(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    write_batch("a.json", b1)
+    q = SW.ann_index_stream(
+        spark, indir, index_dir, matches_dir, ckpt, available_now=True
+    )
+    assert q.awaitTermination(120)
+    write_batch("b.json", b2)
+    q = SW.ann_index_stream(
+        spark, indir, index_dir, matches_dir, ckpt, available_now=True
+    )
+    assert q.awaitTermination(120)
+
+    spark.catalog.refreshByPath(index_dir)
+    streamed = {
+        (r.vec_id, int(r.tbl), r.bucket)
+        for r in spark.read.parquet(index_dir)
+        .select("vec_id", "tbl", "bucket").collect()
+    }
+    expected = {
+        (r.vec_id, int(r.tbl), r.bucket)
+        for r in S.ann_lsh_buckets(emb_df(b1 + b2)).collect()
+    }
+    assert streamed == expected
+
+    spark.catalog.refreshByPath(matches_dir)
+    hits = {
+        (r.vec_id, r.n_tables_hit, r.min_cand)
+        for r in spark.read.parquet(matches_dir).collect()
+    }
+    # the planted exact copy collides in EVERY table with its twin
+    assert (10, S.ANN_LSH_TABLES, 1) in hits
+
+    # redelivery idempotence (append already committed)
+    SW.make_ann_index_appender(index_dir, matches_dir)(emb_df(b2), 1)
+    spark.catalog.refreshByPath(index_dir)
+    again = {
+        (r.vec_id, int(r.tbl), r.bucket)
+        for r in spark.read.parquet(index_dir)
+        .select("vec_id", "tbl", "bucket").collect()
+    }
+    assert again == streamed
+    spark.catalog.refreshByPath(matches_dir)
+    hits_again = {
+        (r.vec_id, r.n_tables_hit, r.min_cand)
+        for r in spark.read.parquet(matches_dir).collect()
+    }
+    assert hits_again == hits
