@@ -1233,6 +1233,10 @@ def triangle_count_brand_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("support") * 50 >= F.col("nb"))
         .select("a", "b")
     )
+    # the supported edge list has SIX consumers (count, node-union, three
+    # triangle-join legs): derive the basket self-join + support filter
+    # once — unpinned, every branch re-ran it (37-shuffle plan, PLANS.md)
+    e = checkpoint_pinned(e)
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
     n_nodes = (
         e.select(F.col("a").alias("v"))
@@ -1435,6 +1439,9 @@ def frequent_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s") * 50 >= F.col("n"))
         .select("a", "b")
     )
+    # frequent-pair list feeds the candidate self-join (2 legs) AND the
+    # downward-closure prune (3rd leg): derive the basket self-join once
+    fp = checkpoint_pinned(fp)
     cand = (
         fp.alias("p1")
         .join(

@@ -145,6 +145,10 @@ _CODE_CHANGED_ROUND: dict[str, int] = {
     # round 10 semantics fix: running-max merge (true session_window
     # gapExpr semantics) replaced the previous-event-only gap test
     "dynamic_gap_sessions": 10,
+    # round 10 plan fix: derived edge/frequent-pair lists pinned (were
+    # re-derived per consumer branch; 37->8 and 22->8 shuffles)
+    "triangle_count_brand_graph": 10,
+    "frequent_triples_apriori": 10,
 }
 
 
