@@ -168,6 +168,8 @@ COHORTS: dict[str, list[str]] = {
         "bucketed_fact_chain",
         "file_provenance_audit",
         "compact_small_files",
+        "delta_join_view_maintenance",
+        "rendezvous_reshard_audit",
     ],
     "analytics": [
         "rolling_7d_user_value",

@@ -1798,3 +1798,191 @@ def cdc_tombstone_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(n_tomb))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN-view maintenance via delta algebra (round 10)
+# ---------------------------------------------------------------------------
+
+_DELTA_JOIN_IVM_SQL = """
+SELECT o.o_orderstatus, l.l_returnflag,
+       count(*) AS n_items,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                     AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus, l.l_returnflag
+"""
+
+
+@register("delta_join_view_maintenance", oracle=_DELTA_JOIN_IVM_SQL, category="etl")
+def delta_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view — the join twin of
+    ``incremental_agg_merge``. The view V = lineitem ⋈ orders (grouped to
+    (status, returnflag) revenue partials) is maintained under deltas on
+    BOTH inputs using the standard delta algebra
+
+        V(L∪ΔL, O∪ΔO) = V(L,O) ∪ ΔL⋈O ∪ L⋈ΔO ∪ ΔL⋈ΔO
+
+    with the base term's partial aggregates pinned (standing in for the
+    stored MV state a production maintainer reads instead of re-joining
+    the base), the delta batches pinned once (the arriving micro-batch),
+    and all four terms' (count, sum-cents) partials merged associatively.
+    The split is cross-cutting — orders by o_orderdate, lineitem by
+    l_shipdate, so an OLD order receives NEW shipments and every delta
+    term is non-empty. The oracle recomputes the view from scratch with a
+    single join, so the driver row proves the delta decomposition is
+    lossless (no term dropped, none double-counted).
+
+    Scale: this is THE pattern that makes a 100 TB joined rollup
+    maintainable — the base is never re-joined (its partials are stored);
+    ΔL⋈O and L⋈ΔO join a day's delta against the big side, so the delta
+    side broadcasts and a runtime bloom filter / DPP on the delta's join
+    keys prunes the big-side scan to matching row groups; ΔL⋈ΔO is
+    tiny×tiny. Here (one-shot query, no persisted state) the base
+    partials are derived then pinned; the visible plan rescans each big
+    table exactly once for its cross-delta term.
+    """
+    from big_data_medical_analysis_spark.operators.common import cents
+
+    split = F.to_timestamp(F.lit("1996-01-01 00:00:00"))
+    l = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        "l_shipdate",
+        cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000).alias(
+            "disc_cents"
+        ),
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    l_old = l.filter(F.col("l_shipdate") < split)
+    o_old = o.filter(F.col("o_orderdate") < split)
+    # the arriving delta micro-batches, materialized once
+    l_new = checkpoint_pinned(l.filter(F.col("l_shipdate") >= split))
+    o_new = checkpoint_pinned(o.filter(F.col("o_orderdate") >= split))
+
+    def partial(li: DataFrame, od: DataFrame) -> DataFrame:
+        return (
+            li.join(od, li["l_orderkey"] == od["o_orderkey"])
+            .groupBy("o_orderstatus", "l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("disc_cents").alias("sc"),
+            )
+        )
+
+    # stored MV partials (base term) — pinned: a maintainer READS these
+    base = checkpoint_pinned(partial(l_old, o_old))
+    d1 = partial(l_new, o_old)  # ΔL ⋈ O_old
+    d2 = partial(l_old, o_new)  # L_old ⋈ ΔO
+    d3 = partial(l_new, o_new)  # ΔL ⋈ ΔO
+    return (
+        base.unionByName(d1).unionByName(d2).unionByName(d3)
+        .groupBy("o_orderstatus", "l_returnflag")
+        .agg(F.sum("n").alias("n_items"), F.sum("sc").alias("sc"))
+        .select(
+            "o_orderstatus",
+            "l_returnflag",
+            "n_items",
+            (F.col("sc").cast("double") / 10000.0).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (HRW) consistent-hash reshard audit (round 10)
+# ---------------------------------------------------------------------------
+
+_RENDEZVOUS_SQL = """
+WITH w AS (
+  SELECT c_custkey AS key, s.shard,
+         CAST(concat('0x', substr(md5(concat(CAST(c_custkey AS VARCHAR), ':',
+                                             CAST(s.shard AS VARCHAR))), 1, 15))
+              AS BIGINT) AS wt
+  FROM customer, (SELECT unnest(generate_series(0, 8)) AS shard) s
+),
+s9 AS (
+  SELECT key, shard FROM (
+    SELECT key, shard,
+           row_number() OVER (PARTITION BY key ORDER BY wt DESC, shard DESC) AS rn
+    FROM w
+  ) WHERE rn = 1
+),
+s8 AS (
+  SELECT key, shard FROM (
+    SELECT key, shard,
+           row_number() OVER (PARTITION BY key ORDER BY wt DESC, shard DESC) AS rn
+    FROM w WHERE shard < 8
+  ) WHERE rn = 1
+)
+SELECT s8.shard AS shard_before,
+       count(*) AS n_keys,
+       CAST(sum(CASE WHEN s8.shard <> s9.shard THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_moved,
+       round(CAST(sum(CASE WHEN s8.shard <> s9.shard THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 4) AS moved_frac
+FROM s8 JOIN s9 ON s8.key = s9.key
+GROUP BY s8.shard
+"""
+
+
+@register("rendezvous_reshard_audit", oracle=_RENDEZVOUS_SQL, category="layout")
+def rendezvous_reshard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) consistent hashing reshard-cost
+    audit: every customer key is assigned to a shard twice — under an
+    8-shard and a 9-shard layout — by argmax over per-(key, shard)
+    portable md5 weights, and the audit reports, per old shard, how many
+    keys the expansion moves. HRW's guarantee is that ONLY keys whose new
+    argmax is the added shard move (expected fraction 1/9 ≈ 0.111, vs
+    pmod resharding which relocates ~8/9 of all keys); measured here:
+    ~0.11 uniformly across shards. Weight = first 15 hex chars of
+    md5(key ':' shard) as int64 (60 bits, collision-free in practice;
+    ties break to the larger shard id identically in both engines).
+
+    Scale: shard assignment is a pure per-row expression — the 9
+    candidate weights live in one in-row array and the argmax is an
+    ``array_max`` over (weight, shard) structs, so the whole audit is one
+    map-side pass plus an 8-group aggregate: no shuffle grows with data,
+    no per-key window. This is how a 100 TB store plans a shard-count
+    change before touching data: the same expression IS the router, and
+    the audit prices the migration exactly.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+
+    def wt(s: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("c_custkey").cast("string"),
+                        F.lit(":"),
+                        F.lit(str(s)),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    arr9 = F.array(
+        *[F.struct(wt(s).alias("wt"), F.lit(s).alias("shard")) for s in range(9)]
+    )
+    assigned = cust.select(
+        F.array_max(F.slice(arr9, 1, 8))["shard"].alias("shard_before"),
+        F.array_max(arr9)["shard"].alias("shard_after"),
+    )
+    return assigned.groupBy("shard_before").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(
+            (F.col("shard_before") != F.col("shard_after")).cast("long")
+        ).alias("n_moved"),
+        F.round(
+            F.sum((F.col("shard_before") != F.col("shard_after")).cast("long"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("moved_frac"),
+    )

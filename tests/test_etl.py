@@ -411,3 +411,76 @@ def test_compaction_reduces_file_count(spark, sf_dir):
     expected = max(1, math.ceil(row.n_rows / E.COMPACT_ROWS_PER_FILE))
     assert n_comp == expected == row.n_files_after
     assert n_comp < n_small
+
+
+def test_delta_join_ivm_matches_full_recompute(spark, sf_dir):
+    """The four-term delta decomposition is lossless: merged partials equal
+    a from-scratch single-join recompute of the same view (the invariant
+    the DuckDB oracle checks cross-engine, asserted here within Spark so a
+    dropped/double-counted term fails fast), and every delta term is
+    non-empty (the split is genuinely cross-cutting — an old order with
+    new shipments exercises ΔL⋈O_old and L_old⋈ΔO both)."""
+    from big_data_medical_analysis_spark.operators.common import cents
+
+    maintained = E.delta_join_view_maintenance(spark, sf_dir)
+    li = read_table(spark, sf_dir, "lineitem")
+    od = read_table(spark, sf_dir, "orders")
+    direct = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .groupBy("o_orderstatus", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (
+                F.sum(
+                    cents(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                        10000,
+                    )
+                ).cast("double")
+                / 10000.0
+            ).alias("revenue"),
+        )
+    )
+    assert maintained.exceptAll(direct).count() == 0
+    assert direct.exceptAll(maintained).count() == 0
+    # cross-cutting split: both single-delta terms carry rows
+    split = F.to_timestamp(F.lit("1996-01-01 00:00:00"))
+    assert (
+        li.filter(F.col("l_shipdate") >= split)
+        .join(od.filter(F.col("o_orderdate") < split),
+              li["l_orderkey"] == od["o_orderkey"]).count() > 0
+    )
+    assert (
+        li.filter(F.col("l_shipdate") < split)
+        .join(od.filter(F.col("o_orderdate") >= split),
+              li["l_orderkey"] == od["o_orderkey"]).count() > 0
+    )
+
+
+def test_rendezvous_reshard_minimal_movement(spark, sf_dir):
+    """HRW resharding moves ONLY keys captured by the added shard: every
+    key either keeps its 8-shard assignment or lands on shard 8 (the
+    defining minimal-disruption property — a key never moves between two
+    surviving shards), totals cover every customer exactly once, and the
+    global moved fraction sits near the theoretical 1/9."""
+    res = E.rendezvous_reshard_audit(spark, sf_dir).collect()
+    cust = read_table(spark, sf_dir, "customer")
+    n_total = cust.count()
+    assert sum(r.n_keys for r in res) == n_total
+    moved = sum(r.n_moved for r in res)
+    assert 0.04 <= moved / n_total <= 0.20  # 1/9 ≈ 0.111 ± sampling noise
+    # minimal-disruption: a moved key's new shard is ALWAYS the added one.
+    # Recompute assignments row-level via the operator's own building
+    # blocks is circular; instead assert via independent argmax in pandas
+    # on a deterministic sample of keys.
+    import hashlib
+
+    keys = [r.c_custkey for r in cust.select("c_custkey").limit(200).collect()]
+    for k in keys:
+        wts = [
+            int(hashlib.md5(f"{k}:{s}".encode()).hexdigest()[:15], 16)
+            for s in range(9)
+        ]
+        s8 = max(range(8), key=lambda s: (wts[s], s))
+        s9 = max(range(9), key=lambda s: (wts[s], s))
+        assert s9 == s8 or s9 == 8
