@@ -170,6 +170,7 @@ COHORTS: dict[str, list[str]] = {
         "compact_small_files",
         "delta_join_view_maintenance",
         "rendezvous_reshard_audit",
+        "snapshot_table_diff",
     ],
     "analytics": [
         "rolling_7d_user_value",
@@ -200,6 +201,7 @@ COHORTS: dict[str, list[str]] = {
         "longest_daily_streak",
         "event_transition_matrix",
         "event_trigram_paths",
+        "last_touch_attribution",
     ],
     "scalar_variant": [
         "balance_bracket_lookup",

@@ -1663,3 +1663,97 @@ def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "a", "b", "c")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch marketing attribution (round 10)
+# ---------------------------------------------------------------------------
+
+ATTRIB_WINDOW_DAYS = 7
+
+_LAST_TOUCH_SQL = f"""
+WITH touched AS (
+  SELECT event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_type,
+         last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_ts,
+         ts
+  FROM events
+)
+SELECT coalesce(CASE WHEN touch_ts >= ts - INTERVAL {ATTRIB_WINDOW_DAYS} DAY
+                     THEN touch_type END, 'direct') AS touch_type,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS attributed_value
+FROM touched
+WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+@register("last_touch_attribution", oracle=_LAST_TOUCH_SQL, category="analytics")
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase's value is credited
+    to the user's most recent preceding NON-purchase event (the "touch")
+    if it happened within {ATTRIB_WINDOW_DAYS} days, else to 'direct' —
+    the revenue-accounting query behind every channel-ROI dashboard, and
+    the aggregate complement of the row-level as-of joins
+    (``order_next_event_asof`` / ``purchase_asof_signup``): here the
+    as-of lookup is WITHIN one stream, so it needs no join at all, just
+    an IGNORE-NULLS running ``last`` over the user timeline.
+
+    The touch (type, ts) pair is taken by two ``last(..., ignorenulls)``
+    window calls over the same predicate and frame — both pick their
+    value from the same row (the last non-purchase predecessor), keeping
+    the pair consistent without a struct (which the driver's pandas
+    canonicalization can't sort). Ties break by (ts, event_id), the
+    repo-wide deterministic event order.
+
+    Scale: ONE shuffle on user_id, one linear frame pass per user, then
+    a 5-group combine aggregate — the same cost envelope as
+    ``event_session_ids``; no self-join, no unpartitioned window. At
+    100 TB the user-key shuffle is the floor for any per-user timeline
+    op, and a range-join reformulation would only add work.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    non_purchase = F.col("event_type") != "purchase"
+    touched = ev.select(
+        "event_type",
+        "value",
+        "ts",
+        F.last(F.when(non_purchase, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type_raw"),
+        F.last(F.when(non_purchase, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    in_window = F.col("touch_ts") >= F.col("ts") - F.expr(
+        f"INTERVAL {ATTRIB_WINDOW_DAYS} DAY"
+    )
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(
+                F.when(in_window, F.col("touch_type_raw")), F.lit("direct")
+            ).alias("touch_type"),
+            "value",
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            money_sum("value").alias("attributed_value"),
+        )
+    )

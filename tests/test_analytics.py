@@ -312,3 +312,27 @@ def test_cumulative_unique_users_monotone_and_total(spark, sf_dir):
         read_table(spark, sf_dir, "events").select("user_id").distinct().count()
     )
     assert prev == n_users
+
+
+def test_last_touch_attribution_conserves_revenue(spark, sf_dir):
+    """Attribution is a partition of purchases: per-touch counts and values
+    sum exactly to the unattributed purchase totals (no purchase dropped
+    or double-credited), touch types come from the non-purchase event
+    vocabulary plus 'direct', and 'direct' is non-empty (first-ever
+    purchases have no preceding touch)."""
+    from big_data_medical_analysis_spark.operators.analytics import (
+        last_touch_attribution,
+    )
+    from big_data_medical_analysis_spark.operators.common import cents
+    from big_data_medical_analysis_spark.sources.readers import read_table
+
+    res = last_touch_attribution(spark, sf_dir).collect()
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    n_total = purchases.count()
+    cents_total = purchases.agg(F.sum(cents("value"))).collect()[0][0]
+    assert sum(r.n_purchases for r in res) == n_total
+    assert round(sum(r.attributed_value for r in res) * 100) == cents_total
+    types = {r.touch_type for r in res}
+    assert types <= {"click", "view", "signup", "error", "direct"}
+    assert "direct" in types
