@@ -142,6 +142,7 @@ COHORTS: dict[str, list[str]] = {
         "hll_incremental_daily",
         "histogram_incremental_daily",
         "ks_drift_binned",
+        "drift_monitor_decision",
     ],
     "sampling_etl": [
         "weighted_sample_docs",
@@ -202,6 +203,7 @@ COHORTS: dict[str, list[str]] = {
         "event_transition_matrix",
         "event_trigram_paths",
         "last_touch_attribution",
+        "watermark_delay_audit",
     ],
     "scalar_variant": [
         "balance_bracket_lookup",

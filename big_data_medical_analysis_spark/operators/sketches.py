@@ -1110,3 +1110,160 @@ def ks_drift_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bins",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Drift monitor decision: PSI + KS off ONE shared cell table (round 10)
+# ---------------------------------------------------------------------------
+
+DRIFT_KS_THRESHOLD = 0.1
+DRIFT_PSI_THRESHOLD = 0.2
+
+_DRIFT_DECISION_SQL = f"""
+WITH binned AS (
+  SELECT (epoch(CAST(ts AS DATE)) // 86400) % 2 AS slice,
+         CAST(round(value * 100) AS BIGINT) // {HIST_BIN_CENTS} AS bin
+  FROM events
+),
+cells AS (
+  SELECT bin,
+         CAST(count(*) FILTER (slice = 0) AS BIGINT) AS c_ref,
+         CAST(count(*) FILTER (slice = 1) AS BIGINT) AS c_cur
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT CAST(sum(c_ref) AS BIGINT) AS t_ref,
+         CAST(sum(c_cur) AS BIGINT) AS t_cur,
+         CAST(count(*) AS BIGINT) AS n_bins
+  FROM cells
+),
+psi AS (
+  SELECT round(sum(
+           ((c.c_cur + 0.5) / (t.t_cur + 0.5 * t.n_bins)
+            - (c.c_ref + 0.5) / (t.t_ref + 0.5 * t.n_bins))
+           * ln(((c.c_cur + 0.5) / (t.t_cur + 0.5 * t.n_bins))
+                / ((c.c_ref + 0.5) / (t.t_ref + 0.5 * t.n_bins)))
+         ), 6) AS psi
+  FROM cells c, tot t
+),
+cdf AS (
+  SELECT a.bin,
+         CAST(sum(b.c_ref) AS BIGINT) AS cum_ref,
+         CAST(sum(b.c_cur) AS BIGINT) AS cum_cur
+  FROM cells a JOIN cells b ON b.bin <= a.bin
+  GROUP BY a.bin
+),
+ks AS (
+  SELECT round(max(abs(CAST(c.cum_ref AS DOUBLE) / t.t_ref
+                       - CAST(c.cum_cur AS DOUBLE) / t.t_cur)), 6) AS ks_stat
+  FROM cdf c, tot t
+)
+SELECT k.ks_stat, p.psi, t.n_bins, t.t_ref, t.t_cur,
+       k.ks_stat > {DRIFT_KS_THRESHOLD} AS ks_flag,
+       p.psi > {DRIFT_PSI_THRESHOLD} AS psi_flag,
+       CASE WHEN k.ks_stat > {DRIFT_KS_THRESHOLD}
+              OR p.psi > {DRIFT_PSI_THRESHOLD}
+            THEN 'retrain' ELSE 'hold' END AS decision
+FROM ks k, psi p, tot t
+"""
+
+
+@register("drift_monitor_decision", oracle=_DRIFT_DECISION_SQL, category="evaluation")
+def drift_monitor_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift-monitor DECISION composition: both drift metrics the repo
+    maintains — PSI (per-bin log-ratio sum, the magnitude view) and the
+    two-sample KS statistic (max CDF gap, the shape view) — computed off
+    ONE shared (bin, c_ref, c_cur) cell table and folded into a single
+    retrain/hold verdict row. This is the piece a model-ops loop actually
+    consumes: `psi_distribution_drift` and `ks_drift_binned` emit the
+    metrics; this query emits the ACTION (`retrain` iff KS >
+    {DRIFT_KS_THRESHOLD} or PSI > {DRIFT_PSI_THRESHOLD}), mirroring how
+    `join_key_skew_audit` turns a skew measurement into a salt factor.
+
+    PSI here epsilon-smooths both shares (+0.5 per cell against the
+    slice total + half a count per bin) so one-sided bins contribute a
+    finite term instead of the NULL the unsmoothed
+    `psi_distribution_drift` honestly emits — the production variant its
+    docstring promises. Same {HIST_BIN_CENTS}-cent integer bins as the
+    histogram state tables, so at 100 TB the whole decision runs off the
+    PERSISTED `daily_value_histogram` state (two merged bin vectors),
+    zero raw-data scans.
+
+    Scale: one (slice, bin) combine aggregate over the scan (or none,
+    from state), bins²-bounded CDF arithmetic, and 1-row broadcast
+    cross-joins — identical envelope to `ks_drift_binned`; the PSI
+    branch adds only an O(bins) aggregate over the SAME pinned cells
+    (one scan serves both metrics, the rescan-audit discipline).
+    """
+    from big_data_medical_analysis_spark.operators.common import (
+        cents,
+        checkpoint_pinned,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    binned = ev.select(
+        ((F.floor(F.unix_timestamp(F.to_date("ts")) / 86400) % 2))
+        .cast("int")
+        .alias("slice"),
+        F.floor(cents("value") / F.lit(HIST_BIN_CENTS)).cast("long").alias("bin"),
+    )
+    cells = checkpoint_pinned(
+        binned.groupBy("bin").agg(
+            F.count(F.when(F.col("slice") == 0, 1)).alias("c_ref"),
+            F.count(F.when(F.col("slice") == 1, 1)).alias("c_cur"),
+        )
+    )
+    tot = F.broadcast(
+        cells.agg(
+            F.sum("c_ref").cast("long").alias("t_ref"),
+            F.sum("c_cur").cast("long").alias("t_cur"),
+            F.count(F.lit(1)).alias("n_bins"),
+        )
+    )
+    p_cur = (F.col("c_cur") + 0.5) / (F.col("t_cur") + 0.5 * F.col("n_bins"))
+    p_ref = (F.col("c_ref") + 0.5) / (F.col("t_ref") + 0.5 * F.col("n_bins"))
+    psi = F.broadcast(
+        cells.crossJoin(tot).agg(
+            F.round(F.sum((p_cur - p_ref) * F.log(p_cur / p_ref)), 6).alias("psi")
+        )
+    )
+    a = cells.select(F.col("bin").alias("abin"))
+    cdf = (
+        a.join(cells, F.col("bin") <= F.col("abin"))
+        .groupBy("abin")
+        .agg(
+            F.sum("c_ref").cast("long").alias("cum_ref"),
+            F.sum("c_cur").cast("long").alias("cum_cur"),
+        )
+    )
+    ks = F.broadcast(
+        cdf.crossJoin(tot).agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum_ref").cast("double") / F.col("t_ref")
+                        - F.col("cum_cur").cast("double") / F.col("t_cur")
+                    )
+                ),
+                6,
+            ).alias("ks_stat")
+        )
+    )
+    ks_flag = F.col("ks_stat") > F.lit(DRIFT_KS_THRESHOLD)
+    psi_flag = F.col("psi") > F.lit(DRIFT_PSI_THRESHOLD)
+    return (
+        ks.crossJoin(psi)
+        .crossJoin(tot)
+        .select(
+            "ks_stat",
+            "psi",
+            "n_bins",
+            "t_ref",
+            "t_cur",
+            ks_flag.alias("ks_flag"),
+            psi_flag.alias("psi_flag"),
+            F.when(ks_flag | psi_flag, F.lit("retrain"))
+            .otherwise(F.lit("hold"))
+            .alias("decision"),
+        )
+    )

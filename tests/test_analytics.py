@@ -336,3 +336,28 @@ def test_last_touch_attribution_conserves_revenue(spark, sf_dir):
     types = {r.touch_type for r in res}
     assert types <= {"click", "view", "signup", "error", "direct"}
     assert "direct" in types
+
+
+def test_watermark_audit_covers_all_events_within_jitter(spark, sf_dir):
+    """The lateness histogram partitions ALL events, coverage is monotone
+    to exactly 1.0, and no lateness exceeds the synthetic jitter bound:
+    since arrival = ts + jitter with jitter < WATERMARK_JITTER_S, an
+    event can only be overtaken by event-times at most the jitter bound
+    ahead, so every '>1h' row still lies within 2h — the audit's
+    recommended complete-capture watermark equals the transport bound."""
+    from big_data_medical_analysis_spark.operators.analytics import (
+        WATERMARK_JITTER_S,
+        watermark_delay_audit,
+    )
+    from big_data_medical_analysis_spark.sources.readers import read_table
+
+    rows = sorted(
+        watermark_delay_audit(spark, sf_dir).collect(), key=lambda r: r.bin_id
+    )
+    total = read_table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == total
+    assert abs(rows[-1].cum_share - 1.0) < 1e-9
+    cums = [r.cum_share for r in rows]
+    assert cums == sorted(cums)
+    assert rows[0].lateness_bin == "in-order" and rows[0].share > 0.5
+    assert WATERMARK_JITTER_S == 7200  # docstring's 2h claim stays honest

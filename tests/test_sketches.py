@@ -294,3 +294,27 @@ def test_histogram_daily_state_merge_and_quantile_bounds(spark, sf_dir):
         assert r.rel_error == round(
             abs(r.est_value - r.exact_value) / r.exact_value, 4
         )
+
+
+def test_drift_decision_consistent_with_standalone_metrics(spark, sf_dir):
+    """The composed decision row agrees with the standalone metric
+    queries (same KS statistic as ks_drift_binned — one shared cell
+    derivation can't drift from the metric it summarizes) and the
+    verdict is exactly (ks_flag OR psi_flag)."""
+    from big_data_medical_analysis_spark.operators.sketches import (
+        DRIFT_KS_THRESHOLD,
+        DRIFT_PSI_THRESHOLD,
+        drift_monitor_decision,
+        ks_drift_binned,
+    )
+
+    dec = drift_monitor_decision(spark, sf_dir).collect()[0]
+    ks = ks_drift_binned(spark, sf_dir).collect()[0]
+    assert abs(dec.ks_stat - ks.ks_stat) < 1e-9
+    assert dec.n_bins == ks.n_bins and dec.t_ref == ks.t_ref
+    assert dec.ks_flag == (dec.ks_stat > DRIFT_KS_THRESHOLD)
+    assert dec.psi_flag == (dec.psi > DRIFT_PSI_THRESHOLD)
+    assert dec.decision == ("retrain" if dec.ks_flag or dec.psi_flag else "hold")
+    import math
+
+    assert math.isfinite(dec.psi)
