@@ -143,6 +143,7 @@ COHORTS: dict[str, list[str]] = {
         "histogram_incremental_daily",
         "ks_drift_binned",
         "drift_monitor_decision",
+        "kaplan_meier_signup_to_purchase",
     ],
     "sampling_etl": [
         "weighted_sample_docs",
@@ -254,6 +255,12 @@ SINGLE_PARTITION_WINDOW_OK = {
     "ntile_customer_deciles": 1,
     "nation_revenue_share": 1,
     "cumulative_unique_users": 1,
+    # 5-row cumulative-coverage window over the lateness-bin AGGREGATE
+    # (axis-sized input, disclosed in the docstring) — never raw data
+    "watermark_delay_audit": 1,
+    # life-table windows over the per-DAY aggregate (~30 rows, duration
+    # axis bounded by the observation span) — disclosed in the docstring
+    "kaplan_meier_signup_to_purchase": 1,
 }
 
 # Box calibration (VERDICT r7 task 4, reworked r9 per VERDICT r8 task 4 +

@@ -1397,3 +1397,179 @@ def kfold_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("target_enc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival estimator (round 10)
+# ---------------------------------------------------------------------------
+
+_KM_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events WHERE event_type IN ('signup', 'purchase')
+),
+s AS (SELECT user_id, min(es) AS se FROM ev WHERE event_type = 'signup' GROUP BY 1),
+p AS (
+  SELECT ev.user_id, min(ev.es) AS pe
+  FROM ev JOIN s ON ev.user_id = s.user_id
+  WHERE ev.event_type = 'purchase' AND ev.es > s.se
+  GROUP BY 1
+),
+censor AS (SELECT max(es) AS ce FROM ev),
+cohort AS (
+  SELECT CASE WHEN p.pe IS NOT NULL THEN (p.pe - s.se) // 86400
+              ELSE (c.ce - s.se) // 86400 END AS d,
+         CASE WHEN p.pe IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM s LEFT JOIN p ON s.user_id = p.user_id CROSS JOIN censor c
+),
+km AS (
+  SELECT d, CAST(sum(ev) AS BIGINT) AS n_event,
+         CAST(sum(1 - ev) AS BIGINT) AS n_censored
+  FROM cohort GROUP BY d
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM cohort),
+risk AS (
+  SELECT km.d, km.n_event, km.n_censored,
+         n.total - CAST(coalesce(sum(km.n_event + km.n_censored)
+             OVER (ORDER BY km.d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+  FROM km, n
+),
+terms AS (
+  SELECT d, n_event, n_censored, n_at_risk,
+         CASE WHEN n_event = n_at_risk THEN CAST(0 AS BIGINT)
+              ELSE CAST(round(ln(1.0 - CAST(n_event AS DOUBLE) / n_at_risk)
+                              * 1e12) AS BIGINT) END AS lnq,
+         CASE WHEN n_event = n_at_risk THEN 1 ELSE 0 END AS dead
+  FROM risk
+)
+SELECT d AS duration_days, n_at_risk, n_event, n_censored,
+       CASE WHEN max(dead) OVER w = 1 THEN 0.0
+            ELSE round(exp(CAST(sum(lnq) OVER w AS DOUBLE) / 1e12), 6)
+       END AS survival
+FROM terms
+WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("kaplan_meier_signup_to_purchase", oracle=_KM_SQL, category="statistics")
+def kaplan_meier_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator — THE core medical-statistics
+    operator (the reference is a medical-analytics pipeline; this is the
+    time-to-event analysis its domain ultimately feeds): cohort = users
+    with a signup event, event = first purchase strictly after signup,
+    right-censored at the end of observation (global max event time).
+    Emits the classic life table per distinct duration day: number at
+    risk, events, censored, and the product-limit survival estimate
+    S(d) = prod_{d' <= d} (1 - e_{d'} / r_{d'}).
+
+    Cross-engine float discipline: the cumulative PRODUCT is computed as
+    exp of a cumulative sum of PRE-QUANTIZED log terms (round(ln·1e12)
+    as int64) — the sum is exact integer arithmetic, so the only float
+    ops are one ln and one exp per row, each deterministic to well below
+    the 6-digit output rounding; the e = r full-depletion edge is an
+    exact 0.0 via a cumulative flag, never exp(-inf).
+
+    The life-table windows run unpartitioned over the per-DAY aggregate
+    (~30 rows: the duration axis, bounded by the observation span, never
+    raw users) — same disclosed axis-sized class as
+    ``watermark_delay_audit``'s coverage window; at 100 TB the cohort
+    aggregate is the only data-sized stage (one user-key shuffle).
+
+    Scale: one pinned scan of the signup/purchase projection, two
+    user-key aggregates + one broadcast-joined cohort build, then
+    axis-sized arithmetic. The same plan serves any (cohort-entry,
+    event, censor) triple — e.g. diagnosis→remission in the medical
+    setting the reference's domain implies.
+    """
+    from big_data_medical_analysis_spark.operators.common import (
+        checkpoint_pinned,
+    )
+    from pyspark.sql import Window as W
+
+    ev = checkpoint_pinned(
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("signup", "purchase"))
+        .select(
+            "user_id",
+            "event_type",
+            F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+        )
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("es").alias("se"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("es") > F.col("se"))
+        .groupBy("user_id")
+        .agg(F.min("es").alias("pe"))
+    )
+    censor = F.broadcast(ev.agg(F.max("es").alias("ce")))
+    cohort = (
+        s.join(p, "user_id", "left")
+        .crossJoin(censor)
+        .select(
+            F.when(
+                F.col("pe").isNotNull(),
+                F.floor((F.col("pe") - F.col("se")) / 86400),
+            )
+            .otherwise(F.floor((F.col("ce") - F.col("se")) / 86400))
+            .cast("long")
+            .alias("d"),
+            F.when(F.col("pe").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    km = cohort.groupBy("d").agg(
+        F.sum("ev").cast("long").alias("n_event"),
+        F.sum(1 - F.col("ev")).cast("long").alias("n_censored"),
+    )
+    n = F.broadcast(cohort.agg(F.count(F.lit(1)).alias("total")))
+    w_prev = W.orderBy("d").rowsBetween(W.unboundedPreceding, -1)
+    w_cur = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    risk = km.crossJoin(n).select(
+        "d",
+        "n_event",
+        "n_censored",
+        (
+            F.col("total")
+            - F.coalesce(
+                F.sum(F.col("n_event") + F.col("n_censored")).over(w_prev),
+                F.lit(0),
+            )
+        )
+        .cast("long")
+        .alias("n_at_risk"),
+    )
+    terms = risk.select(
+        "d",
+        "n_event",
+        "n_censored",
+        "n_at_risk",
+        F.when(F.col("n_event") == F.col("n_at_risk"), F.lit(0))
+        .otherwise(
+            F.round(
+                F.log(
+                    1.0 - F.col("n_event").cast("double") / F.col("n_at_risk")
+                )
+                * 1e12
+            )
+        )
+        .cast("long")
+        .alias("lnq"),
+        F.when(F.col("n_event") == F.col("n_at_risk"), 1).otherwise(0).alias("dead"),
+    )
+    return terms.select(
+        F.col("d").alias("duration_days"),
+        "n_at_risk",
+        "n_event",
+        "n_censored",
+        F.when(F.max("dead").over(w_cur) == 1, F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.sum("lnq").over(w_cur).cast("double") / 1e12), 6)
+        )
+        .alias("survival"),
+    )

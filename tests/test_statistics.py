@@ -143,3 +143,37 @@ def test_lexical_diversity_bounds(spark, sf_dir):
         assert 0.0 < r["ttr"] <= 1.0
         if r["simpson"] is not None:
             assert -1e-9 <= r["simpson"] <= 1.0 + 1e-9
+
+
+def test_kaplan_meier_life_table_invariants(spark, sf_dir):
+    """Life-table algebra: the first row's at-risk count equals the cohort
+    size (every signup user), at-risk telescopes exactly (r_next =
+    r_prev - events - censored, across duration gaps too), survival is
+    monotone non-increasing from <=1.0, and the product-limit estimate
+    matches an independent Python recompute of prod(1 - e/r) at every
+    row (0.0 exactly on full depletion)."""
+    from big_data_medical_analysis_spark.operators.statistics import (
+        kaplan_meier_signup_to_purchase,
+    )
+    from big_data_medical_analysis_spark.sources.readers import read_table
+
+    rows = sorted(
+        kaplan_meier_signup_to_purchase(spark, sf_dir).collect(),
+        key=lambda r: r.duration_days,
+    )
+    ev = read_table(spark, sf_dir, "events")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert rows[0].n_at_risk == cohort
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_at_risk == prev.n_at_risk - prev.n_event - prev.n_censored
+    surv = 1.0
+    for r in rows:
+        surv *= 1.0 - r.n_event / r.n_at_risk
+        assert abs(r.survival - round(surv, 6)) <= 2e-6
+    vals = [r.survival for r in rows]
+    assert vals == sorted(vals, reverse=True) and vals[0] <= 1.0
