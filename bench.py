@@ -174,6 +174,7 @@ COHORTS: dict[str, list[str]] = {
         "delta_join_view_maintenance",
         "rendezvous_reshard_audit",
         "snapshot_table_diff",
+        "scd2_dimension_build",
     ],
     "analytics": [
         "rolling_7d_user_value",
@@ -206,6 +207,8 @@ COHORTS: dict[str, list[str]] = {
         "event_trigram_paths",
         "last_touch_attribution",
         "watermark_delay_audit",
+        "seasonal_anomaly_days",
+        "pareto_frontier_parts",
     ],
     "scalar_variant": [
         "balance_bracket_lookup",
@@ -235,6 +238,7 @@ COHORTS: dict[str, list[str]] = {
         "fk_fanout_profile",
         "table_content_fingerprint",
         "join_key_skew_audit",
+        "join_size_estimate_audit",
     ],
     # iterative recursive-CTE executor: cost = per-iteration job overhead ×
     # longest per-customer chain (depth-bound pytest in test_analytics);
@@ -262,6 +266,9 @@ SINGLE_PARTITION_WINDOW_OK = {
     # life-table windows over the per-DAY aggregate (~30 rows, duration
     # axis bounded by the observation span) — disclosed in the docstring
     "kaplan_meier_signup_to_purchase": 1,
+    # prefix-max window over the distinct-PRICE-level aggregate (1000 rows
+    # at sf0.01, bounded by the price axis) — disclosed in the docstring
+    "pareto_frontier_parts": 1,
 }
 
 # Box calibration (VERDICT r7 task 4, reworked r9 per VERDICT r8 task 4 +

@@ -2155,3 +2155,105 @@ def snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_keys"),
         (F.sum("delta").cast("double") / 100.0).alias("net_price_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension build from a change log — round 10
+# ---------------------------------------------------------------------------
+
+_SCD2_SQL = """
+WITH log AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, event_id,
+         event_type AS status
+  FROM events
+),
+ordered AS (
+  SELECT *, lag(status) OVER (PARTITION BY user_id ORDER BY es, event_id)
+           AS prev_status
+  FROM log
+),
+changes AS (
+  SELECT user_id, es, event_id, status FROM ordered
+  WHERE prev_status IS NULL OR status <> prev_status
+),
+versions AS (
+  SELECT user_id, status, es AS eff_from,
+         lead(es) OVER (PARTITION BY user_id ORDER BY es, event_id)
+           AS eff_to,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY es, event_id)
+              AS BIGINT) AS version
+  FROM changes
+)
+SELECT status,
+       CAST(count(*) AS BIGINT) AS n_versions,
+       CAST(count(*) FILTER (WHERE eff_to IS NULL) AS BIGINT) AS n_current,
+       CAST(sum(CASE WHEN eff_to IS NULL THEN 0 ELSE eff_to - eff_from END)
+            AS BIGINT) AS closed_duration_s,
+       CAST(max(version) AS BIGINT) AS max_version
+FROM versions
+GROUP BY status
+"""
+
+
+@register("scd2_dimension_build", oracle=_SCD2_SQL, category="etl")
+def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 build: turn an attribute change
+    log (events as "user entered status X at ts") into versioned
+    validity intervals — collapse consecutive no-op repeats (true SCD2
+    never opens a version for an unchanged attribute), then derive
+    ``eff_from``/``eff_to``/``version``/``is_current`` per surviving
+    change with one more ordered pass; the open interval (eff_to NULL)
+    is the current version. This is the dimension-maintenance
+    counterpart of ``orders_upsert_apply`` (which keeps only the latest
+    row): SCD2 keeps the full history so facts can later join
+    point-in-time (the as-of family). Audited to the status grain:
+    version counts, open-version counts, total closed dwell seconds
+    (exact int64 epoch arithmetic, session TZ pinned UTC in both
+    engines), and the deepest version chain.
+
+    Ordering ties break on event_id, so both passes are deterministic
+    for any log with same-timestamp changes.
+
+    Scale: both window passes partition on the dimension key — the same
+    single user-key shuffle serves the lag-collapse and the lead/
+    row_number interval build (Catalyst reuses the sort order; no
+    second exchange), then the status rollup combines map-side to 5
+    rows. At 100 TB the change log partitions by key exactly like any
+    sessionization; the collapse drops ~20%% of rows here (10k -> 8k)
+    before the interval pass, and in production the versions table is
+    the thing you persist (range-partitioned by eff_from) for
+    point-in-time joins.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+        "event_id",
+        F.col("event_type").alias("status"),
+    )
+    w = W.partitionBy("user_id").orderBy("es", "event_id")
+    changes = log.withColumn("prev_status", F.lag("status").over(w)).filter(
+        F.col("prev_status").isNull()
+        | (F.col("status") != F.col("prev_status"))
+    )
+    versions = changes.select(
+        "user_id",
+        "status",
+        F.col("es").alias("eff_from"),
+        F.lead("es").over(w).alias("eff_to"),
+        F.row_number().over(w).cast("long").alias("version"),
+    )
+    return versions.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_versions"),
+        F.sum(F.when(F.col("eff_to").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_current"),
+        F.sum(
+            F.when(F.col("eff_to").isNull(), 0).otherwise(
+                F.col("eff_to") - F.col("eff_from")
+            )
+        )
+        .cast("long")
+        .alias("closed_duration_s"),
+        F.max("version").cast("long").alias("max_version"),
+    )

@@ -580,3 +580,170 @@ def join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(imb, 4).alias("imbalance"),
         F.ceil(imb).cast("long").alias("salt_factor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality estimation audit (CBO statistics discipline) — round 10
+# ---------------------------------------------------------------------------
+
+_JOIN_SIZE_EST_SQL = """
+WITH ok AS (
+  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1
+),
+ek AS (
+  SELECT user_id AS k, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1
+),
+exact AS (
+  SELECT CAST(coalesce(sum(ok.n * ek.n), 0) AS BIGINT) AS exact_rows
+  FROM ok JOIN ek ON ek.k = ok.k
+),
+ob AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 64 AS b,
+         CAST(sum(n) AS BIGINT) AS rows_o, CAST(count(*) AS BIGINT) AS keys_o
+  FROM ok GROUP BY 1
+),
+eb AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 64 AS b,
+         CAST(sum(n) AS BIGINT) AS rows_e, CAST(count(*) AS BIGINT) AS keys_e
+  FROM ek GROUP BY 1
+),
+estb AS (
+  SELECT CAST(sum(CAST(floor(CAST(ob.rows_o * eb.rows_e AS DOUBLE)
+            / CAST(CASE WHEN ob.keys_o > eb.keys_e
+                        THEN ob.keys_o ELSE eb.keys_e END AS DOUBLE))
+        AS BIGINT)) AS BIGINT) AS est_bucketed
+  FROM ob JOIN eb ON eb.b = ob.b
+),
+estg AS (
+  SELECT CAST(floor(
+           CAST((SELECT sum(n) FROM ok) AS DOUBLE)
+           * CAST((SELECT sum(n) FROM ek) AS DOUBLE)
+           / CAST((SELECT CASE WHEN count(*) > (SELECT count(*) FROM ek)
+                               THEN count(*)
+                               ELSE (SELECT count(*) FROM ek) END
+                   FROM ok) AS DOUBLE)
+         ) AS BIGINT) AS est_global
+)
+SELECT exact.exact_rows, estb.est_bucketed, estg.est_global,
+       round((CAST(estb.est_bucketed AS DOUBLE) - exact.exact_rows)
+             / exact.exact_rows * 100.0, 4) AS err_bucketed_pct,
+       round((CAST(estg.est_global AS DOUBLE) - exact.exact_rows)
+             / exact.exact_rows * 100.0, 4) AS err_global_pct
+FROM exact CROSS JOIN estb CROSS JOIN estg
+"""
+
+
+@register("join_size_estimate_audit", oracle=_JOIN_SIZE_EST_SQL, category="quality")
+def join_size_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation audit: the two estimators a cost-based
+    optimizer runs BEFORE committing to a join strategy — the textbook
+    global containment estimate |A|*|B|/max(d_A, d_B) and its 64-bucket
+    histogram refinement (per-bucket containment over a portable-md5
+    key partition, the shape of a CBO's equi-height key histogram) —
+    scored against the exact join size Sum_k n_A(k)*n_B(k), all in one
+    plan. The probe join (orders x events on custkey/user_id) has real
+    per-key fanout variance (1-25 orders/key vs 49-86 events/key), so
+    the estimators land ~4.6% / ~5.2% high at sf0.01 rather than
+    degenerate 0% — the audit shows what the statistics would tell the
+    planner and how far off they are, which is exactly what you tune
+    broadcast/shuffle thresholds against at 100 TB.
+
+    Everything is computed from the two per-key count tables (never the
+    joined fact rows): the exact term is a sum over the key-count join
+    (key-cardinality-sized, not join-output-sized), the histogram is 64
+    rows per side, the global estimate two 1-row aggregates. The md5
+    bucket hash is the engine-portable convention (dedup.py), so the
+    bucket histogram — and therefore the estimate — is bit-identical in
+    any engine.
+
+    Scale: per-key count tables are one map-side-combined shuffle each;
+    at 100 TB these are the statistics tables a catalog would persist
+    (this query IS the refresh job). The estimate join is 64x64 rows;
+    the exact term's key-count join shuffles at key cardinality — the
+    one genuinely heavy step, and the one a production CBO replaces
+    with the estimate this audit validates.
+    """
+    from big_data_medical_analysis_spark.operators.common import (
+        checkpoint_pinned,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    events = read_table(spark, sf_dir, "events")
+    ok = checkpoint_pinned(
+        orders.groupBy(F.col("o_custkey").alias("k")).agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+    )
+    ek = checkpoint_pinned(
+        events.groupBy(F.col("user_id").alias("k")).agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+    )
+    exact = ok.join(ek.withColumnRenamed("n", "ne"), "k").agg(
+        F.coalesce(F.sum(F.col("n") * F.col("ne")), F.lit(0))
+        .cast("long")
+        .alias("exact_rows")
+    )
+
+    def bucketed(df: DataFrame, rows_col: str, keys_col: str) -> DataFrame:
+        b = (
+            F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 64
+        )
+        return df.groupBy(b.alias("b")).agg(
+            F.sum("n").cast("long").alias(rows_col),
+            F.count(F.lit(1)).cast("long").alias(keys_col),
+        )
+
+    ob = bucketed(ok, "rows_o", "keys_o")
+    eb = bucketed(ek, "rows_e", "keys_e")
+    estb = ob.join(eb, "b").agg(
+        F.sum(
+            F.floor(
+                (F.col("rows_o") * F.col("rows_e")).cast("double")
+                / F.greatest("keys_o", "keys_e").cast("double")
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("est_bucketed")
+    )
+    ot = ok.agg(
+        F.sum("n").cast("long").alias("rows_o_t"),
+        F.count(F.lit(1)).cast("long").alias("keys_o_t"),
+    )
+    et = ek.agg(
+        F.sum("n").cast("long").alias("rows_e_t"),
+        F.count(F.lit(1)).cast("long").alias("keys_e_t"),
+    )
+    estg = (
+        ot.crossJoin(F.broadcast(et))
+        .select(
+            F.floor(
+                F.col("rows_o_t").cast("double")
+                * F.col("rows_e_t").cast("double")
+                / F.greatest("keys_o_t", "keys_e_t").cast("double")
+            )
+            .cast("long")
+            .alias("est_global")
+        )
+    )
+    err = lambda est: F.round(  # noqa: E731
+        (F.col(est).cast("double") - F.col("exact_rows"))
+        / F.col("exact_rows")
+        * 100.0,
+        4,
+    )
+    return (
+        exact.crossJoin(F.broadcast(estb))
+        .crossJoin(F.broadcast(estg))
+        .select(
+            "exact_rows",
+            "est_bucketed",
+            "est_global",
+            err("est_bucketed").alias("err_bucketed_pct"),
+            err("est_global").alias("err_global_pct"),
+        )
+    )

@@ -2194,3 +2194,79 @@ def collation_aware_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier) — round 10
+# ---------------------------------------------------------------------------
+
+_SKYLINE_SQL = """
+WITH pts AS (
+  SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS price_c, p_size,
+         CAST(count(*) AS BIGINT) AS n_parts
+  FROM part GROUP BY 1, 2
+)
+SELECT CAST(p.price_c AS DOUBLE) / 100.0 AS price, p.p_size, p.n_parts
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.price_c <= p.price_c AND q.p_size >= p.p_size
+    AND (q.price_c < p.price_c OR q.p_size > p.p_size))
+"""
+
+
+@register("pareto_frontier_parts", oracle=_SKYLINE_SQL, category="relational")
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier over parts: the (min price, max size)
+    points no other part strictly dominates — the multi-objective
+    shortlist query ("cheapest part at every size class worth having")
+    that a plain ORDER BY cannot express. The oracle states dominance
+    literally as NOT EXISTS over an inequality self-join; the Spark plan
+    NEVER does that quadratic join — for a 2-D skyline, dominance
+    collapses to an ordered prefix scan:
+
+    1. aggregate to distinct (price, size) points (map-side combine);
+    2. per price level keep the best (max) size;
+    3. a point is on the frontier iff its size equals its price level's
+       best AND strictly exceeds the best size of every strictly
+       cheaper price level — one running-max window over the price axis
+       with a ROWS frame ending 1 before current.
+
+    Equal (price, size) duplicates share one point (dominance requires
+    one strict inequality), carried through as n_parts.
+
+    Scale: the candidate set after step 1 is bounded by the price-axis
+    cardinality (1000 levels at sf0.01 from 2000 parts; price domains
+    are fixed-width decimals, so this stays bounded as rows grow), so
+    the one unpartitioned ordered window is axis-sized by construction
+    — the same disclosed-window envelope as the life-table queries. If
+    the distinct-point set were itself fact-scale, the standard
+    range-partition refinement applies: per-partition skyline first
+    (the frontier is monotone, so partial skylines union losslessly),
+    then this exact pass over the tiny union. Output is the frontier:
+    4 points at sf0.01, ~dozens at any scale.
+    """
+    part = read_table(spark, sf_dir, "part")
+    pts = part.groupBy(
+        cents("p_retailprice").alias("price_c"), "p_size"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+    level = pts.groupBy("price_c").agg(F.max("p_size").alias("best_size"))
+    prefix = W.orderBy("price_c").rowsBetween(W.unboundedPreceding, -1)
+    frontier_levels = level.withColumn(
+        "prefix_best", F.max("best_size").over(prefix)
+    )
+    return (
+        pts.join(F.broadcast(frontier_levels), "price_c")
+        .filter(
+            (F.col("p_size") == F.col("best_size"))
+            & (
+                F.col("prefix_best").isNull()
+                | (F.col("p_size") > F.col("prefix_best"))
+            )
+        )
+        .select(
+            (F.col("price_c").cast("double") / 100.0).alias("price"),
+            "p_size",
+            "n_parts",
+        )
+    )

@@ -1,0 +1,117 @@
+"""Property tests for the late round-10 operators: seasonal anomaly
+screen, skyline, join-size estimation audit, SCD2 dimension build.
+
+The oracle harness value-checks each at sf0.01; these pin the invariants a
+value hash can't express (robust-fence bounds, dominance completeness,
+estimator-vs-executed-join agreement, interval telescoping).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from big_data_medical_analysis_spark.operators.analytics import (
+    seasonal_anomaly_days,
+)
+from big_data_medical_analysis_spark.operators.etl import scd2_dimension_build
+from big_data_medical_analysis_spark.operators.quality import (
+    join_size_estimate_audit,
+)
+from big_data_medical_analysis_spark.operators.relational import (
+    pareto_frontier_parts,
+)
+from big_data_medical_analysis_spark.sources.readers import read_table
+
+
+def test_seasonal_anomaly_partitions_days_and_bounds_fence(spark, sf_dir):
+    """The 7 dow rows partition the distinct order days exactly; the 3xMAD
+    fence can flag at most half of all days (more than half the residuals
+    inside median +/- MAD is the MAD's defining property); deviations are
+    non-negative and anomaly counts never exceed the dow's day count."""
+    res = seasonal_anomaly_days(spark, sf_dir).collect()
+    assert sorted(r.dow for r in res) == list(range(7))
+    orders = read_table(spark, sf_dir, "orders")
+    n_days = (
+        orders.select(
+            F.floor(F.unix_timestamp("o_orderdate") / 86400).alias("d")
+        )
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_days for r in res) == n_days
+    assert all(0 <= r.n_anomalies <= r.n_days for r in res)
+    assert sum(r.n_anomalies for r in res) <= n_days / 2
+    assert all(r.max_abs_dev >= 0.0 for r in res)
+
+
+def test_pareto_frontier_matches_bruteforce_dominance(spark, sf_dir):
+    """The frontier equals the brute-force skyline over the distinct
+    (price, size) points, and is strictly monotone: ordered by price
+    ascending, sizes strictly increase (the 2-D skyline signature)."""
+    res = sorted(
+        ((round(r.price * 100), r.p_size, r.n_parts)
+         for r in pareto_frontier_parts(spark, sf_dir).collect())
+    )
+    part = read_table(spark, sf_dir, "part")
+    pts = {
+        (int(round(r.pc)), r.p_size): r.n
+        for r in part.groupBy(
+            F.round(F.col("p_retailprice") * 100).alias("pc"), "p_size"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    brute = sorted(
+        (p, s, n)
+        for (p, s), n in pts.items()
+        if not any(
+            qp <= p and qs >= s and (qp < p or qs > s) for (qp, qs) in pts
+        )
+    )
+    assert res == brute
+    sizes = [s for _, s, _ in res]
+    assert sizes == sorted(set(sizes))
+
+
+def test_join_size_estimate_exact_term_matches_executed_join(spark, sf_dir):
+    """exact_rows equals the EXECUTED orders x events equi-join count (the
+    per-key count-product identity), and both estimators are positive."""
+    row = join_size_estimate_audit(spark, sf_dir).collect()[0]
+    orders = read_table(spark, sf_dir, "orders")
+    events = read_table(spark, sf_dir, "events")
+    executed = orders.join(
+        events, orders.o_custkey == events.user_id
+    ).count()
+    assert row.exact_rows == executed
+    assert row.est_bucketed > 0 and row.est_global > 0
+
+
+def test_scd2_versions_telescope_and_one_open_per_user(spark, sf_dir):
+    """Exactly one open (current) version per user; closed dwell seconds
+    telescope per user to last-change minus first-change epoch (interval
+    chains have no gaps or overlaps), summed over all users."""
+    res = scd2_dimension_build(spark, sf_dir).collect()
+    ev = read_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n_current for r in res) == n_users
+    # Recompute the collapse and telescoped span independently.
+    log = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+        "event_id",
+        F.col("event_type").alias("status"),
+    )
+    w = W.partitionBy("user_id").orderBy("es", "event_id")
+    changes = log.withColumn("prev", F.lag("status").over(w)).filter(
+        F.col("prev").isNull() | (F.col("status") != F.col("prev"))
+    )
+    span = (
+        changes.groupBy("user_id")
+        .agg((F.max("es") - F.min("es")).alias("span"))
+        .agg(F.sum("span"))
+        .collect()[0][0]
+    )
+    assert sum(r.closed_duration_s for r in res) == span
+    assert sum(r.n_versions for r in res) == changes.count()
+    assert all(r.max_version <= r.n_versions for r in res)
