@@ -115,6 +115,7 @@ COHORTS: dict[str, list[str]] = {
         "contrastive_negative_pairs",
         "ab_test_proportions",
         "fairness_parity_by_segment",
+        "decile_lift_table",
     ],
     "multimodal": [
         "image_augment_fanout",
@@ -209,6 +210,7 @@ COHORTS: dict[str, list[str]] = {
         "watermark_delay_audit",
         "seasonal_anomaly_days",
         "pareto_frontier_parts",
+        "scd2_point_in_time_join",
     ],
     "scalar_variant": [
         "balance_bracket_lookup",

@@ -2270,3 +2270,123 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_parts",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time join against SCD2 validity intervals — round 10
+# ---------------------------------------------------------------------------
+
+_SCD2_PIT_SQL = """
+WITH log AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, event_id,
+         event_type AS status
+  FROM events WHERE event_type <> 'purchase'
+),
+ordered AS (
+  SELECT *, lag(status) OVER (PARTITION BY user_id ORDER BY es, event_id)
+           AS prev_status
+  FROM log
+),
+versions AS (
+  SELECT user_id, es AS eff_from, event_id, status FROM ordered
+  WHERE prev_status IS NULL OR status <> prev_status
+),
+iv AS (
+  SELECT user_id, status, eff_from,
+         lead(eff_from) OVER (PARTITION BY user_id
+                              ORDER BY eff_from, event_id) AS eff_to
+  FROM versions
+),
+fact AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, event_id,
+         CAST(round(value * 100) AS BIGINT) AS v_c
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT coalesce(iv.status, '<pre-history>') AS status_at_purchase,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(fact.v_c) AS DOUBLE) / 100.0 AS revenue
+FROM fact
+LEFT JOIN iv ON iv.user_id = fact.user_id
+            AND iv.eff_from <= fact.es
+            AND (iv.eff_to IS NULL OR fact.es < iv.eff_to)
+GROUP BY 1
+"""
+
+
+@register("scd2_point_in_time_join", oracle=_SCD2_PIT_SQL, category="join")
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join against SCD2 validity intervals — the
+    consumption side of ``scd2_dimension_build``: every purchase fact is
+    credited to the dimension version that was CURRENT at the fact's
+    timestamp (status from the user's collapsed non-purchase change
+    log), the join every ML feature store and restated-history report
+    needs to avoid leakage from future attribute values. Facts before a
+    user's first version surface as ``<pre-history>`` (left-join
+    semantics, nothing dropped — the pytest pins the purchase
+    partition).
+
+    The oracle states the textbook interval join literally
+    (``eff_from <= t < eff_to``); the Spark plan never runs that range
+    join — PIT against non-overlapping validity intervals IS an as-of
+    backward join, so it reuses the ``purchase_asof_signup`` shape:
+    union version-change rows (side 0) with facts (side 1), one
+    (user, es, side, event_id) sort, carry the latest status with
+    ``last(ignorenulls=True)``. Same-instant edges agree with interval
+    semantics by construction: a version effective AT the fact's
+    timestamp applies (side order), and of two versions opened in the
+    same second the later change wins (the earlier one's interval is
+    empty).
+
+    Scale: one shuffle on the dimension key + a linear window pass +
+    5-group combine — no range-join quadratic residual, no broadcast
+    requirement on the dimension (at 100 TB the versions table is fact-
+    scale history; this plan only ever sorts it WITH the facts). The
+    streaming twin is the same union through
+    ``applyInPandasWithState``.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    changes_src = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+        "event_id",
+        F.col("event_type").alias("status"),
+    )
+    wchg = W.partitionBy("user_id").orderBy("es", "event_id")
+    versions = changes_src.withColumn(
+        "prev_status", F.lag("status").over(wchg)
+    ).filter(
+        F.col("prev_status").isNull()
+        | (F.col("status") != F.col("prev_status"))
+    ).select(
+        "user_id", "es", "event_id", F.col("status").alias("v_status"),
+        F.lit(0).alias("side"), F.lit(None).cast("long").alias("v_c"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+        "event_id",
+        F.lit(None).cast("string").alias("v_status"),
+        F.lit(1).alias("side"),
+        cents("value").alias("v_c"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("es", "side", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        versions.unionByName(facts)
+        .withColumn(
+            "status_at", F.last("v_status", ignorenulls=True).over(w)
+        )
+        .filter(F.col("side") == 1)
+        .groupBy(
+            F.coalesce("status_at", F.lit("<pre-history>")).alias(
+                "status_at_purchase"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            (F.sum("v_c").cast("double") / 100.0).alias("revenue"),
+        )
+    )

@@ -115,3 +115,50 @@ def test_scd2_versions_telescope_and_one_open_per_user(spark, sf_dir):
     assert sum(r.closed_duration_s for r in res) == span
     assert sum(r.n_versions for r in res) == changes.count()
     assert all(r.max_version <= r.n_versions for r in res)
+
+
+def test_scd2_pit_join_partitions_purchases_and_conserves_revenue(
+    spark, sf_dir
+):
+    """The PIT join is a partition of purchase facts (left-join semantics:
+    nothing dropped, nothing double-matched — validity intervals are
+    disjoint), revenue is conserved to the cent, and the status
+    vocabulary is the non-purchase event types plus '<pre-history>'."""
+    from big_data_medical_analysis_spark.operators.common import cents
+    from big_data_medical_analysis_spark.operators.relational import (
+        scd2_point_in_time_join,
+    )
+
+    res = scd2_point_in_time_join(spark, sf_dir).collect()
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    assert sum(r.n_purchases for r in res) == purchases.count()
+    cents_total = purchases.agg(F.sum(cents("value"))).collect()[0][0]
+    assert round(sum(r.revenue for r in res) * 100) == cents_total
+    types = {r.status_at_purchase for r in res}
+    assert types <= {"click", "view", "signup", "error", "<pre-history>"}
+
+
+def test_decile_lift_partitions_population_and_gains_are_monotone(
+    spark, sf_dir
+):
+    """The 10 bins partition the embeddings population; lift is exactly
+    (bin rate)/(base rate) to the rounding; cumulative gain decreases
+    with bin and is 100% at the bottom bin."""
+    from big_data_medical_analysis_spark.operators.statistics import (
+        decile_lift_table,
+    )
+
+    res = sorted(decile_lift_table(spark, sf_dir).collect(),
+                 key=lambda r: r.bin)
+    emb = read_table(spark, sf_dir, "embeddings")
+    n_all = emb.count()
+    pos_all = emb.filter(F.col("label") >= 5).count()
+    assert sum(r.n for r in res) == n_all
+    assert sum(r.n_pos for r in res) == pos_all
+    base = pos_all / n_all
+    for r in res:
+        assert abs(r.lift - round((r.n_pos / r.n) / base, 4)) < 1e-9
+    gains = [r.cum_gain_pct for r in res]
+    assert gains[0] == 100.0
+    assert all(a >= b for a, b in zip(gains, gains[1:]))
