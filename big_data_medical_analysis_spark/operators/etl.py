@@ -2225,25 +2225,7 @@ def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     point-in-time joins.
     """
     ev = read_table(spark, sf_dir, "events")
-    log = ev.select(
-        "user_id",
-        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
-        "event_id",
-        F.col("event_type").alias("status"),
-    )
-    w = W.partitionBy("user_id").orderBy("es", "event_id")
-    changes = log.withColumn("prev_status", F.lag("status").over(w)).filter(
-        F.col("prev_status").isNull()
-        | (F.col("status") != F.col("prev_status"))
-    )
-    versions = changes.select(
-        "user_id",
-        "status",
-        F.col("es").alias("eff_from"),
-        F.lead("es").over(w).alias("eff_to"),
-        F.row_number().over(w).cast("long").alias("version"),
-    )
-    return versions.groupBy("status").agg(
+    return scd2_versions(scd2_event_log(ev)).groupBy("status").agg(
         F.count(F.lit(1)).cast("long").alias("n_versions"),
         F.sum(F.when(F.col("eff_to").isNull(), 1).otherwise(0))
         .cast("long")
@@ -2256,4 +2238,44 @@ def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("closed_duration_s"),
         F.max("version").cast("long").alias("max_version"),
+    )
+
+
+def scd2_event_log(ev: DataFrame) -> DataFrame:
+    """Events as an SCD2 attribute change log: (user_id, es, event_id,
+    status). Shared by the batch builder, the PIT join, and the
+    streaming maintainer so all three agree on the log shape."""
+    return ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+        "event_id",
+        F.col("event_type").alias("status"),
+    )
+
+
+def scd2_collapse(log: DataFrame) -> DataFrame:
+    """No-op collapse: keep only changes whose status differs from the
+    user's previous change (ordered by es, event_id)."""
+    w = W.partitionBy("user_id").orderBy("es", "event_id")
+    return (
+        log.withColumn("prev_status", F.lag("status").over(w))
+        .filter(
+            F.col("prev_status").isNull()
+            | (F.col("status") != F.col("prev_status"))
+        )
+        .drop("prev_status")
+    )
+
+
+def scd2_versions(log: DataFrame) -> DataFrame:
+    """Full SCD2 versions table from a change log: collapse + validity
+    intervals + version numbers, both window passes in the one user-key
+    shuffle (``scd2_dimension_build`` documents the plan)."""
+    w = W.partitionBy("user_id").orderBy("es", "event_id")
+    return scd2_collapse(log).select(
+        "user_id",
+        "status",
+        F.col("es").alias("eff_from"),
+        F.lead("es").over(w).alias("eff_to"),
+        F.row_number().over(w).cast("long").alias("version"),
     )

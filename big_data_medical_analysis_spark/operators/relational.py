@@ -2344,19 +2344,14 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming twin is the same union through
     ``applyInPandasWithState``.
     """
-    ev = read_table(spark, sf_dir, "events")
-    changes_src = ev.filter(F.col("event_type") != "purchase").select(
-        "user_id",
-        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
-        "event_id",
-        F.col("event_type").alias("status"),
+    from big_data_medical_analysis_spark.operators.etl import (
+        scd2_collapse,
+        scd2_event_log,
     )
-    wchg = W.partitionBy("user_id").orderBy("es", "event_id")
-    versions = changes_src.withColumn(
-        "prev_status", F.lag("status").over(wchg)
-    ).filter(
-        F.col("prev_status").isNull()
-        | (F.col("status") != F.col("prev_status"))
+
+    ev = read_table(spark, sf_dir, "events")
+    versions = scd2_collapse(
+        scd2_event_log(ev.filter(F.col("event_type") != "purchase"))
     ).select(
         "user_id", "es", "event_id", F.col("status").alias("v_status"),
         F.lit(0).alias("side"), F.lit(None).cast("long").alias("v_c"),

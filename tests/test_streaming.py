@@ -1052,3 +1052,103 @@ def test_ann_index_stream_probe_then_append(spark, tmp_path):
         for r in spark.read.parquet(matches_dir).collect()
     }
     assert hits_again == hits
+
+
+def test_scd2_state_stream_matches_batch_across_noop_seams(spark, tmp_path):
+    """The streaming SCD2 maintainer must converge to EXACTLY the batch
+    builder's versions table over the same change log, with batch seams
+    placed on no-op repeats (same status as the user's open version) so
+    the cross-boundary collapse is exercised: a seam no-op must not open
+    a version. Runs the operational shape end to end — AvailableNow
+    backfill over two files, then a live tail on the same checkpoint —
+    and finally proves the ledger (not the merge math) is the
+    exactly-once dedup: an applied batch id replays as a no-op, a fresh
+    id does corrupt (version append is not idempotent)."""
+    import json
+
+    from big_data_medical_analysis_spark.operators.etl import (
+        scd2_event_log,
+        scd2_versions,
+    )
+
+    indir = str(tmp_path / "scd2_in")
+    state = str(tmp_path / "scd2_state")
+    ckpt = str(tmp_path / "scd2_ckpt")
+    t = "2024-01-01 00:0{m}:00.000000"
+    batch_a = [
+        (1, t.format(m=1), 1, "click", 0.0),
+        (2, t.format(m=2), 1, "view", 0.0),
+        (3, t.format(m=1), 2, "click", 0.0),
+    ]
+    batch_b = [
+        (4, t.format(m=3), 1, "view", 0.0),   # seam no-op vs open 'view'
+        (5, t.format(m=4), 1, "click", 0.0),
+        (6, t.format(m=3), 2, "click", 0.0),  # seam no-op vs open 'click'
+        (7, t.format(m=3), 3, "error", 0.0),  # brand-new user mid-stream
+    ]
+    batch_c = [
+        (8, t.format(m=5), 1, "click", 0.0),  # seam no-op
+        (9, t.format(m=5), 2, "view", 0.0),   # real change
+        (10, t.format(m=5), 3, "error", 0.0),  # seam no-op
+    ]
+    _write_events(indir, "a.json", batch_a)
+    _write_events(indir, "b.json", batch_b)
+    q = SW.scd2_state_stream(spark, indir, state, ckpt, available_now=True)
+    assert q.awaitTermination(120), "availableNow run must terminate"
+    _write_events(indir, "c.json", batch_c)
+    q = SW.scd2_state_stream(spark, indir, state, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    cur = os.path.join(state, "current")
+    spark.catalog.refreshByPath(cur)
+    streamed = {
+        (r.user_id, r.status, r.eff_from, r.eff_to, r.version)
+        for r in spark.read.parquet(cur).collect()
+    }
+    all_ev = spark.createDataFrame(
+        batch_a + batch_b + batch_c,
+        "event_id long, ts_s string, user_id long, event_type string, "
+        "value double",
+    ).selectExpr(
+        "event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user_id", "event_type"
+    )
+    expected = {
+        (r.user_id, r.status, r.eff_from, r.eff_to, r.version)
+        for r in scd2_versions(scd2_event_log(all_ev)).collect()
+    }
+    assert streamed == expected
+    # exactly one open version per user, versions dense from 1
+    opens = [s for s in streamed if s[3] is None]
+    assert sorted(u for u, *_ in opens) == [1, 2, 3]
+    for u in (1, 2, 3):
+        vs = sorted(v for uu, _, _, _, v in streamed if uu == u)
+        assert vs == list(range(1, len(vs) + 1))
+
+    # ledger: applied-id replay is a wholesale no-op
+    replay = spark.createDataFrame(
+        batch_a,
+        "event_id long, ts_s string, user_id long, event_type string, "
+        "value double",
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user_id",
+                 "event_type")
+    merger = SW.make_scd2_state_merger(state)
+    with open(os.path.join(cur, SW.HIST_APPLIED_FILE)) as f:
+        applied = json.load(f)
+    merger(replay, applied[0])
+    spark.catalog.refreshByPath(cur)
+    again = {
+        (r.user_id, r.status, r.eff_from, r.eff_to, r.version)
+        for r in spark.read.parquet(cur).collect()
+    }
+    assert again == streamed
+    # control: a FRESH id does corrupt — the ledger is the dedup
+    merger(replay, max(applied) + 1)
+    spark.catalog.refreshByPath(cur)
+    corrupted = {
+        (r.user_id, r.status, r.eff_from, r.eff_to, r.version)
+        for r in spark.read.parquet(cur).collect()
+    }
+    assert corrupted != streamed
