@@ -143,6 +143,7 @@ COHORTS: dict[str, list[str]] = {
         "hll_incremental_daily",
         "histogram_incremental_daily",
         "ks_drift_binned",
+        "hll_set_algebra_audit",
         "drift_monitor_decision",
         "kaplan_meier_signup_to_purchase",
         "logrank_test_by_arm",

