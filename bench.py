@@ -116,6 +116,7 @@ COHORTS: dict[str, list[str]] = {
         "ab_test_proportions",
         "fairness_parity_by_segment",
         "decile_lift_table",
+        "feature_info_gain_ranking",
     ],
     "multimodal": [
         "image_augment_fanout",

@@ -192,3 +192,24 @@ def test_hll_set_algebra_identities_and_error_band(spark, sf_dir):
         assert row.rel_error < 10 * 1.04 / (HLL_M ** 0.5)
     else:
         assert row.rel_error < 1.0
+
+
+def test_info_gain_detects_signal_and_reports_null(spark, sf_dir):
+    """The control panel behaves: the deterministic price-band feature
+    carries most of the 1-bit label entropy, every known-independent
+    feature scores near zero, and info gain is never negative beyond
+    rounding noise (IG >= 0 mathematically)."""
+    from big_data_medical_analysis_spark.operators.statistics import (
+        feature_info_gain_ranking,
+    )
+
+    rows = {r.feature: r for r in
+            feature_info_gain_ranking(spark, sf_dir).collect()}
+    assert set(rows) == {"priority", "status", "month", "price_band"}
+    assert all(r.info_gain >= -1e-6 for r in rows.values())
+    assert rows["price_band"].info_gain > 0.5
+    for f in ("priority", "status", "month"):
+        assert rows[f].info_gain < 0.02
+    assert rows["priority"].n_values == 5
+    assert rows["status"].n_values == 3
+    assert rows["month"].n_values <= 12
