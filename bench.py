@@ -213,6 +213,7 @@ COHORTS: dict[str, list[str]] = {
         "seasonal_anomaly_days",
         "pareto_frontier_parts",
         "scd2_point_in_time_join",
+        "grid_radius_join",
     ],
     "scalar_variant": [
         "balance_bracket_lookup",

@@ -2385,3 +2385,173 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("v_c").cast("double") / 100.0).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Spatial grid radius self-join — round 10
+# ---------------------------------------------------------------------------
+
+_GRID_RADIUS_SQL = """
+WITH pts AS (
+  SELECT p_partkey AS id,
+         CAST(concat('0x', substr(md5(concat(CAST(p_partkey AS STRING),
+                                             ':x')), 1, 8)) AS BIGINT)
+           % 100000 AS x,
+         CAST(concat('0x', substr(md5(concat(CAST(p_partkey AS STRING),
+                                             ':y')), 1, 8)) AS BIGINT)
+           % 100000 AS y
+  FROM part
+),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM pts a JOIN pts b
+  ON a.id < b.id
+  AND abs(CAST(floor(a.x / 5000.0) AS BIGINT)
+          - CAST(floor(b.x / 5000.0) AS BIGINT)) <= 1
+  AND abs(CAST(floor(a.y / 5000.0) AS BIGINT)
+          - CAST(floor(b.y / 5000.0) AS BIGINT)) <= 1
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM pts) AS n_points,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(count(*) FILTER (WHERE d2 <= 25000000) AS BIGINT) AS n_pairs,
+       round(CAST(sum(CASE WHEN d2 <= 25000000 THEN
+                CAST(round(sqrt(CAST(d2 AS DOUBLE)) * 100) AS BIGINT)
+              ELSE 0 END) AS DOUBLE)
+             / (100.0 * count(*) FILTER (WHERE d2 <= 25000000)), 2)
+         AS avg_dist_m
+FROM cand
+"""
+
+
+@register("grid_radius_join", oracle=_GRID_RADIUS_SQL, category="join")
+def grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius self-join via grid bucketing — the geo pattern
+    class (find all point pairs within 5 km): points get deterministic
+    integer-meter coordinates in a 100 km square (portable md5, so both
+    engines place every point identically), each point lands in one
+    radius-sized grid cell, and ONLY the 3x3 neighbor-cell candidates
+    are distance-tested — 41,583 candidates instead of the 2M all-pairs
+    at sf0.01 (48x pruning, both numbers emitted so the pruning is
+    audited, the ``prefix_filter_jaccard_join`` discipline). The grid
+    guarantee is exact, not approximate: any pair within radius r has
+    cell distance <= 1 when cells are r-sized, so no true pair can be
+    pruned (pytest re-proves against brute force).
+
+    Distances are exact int64 squared-meters; the only float is one
+    correctly-rounded sqrt per surviving pair, quantized to cm BEFORE
+    the sum (order-independent exact total — the logrank discipline).
+
+    The Spark plan writes the neighbor condition as a 9-offset explode +
+    cell EQUI-join (a shuffle join on the cell key), not the oracle's
+    |Δcell| <= 1 inequality — same semantics (a cell's 3x3 neighborhood
+    IS the offset set; cells are unique per point, so no pair matches
+    twice), but equi-join keys are what scales: candidates
+    co-locate by cell, no BNL/range-join residual, and one conditional
+    aggregation pass computes candidate count, pair count, and the
+    exact distance sum together.
+
+    Scale: this is how a 100 TB geo join runs — cell key shuffle with
+    ~uniform occupancy (density skew → smaller cells + AQE skew
+    handling; the 9x fan-out stays constant), candidates Σ 9·|cell|²
+    never n². Cell size = radius is the standard choice; halving cells
+    quarters candidate density at 25 offsets.
+    """
+    from big_data_medical_analysis_spark.operators.common import (
+        checkpoint_pinned,
+    )
+
+    part = read_table(spark, sf_dir, "part")
+
+    def coord(tag: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("p_partkey").cast("string"), F.lit(tag)
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100000
+        )
+
+    pts = checkpoint_pinned(
+        part.select(
+            F.col("p_partkey").alias("id"),
+            coord(":x").alias("x"),
+            coord(":y").alias("y"),
+        )
+    )
+    cell = lambda c: F.floor(F.col(c) / 5000.0).cast("long")  # noqa: E731
+    offs = F.expr(
+        "explode(array("
+        + ", ".join(
+            f"struct({dx} AS dx, {dy} AS dy)"
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        )
+        + "))"
+    )
+    a = pts.select(
+        F.col("id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        offs.alias("o"),
+    ).select(
+        "id_a",
+        "xa",
+        "ya",
+        (F.floor(F.col("xa") / 5000.0).cast("long") + F.col("o.dx")).alias(
+            "ncx"
+        ),
+        (F.floor(F.col("ya") / 5000.0).cast("long") + F.col("o.dy")).alias(
+            "ncy"
+        ),
+    )
+    b = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        cell("x").alias("cbx"),
+        cell("y").alias("cby"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    cand = a.join(
+        b,
+        (F.col("ncx") == F.col("cbx"))
+        & (F.col("ncy") == F.col("cby"))
+        & (F.col("id_a") < F.col("id_b")),
+    ).select(d2.alias("d2"))
+    hit = F.col("d2") <= 25000000
+    n_pts = F.broadcast(pts.agg(F.count(F.lit(1)).cast("long").alias("n_points")))
+    return (
+        cand.agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_pairs"),
+            F.sum(
+                F.when(
+                    hit,
+                    F.round(F.sqrt(F.col("d2").cast("double")) * 100).cast(
+                        "long"
+                    ),
+                ).otherwise(0)
+            ).alias("sum_cm"),
+        )
+        .crossJoin(n_pts)
+        .select(
+            "n_points",
+            "n_candidates",
+            "n_pairs",
+            F.round(
+                F.col("sum_cm").cast("double") / (100.0 * F.col("n_pairs")), 2
+            ).alias("avg_dist_m"),
+        )
+    )

@@ -213,3 +213,38 @@ def test_info_gain_detects_signal_and_reports_null(spark, sf_dir):
     assert rows["priority"].n_values == 5
     assert rows["status"].n_values == 3
     assert rows["month"].n_values <= 12
+
+
+def test_grid_radius_join_matches_bruteforce_and_prunes(spark, sf_dir):
+    """The grid never prunes a true pair: n_pairs equals the brute-force
+    count over the same deterministic coordinates, candidates bound
+    pairs from above and sit well under all-pairs (the pruning the
+    query exists to audit)."""
+    from big_data_medical_analysis_spark.operators.relational import (
+        grid_radius_join,
+    )
+
+    row = grid_radius_join(spark, sf_dir).collect()[0]
+    part = read_table(spark, sf_dir, "part")
+    pts = [
+        (r.id, r.x, r.y)
+        for r in part.selectExpr(
+            "p_partkey AS id",
+            "CAST(conv(substring(md5(concat(CAST(p_partkey AS STRING),"
+            " ':x')), 1, 8), 16, 10) AS BIGINT) % 100000 AS x",
+            "CAST(conv(substring(md5(concat(CAST(p_partkey AS STRING),"
+            " ':y')), 1, 8), 16, 10) AS BIGINT) % 100000 AS y",
+        ).collect()
+    ]
+    assert row.n_points == len(pts)
+    brute = sum(
+        1
+        for i in range(len(pts))
+        for j in range(i + 1, len(pts))
+        if pts[i][0] != pts[j][0]
+        and (pts[i][1] - pts[j][1]) ** 2 + (pts[i][2] - pts[j][2]) ** 2
+        <= 5000 * 5000
+    )
+    assert row.n_pairs == brute
+    all_pairs = len(pts) * (len(pts) - 1) // 2
+    assert row.n_pairs <= row.n_candidates < all_pairs
