@@ -62,6 +62,7 @@ COHORTS: dict[str, list[str]] = {
         "quantized_cosine_topk",
         "rp_embedding_project",
         "kmeans_lloyd_centroids",
+        "pca_power_iteration",
         "ann_incremental_probe",
         "pq_codebook_distortion",
         "pq_adc_topk",

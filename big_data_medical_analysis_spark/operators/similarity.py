@@ -2612,3 +2612,219 @@ def ann_multiprobe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tier("single", pb.filter(F.col("variant") == 0)).unionByName(
         tier("multiprobe_2", pb.select("probe_id", "tbl", "bucket"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA top component via power iteration (full value oracle) — round 10
+# ---------------------------------------------------------------------------
+
+PCA_ITERS = 3
+_PCA_DIM = 64
+
+
+def _pca_oracle() -> str:
+    """Unrolled power iterations in DuckDB SQL, the ``_kmeans_oracle``
+    recipe: int64-micro vectors, exact integer dots and per-dim sums,
+    one quantization boundary per iteration (t to micro, w to
+    unit-micro via a single sqrt+round), DECIMAL(38,0) for the two sums
+    whose squares exceed int64 — so the whole trajectory replays
+    bit-for-bit in any engine."""
+    head = f"""WITH vm AS (
+  SELECT vec_id, list_transform(embedding,
+           y -> CAST(round(y::DOUBLE * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+u AS (
+  SELECT g.i AS dim,
+         CAST(round(CAST(sum(v[g.i]) AS DOUBLE) / count(*)) AS BIGINT) AS m
+  FROM vm, (SELECT unnest(range(1, {_PCA_DIM} + 1)) AS i) g
+  GROUP BY 1
+),
+muv AS (SELECT list(m ORDER BY dim) AS mu FROM u),
+cv AS (
+  SELECT vm.vec_id, list_transform(vm.v, (x, i) -> x - muv.mu[i]) AS c
+  FROM vm, muv
+),
+w0 AS (SELECT list_transform(range(1, {_PCA_DIM} + 1),
+                             i -> CAST(1000000 AS BIGINT)) AS w)"""
+    its = []
+    for k in range(1, PCA_ITERS + 1):
+        its.append(f""", t{k} AS (
+  SELECT cv.vec_id,
+         CAST(round(CAST(list_sum(list_transform(cv.c,
+               (x, i) -> x * w{k - 1}.w[i])) AS DOUBLE) / 1000000.0)
+              AS BIGINT) AS t
+  FROM cv, w{k - 1}
+), p{k} AS (
+  SELECT g.i AS dim, CAST(sum(cv.c[g.i] * t{k}.t) AS BIGINT) AS wp
+  FROM cv JOIN t{k} USING (vec_id),
+       (SELECT unnest(range(1, {_PCA_DIM} + 1)) AS i) g
+  GROUP BY 1
+), n{k} AS (
+  SELECT sqrt(CAST(sum(CAST(wp AS DECIMAL(38, 0))
+                       * CAST(wp AS DECIMAL(38, 0))) AS DOUBLE)) AS nrm
+  FROM p{k}
+), w{k} AS (
+  SELECT list(CAST(round(CAST(wp AS DOUBLE) * 1000000.0 / n{k}.nrm)
+                   AS BIGINT) ORDER BY dim) AS w
+  FROM p{k}, n{k} GROUP BY n{k}.nrm
+)""")
+    tail = f"""
+, tf AS (
+  SELECT cv.vec_id,
+         CAST(round(CAST(list_sum(list_transform(cv.c,
+               (x, i) -> x * w{PCA_ITERS}.w[i])) AS DOUBLE) / 1000000.0)
+              AS BIGINT) AS t
+  FROM cv, w{PCA_ITERS}
+), ray AS (
+  SELECT CAST(sum(CAST(t AS DECIMAL(38, 0)) * CAST(t AS DECIMAL(38, 0)))
+              AS DOUBLE) AS tt,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM tf
+)
+SELECT CAST(g.i - 1 AS INTEGER) AS dim_idx,
+       w{PCA_ITERS}.w[g.i] AS eigvec_micro,
+       round(ray.tt / ray.n_rows / 1000000000000.0, 4) AS lambda_est
+FROM w{PCA_ITERS}, ray, (SELECT unnest(range(1, {_PCA_DIM} + 1)) AS i) g"""
+    return head + "".join(its) + tail
+
+
+@register("pca_power_iteration", oracle=_pca_oracle(), category="similarity")
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud by {PCA_ITERS}
+    power iterations, with a FULL value oracle — the spectral/linear-
+    algebra member of the ML family (k-means gives centroids, JL gives
+    random projections; this gives the data-adaptive projection, the
+    first step of PCA whitening and the classic embedding-drift
+    diagnostic). The covariance matrix is never materialized: each
+    iteration applies it as two passes over the centered vectors —
+    per-row projection t_j = c_j·w (exact int64 dot via zip_with/
+    aggregate, quantized to micro), then per-dim back-projection
+    w'_i = Σ_j c_j[i]·t_j (one 64-key combine aggregate) — followed by
+    one sqrt+round renormalization to unit-micro. All magnitudes are
+    bounded by design (|c·t| ≤ 3.2e13/row; the two sums whose squares
+    exceed int64 use DECIMAL(38,0), the ``feature_zscore_by_label``
+    trick), so DuckDB replays the whole trajectory bit-for-bit.
+    Emitted: the unit eigenvector (micro) and the Rayleigh-quotient
+    eigenvalue evaluated AT the final vector (one extra projection
+    pass, so the number is the variance along the returned direction —
+    pytest re-derives it with numpy) — 0.0219 at sf0.01 vs the
+    1/64 ≈ 0.0156 isotropic floor (near-isotropic synthetic embeddings: weak but real top
+    direction; iteration count is the convergence knob and multiplies
+    passes, not shuffle width).
+
+    Scale: per iteration one broadcast of the 64-int w, one linear
+    projection pass, one 64-key map-side-combinable aggregate — the
+    same pass structure as ``kmeans_lloyd_centroids``, and like it the
+    centered table is pinned once (vm is consumed every pass). The
+    mean vector is one 64-column aggregate (exact integer sums, one
+    rounded division per dim).
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    vm = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda y: F.round(y.cast("double") * 1_000_000).cast("long"),
+        ).alias("v"),
+    ).transform(checkpoint_pinned)
+    mu = vm.agg(
+        *[
+            F.round(
+                F.sum(F.col("v").getItem(i)).cast("double")
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias(f"m{i}")
+            for i in range(_PCA_DIM)
+        ]
+    ).select(F.array(*[F.col(f"m{i}") for i in range(_PCA_DIM)]).alias("mu"))
+    cv = (
+        vm.crossJoin(F.broadcast(mu))
+        .select(
+            "vec_id",
+            F.zip_with("v", "mu", lambda x, m: x - m).alias("c"),
+        )
+        .transform(checkpoint_pinned)
+    )
+    w = spark.range(1).select(
+        F.array(*[F.lit(1_000_000).cast("long")] * _PCA_DIM).alias("w")
+    )
+    tdf = None
+    for _ in range(PCA_ITERS):
+        t = F.round(
+            F.aggregate(
+                F.zip_with("c", "w", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / 1_000_000.0
+        ).cast("long")
+        tdf = (
+            cv.crossJoin(F.broadcast(w))
+            .select("vec_id", "c", t.alias("t"))
+            .transform(checkpoint_pinned)
+        )
+        wp = (
+            tdf.select("t", F.posexplode_outer("c").alias("pos", "val"))
+            .filter(F.col("pos").isNotNull())
+            .groupBy("pos")
+            .agg(F.sum(F.col("val") * F.col("t")).alias("wp"))
+        )
+        nrm = wp.agg(
+            F.sqrt(
+                F.sum(
+                    F.col("wp").cast("decimal(38,0)")
+                    * F.col("wp").cast("decimal(38,0)")
+                ).cast("double")
+            ).alias("nrm")
+        )
+        w = (
+            wp.crossJoin(F.broadcast(nrm))
+            .select(
+                "pos",
+                F.round(F.col("wp").cast("double") * 1_000_000.0 / F.col("nrm"))
+                .cast("long")
+                .alias("wn"),
+            )
+            .groupBy()
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "wn"))),
+                    lambda s: s.wn,
+                ).alias("w")
+            )
+            .transform(checkpoint_pinned)
+        )
+    assert tdf is not None
+    t_final = F.round(
+        F.aggregate(
+            F.zip_with("c", "w", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / 1_000_000.0
+    ).cast("long")
+    tfin = cv.crossJoin(F.broadcast(w)).select(t_final.alias("t"))
+    ray = tfin.agg(
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t").cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("tt"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    return (
+        w.crossJoin(F.broadcast(ray))
+        .select(
+            F.posexplode("w").alias("pos", "eigvec_micro"),
+            F.round(F.col("tt") / F.col("n_rows") / 1e12, 4).alias(
+                "lambda_est"
+            ),
+        )
+        .select(
+            F.col("pos").cast("integer").alias("dim_idx"),
+            "eigvec_micro",
+            "lambda_est",
+        )
+    )

@@ -248,3 +248,32 @@ def test_grid_radius_join_matches_bruteforce_and_prunes(spark, sf_dir):
     assert row.n_pairs == brute
     all_pairs = len(pts) * (len(pts) - 1) // 2
     assert row.n_pairs <= row.n_candidates < all_pairs
+
+
+def test_pca_power_iteration_unit_vector_and_rayleigh(spark, sf_dir):
+    """The emitted eigenvector is unit length (to quantization), and the
+    emitted eigenvalue equals the actual data variance along that very
+    direction (recomputed independently with numpy from the raw
+    embeddings) — the Rayleigh quotient is self-consistent, whatever
+    the convergence state after the fixed iterations."""
+    import numpy as np
+
+    from big_data_medical_analysis_spark.operators.similarity import (
+        pca_power_iteration,
+    )
+
+    rows = sorted(pca_power_iteration(spark, sf_dir).collect(),
+                  key=lambda r: r.dim_idx)
+    assert len(rows) == 64
+    w = np.array([r.eigvec_micro for r in rows], dtype=np.float64) / 1e6
+    assert abs(float(w @ w) - 1.0) < 1e-3
+    lam = rows[0].lambda_est
+    assert all(r.lambda_est == lam for r in rows)
+    emb = read_table(spark, sf_dir, "embeddings")
+    X = np.array(
+        [r.embedding for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    Xc = X - X.mean(axis=0)
+    var_along = float(((Xc @ w) ** 2).mean())
+    assert abs(lam - var_along) / max(var_along, 1e-9) < 0.02
