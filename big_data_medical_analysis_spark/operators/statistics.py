@@ -2018,11 +2018,80 @@ def feature_info_gain_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 6 digits, well above accumulation noise (the
     ``event_label_entropy`` precedent).
 
-    Scale: the melt fans each row ×4 BEFORE the combine, but the
-    combine collapses map-side to Σ|domain(f)| ≈ 26 cells — the shuffle
-    carries cells, not rows; at 100 TB you run one such pass per
-    feature batch. All post-combine arithmetic is on ≤26-row tables.
-    The 1-row median broadcast is the only second pass over the fact.
+    Scale: the Spark plan melts with ``stack`` (one fact scan fans each
+    row ×4 in-place — the oracle's UNION ALL branches would re-scan the
+    fact per feature), and the combine collapses map-side to
+    Σ|domain(f)| ≈ 26 cells — the shuffle carries cells, not rows; at
+    100 TB you run one such pass per feature batch. All post-combine
+    arithmetic is on ≤26-row tables. The 1-row median broadcast is the
+    only second pass over the fact (2 scans total, in budget).
     """
-    _views(spark, sf_dir, "orders")
-    return spark.sql(_INFO_GAIN_SQL)
+    from big_data_medical_analysis_spark.operators.common import (
+        checkpoint_pinned,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    oc = orders.select(
+        F.col("o_orderpriority").alias("f_priority"),
+        F.col("o_orderstatus").alias("f_status"),
+        F.month("o_orderdate").cast("string").alias("f_month"),
+        F.concat(
+            F.lit("b"),
+            F.floor(cents("o_totalprice") / 10000000.0).cast("long"),
+        ).alias("f_band"),
+        cents("o_totalprice").alias("c"),
+    )
+    med = oc.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c)")
+        .cast("long")
+        .alias("m")
+    )
+    lab = oc.crossJoin(F.broadcast(med)).select(
+        "f_priority",
+        "f_status",
+        "f_month",
+        "f_band",
+        F.when(F.col("c") > F.col("m"), 1).otherwise(0).alias("y"),
+    )
+    melt = lab.select(
+        F.expr(
+            "stack(4, 'priority', f_priority, 'status', f_status, "
+            "'month', f_month, 'price_band', f_band) AS (feature, value)"
+        ),
+        "y",
+    )
+    cells = checkpoint_pinned(
+        melt.groupBy("feature", "value").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+    )
+
+    def _h(pos, tot):
+        p = pos.cast("double") / tot
+        q = (tot - pos).cast("double") / tot
+        return F.when(
+            (pos == 0) | (pos == tot), F.lit(0.0)
+        ).otherwise(-p * F.log2(p) - q * F.log2(q))
+
+    hy = cells.groupBy("feature").agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("n_pos").cast("long").alias("np"),
+    ).select(
+        "feature", "nn", _h(F.col("np"), F.col("nn")).alias("h")
+    )
+    cond = (
+        cells.join(F.broadcast(hy), "feature")
+        .groupBy("feature")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            F.sum(
+                (F.col("n").cast("double") / F.col("nn"))
+                * _h(F.col("n_pos"), F.col("n"))
+            ).alias("hc"),
+            F.first("h").alias("h"),
+        )
+    )
+    return cond.select(
+        "feature", "n_values", F.round(F.col("h") - F.col("hc"), 6).alias("info_gain")
+    )
