@@ -2344,12 +2344,33 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming twin is the same union through
     ``applyInPandasWithState``.
     """
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        scd2_pit_enriched(ev)
+        .groupBy(
+            F.coalesce("status_at", F.lit("<pre-history>")).alias(
+                "status_at_purchase"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            (F.sum("v_c").cast("double") / 100.0).alias("revenue"),
+        )
+    )
+
+
+def scd2_pit_enriched(ev: DataFrame) -> DataFrame:
+    """Per-purchase PIT enrichment rows (event_id, user_id, es,
+    status_at, v_c) — the union + last-ignorenulls as-of body of
+    ``scd2_point_in_time_join``, factored out so the streaming stateful
+    twin (``streaming.windows.pit_enrich_stream``) can be equality-
+    tested against it row for row. ``status_at`` is NULL for purchases
+    before the user's first status change."""
     from big_data_medical_analysis_spark.operators.etl import (
         scd2_collapse,
         scd2_event_log,
     )
 
-    ev = read_table(spark, sf_dir, "events")
     versions = scd2_collapse(
         scd2_event_log(ev.filter(F.col("event_type") != "purchase"))
     ).select(
@@ -2375,15 +2396,7 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "status_at", F.last("v_status", ignorenulls=True).over(w)
         )
         .filter(F.col("side") == 1)
-        .groupBy(
-            F.coalesce("status_at", F.lit("<pre-history>")).alias(
-                "status_at_purchase"
-            )
-        )
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_purchases"),
-            (F.sum("v_c").cast("double") / 100.0).alias("revenue"),
-        )
+        .select("event_id", "user_id", "es", "status_at", "v_c")
     )
 
 

@@ -1180,3 +1180,71 @@ def scd2_state_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def pit_enrich_stream(events: DataFrame) -> DataFrame:
+    """Stateful point-in-time enrichment via ``applyInPandasWithState`` —
+    the LIVE path of the SCD2 family: per-user state carries the current
+    status (latest non-purchase event), and every purchase is emitted
+    tagged with the status current AT its event time, '<pre-history>'
+    before the first change — exactly
+    ``relational.scd2_pit_enriched``'s semantics (the equality pytest
+    drives both over the same multi-batch log).
+
+    Within a batch, rows are replayed in (event-second, side, event_id)
+    order — status changes sort before purchases in the same second, the
+    batch query's tie rule — so enrichment is deterministic for any
+    micro-batch slicing of an event-time-ordered feed; state is one
+    (es, event_id, status) triple per user. An unbounded keyspace would
+    add an event-time timeout; fixed user universe here, so NoTimeout.
+    Purchase cents use half-away-from-zero, matching ``common.cents``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "event_id long, user_id long, es long, status_at string, v_c long"
+    )
+    state_schema = "es long, eid long, status string"
+
+    def _update(key, pdfs, state):
+        es0, eid0, status = (
+            state.get if state.exists else (-1, -1, None)
+        )
+        out = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            es = (pdf["ts"].astype("int64") // 1_000_000_000).to_numpy()
+            side = (pdf["event_type"] == "purchase").to_numpy()
+            eid = pdf["event_id"].to_numpy()
+            v = pdf["value"].to_numpy("float64") * 100.0
+            v_c = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64")
+            et = pdf["event_type"].to_numpy()
+            order = np.lexsort((eid, side.astype("int64"), es))
+            for i in order:
+                if side[i]:
+                    out.append(
+                        (
+                            int(eid[i]),
+                            int(key[0]),
+                            int(es[i]),
+                            status if status is not None else "<pre-history>",
+                            int(v_c[i]),
+                        )
+                    )
+                else:
+                    es0, eid0, status = int(es[i]), int(eid[i]), str(et[i])
+        state.update((es0, eid0, status))
+        yield pd.DataFrame(
+            out, columns=["event_id", "user_id", "es", "status_at", "v_c"]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

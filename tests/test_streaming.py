@@ -1152,3 +1152,74 @@ def test_scd2_state_stream_matches_batch_across_noop_seams(spark, tmp_path):
         for r in spark.read.parquet(cur).collect()
     }
     assert corrupted != streamed
+
+
+def test_pit_enrich_stream_matches_batch_enrichment(spark, tmp_path):
+    """The stateful live PIT enrichment must tag every purchase with
+    exactly the status the batch as-of form derives over the same log,
+    including same-second status-then-purchase ties and pre-history
+    purchases, across micro-batch boundaries."""
+    from big_data_medical_analysis_spark.operators.relational import (
+        scd2_pit_enriched,
+    )
+
+    indir = str(tmp_path / "pit_in")
+    ckpt = str(tmp_path / "pit_ckpt")
+    t = "2024-01-01 00:0{m}:{s}.000000"
+    batch_a = [
+        (1, t.format(m=1, s="00"), 1, "purchase", 10.0),  # pre-history
+        (2, t.format(m=1, s="30"), 1, "click", 0.0),
+        (3, t.format(m=2, s="00"), 1, "purchase", 20.0),  # click
+        (4, t.format(m=2, s="00"), 2, "view", 0.0),
+        (5, t.format(m=2, s="00"), 2, "purchase", 5.0),   # same-second view
+    ]
+    batch_b = [
+        (6, t.format(m=3, s="00"), 1, "error", 0.0),
+        (7, t.format(m=3, s="30"), 1, "purchase", 7.5),   # error (cross-batch)
+        (8, t.format(m=4, s="00"), 2, "purchase", 2.25),  # view carried over
+    ]
+    _write_events(indir, "a.json", batch_a)
+    q = (
+        SW.pit_enrich_stream(SW.read_event_stream(spark, indir))
+        .writeStream.format("memory")
+        .queryName("pit_mem")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_events(indir, "b.json", batch_b)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        (r.event_id, r.user_id, r.es, r.status_at, r.v_c)
+        for r in spark.sql("SELECT * FROM pit_mem").collect()
+    }
+    all_ev = spark.createDataFrame(
+        batch_a + batch_b,
+        "event_id long, ts_s string, user_id long, event_type string, "
+        "value double",
+    ).selectExpr(
+        "event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value"
+    )
+    expected = {
+        (
+            r.event_id,
+            r.user_id,
+            r.es,
+            r.status_at if r.status_at is not None else "<pre-history>",
+            r.v_c,
+        )
+        for r in scd2_pit_enriched(all_ev).collect()
+    }
+    assert streamed == expected
+    # the designed edges actually occurred
+    by_eid = {e: s for e, _, _, s, _ in streamed}
+    assert by_eid[1] == "<pre-history>"
+    assert by_eid[5] == "view"      # same-second change applies
+    assert by_eid[7] == "error"     # cross-batch state carry
+    assert by_eid[8] == "view"      # state survives an unrelated batch
