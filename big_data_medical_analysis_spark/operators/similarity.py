@@ -2760,11 +2760,9 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
             / 1_000_000.0
         ).cast("long")
-        tdf = (
-            cv.crossJoin(F.broadcast(w))
-            .select("vec_id", "c", t.alias("t"))
-            .transform(checkpoint_pinned)
-        )
+        # single consumer per iteration (wp below; the Rayleigh pass re-
+        # projects at the final w) — no pin, the pinned cv feeds each pass
+        tdf = cv.crossJoin(F.broadcast(w)).select("vec_id", "c", t.alias("t"))
         wp = (
             tdf.select("t", F.posexplode_outer("c").alias("pos", "val"))
             .filter(F.col("pos").isNotNull())
@@ -2796,7 +2794,7 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .transform(checkpoint_pinned)
         )
-    assert tdf is not None
+    assert tdf is not None  # loop ran
     t_final = F.round(
         F.aggregate(
             F.zip_with("c", "w", lambda x, y: x * y),
