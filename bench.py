@@ -85,6 +85,7 @@ COHORTS: dict[str, list[str]] = {
         "zipf_rank_frequency",
         "comparator_sorted_tokens",
         "source_mixture_weights",
+        "source_vocab_divergence",
     ],
     "streaming_batch": [
         "tumbling_event_counts",

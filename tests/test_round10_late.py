@@ -277,3 +277,30 @@ def test_pca_power_iteration_unit_vector_and_rayleigh(spark, sf_dir):
     Xc = X - X.mean(axis=0)
     var_along = float(((Xc @ w) ** 2).mean())
     assert abs(lam - var_along) / max(var_along, 1e-9) < 0.02
+
+
+def test_vocab_jsd_null_floor_and_planted_shift(spark, sf_dir):
+    """On the exchangeable word-soup corpus every source's leave-one-out
+    JSD sits near zero; a planted source with a disjoint vocabulary
+    scores far above that floor (approaching the 1-bit disjoint
+    maximum) while the unshifted sources stay low — the metric
+    separates real vocabulary shift from sampling noise."""
+    from big_data_medical_analysis_spark.operators.text_analysis import (
+        source_vocab_divergence,
+        vocab_jsd,
+    )
+
+    base = source_vocab_divergence(spark, sf_dir).collect()
+    assert all(0.0 <= r.jsd_bits < 0.05 for r in base)
+
+    rows = [("a", "alpha beta gamma delta"), ("a", "beta gamma alpha alpha"),
+            ("b", "gamma delta alpha beta"), ("b", "delta beta beta gamma"),
+            ("c", "zzq qxz zzq qxz"), ("c", "qxz zzq zzq qxz")]
+    docs = spark.createDataFrame(rows, "source string, text string")
+    planted = {r.source: r.jsd_bits for r in vocab_jsd(docs).collect()}
+    assert planted["c"] > 0.9
+    # a and b share vocabulary, but each one's leave-one-out REST
+    # includes c's alien mass, so their JSD is the c-contamination
+    # share, not zero — still far below the disjoint source.
+    assert planted["a"] < 0.45 and planted["b"] < 0.45
+    assert planted["c"] > 2.5 * max(planted["a"], planted["b"])
