@@ -2691,8 +2691,8 @@ FROM w{PCA_ITERS}, ray, (SELECT unnest(range(1, {_PCA_DIM} + 1)) AS i) g"""
 
 @register("pca_power_iteration", oracle=_pca_oracle(), category="similarity")
 def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal component of the embedding cloud by {PCA_ITERS}
-    power iterations, with a FULL value oracle — the spectral/linear-
+    """Top principal component of the embedding cloud by three (=
+    ``PCA_ITERS``) power iterations, with a FULL value oracle — the spectral/linear-
     algebra member of the ML family (k-means gives centroids, JL gives
     random projections; this gives the data-adaptive projection, the
     first step of PCA whitening and the classic embedding-drift
@@ -2750,7 +2750,6 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = spark.range(1).select(
         F.array(*[F.lit(1_000_000).cast("long")] * _PCA_DIM).alias("w")
     )
-    tdf = None
     for _ in range(PCA_ITERS):
         t = F.round(
             F.aggregate(
@@ -2760,11 +2759,12 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
             / 1_000_000.0
         ).cast("long")
-        # single consumer per iteration (wp below; the Rayleigh pass re-
-        # projects at the final w) — no pin, the pinned cv feeds each pass
-        tdf = cv.crossJoin(F.broadcast(w)).select("vec_id", "c", t.alias("t"))
+        # single consumer (the Rayleigh pass re-projects at the final w)
+        # — no pin, the pinned cv feeds each pass
         wp = (
-            tdf.select("t", F.posexplode_outer("c").alias("pos", "val"))
+            cv.crossJoin(F.broadcast(w))
+            .select("vec_id", "c", t.alias("t"))
+            .select("t", F.posexplode_outer("c").alias("pos", "val"))
             .filter(F.col("pos").isNotNull())
             .groupBy("pos")
             .agg(F.sum(F.col("val") * F.col("t")).alias("wp"))
@@ -2794,7 +2794,6 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .transform(checkpoint_pinned)
         )
-    assert tdf is not None  # loop ran
     t_final = F.round(
         F.aggregate(
             F.zip_with("c", "w", lambda x, y: x * y),

@@ -322,6 +322,45 @@ HLL_M = 1 << HLL_P
 HLL_W_BITS = 32 - HLL_P          # bits feeding the rank (rho) computation
 _HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)  # bias constant for m >= 128
 
+
+def hll_register_rows(h: DataFrame, *group_cols: str) -> DataFrame:
+    """(group_cols..., register, rho) register-max rows from a frame
+    carrying the 32-bit portable hash column ``v`` — THE register
+    discipline of the whole HLL family (portable md5 hash, top HLL_P
+    bits pick the register, integer rho via string length, never
+    floating log2), factored once so every sketch builder and the
+    streaming maintainer share one recipe."""
+    w = F.col("v") % F.lit(1 << HLL_W_BITS)
+    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
+    )
+    keys = [*group_cols, "register"]
+    return (
+        h.select(
+            *group_cols,
+            (F.col("v") / F.lit(1 << HLL_W_BITS)).cast("long").alias(
+                "register"
+            ),
+            rho.alias("rho"),
+        )
+        .groupBy(*keys)
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_harmonic_agg(reg: DataFrame, *scope_cols: str) -> DataFrame:
+    """(scope_cols..., n_seen, z_seen) from register rows: the exact
+    harmonic-sum inputs of the raw HLL estimate (powers of two only, so
+    even the double sum is deterministic)."""
+    z = F.sum(
+        F.lit(1.0)
+        / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), rho) AS DOUBLE)")
+    ).alias("z_seen")
+    n = F.count(F.lit(1)).alias("n_seen")
+    if scope_cols:
+        return reg.groupBy(*scope_cols).agg(n, z)
+    return reg.agg(n, z)
+
 _HLL_SQL = f"""
 WITH h AS (
   SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))
@@ -390,21 +429,7 @@ def hll_portable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 8), 16, 10
     ).cast("long")
     h = li.select(v.alias("v")).distinct()
-    w = F.col("v") % F.lit(1 << HLL_W_BITS)
-    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
-        F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
-    )
-    reg = (
-        h.select((F.col("v") / F.lit(1 << HLL_W_BITS)).cast("long").alias("register"), rho.alias("rho"))
-        .groupBy("register")
-        .agg(F.max("rho").alias("rho"))
-    )
-    agg = reg.agg(
-        F.count(F.lit(1)).alias("n_seen"),
-        F.sum(
-            F.lit(1.0) / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), rho) AS DOUBLE)")
-        ).alias("z_seen"),
-    )
+    agg = hll_harmonic_agg(hll_register_rows(h))
     ex = li.agg(F.count_distinct("l_orderkey").alias("exact_distinct"))
     z = F.col("z_seen") + (F.lit(HLL_M) - F.col("n_seen"))
     est = F.lit(_HLL_ALPHA) * F.lit(HLL_M * HLL_M) / z
@@ -487,42 +512,18 @@ def hll_merge_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 8), 16, 10
     ).cast("long")
     h = li.select(F.col("l_returnflag").alias("flag"), v.alias("v")).distinct()
-    w = F.col("v") % F.lit(1 << HLL_W_BITS)
-    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
-        F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
-    )
-    reg = (
-        h.select(
-            "flag",
-            (F.col("v") / F.lit(1 << HLL_W_BITS)).cast("long").alias("register"),
-            rho.alias("rho"),
-        )
-        .groupBy("flag", "register")
-        .agg(F.max("rho").alias("rho"))
-    )
+    reg = hll_register_rows(h, "flag")
     merged = (
         reg.groupBy("register")
         .agg(F.max("rho").alias("rho"))
         .select(F.lit("MERGED").alias("scope"), "register", "rho")
     )
-    direct = (
-        h.select("v").distinct()
-        .select(
-            (F.col("v") / F.lit(1 << HLL_W_BITS)).cast("long").alias("register"),
-            rho.alias("rho"),
-        )
-        .groupBy("register")
-        .agg(F.max("rho").alias("rho"))
-        .select(F.lit("DIRECT").alias("scope"), "register", "rho")
+    direct = hll_register_rows(h.select("v").distinct()).select(
+        F.lit("DIRECT").alias("scope"), "register", "rho"
     )
     per_flag = reg.select(F.col("flag").alias("scope"), "register", "rho")
     est_in = per_flag.unionAll(merged).unionAll(direct)
-    agg = est_in.groupBy("scope").agg(
-        F.count(F.lit(1)).alias("n_seen"),
-        F.sum(
-            F.lit(1.0) / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), rho) AS DOUBLE)")
-        ).alias("z_seen"),
-    )
+    agg = hll_harmonic_agg(est_in, "scope")
     z = F.col("z_seen") + (F.lit(HLL_M) - F.col("n_seen"))
     return agg.select(
         "scope",
@@ -656,19 +657,7 @@ def daily_event_registers(ev: DataFrame) -> DataFrame:
         F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
     ).cast("long")
     h = ev.select(date_str("ts").alias("day"), v.alias("v")).distinct()
-    w = F.col("v") % F.lit(1 << HLL_W_BITS)
-    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
-        F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
-    )
-    return (
-        h.select(
-            "day",
-            (F.col("v") / F.lit(1 << HLL_W_BITS)).cast("long").alias("register"),
-            rho.alias("rho"),
-        )
-        .groupBy("day", "register")
-        .agg(F.max("rho").alias("rho"))
-    )
+    return hll_register_rows(h, "day")
 
 
 def hll_state_dir(sf_dir: str) -> str:
@@ -1359,38 +1348,13 @@ def hll_set_algebra_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 8), 16, 10
     ).cast("long")
     h = li.select(F.col("l_returnflag").alias("flag"), v.alias("v")).distinct()
-    w = F.col("v") % F.lit(1 << HLL_W_BITS)
-    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
-        F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
-    )
-    reg = checkpoint_pinned(
-        h.select(
-            "flag",
-            (F.col("v") / F.lit(1 << HLL_W_BITS)).cast("long").alias(
-                "register"
-            ),
-            rho.alias("rho"),
-        )
-        .groupBy("flag", "register")
-        .agg(F.max("rho").alias("rho"))
-    )
-    scoped = reg.groupBy(F.col("flag").alias("scope")).agg(
-        F.count(F.lit(1)).alias("n_seen"),
-        F.sum(
-            F.lit(1.0)
-            / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), rho) AS DOUBLE)")
-        ).alias("z_seen"),
+    reg = checkpoint_pinned(hll_register_rows(h, "flag"))
+    scoped = hll_harmonic_agg(
+        reg.withColumnRenamed("flag", "scope"), "scope"
     ).unionByName(
-        reg.groupBy("register")
-        .agg(F.max("rho").alias("rho"))
-        .agg(
-            F.lit("U").alias("scope"),
-            F.count(F.lit(1)).alias("n_seen"),
-            F.sum(
-                F.lit(1.0)
-                / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), rho) AS DOUBLE)")
-            ).alias("z_seen"),
-        )
+        hll_harmonic_agg(
+            reg.groupBy("register").agg(F.max("rho").alias("rho"))
+        ).select(F.lit("U").alias("scope"), "n_seen", "z_seen")
     )
     e = F.lit(_HLL_ALPHA) * F.lit(HLL_M * HLL_M) / (
         F.col("z_seen") + (F.lit(HLL_M) - F.col("n_seen"))

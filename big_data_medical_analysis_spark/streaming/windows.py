@@ -1193,11 +1193,18 @@ def pit_enrich_stream(events: DataFrame) -> DataFrame:
 
     Within a batch, rows are replayed in (event-second, side, event_id)
     order — status changes sort before purchases in the same second, the
-    batch query's tie rule — so enrichment is deterministic for any
-    micro-batch slicing of an event-time-ordered feed; state is one
-    (es, event_id, status) triple per user. An unbounded keyspace would
-    add an event-time timeout; fixed user universe here, so NoTimeout.
-    Purchase cents use half-away-from-zero, matching ``common.cents``.
+    batch query's tie rule — and the carried state only advances when a
+    change's (es, event_id) exceeds the stored position, so a
+    same-second change split across the batch seam with a SMALLER
+    event_id than the carried one cannot overwrite the newer status
+    (the cross-batch tie matches the batch ordering too). Enrichment is
+    therefore deterministic for any micro-batch slicing of an
+    event-time-ordered feed; state is one (es, event_id, status) triple
+    per user, and pre-history purchases emit NULL status exactly like
+    the batch helper (consumers coalesce downstream). An unbounded
+    keyspace would add an event-time timeout; fixed user universe here,
+    so NoTimeout. Purchase cents use half-away-from-zero, matching
+    ``common.cents``.
     """
     import numpy as np
     import pandas as pd
@@ -1230,11 +1237,11 @@ def pit_enrich_stream(events: DataFrame) -> DataFrame:
                             int(eid[i]),
                             int(key[0]),
                             int(es[i]),
-                            status if status is not None else "<pre-history>",
+                            status,
                             int(v_c[i]),
                         )
                     )
-                else:
+                elif (int(es[i]), int(eid[i])) > (es0, eid0):
                     es0, eid0, status = int(es[i]), int(eid[i]), str(et[i])
         state.update((es0, eid0, status))
         yield pd.DataFrame(

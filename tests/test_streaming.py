@@ -1176,6 +1176,10 @@ def test_pit_enrich_stream_matches_batch_enrichment(spark, tmp_path):
     batch_b = [
         (6, t.format(m=3, s="00"), 1, "error", 0.0),
         (7, t.format(m=3, s="30"), 1, "purchase", 7.5),   # error (cross-batch)
+        # same second as user 2's batch-a 'view' (eid 4) but SMALLER
+        # event_id: the batch tie rule says 'view' wins, so the stream's
+        # carried state must NOT regress to 'signup'
+        (0, t.format(m=2, s="00"), 2, "signup", 0.0),
         (8, t.format(m=4, s="00"), 2, "purchase", 2.25),  # view carried over
     ]
     _write_events(indir, "a.json", batch_a)
@@ -1207,19 +1211,15 @@ def test_pit_enrich_stream_matches_batch_enrichment(spark, tmp_path):
         "event_type", "value"
     )
     expected = {
-        (
-            r.event_id,
-            r.user_id,
-            r.es,
-            r.status_at if r.status_at is not None else "<pre-history>",
-            r.v_c,
-        )
+        (r.event_id, r.user_id, r.es, r.status_at, r.v_c)
         for r in scd2_pit_enriched(all_ev).collect()
     }
     assert streamed == expected
     # the designed edges actually occurred
     by_eid = {e: s for e, _, _, s, _ in streamed}
-    assert by_eid[1] == "<pre-history>"
+    assert by_eid[1] is None        # pre-history emits NULL, like batch
     assert by_eid[5] == "view"      # same-second change applies
     assert by_eid[7] == "error"     # cross-batch state carry
-    assert by_eid[8] == "view"      # state survives an unrelated batch
+    # view carried over an unrelated batch AND not regressed by the
+    # late same-second smaller-eid 'signup' change
+    assert by_eid[8] == "view"
