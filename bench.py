@@ -86,6 +86,8 @@ COHORTS: dict[str, list[str]] = {
         "comparator_sorted_tokens",
         "source_mixture_weights",
         "source_vocab_divergence",
+        "bm25_doc_ranking",
+        "rrf_fusion_ranking",
     ],
     "streaming_batch": [
         "tumbling_event_counts",
@@ -119,6 +121,8 @@ COHORTS: dict[str, list[str]] = {
         "fairness_parity_by_segment",
         "decile_lift_table",
         "feature_info_gain_ranking",
+        "auc_mann_whitney",
+        "woe_iv_encoding",
     ],
     "multimodal": [
         "image_augment_fanout",
@@ -216,6 +220,7 @@ COHORTS: dict[str, list[str]] = {
         "pareto_frontier_parts",
         "scd2_point_in_time_join",
         "grid_radius_join",
+        "rfm_customer_segments",
     ],
     "scalar_variant": [
         "balance_bracket_lookup",

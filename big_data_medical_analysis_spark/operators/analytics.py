@@ -2019,3 +2019,156 @@ def seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("ad").cast("double") / 100.0).alias("max_abs_dev"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation via broadcast quantile thresholds — round 10
+# ---------------------------------------------------------------------------
+
+# Quartile thresholds are exact order statistics (percentile_disc over
+# BIGINT recency-days / order counts / money cents); scores are pure CASE
+# arithmetic against the broadcast 1-row threshold table. The per-segment
+# averages are exact integer sums divided once, rounded at 6.
+_RFM_SQL = """
+WITH percust AS (
+  SELECT o_custkey AS custkey,
+         max(o_orderdate) AS last_order,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monet
+  FROM orders GROUP BY o_custkey
+),
+gmax AS (SELECT max(last_order) AS g FROM percust),
+rfm AS (
+  SELECT custkey, freq, monet,
+         CAST(date_diff('day', last_order, g) AS BIGINT) AS rec
+  FROM percust, gmax
+),
+th AS (
+  SELECT
+    CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY rec) AS BIGINT) AS r1,
+    CAST(percentile_disc(0.5)  WITHIN GROUP (ORDER BY rec) AS BIGINT) AS r2,
+    CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY rec) AS BIGINT) AS r3,
+    CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY freq) AS BIGINT) AS f1,
+    CAST(percentile_disc(0.5)  WITHIN GROUP (ORDER BY freq) AS BIGINT) AS f2,
+    CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY freq) AS BIGINT) AS f3,
+    CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY monet) AS BIGINT) AS m1,
+    CAST(percentile_disc(0.5)  WITHIN GROUP (ORDER BY monet) AS BIGINT) AS m2,
+    CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY monet) AS BIGINT) AS m3
+  FROM rfm
+),
+scored AS (
+  SELECT rec, freq, monet,
+         4 - ((CASE WHEN rec > r1 THEN 1 ELSE 0 END)
+            + (CASE WHEN rec > r2 THEN 1 ELSE 0 END)
+            + (CASE WHEN rec > r3 THEN 1 ELSE 0 END)) AS r_score,
+         1 + ((CASE WHEN freq > f1 THEN 1 ELSE 0 END)
+            + (CASE WHEN freq > f2 THEN 1 ELSE 0 END)
+            + (CASE WHEN freq > f3 THEN 1 ELSE 0 END)) AS f_score,
+         1 + ((CASE WHEN monet > m1 THEN 1 ELSE 0 END)
+            + (CASE WHEN monet > m2 THEN 1 ELSE 0 END)
+            + (CASE WHEN monet > m3 THEN 1 ELSE 0 END)) AS m_score
+  FROM rfm, th
+)
+SELECT CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST((sum(rec) * 2000000 + count(*)) // (2 * count(*)) AS DOUBLE)
+         / 1000000 AS avg_recency_days,
+       CAST((sum(freq) * 2000000 + count(*)) // (2 * count(*)) AS DOUBLE)
+         / 1000000 AS avg_frequency,
+       CAST((sum(monet) * 20000 + count(*)) // (2 * count(*)) AS DOUBLE)
+         / 1000000 AS avg_monetary
+FROM scored
+GROUP BY r_score * 100 + f_score * 10 + m_score
+"""
+
+
+@register("rfm_customer_segments", oracle=_RFM_SQL, category="analytics")
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic lifecycle-marketing cut, built the way it must be at 100 TB:
+    quartile SCORES come from exact percentile_disc THRESHOLDS broadcast
+    as one row and applied as CASE arithmetic, NOT from a global ntile
+    window (``ntile_customer_deciles`` is the disclosed single-partition
+    contrast; threshold binning is its scalable replacement — ties land
+    in one bin instead of being split by rank, which is also the more
+    defensible segmentation semantics). Segment code = R·100+F·10+M,
+    R counts DOWN with recency-days (4 = most recent).
+
+    Plan: one fact scan → per-customer combine (pinned; global max
+    orderdate is derived as max-of-maxes from the same table, no second
+    scan) → two broadcast 1-row joins (global max, thresholds) → final
+    ≤64-key segment aggregate. Everything after the first combine runs
+    on the customer dimension."""
+    percust = checkpoint_pinned(
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum(cents("o_totalprice")).cast("long").alias("monet"),
+        )
+    )
+    gmax = percust.agg(F.max("last_order").alias("g"))
+    rfm = percust.crossJoin(F.broadcast(gmax)).select(
+        "custkey",
+        "freq",
+        "monet",
+        F.datediff(F.col("g"), F.col("last_order")).cast("long").alias("rec"),
+    )
+    th = rfm.agg(
+        *[
+            F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY {m})")
+            .cast("long")
+            .alias(f"{m[0]}{i}")
+            for m in ("rec", "freq", "monet")
+            for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ]
+    )
+
+    def score(metric: str, letter: str):
+        hits = sum(
+            F.when(F.col(metric) > F.col(f"{letter}{i}"), 1).otherwise(0)
+            for i in (1, 2, 3)
+        )
+        return (4 - hits) if metric == "rec" else (1 + hits)
+
+    scored = rfm.crossJoin(F.broadcast(th)).select(
+        "rec",
+        "freq",
+        "monet",
+        score("rec", "r").alias("r_score"),
+        score("freq", "f").alias("f_score"),
+        score("monet", "m").alias("m_score"),
+    )
+    return (
+        scored.groupBy(
+            (
+                F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+            )
+            .cast("long")
+            .alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            # exact half-up micro-unit averages (BIGINT `div`, no double
+            # round): power-of-two segment sizes make terminating-decimal
+            # averages COMMON, and a true 5 at the 7th digit splits
+            # Spark's decimal-string HALF_UP from DuckDB's binary round
+            (
+                F.expr("(sum(rec) * 2000000 + count(1)) div (2 * count(1))")
+                .cast("double")
+                / 1000000
+            ).alias("avg_recency_days"),
+            (
+                F.expr("(sum(freq) * 2000000 + count(1)) div (2 * count(1))")
+                .cast("double")
+                / 1000000
+            ).alias("avg_frequency"),
+            (
+                F.expr("(sum(monet) * 20000 + count(1)) div (2 * count(1))")
+                .cast("double")
+                / 1000000
+            ).alias("avg_monetary"),
+        )
+    )

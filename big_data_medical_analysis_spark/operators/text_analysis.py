@@ -1420,3 +1420,247 @@ def vocab_jsd(docs: DataFrame) -> DataFrame:
             F.round(F.sum("tq").cast("double") / 1e12, 6).alias("jsd_bits"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring + reciprocal-rank fusion — round 10
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("join", "merge", "vector")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 15
+RRF_K = 60
+RRF_POOL = 25
+RRF_TOP_K = 10
+
+
+def _bm25_term_sql(t: str) -> str:
+    """One probe term's BM25 contribution (dialect-shared fixed-order
+    arithmetic; 2.2 = k1+1, 0.25 = 1-b, 0.75 = b)."""
+    return (
+        f"CASE WHEN tf_{t} = 0 THEN 0.0 ELSE "
+        f"ln(1.0 + (c.n_docs - c.df_{t} + 0.5) / (c.df_{t} + 0.5)) "
+        f"* (tf_{t} * 2.2) "
+        f"/ (tf_{t} + 1.2 * (0.25 + 0.75 * dl "
+        f"/ (CAST(c.sum_dl AS DOUBLE) / c.n_docs))) END"
+    )
+
+
+_BM25_PERDOC_SQL = f"""
+perdoc AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS dl,
+         {", ".join(
+             f"len(list_filter(string_split(text, ' '), x -> x = '{t}'))"
+             f" AS tf_{t}" for t in BM25_TERMS
+         )}
+  FROM documents
+),
+corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS sum_dl,
+         {", ".join(
+             f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+             f" AS df_{t}" for t in BM25_TERMS
+         )}
+  FROM perdoc
+)"""
+
+_BM25_SQL = f"""
+WITH {_BM25_PERDOC_SQL}
+SELECT doc_id, n_terms_hit, score FROM (
+  SELECT p.doc_id,
+         CAST({" + ".join(
+             f"(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END)" for t in BM25_TERMS
+         )} AS INTEGER) AS n_terms_hit,
+         round({" + ".join(_bm25_term_sql(t) for t in BM25_TERMS)}, 6)
+           AS score
+  FROM perdoc p CROSS JOIN corpus c
+)
+WHERE score > 0
+ORDER BY score DESC, doc_id
+LIMIT {BM25_TOP_K}
+"""
+
+
+def _bm25_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc probe-term stats (doc_id, dl, tf_*) — ONE corpus scan,
+    checkpoint-pinned because multiple ranking branches consume it."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    def tf_col(term: str):
+        # one-arg lambda only: a second parameter would make F.filter pass
+        # the element INDEX into it (the (x, i) HOF form)
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    cols = [F.col("doc_id"), F.size(toks).alias("dl")]
+    for t in BM25_TERMS:
+        cols.append(tf_col(t).alias(f"tf_{t}"))
+    return checkpoint_pinned(docs.select(*cols))
+
+
+def _bm25_scored(perdoc: DataFrame) -> DataFrame:
+    """(doc_id, n_terms_hit, score): fixed-order BM25 sum over the probe
+    terms against the broadcast 1-row corpus aggregate."""
+    corpus = perdoc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+
+    def term_score(t: str):
+        tf = F.col(f"tf_{t}")
+        idf = F.log(
+            1.0 + (F.col("n_docs") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5)
+        )
+        return F.when(tf == 0, F.lit(0.0)).otherwise(
+            idf
+            * (tf * F.lit(BM25_K1 + 1.0))
+            / (tf + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / avgdl))
+        )
+
+    score = term_score(BM25_TERMS[0])
+    hits = F.when(F.col(f"tf_{BM25_TERMS[0]}") > 0, 1).otherwise(0)
+    for t in BM25_TERMS[1:]:
+        score = score + term_score(t)
+        hits = hits + F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)
+    return perdoc.crossJoin(F.broadcast(corpus)).select(
+        "doc_id",
+        hits.cast("int").alias("n_terms_hit"),
+        F.round(score, 6).alias("score"),
+    )
+
+
+@register("bm25_doc_ranking", oracle=_BM25_SQL, category="text")
+def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking for a fixed probe query ({terms}) — the
+    retrieval scorer a training-data pipeline runs to pull topical
+    slices out of a web corpus (tf-idf's rank-quality successor:
+    saturating tf and length normalization). k1={k1}, b={b},
+    idf = ln(1 + (N−df+0.5)/(df+0.5)) — the BM25+ form, never negative.
+
+    Engine shape: NO explode and NO posting join for a constant probe
+    set — per-term tf comes from an array-HOF filter inside the one
+    corpus scan, so the plan is scan → 1-row corpus aggregate
+    (broadcast) → fixed-order score expression → global top-{k}
+    (TakeOrderedAndProject: per-partition top-k then a k-row merge —
+    no global sort). The score sum is a FIXED-ORDER column expression
+    over the probe terms, not a float groupBy-sum, so both engines
+    accumulate identically. For ad-hoc (non-constant) queries the
+    ``posting_list_index`` path is the join-based alternative.
+    """
+    return (
+        _bm25_scored(_bm25_perdoc(spark, sf_dir))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_TOP_K)
+    )
+
+
+bm25_doc_ranking.__doc__ = bm25_doc_ranking.__doc__.format(
+    terms="/".join(BM25_TERMS), k1=BM25_K1, b=BM25_B, k=BM25_TOP_K
+)
+
+
+_RRF_SQL = f"""
+WITH {_BM25_PERDOC_SQL},
+a AS (
+  SELECT doc_id,
+         round({" + ".join(_bm25_term_sql(t) for t in BM25_TERMS)}, 6) AS s
+  FROM perdoc p CROSS JOIN corpus c
+  WHERE {" + ".join(f"tf_{t}" for t in BM25_TERMS)} > 0
+  ORDER BY s DESC, doc_id
+  LIMIT {RRF_POOL}
+),
+b AS (
+  SELECT doc_id,
+         round(CAST({" + ".join(f"tf_{t}" for t in BM25_TERMS)} AS DOUBLE)
+               / dl, 6) AS s
+  FROM perdoc
+  WHERE {" + ".join(f"tf_{t}" for t in BM25_TERMS)} > 0
+  ORDER BY s DESC, doc_id
+  LIMIT {RRF_POOL}
+),
+ar AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rank_a FROM a
+),
+br AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rank_b FROM b
+)
+SELECT doc_id, CAST(rank_a AS INTEGER) AS rank_a,
+       CAST(rank_b AS INTEGER) AS rank_b, rrf_score
+FROM (
+  SELECT coalesce(ar.doc_id, br.doc_id) AS doc_id, ar.rank_a, br.rank_b,
+         round(coalesce(1.0 / ({RRF_K} + ar.rank_a), 0.0)
+             + coalesce(1.0 / ({RRF_K} + br.rank_b), 0.0), 6) AS rrf_score
+  FROM ar FULL OUTER JOIN br ON br.doc_id = ar.doc_id
+)
+ORDER BY rrf_score DESC, doc_id
+LIMIT {RRF_TOP_K}
+"""
+
+
+@register("rrf_fusion_ranking", oracle=_RRF_SQL, category="text")
+def rrf_fusion_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankers — BM25 and raw
+    probe-term density (Σtf/dl) — RRF(d) = Σ_r 1/(k + rank_r(d)),
+    k={k}: the standard way hybrid search merges lexical and secondary
+    rankers without score calibration, and the fusion step of a
+    multi-signal corpus-curation retriever.
+
+    Scale shape: each ranker reduces to a global top-{pool} via
+    TakeOrderedAndProject off the ONE pinned per-doc stats table
+    (per-partition top-k + k-row merge, no global sort); rank
+    assignment then runs as two row_number windows over those
+    CONSTANT {pool}-row lists — the limit output is already one
+    partition, so the plan inserts NO Exchange SinglePartition (the
+    plan audit counts 0) and the windows never see raw data. The fused
+    FULL OUTER join is {pool}×{pool} at most.
+    """
+    perdoc = _bm25_perdoc(spark, sf_dir)
+    tf_sum = sum(
+        (F.col(f"tf_{t}") for t in BM25_TERMS[1:]),
+        F.col(f"tf_{BM25_TERMS[0]}"),
+    )
+    a = (
+        _bm25_scored(perdoc)
+        .filter(F.col("n_terms_hit") > 0)
+        .select("doc_id", F.col("score").alias("s"))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(RRF_POOL)
+    )
+    b = (
+        perdoc.filter(tf_sum > 0)
+        .select(
+            "doc_id",
+            F.round(tf_sum.cast("double") / F.col("dl"), 6).alias("s"),
+        )
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(RRF_POOL)
+    )
+    wr = W.orderBy(F.desc("s"), F.asc("doc_id"))
+    ar = a.select("doc_id", F.row_number().over(wr).alias("rank_a"))
+    br = b.select("doc_id", F.row_number().over(wr).alias("rank_b"))
+    fused = ar.join(br, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("rank_a").cast("int").alias("rank_a"),
+        F.col("rank_b").cast("int").alias("rank_b"),
+        F.round(
+            F.coalesce(1.0 / (RRF_K + F.col("rank_a")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("rank_b")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(RRF_TOP_K)
+
+
+rrf_fusion_ranking.__doc__ = rrf_fusion_ranking.__doc__.format(
+    k=RRF_K, pool=RRF_POOL
+)
