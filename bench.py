@@ -123,6 +123,8 @@ COHORTS: dict[str, list[str]] = {
         "feature_info_gain_ranking",
         "auc_mann_whitney",
         "woe_iv_encoding",
+        "gini_customer_concentration",
+        "ndcg_retrieval_eval",
     ],
     "multimodal": [
         "image_augment_fanout",

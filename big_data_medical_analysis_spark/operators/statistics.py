@@ -2398,3 +2398,163 @@ def woe_iv_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((ps - ns) * woe, 6).alias("iv_term"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration per segment (rank-sum without a global sort) — round 10
+# ---------------------------------------------------------------------------
+
+GINI_BUCKET_W = 2_000_000_000  # ~2e9 cents per coarse bucket of customer LTV
+
+# Gini = (2·T − (n+1)·S) / (n·S) with T = Σ rank_i·x_i over ascending ranks
+# — tie-safe because a tied group's Σrank is fixed regardless of internal
+# order. T comes from distinct-value cells: a value v with count c and b
+# items strictly below occupies ranks b+1..b+c, so Σrank·v = v·(c·b +
+# c·(c+1)/2). Everything is BIGINT except T (DECIMAL(38,0): v·c·b crosses
+# int64 around 10^10 customers·cents) and the single final division.
+_GINI_SQL = f"""
+WITH percust AS (
+  SELECT c_mktsegment AS segment,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  GROUP BY o_custkey, c_mktsegment
+),
+cells AS (
+  SELECT segment, v,
+         CAST(floor(v / {GINI_BUCKET_W}.0) AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM percust GROUP BY segment, v
+),
+within AS (
+  SELECT segment, v, bucket, c,
+         CAST(coalesce(sum(c) OVER (
+           PARTITION BY segment, bucket ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS c_before
+  FROM cells
+),
+bt AS (
+  SELECT segment, bucket, CAST(sum(c) AS BIGINT) AS bc
+  FROM cells GROUP BY segment, bucket
+),
+bb AS (
+  SELECT b1.segment, b1.bucket,
+         CAST(coalesce(sum(b2.bc), 0) AS BIGINT) AS c_below
+  FROM bt b1 LEFT JOIN bt b2
+    ON b2.segment = b1.segment AND b2.bucket < b1.bucket
+  GROUP BY b1.segment, b1.bucket
+),
+agg AS (
+  SELECT w.segment,
+         CAST(sum(w.c) AS BIGINT) AS n,
+         CAST(sum(w.v * w.c) AS BIGINT) AS s,
+         sum(CAST(w.v AS DECIMAL(38, 0))
+             * (w.c * (bb.c_below + w.c_before) + w.c * (w.c + 1) // 2))
+           AS t
+  FROM within w JOIN bb ON bb.segment = w.segment AND bb.bucket = w.bucket
+  GROUP BY w.segment
+)
+SELECT segment, n,
+       CAST(s AS DOUBLE) / 100 AS total_revenue,
+       round((2.0 * CAST(t AS DOUBLE) - (CAST(n AS DOUBLE) + 1) * CAST(s AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS gini
+FROM agg
+"""
+
+
+@register("gini_customer_concentration", oracle=_GINI_SQL, category="evaluation")
+def gini_customer_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer-revenue concentration per market
+    segment — the inequality/concentration screen (who carries the
+    revenue; for a training corpus, swap in tokens-per-source) — computed
+    WITHOUT a global sort, by the same two-level prefix-sum machinery as
+    ``auc_mann_whitney``: rank-sum T = Σ rank·x falls out of
+    distinct-value cells (count c, items-below b ⇒ Σrank·v = v·(c·b +
+    c(c+1)/2)); items-below = lower coarse BUCKETS (broadcast range-join
+    over the tiny bucket table) + in-bucket window PARTITIONED BY
+    (segment, bucket). Tie-safe: a tied group's rank total is fixed
+    regardless of internal order. T accumulates in DECIMAL(38,0) —
+    v·c·b exceeds int64 near 10^10 customer·cents — and the one double
+    division happens per segment at the end, rounded at 6.
+
+    Plan: fact scan → per-customer combine (the segment rides the
+    customer join) → distinct-value cells → bucket-partitioned window +
+    ~25-row broadcast range join → 5-row output. Uniform synthetic
+    per-customer sums land near the n·σ/μ-driven floor (≈0.18) — a
+    hand-checked 4-value fixture pins the arithmetic in pytest."""
+    from big_data_medical_analysis_spark.operators.common import (
+        checkpoint_pinned,
+    )
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    percust = (
+        orders.join(
+            customer.select("c_custkey", "c_mktsegment"),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .groupBy("o_custkey", F.col("c_mktsegment").alias("segment"))
+        .agg(F.sum(cents("o_totalprice")).cast("long").alias("v"))
+    )
+    cells = checkpoint_pinned(
+        percust.groupBy("segment", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .withColumn(
+            "bucket",
+            F.floor(F.col("v") / F.lit(float(GINI_BUCKET_W))).cast("long"),
+        )
+    )
+    w = (
+        Window.partitionBy("segment", "bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = cells.withColumn(
+        "c_before", F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long")
+    )
+    bt = cells.groupBy("segment", "bucket").agg(
+        F.sum("c").cast("long").alias("bc")
+    )
+    bb = (
+        bt.alias("b1")
+        .join(
+            F.broadcast(bt.alias("b2")),
+            (F.col("b2.segment") == F.col("b1.segment"))
+            & (F.col("b2.bucket") < F.col("b1.bucket")),
+            "left",
+        )
+        .groupBy(
+            F.col("b1.segment").alias("segment"),
+            F.col("b1.bucket").alias("bucket"),
+        )
+        .agg(F.coalesce(F.sum("b2.bc"), F.lit(0)).cast("long").alias("c_below"))
+    )
+    agg = (
+        within.join(F.broadcast(bb), ["segment", "bucket"])
+        .groupBy("segment")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum(F.col("v") * F.col("c")).cast("long").alias("s"),
+            # c·(c+1) is even, so integer `div` is exact — and keeps the
+            # whole rank term integral so t accumulates in DECIMAL, never
+            # as an order-sensitive double sum
+            F.sum(
+                F.col("v").cast("decimal(38,0)")
+                * (
+                    F.col("c") * (F.col("c_below") + F.col("c_before"))
+                    + F.expr("c * (c + 1) div 2")
+                )
+            ).alias("t"),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    s_d = F.col("s").cast("double")
+    return agg.select(
+        "segment",
+        "n",
+        (s_d / 100).alias("total_revenue"),
+        F.round(
+            (2.0 * F.col("t").cast("double") - (n_d + 1) * s_d) / (n_d * s_d), 6
+        ).alias("gini"),
+    )

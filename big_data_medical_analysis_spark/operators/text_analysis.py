@@ -1664,3 +1664,132 @@ def rrf_fusion_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 rrf_fusion_ranking.__doc__ = rrf_fusion_ranking.__doc__.format(
     k=RRF_K, pool=RRF_POOL
 )
+
+
+# ---------------------------------------------------------------------------
+# NDCG ranking evaluation — round 10
+# ---------------------------------------------------------------------------
+
+NDCG_K = 15
+NDCG_Q = 10**12  # per-term int64 quantization (the source_vocab_divergence trick)
+
+# DCG terms (2^grade − 1)/log2(rank+1) are doubles from identical integer
+# inputs, quantized to 1e-12 int64 units BEFORE the sum so both engines
+# accumulate exactly; grades are the probe-term hit counts (0..3).
+_NDCG_SQL = f"""
+WITH {_BM25_PERDOC_SQL},
+scored AS (
+  SELECT p.doc_id,
+         CAST({" + ".join(
+             f"(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END)" for t in BM25_TERMS
+         )} AS BIGINT) AS grade,
+         {" + ".join(_bm25_term_sql(t) for t in BM25_TERMS)} AS s_bm25,
+         CAST({" + ".join(f"tf_{t}" for t in BM25_TERMS)} AS DOUBLE) / dl
+           AS s_density
+  FROM perdoc p CROSS JOIN corpus c
+),
+a AS (SELECT doc_id, grade, s_bm25 AS s FROM scored
+      ORDER BY s_bm25 DESC, doc_id LIMIT {NDCG_K}),
+b AS (SELECT doc_id, grade, s_density AS s FROM scored
+      ORDER BY s_density DESC, doc_id LIMIT {NDCG_K}),
+ideal AS (SELECT doc_id, grade, CAST(grade AS DOUBLE) AS s FROM scored
+          ORDER BY grade DESC, doc_id LIMIT {NDCG_K}),
+ar AS (SELECT grade, row_number() OVER (ORDER BY s DESC, doc_id) AS rnk
+       FROM a),
+br AS (SELECT grade, row_number() OVER (ORDER BY s DESC, doc_id) AS rnk
+       FROM b),
+ir AS (SELECT grade, row_number() OVER (ORDER BY s DESC, doc_id) AS rnk
+       FROM ideal),
+dcg AS (
+  SELECT 'bm25' AS ranker, CAST(sum(CAST(floor(
+           (pow(2.0, grade) - 1.0) / log2(rnk + 1.0)
+           * {NDCG_Q}) AS BIGINT)) AS BIGINT) AS dcg_q
+  FROM ar
+  UNION ALL
+  SELECT 'density', CAST(sum(CAST(floor(
+           (pow(2.0, grade) - 1.0) / log2(rnk + 1.0)
+           * {NDCG_Q}) AS BIGINT)) AS BIGINT)
+  FROM br
+),
+idcg AS (
+  SELECT CAST(sum(CAST(floor(
+           (pow(2.0, grade) - 1.0) / log2(rnk + 1.0)
+           * {NDCG_Q}) AS BIGINT)) AS BIGINT) AS idcg_q
+  FROM ir
+)
+SELECT ranker,
+       CAST(dcg_q AS DOUBLE) / {NDCG_Q} AS dcg,
+       CAST(idcg_q AS DOUBLE) / {NDCG_Q} AS idcg,
+       round(CAST(dcg_q AS DOUBLE) / idcg_q, 6) AS ndcg
+FROM dcg CROSS JOIN idcg
+"""
+
+
+@register("ndcg_retrieval_eval", oracle=_NDCG_SQL, category="evaluation")
+def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{k} of the two retrieval rankers (BM25 vs raw term density)
+    against probe-term hit count as the relevance grade — the ranking-
+    quality metric a curation pipeline tunes retrievers with (AUC grades
+    a classifier; NDCG grades an ORDERING, discounting position by
+    1/log2(rank+1)). The ideal list (IDCG) takes the best grades in the
+    whole corpus, so NDCG < 1 whenever a ranker surfaces a lower-grade
+    doc over an available higher-grade one — BM25's length normalization
+    vs density's length bias shows up directly.
+
+    Determinism: each DCG term is a double from identical integer inputs,
+    quantized to 1e-12 int64 units BEFORE summation (the
+    ``source_vocab_divergence`` discipline) — no cross-engine float
+    accumulation. Scale shape: everything reads the ONE pinned per-doc
+    stats table; each list is a TakeOrdered top-{k}; rank windows run
+    over already-single-partition constant lists (plan audit counts 0)."""
+    perdoc = _bm25_perdoc(spark, sf_dir)
+    corpus_scored = _bm25_scored(perdoc)  # doc_id, n_terms_hit, score(=bm25)
+    tf_sum = sum(
+        (F.col(f"tf_{t}") for t in BM25_TERMS[1:]),
+        F.col(f"tf_{BM25_TERMS[0]}"),
+    )
+    density = perdoc.select(
+        "doc_id",
+        (tf_sum.cast("double") / F.col("dl")).alias("s"),
+    )
+    a = (
+        corpus_scored.select(
+            "doc_id", F.col("n_terms_hit").cast("long").alias("grade"),
+            F.col("score").alias("s"),
+        )
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(NDCG_K)
+    )
+    hits = corpus_scored.select(
+        "doc_id", F.col("n_terms_hit").cast("long").alias("grade")
+    )
+    b = (
+        density.join(hits, "doc_id")
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(NDCG_K)
+    )
+    ideal = (
+        hits.select("doc_id", "grade", F.col("grade").cast("double").alias("s"))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(NDCG_K)
+    )
+    wr = W.orderBy(F.desc("s"), F.asc("doc_id"))
+
+    def dcg_q(df: DataFrame, label: str | None) -> DataFrame:
+        term = (
+            (F.pow(2.0, F.col("grade")) - 1.0)
+            / F.log2(F.row_number().over(wr) + 1.0)
+        )
+        q = df.select(
+            F.floor(term * F.lit(NDCG_Q)).cast("long").alias("tq")
+        ).agg(F.sum("tq").cast("long").alias("dcg_q" if label else "idcg_q"))
+        return q.select(F.lit(label).alias("ranker"), "*") if label else q
+
+    dcg = dcg_q(a, "bm25").unionByName(dcg_q(b, "density"))
+    idcg = dcg_q(ideal, None)
+    return dcg.crossJoin(F.broadcast(idcg)).select(
+        "ranker",
+        (F.col("dcg_q").cast("double") / NDCG_Q).alias("dcg"),
+        (F.col("idcg_q").cast("double") / NDCG_Q).alias("idcg"),
+        F.round(F.col("dcg_q").cast("double") / F.col("idcg_q"), 6).alias("ndcg"),
+    )

@@ -135,3 +135,88 @@ def test_rfm_segments_partition_customers_scores_in_range(spark, sf_dir):
         assert r.avg_recency_days >= 0
         assert r.avg_frequency >= 1
         assert r.avg_monetary > 0
+
+
+def test_gini_matches_independent_rank_sum_recompute(spark, sf_dir):
+    """Per segment: total_revenue equals the direct per-customer revenue
+    sum, and gini equals an independent Python recompute of
+    (2*Σ rank·x − (n+1)·Σx)/(n·Σx) over the sorted values."""
+    from big_data_medical_analysis_spark.operators.statistics import (
+        gini_customer_concentration,
+    )
+
+    rows = {r.segment: r for r in gini_customer_concentration(spark, sf_dir).collect()}
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    percust = (
+        orders.join(
+            customer.select("c_custkey", "c_mktsegment"),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .groupBy("o_custkey", "c_mktsegment")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("v"))
+        .collect()
+    )
+    by_seg: dict[str, list[int]] = {}
+    for r in percust:
+        by_seg.setdefault(r.c_mktsegment, []).append(r.v)
+    assert set(by_seg) == set(rows)
+    for seg, vals in by_seg.items():
+        vals.sort()
+        n, s = len(vals), sum(vals)
+        t = sum((i + 1) * v for i, v in enumerate(vals))
+        gini = (2.0 * t - (n + 1.0) * s) / (n * 1.0 * s)
+        assert rows[seg].n == n
+        assert abs(rows[seg].total_revenue - s / 100) < 1e-6
+        assert abs(rows[seg].gini - round(gini, 6)) < 2e-6
+        assert 0.0 <= rows[seg].gini < 1.0
+
+
+def test_ndcg_matches_independent_recompute(spark, sf_dir):
+    """DCG/IDCG/NDCG recompute exactly in Python from the per-doc probe
+    stats (same grades, same ranker orderings, same 1e-12 quantization);
+    NDCG stays in (0, 1]."""
+    import math
+
+    from big_data_medical_analysis_spark.operators.text_analysis import (
+        NDCG_K,
+        NDCG_Q,
+        _bm25_perdoc,
+        _bm25_scored,
+        ndcg_retrieval_eval,
+    )
+
+    res = {r.ranker: r for r in ndcg_retrieval_eval(spark, sf_dir).collect()}
+    assert set(res) == {"bm25", "density"}
+    perdoc = _bm25_perdoc(spark, sf_dir)
+    scored = {
+        r.doc_id: (r.n_terms_hit, r.score)
+        for r in _bm25_scored(perdoc).collect()
+    }
+    density = {
+        r.doc_id: (r.dl, sum(r[f"tf_{t}"] for t in BM25_TERMS))
+        for r in perdoc.collect()
+    }
+
+    def dcg_q(ranked):  # [(grade, rank)] -> quantized dcg
+        return sum(
+            math.floor((2.0 ** g - 1.0) / math.log2(rk + 1.0) * NDCG_Q)
+            for g, rk in ranked
+        )
+
+    def top(pairs):  # [(sort_key, grade)] desc by (s, -doc) -> graded ranks
+        best = sorted(pairs, key=lambda p: (-p[0][0], p[0][1]))[:NDCG_K]
+        return [(g, i + 1) for i, ((_, _), g) in enumerate(best)]
+
+    a = top([((s, d), g) for d, (g, s) in scored.items()])
+    b = top(
+        [((tf / dl, d), scored[d][0]) for d, (dl, tf) in density.items()]
+    )
+    ideal = top([((float(g), d), g) for d, (g, _) in scored.items()])
+    iq = dcg_q(ideal)
+    for name, ranked in (("bm25", a), ("density", b)):
+        q = dcg_q(ranked)
+        assert abs(res[name].dcg - q / NDCG_Q) < 1e-9
+        assert abs(res[name].idcg - iq / NDCG_Q) < 1e-9
+        assert abs(res[name].ndcg - round(q / iq, 6)) < 2e-6
+        assert 0.0 < res[name].ndcg <= 1.0
