@@ -223,6 +223,7 @@ COHORTS: dict[str, list[str]] = {
         "scd2_point_in_time_join",
         "grid_radius_join",
         "rfm_customer_segments",
+        "daily_revenue_autocorr",
     ],
     "scalar_variant": [
         "balance_bracket_lookup",

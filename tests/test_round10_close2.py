@@ -220,3 +220,43 @@ def test_ndcg_matches_independent_recompute(spark, sf_dir):
         assert abs(res[name].idcg - iq / NDCG_Q) < 1e-9
         assert abs(res[name].ndcg - round(q / iq, 6)) < 2e-6
         assert 0.0 < res[name].ndcg <= 1.0
+
+
+def test_acf_null_series_flat_and_planted_period_detected(spark, sf_dir):
+    """The uniform synthetic daily series is the null case: |acf| small at
+    every lag, n_days shrinking with lag (overlap window). A planted
+    period-7 series run through the SAME power-sum arithmetic scores
+    acf[7] near 1 — the machinery detects periodicity when it exists."""
+    from big_data_medical_analysis_spark.operators.analytics import (
+        ACF_MAX_LAG,
+        daily_revenue_autocorr,
+    )
+
+    rows = {r.lag: r for r in daily_revenue_autocorr(spark, sf_dir).collect()}
+    assert set(rows) == set(range(1, ACF_MAX_LAG + 1))
+    n_days_total = (
+        read_table(spark, sf_dir, "orders")
+        .select(F.to_date("o_orderdate"))
+        .distinct()
+        .count()
+    )
+    for lag in range(1, ACF_MAX_LAG + 1):
+        assert abs(rows[lag].acf) < 0.2  # null series (sf0.001 noise)
+        # pairs exist only where BOTH endpoints are observed days — the
+        # sparse sf0.001 axis has gaps, so <=, not ==
+        assert 0 < rows[lag].n_days <= n_days_total
+
+    # planted period-7 control through the same arithmetic in Python
+    vals = [100 + (50 if d % 7 == 0 else 0) for d in range(200)]
+    def acf(series, lag):
+        xs, ys = series[:-lag], series[lag:]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(v * v for v in xs)
+        syy = sum(v * v for v in ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        return (n * sxy - sx * sy) / (
+            (n * sxx - sx * sx) ** 0.5 * (n * syy - sy * sy) ** 0.5
+        )
+    assert acf(vals, 7) > 0.95
+    assert abs(acf(vals, 3)) < 0.3
