@@ -54,6 +54,7 @@ COHORTS: dict[str, list[str]] = {
         "minhash_incremental_probe",
         "intersource_dup_matrix",
         "governed_mixture_sample",
+        "lsh_blocking_quality_audit",
     ],
     "similarity": [
         "cosine_topk",

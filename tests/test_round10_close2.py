@@ -260,3 +260,25 @@ def test_acf_null_series_flat_and_planted_period_detected(spark, sf_dir):
         )
     assert acf(vals, 7) > 0.95
     assert abs(acf(vals, 3)) < 0.3
+
+
+def test_blocking_audit_counts_consistent_and_recall_in_scurve_band(spark, sf_dir):
+    """caught <= min(truth, candidates) <= all_pairs; recall/precision/
+    reduction recompute from the counts; recall sits in the banding
+    S-curve's plausible band for J >= 0.8 with 4x4 geometry (>= the
+    single-threshold lower bound 0.85, well above the J=0.7 knee)."""
+    from big_data_medical_analysis_spark.operators.dedup import (
+        lsh_blocking_quality_audit,
+    )
+
+    r = lsh_blocking_quality_audit(spark, sf_dir).collect()[0]
+    assert r.n_caught <= r.n_truth
+    assert r.n_caught <= r.n_candidates
+    assert r.n_candidates <= r.n_all_pairs
+    assert abs(r.recall - round(r.n_caught / r.n_truth, 6)) < 1e-9
+    assert abs(r.precision - round(r.n_caught / r.n_candidates, 6)) < 1e-9
+    assert (
+        abs(r.reduction_ratio - round(1 - r.n_candidates / r.n_all_pairs, 6))
+        < 1e-9
+    )
+    assert 0.85 <= r.recall <= 1.0
