@@ -225,6 +225,7 @@ COHORTS: dict[str, list[str]] = {
         "grid_radius_join",
         "rfm_customer_segments",
         "daily_revenue_autocorr",
+        "rolling_median_revenue",
     ],
     "scalar_variant": [
         "balance_bracket_lookup",
@@ -255,6 +256,7 @@ COHORTS: dict[str, list[str]] = {
         "table_content_fingerprint",
         "join_key_skew_audit",
         "join_size_estimate_audit",
+        "l_diversity_audit",
     ],
     # iterative recursive-CTE executor: cost = per-iteration job overhead ×
     # longest per-customer chain (depth-bound pytest in test_analytics);

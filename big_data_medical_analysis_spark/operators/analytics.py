@@ -2282,3 +2282,90 @@ def daily_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 daily_revenue_autocorr.__doc__ = daily_revenue_autocorr.__doc__.format(
     maxlag=ACF_MAX_LAG
 )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day median of daily revenue — round 10
+# ---------------------------------------------------------------------------
+
+ROLLMED_WINDOW = 7
+
+# Exact order statistic per calendar window via a band self-join on the
+# pinned day axis + percentile_disc — Spark has no percentile window
+# function, and a collect_list-and-sort window would hold the frame in one
+# task; the band join keeps everything combine-shaped and axis-sized.
+_ROLLMED_SQL = f"""
+WITH daily AS (
+  SELECT (epoch(CAST(o_orderdate AS DATE)) // 86400) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r
+  FROM orders GROUP BY 1
+),
+win AS (
+  SELECT d1.day AS day, d2.r AS r
+  FROM daily d1 JOIN daily d2
+    ON d2.day BETWEEN d1.day - {ROLLMED_WINDOW - 1} AND d1.day
+)
+SELECT strftime(CAST(to_timestamp(day * 86400) AS DATE), '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_days_in_window,
+       CAST(CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY r) AS BIGINT)
+            AS DOUBLE) / 100 AS median_revenue
+FROM win GROUP BY day
+"""
+
+
+@register("rolling_median_revenue", oracle=_ROLLMED_SQL, category="analytics")
+def rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {w}-day MEDIAN of daily revenue — the robust companion of
+    ``rolling_7d_user_value``'s rolling sums (a single spiked day drags a
+    mean for a week; the median shrugs it off, which is why ops
+    dashboards overlay both). Spark has no percentile WINDOW function and
+    a collect_list-in-frame window serializes the frame per row, so the
+    engine shape is: pinned per-day aggregate → calendar band self-join
+    (each day joins its ≤{w} trailing observed days) → exact
+    percentile_disc per day. Observed-day semantics as in
+    ``daily_revenue_autocorr``.
+
+    Scale: the day axis is calendar-bounded, so the band join is
+    axis-sized constant work regardless of fact scale; the one fact scan
+    collapses map-side to the axis. Median cents is an exact order
+    statistic (percentile_disc), divided once for display."""
+    daily = checkpoint_pinned(
+        read_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.floor(F.unix_timestamp(F.to_date("o_orderdate")) / 86400)
+            .cast("long")
+            .alias("day")
+        )
+        .agg(F.sum(cents("o_totalprice")).cast("long").alias("r"))
+    )
+    d1, d2 = daily.alias("d1"), daily.alias("d2")
+    win = d1.join(
+        d2,
+        (F.col("d2.day") >= F.col("d1.day") - (ROLLMED_WINDOW - 1))
+        & (F.col("d2.day") <= F.col("d1.day")),
+    ).select(F.col("d1.day").alias("day"), F.col("d2.r").alias("r"))
+    return (
+        win.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days_in_window"),
+            (
+                F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY r)")
+                .cast("long")
+                .cast("double")
+                / 100
+            ).alias("median_revenue"),
+        )
+        .select(
+            F.date_format(
+                F.to_date(F.timestamp_seconds(F.col("day") * 86400)),
+                "yyyy-MM-dd",
+            ).alias("day"),
+            "n_days_in_window",
+            "median_revenue",
+        )
+    )
+
+
+rolling_median_revenue.__doc__ = rolling_median_revenue.__doc__.format(
+    w=ROLLMED_WINDOW
+)

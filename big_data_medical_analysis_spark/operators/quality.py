@@ -747,3 +747,78 @@ def join_size_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             err("est_global").alias("err_global_pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit — round 10
+# ---------------------------------------------------------------------------
+
+L_DIV = 3
+
+_LDIV_SQL = f"""
+WITH labeled AS (
+  SELECT c_nationkey, c_mktsegment,
+         CASE WHEN c_acctbal < 0 THEN 'debt'
+              WHEN c_acctbal < 5000 THEN 'mid'
+              ELSE 'high' END AS sensitive
+  FROM customer
+),
+g AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(count(*) AS BIGINT) AS gs,
+         CAST(count(DISTINCT sensitive) AS BIGINT) AS l_g
+  FROM labeled GROUP BY c_nationkey, c_mktsegment
+)
+SELECT CAST({L_DIV} AS BIGINT) AS l,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(count_if(l_g < {L_DIV}) AS BIGINT) AS n_groups_below_l,
+       CAST(min(l_g) AS BIGINT) AS min_distinct_sensitive,
+       CAST(coalesce(sum(CASE WHEN l_g < {L_DIV} THEN gs END), 0) AS BIGINT)
+         AS n_rows_at_risk
+FROM g
+"""
+
+
+@register("l_diversity_audit", oracle=_LDIV_SQL, category="quality")
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the standard companion of ``k_anonymity_audit``:
+    k-anonymity alone fails to the homogeneity attack (a group of k
+    individuals who all share one sensitive value discloses it anyway),
+    so this audits, per (nation, market segment) quasi-identifier group,
+    the number of DISTINCT sensitive values (an account-balance bracket)
+    and reports the minimum l achieved, groups below l={l}, and rows at
+    risk. A release is l-diverse iff ``n_groups_below_l`` = 0.
+
+    Scale: one aggregate keyed on the QI tuple carrying a
+    count-distinct over a 3-value domain (map-side combinable via the
+    grouping-sets expansion Spark applies to count distinct), then a fold
+    over group-sized state — same shape and budget as the k-anonymity
+    audit it extends."""
+    cust = read_table(spark, sf_dir, "customer")
+    sensitive = (
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    g = (
+        cust.select("c_nationkey", "c_mktsegment", sensitive.alias("sensitive"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("gs"),
+            F.countDistinct("sensitive").cast("long").alias("l_g"),
+        )
+    )
+    return g.agg(
+        F.lit(L_DIV).cast("long").alias("l"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.count_if(F.col("l_g") < L_DIV).cast("long").alias("n_groups_below_l"),
+        F.min("l_g").cast("long").alias("min_distinct_sensitive"),
+        F.coalesce(
+            F.sum(F.when(F.col("l_g") < L_DIV, F.col("gs"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_rows_at_risk"),
+    )
+
+
+l_diversity_audit.__doc__ = l_diversity_audit.__doc__.format(l=L_DIV)

@@ -282,3 +282,58 @@ def test_blocking_audit_counts_consistent_and_recall_in_scurve_band(spark, sf_di
         < 1e-9
     )
     assert 0.85 <= r.recall <= 1.0
+
+
+def test_l_diversity_consistent_with_k_anonymity_groups(spark, sf_dir):
+    """Same QI lattice as the k-anonymity audit: group count matches; the
+    minimum distinct-sensitive count is within [1, 3] (3-value domain);
+    rows at risk is 0 iff no group falls below l."""
+    from big_data_medical_analysis_spark.operators.quality import (
+        k_anonymity_audit,
+        l_diversity_audit,
+    )
+
+    ld = l_diversity_audit(spark, sf_dir).collect()[0]
+    ka = k_anonymity_audit(spark, sf_dir).collect()[0]
+    assert ld.n_groups == ka.n_groups
+    assert 1 <= ld.min_distinct_sensitive <= 3
+    assert (ld.n_rows_at_risk == 0) == (ld.n_groups_below_l == 0)
+    assert ld.n_groups_below_l <= ld.n_groups
+
+
+def test_rolling_median_window_bounds_and_spike_robustness(spark, sf_dir):
+    """Window counts stay within [1, 7]; every median equals a Python
+    recompute over the trailing observed days (exact lower-median
+    percentile_disc semantics)."""
+    from big_data_medical_analysis_spark.operators.analytics import (
+        ROLLMED_WINDOW,
+        rolling_median_revenue,
+    )
+
+    rows = rolling_median_revenue(spark, sf_dir).collect()
+    daily = {
+        r.day: r.r
+        for r in read_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.floor(F.unix_timestamp(F.to_date("o_orderdate")) / 86400)
+            .cast("long")
+            .alias("day")
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("r"))
+        .collect()
+    }
+    import datetime
+
+    for r in rows:
+        d = datetime.date.fromisoformat(r.day)
+        day_idx = (d - datetime.date(1970, 1, 1)).days
+        vals = sorted(
+            daily[k]
+            for k in daily
+            if day_idx - (ROLLMED_WINDOW - 1) <= k <= day_idx
+        )
+        assert 1 <= r.n_days_in_window <= ROLLMED_WINDOW
+        assert len(vals) == r.n_days_in_window
+        # percentile_disc(0.5) = smallest value with cume_dist >= 0.5
+        med = vals[(len(vals) - 1) // 2]
+        assert abs(r.median_revenue - med / 100) < 1e-6
