@@ -408,6 +408,41 @@ def range_pair_stream(
     )
 
 
+def range_pair_stream_outer(
+    a_events: DataFrame,
+    b_events: DataFrame,
+    max_gap: str = "60 seconds",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — ``range_pair_stream`` plus
+    the rows that never matched: a left event whose join window
+    [a.ts, a.ts + max_gap] closes below the watermark emits ONCE with
+    NULL next_event_id/gap_us. The subtlety this form exists to pin:
+    outer results are EVICTION-DRIVEN — they cannot emit before the
+    watermark proves no match can still arrive, so they surface one or
+    more micro-batches AFTER their matched peers (the pytest drives a
+    watermark-advancing sentinel batch and asserts exactly this timing).
+    State stays bounded exactly as in the inner form: watermark + gap
+    per side.
+    """
+    a = a_events.withWatermark("ts", watermark).alias("a")
+    b = b_events.withWatermark("ts", watermark).alias("b")
+    return a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr(f"INTERVAL {max_gap}")),
+        "left_outer",
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_id").alias("first_event_id"),
+        F.col("b.event_id").alias("next_event_id"),
+        (F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))).alias(
+            "gap_us"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # foreachBatch sink (exactly-once via batch-id idempotence)
 # ---------------------------------------------------------------------------

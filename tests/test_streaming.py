@@ -1223,3 +1223,94 @@ def test_pit_enrich_stream_matches_batch_enrichment(spark, tmp_path):
     # view carried over an unrelated batch AND not regressed by the
     # late same-second smaller-eid 'signup' change
     assert by_eid[8] == "view"
+
+
+def test_range_pair_stream_outer_emits_nulls_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join: matched pairs emit as both
+    sides arrive; UNMATCHED left rows emit with NULLs only after the
+    watermark proves no match can still arrive (eviction-driven) — so
+    they are absent right after their own batch and present after a
+    watermark-advancing sentinel batch; a row whose window the watermark
+    has NOT passed (the sentinel itself) emits nothing."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    indir = str(tmp_path / "outer_pairs_in")
+
+    def write(name, rows):
+        _os.makedirs(indir, exist_ok=True)
+        p = _os.path.join(indir, name)
+        with open(p + ".tmp", "w") as f:
+            for eid, ts, uid in rows:
+                f.write(
+                    _json.dumps(
+                        {
+                            "event_id": eid,
+                            "ts": ts,
+                            "user_id": uid,
+                            "event_type": "click",
+                            "value": 1.0,
+                        }
+                    )
+                    + "\n"
+                )
+        _os.rename(p + ".tmp", p)
+
+    qname = "outer_pairs_" + _uuid.uuid4().hex[:8]
+    write(
+        "a.json",
+        [
+            (1, "2024-01-01 01:00:00.000000", 1),
+            (2, "2024-01-01 01:00:30.000000", 1),  # pairs with 1; itself unmatched
+            (3, "2024-01-01 01:05:00.000000", 2),
+        ],
+    )
+    stream = SW.range_pair_stream_outer(
+        SW.read_event_stream(spark, indir),
+        SW.read_event_stream(spark, indir),
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got_early = {
+            (r.first_event_id, r.next_event_id)
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+        # inner matches emit immediately; no outer rows yet (watermark at 0)
+        assert got_early == {(1, 2)}
+
+        write(
+            "b.json",
+            [
+                (4, "2024-01-01 01:05:30.000000", 2),  # pairs with 3
+                (5, "2024-01-01 01:10:00.000000", 3),  # never matched
+            ],
+        )
+        q.processAllAvailable()
+        # sentinel advances watermark to 08:00 — far past every join window
+        write("c.json", [(6, "2024-01-01 09:00:00.000000", 9)])
+        q.processAllAvailable()
+        # one more batch so the post-eviction outer results flush
+        write("d.json", [(7, "2024-01-01 09:30:00.000000", 9)])
+        q.processAllAvailable()
+        rows = spark.sql(f"SELECT * FROM {qname}").collect()
+    finally:
+        q.stop()
+
+    matched = {(r.first_event_id, r.next_event_id) for r in rows if r.next_event_id is not None}
+    outer = {r.first_event_id for r in rows if r.next_event_id is None}
+    assert matched == {(1, 2), (3, 4)}
+    # every finalized unmatched left row emitted exactly once with NULLs
+    assert {2, 4, 5} <= outer
+    # the sentinel rows' windows are NOT finalized — no outer row for them
+    assert 6 not in outer and 7 not in outer
+    for r in rows:
+        if r.next_event_id is None:
+            assert r.gap_us is None
+    assert len([r for r in rows if r.next_event_id is None]) == len(outer)
