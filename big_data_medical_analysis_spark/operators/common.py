@@ -209,3 +209,66 @@ def date_str(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.date_format(c, DATE_FMT_SPARK)
+
+
+def weight_below(
+    cells: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    weight_col: str,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Two-level distributed prefix sum: append ``below`` = Σ weight over
+    rows of the SAME group with a STRICTLY smaller ``order_col`` — the
+    global-order statistic (rank-below) computed WITHOUT a global sort.
+
+    Level 1: a window PARTITIONED BY (group, coarse bucket) accumulates
+    weight before the row within its bucket. Level 2: whole lower buckets
+    arrive via a broadcast range-join over the tiny per-bucket aggregate
+    (buckets ≈ value-range / bucket-width, constant per group). ``cells``
+    must already carry ``bucket_col`` (floor(order/width)) and be safe to
+    consume three times (checkpoint-pinned by callers).
+
+    Shared by ``auc_mann_whitney`` (weight = negatives per score) and
+    ``gini_customer_concentration`` (weight = count per value); the
+    hypothesis property test in tests/test_round10_close2.py pins the
+    helper against an O(n²) brute force over random inputs.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols, bucket_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = cells.withColumn(
+        "_within_below",
+        F.coalesce(F.sum(weight_col).over(w), F.lit(0)).cast("long"),
+    )
+    bt = cells.groupBy(*group_cols, bucket_col).agg(
+        F.sum(weight_col).cast("long").alias("_bucket_w")
+    )
+    cond = F.col(f"b2.{bucket_col}") < F.col(f"b1.{bucket_col}")
+    for g in group_cols:
+        cond = cond & (F.col(f"b2.{g}") == F.col(f"b1.{g}"))
+    bb = (
+        bt.alias("b1")
+        .join(F.broadcast(bt.alias("b2")), cond, "left")
+        .groupBy(
+            *[F.col(f"b1.{g}").alias(g) for g in group_cols],
+            F.col(f"b1.{bucket_col}").alias(bucket_col),
+        )
+        .agg(
+            F.coalesce(F.sum(F.col("b2._bucket_w")), F.lit(0))
+            .cast("long")
+            .alias("_bucket_below")
+        )
+    )
+    return (
+        within.join(F.broadcast(bb), [*group_cols, bucket_col])
+        .withColumn(
+            "below",
+            (F.col("_within_below") + F.col("_bucket_below")).cast("long"),
+        )
+        .drop("_within_below", "_bucket_below")
+    )

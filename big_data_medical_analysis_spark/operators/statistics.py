@@ -2198,8 +2198,8 @@ def auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization, not three fact scans."""
     from big_data_medical_analysis_spark.operators.common import (
         checkpoint_pinned,
+        weight_below,
     )
-    from pyspark.sql import Window
 
     orders = read_table(spark, sf_dir, "orders")
     base = orders.select(
@@ -2227,40 +2227,11 @@ def auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("score") / F.lit(float(AUC_BUCKET_W))).cast("long"),
         )
     )
-    w = (
-        Window.partitionBy("scorer", "bucket")
-        .orderBy("score")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    within = cells.withColumn(
-        "neg_before",
-        F.coalesce(F.sum("n_neg").over(w), F.lit(0)).cast("long"),
-    )
-    bt = cells.groupBy("scorer", "bucket").agg(
-        F.sum("n_neg").cast("long").alias("bneg")
-    )
-    bb = (
-        bt.alias("b1")
-        .join(
-            F.broadcast(bt.alias("b2")),
-            (F.col("b2.scorer") == F.col("b1.scorer"))
-            & (F.col("b2.bucket") < F.col("b1.bucket")),
-            "left",
-        )
-        .groupBy(
-            F.col("b1.scorer").alias("scorer"),
-            F.col("b1.bucket").alias("bucket"),
-        )
-        .agg(F.coalesce(F.sum("b2.bneg"), F.lit(0)).cast("long").alias("neg_below"))
-    )
     num = (
-        within.join(F.broadcast(bb), ["scorer", "bucket"])
+        weight_below(cells, ["scorer"], "score", "n_neg")
         .groupBy("scorer")
         .agg(
-            F.sum(
-                F.col("n_pos")
-                * (2 * (F.col("neg_below") + F.col("neg_before")) + F.col("n_neg"))
-            )
+            F.sum(F.col("n_pos") * (2 * F.col("below") + F.col("n_neg")))
             .cast("long")
             .alias("num2"),
             F.sum("n_pos").cast("long").alias("n_pos"),
@@ -2484,8 +2455,8 @@ def gini_customer_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     hand-checked 4-value fixture pins the arithmetic in pytest."""
     from big_data_medical_analysis_spark.operators.common import (
         checkpoint_pinned,
+        weight_below,
     )
-    from pyspark.sql import Window
 
     orders = read_table(spark, sf_dir, "orders")
     customer = read_table(spark, sf_dir, "customer")
@@ -2505,33 +2476,8 @@ def gini_customer_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("v") / F.lit(float(GINI_BUCKET_W))).cast("long"),
         )
     )
-    w = (
-        Window.partitionBy("segment", "bucket")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    within = cells.withColumn(
-        "c_before", F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long")
-    )
-    bt = cells.groupBy("segment", "bucket").agg(
-        F.sum("c").cast("long").alias("bc")
-    )
-    bb = (
-        bt.alias("b1")
-        .join(
-            F.broadcast(bt.alias("b2")),
-            (F.col("b2.segment") == F.col("b1.segment"))
-            & (F.col("b2.bucket") < F.col("b1.bucket")),
-            "left",
-        )
-        .groupBy(
-            F.col("b1.segment").alias("segment"),
-            F.col("b1.bucket").alias("bucket"),
-        )
-        .agg(F.coalesce(F.sum("b2.bc"), F.lit(0)).cast("long").alias("c_below"))
-    )
     agg = (
-        within.join(F.broadcast(bb), ["segment", "bucket"])
+        weight_below(cells, ["segment"], "v", "c")
         .groupBy("segment")
         .agg(
             F.sum("c").cast("long").alias("n"),
@@ -2542,7 +2488,7 @@ def gini_customer_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.col("v").cast("decimal(38,0)")
                 * (
-                    F.col("c") * (F.col("c_below") + F.col("c_before"))
+                    F.col("c") * F.col("below")
                     + F.expr("c * (c + 1) div 2")
                 )
             ).alias("t"),

@@ -337,3 +337,52 @@ def test_rolling_median_window_bounds_and_spike_robustness(spark, sf_dir):
         # percentile_disc(0.5) = smallest value with cume_dist >= 0.5
         med = vals[(len(vals) - 1) // 2]
         assert abs(r.median_revenue - med / 100) < 1e-6
+
+
+def test_weight_below_matches_brute_force_on_random_inputs(spark):
+    """The two-level prefix-sum helper (shared by the AUC and Gini
+    queries) equals the O(n²) brute force — Σ weight over same-group rows
+    with strictly smaller order — on hypothesis-random inputs spanning
+    multiple groups, duplicate order values, zero weights, and bucket
+    boundaries."""
+    from hypothesis import given, settings, strategies as st
+
+    from big_data_medical_analysis_spark.operators.common import weight_below
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["g1", "g2"]),
+                st.integers(min_value=-20, max_value=20),  # order value
+                st.integers(min_value=0, max_value=5),  # weight
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def check(rows):
+        # collapse to distinct (group, order) cells, as the callers do
+        cells: dict[tuple[str, int], int] = {}
+        for g, v, wgt in rows:
+            cells[(g, v)] = cells.get((g, v), 0) + wgt
+        data = [
+            (g, v, wgt, v // 7)  # bucket width 7, negatives cross 0
+            for (g, v), wgt in cells.items()
+        ]
+        df = spark.createDataFrame(
+            data, "grp string, val long, wgt long, bucket long"
+        )
+        got = {
+            (r.grp, r.val): r.below
+            for r in weight_below(df, ["grp"], "val", "wgt").collect()
+        }
+        want = {
+            (g, v): sum(
+                w2 for (g2, v2), w2 in cells.items() if g2 == g and v2 < v
+            )
+            for (g, v) in cells
+        }
+        assert got == want
+
+    check()
