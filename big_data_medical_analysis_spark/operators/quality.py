@@ -822,3 +822,43 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 l_diversity_audit.__doc__ = l_diversity_audit.__doc__.format(l=L_DIV)
+
+
+# ---------------------------------------------------------------------------
+# In-flight query metrics via the Observation API — round 10
+# ---------------------------------------------------------------------------
+
+
+def with_row_observation(df: DataFrame, name: str = "dq_metrics"):
+    """Attach an in-flight data-quality observation to ``df``: row count,
+    exact null tally, and int64-cents value sum ride the query's OWN
+    execution (``df.observe`` — no second scan, no extra job), the way a
+    production pipeline meters what it just wrote without re-reading it.
+    Returns (df, Observation); read ``observation.get`` AFTER an action.
+
+    The metrics use the engine's exact-integer conventions so they can be
+    reconciled bit-for-bit against a direct aggregate (the pytest does) —
+    an observation that only roughly matches its own data is a monitoring
+    trap. Numeric column is auto-detected as the first DoubleType."""
+    from pyspark.sql import Observation
+    from pyspark.sql.types import DoubleType
+
+    num = next(
+        (f.name for f in df.schema.fields if isinstance(f.dataType, DoubleType)),
+        None,
+    )
+    obs = Observation(name)
+    metrics = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            sum(
+                F.when(F.col(f.name).isNull(), 1).otherwise(0)
+                for f in df.schema.fields
+            )
+        ).cast("long").alias("n_nulls"),
+    ]
+    if num is not None:
+        metrics.append(
+            F.sum(F.round(F.col(num) * 100).cast("long")).alias("value_cents")
+        )
+    return df.observe(obs, *metrics), obs

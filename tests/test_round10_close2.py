@@ -386,3 +386,29 @@ def test_weight_below_matches_brute_force_on_random_inputs(spark):
         assert got == want
 
     check()
+
+
+def test_row_observation_reconciles_with_direct_aggregate(spark, sf_dir):
+    """The in-flight Observation's metrics (riding the query's own
+    execution) reconcile exactly with a direct aggregate over the same
+    frame — count, null tally, and integer-cents sum."""
+    from big_data_medical_analysis_spark.operators.quality import (
+        with_row_observation,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    observed, obs = with_row_observation(ev)
+    n_acted = observed.count()  # the action the metrics ride on
+    got = obs.get
+    direct = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            sum(
+                F.when(F.col(c).isNull(), 1).otherwise(0) for c in ev.columns
+            )
+        ).cast("long").alias("n_nulls"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    ).collect()[0]
+    assert got["n_rows"] == n_acted == direct.n_rows
+    assert got["n_nulls"] == direct.n_nulls
+    assert got["value_cents"] == direct.value_cents
