@@ -217,6 +217,7 @@ COHORTS: dict[str, list[str]] = {
         "longest_daily_streak",
         "event_transition_matrix",
         "event_trigram_paths",
+        "brand_graph_clustering_coeff",
         "last_touch_attribution",
         "watermark_delay_audit",
         "seasonal_anomaly_days",
@@ -257,6 +258,7 @@ COHORTS: dict[str, list[str]] = {
         "join_key_skew_audit",
         "join_size_estimate_audit",
         "l_diversity_audit",
+        "dq_release_gate",
     ],
     # iterative recursive-CTE executor: cost = per-iteration job overhead ×
     # longest per-customer chain (depth-bound pytest in test_analytics);

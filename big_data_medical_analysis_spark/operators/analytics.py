@@ -2369,3 +2369,102 @@ def rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 rolling_median_revenue.__doc__ = rolling_median_revenue.__doc__.format(
     w=ROLLMED_WINDOW
 )
+
+
+# ---------------------------------------------------------------------------
+# Global clustering coefficient on the brand co-purchase graph — round 10
+# ---------------------------------------------------------------------------
+
+_CLUSTERING_SQL = """
+WITH lb AS (
+  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+e AS (
+  SELECT a.b AS a, b2.b AS b
+  FROM lb a JOIN lb b2 ON a.ok = b2.ok AND a.b < b2.b
+  GROUP BY a.b, b2.b
+  HAVING count(*) * 50 >= (SELECT count(DISTINCT ok) FROM lb)
+),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+  GROUP BY v
+),
+agg AS (
+  SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+    (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+    (SELECT CAST(count(*) AS BIGINT)
+     FROM e e1 JOIN e e2 ON e2.a = e1.b
+               JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
+)
+SELECT n_edges, n_wedges, n_triangles,
+       round(3.0 * n_triangles / n_wedges, 6) AS global_clustering
+FROM agg
+"""
+
+
+@register(
+    "brand_graph_clustering_coeff", oracle=_CLUSTERING_SQL, category="graph"
+)
+def brand_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient C = 3·triangles / wedges on the brand
+    co-purchase graph — the community-density summary that completes the
+    graph-metrics family (``dedup_components`` connectivity,
+    ``brand_pagerank`` centrality, ``triangle_count_brand_graph`` raw
+    triangles): C near the edge density means no community structure
+    beyond chance; C ≫ density means cliquish purchase behavior. Wedges
+    come from the degree table (Σ d·(d−1)/2 — integer `div`, exact);
+    triangles from the canonical a<b oriented two-hop equi-join; one
+    double division at the end.
+
+    Scale: the same pinned supported-edge derivation as the triangle
+    query (six consumers, one materialization); everything downstream is
+    vertex-/edge-table-sized. Wedge counting is a pure combine over
+    exploded edge endpoints — no join."""
+    lb = _brand_baskets(spark, sf_dir)
+    n_baskets = lb.select("ok").distinct().agg(F.count(F.lit(1)).alias("nb"))
+    e = checkpoint_pinned(
+        lb.alias("a")
+        .join(
+            lb.alias("b2"),
+            (F.col("a.ok") == F.col("b2.ok")) & (F.col("a.b") < F.col("b2.b")),
+        )
+        .groupBy(F.col("a.b").alias("a"), F.col("b2.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .crossJoin(F.broadcast(n_baskets))
+        .filter(F.col("support") * 50 >= F.col("nb"))
+        .select("a", "b")
+    )
+    n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    n_wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    n_triangles = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        n_edges.crossJoin(F.broadcast(n_wedges))
+        .crossJoin(F.broadcast(n_triangles))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("global_clustering"),
+        )
+    )

@@ -862,3 +862,84 @@ def with_row_observation(df: DataFrame, name: str = "dq_metrics"):
             F.sum(F.round(F.col(num) * 100).cast("long")).alias("value_cents")
         )
     return df.observe(obs, *metrics), obs
+
+
+# ---------------------------------------------------------------------------
+# Release gate composition — round 10
+# ---------------------------------------------------------------------------
+
+_RELEASE_GATE_SQL = f"""
+WITH dq AS ({_DQ_SQL}),
+g1 AS (
+  SELECT 'constraints_clean' AS gate,
+         CAST(sum(n_violations) AS BIGINT) AS metric,
+         CAST(0 AS BIGINT) AS threshold
+  FROM dq
+),
+g2 AS (
+  SELECT 'k_anonymity' AS gate,
+         CAST(count_if(gs < {K_ANON}) AS BIGINT) AS metric,
+         CAST(0 AS BIGINT) AS threshold
+  FROM (SELECT count(*) AS gs FROM customer
+        GROUP BY c_nationkey, c_mktsegment)
+),
+g3 AS (
+  SELECT 'l_diversity' AS gate,
+         CAST(count_if(l_g < {L_DIV}) AS BIGINT) AS metric,
+         CAST(0 AS BIGINT) AS threshold
+  FROM (SELECT count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'debt'
+                     WHEN c_acctbal < 5000 THEN 'mid'
+                     ELSE 'high' END) AS l_g
+        FROM customer GROUP BY c_nationkey, c_mktsegment)
+)
+SELECT gate, metric, threshold, metric <= threshold AS passed
+FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g3)
+"""
+
+
+@register("dq_release_gate", oracle=_RELEASE_GATE_SQL, category="quality")
+def dq_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The release-gate composition: constraint suite + k-anonymity +
+    l-diversity folded into ONE lazy plan emitting (gate, metric,
+    threshold, passed) — the single decision table a publish pipeline
+    blocks on (the ``drift_monitor_decision`` pattern applied to data
+    governance). Violation-style semantics throughout: every gate passes
+    iff metric ≤ threshold, so a consumer needs no per-gate direction
+    logic. Gates report honestly — l-diversity FAILS on this data
+    (homogeneous balance-bracket groups exist), and the pytest pins that
+    the gate row agrees with the standalone audit rather than painting
+    the dashboard green.
+
+    Scale: each component keeps its own documented plan (conditional
+    counts, QI-keyed combines, broadcast FK anti-join); the union is
+    3 one-row aggregates. Table-scan budget 3 (the orders_dq_checks
+    component's disclosed allowance), noted in the plan-guard allowlist.
+    """
+    dq = orders_dq_checks(spark, sf_dir).agg(
+        F.sum("n_violations").cast("long").alias("metric")
+    )
+    ka = k_anonymity_audit(spark, sf_dir).select(
+        F.col("n_groups_below_k").cast("long").alias("metric")
+    )
+    ld = l_diversity_audit(spark, sf_dir).select(
+        F.col("n_groups_below_l").cast("long").alias("metric")
+    )
+
+    def gate(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("gate"),
+            "metric",
+            F.lit(0).cast("long").alias("threshold"),
+        )
+
+    out = (
+        gate(dq, "constraints_clean")
+        .unionByName(gate(ka, "k_anonymity"))
+        .unionByName(gate(ld, "l_diversity"))
+    )
+    return out.select(
+        "gate",
+        "metric",
+        "threshold",
+        (F.col("metric") <= F.col("threshold")).alias("passed"),
+    )

@@ -727,6 +727,11 @@ def test_no_excessive_table_rescans(spark, sf_dir):
         "contrastive_negative_pairs": 3,
         "daily_user_value_gapfill": 3,
         "daily_value_locf": 3,
+        # release-gate composition: inherits orders_dq_checks' disclosed
+        # 3-scan allowance (conditional-count branches) and customer is
+        # read once per governance component (FK anti-join, k-anon QI
+        # combine, l-diversity QI combine) — cheap 2-3 column re-reads
+        "dq_release_gate": 3,
         "heavy_hitter_users": 3,
         "hll_merge_returnflag": 3,
         "lineitem_set_ops_all": 4,

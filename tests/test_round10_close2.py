@@ -412,3 +412,54 @@ def test_row_observation_reconciles_with_direct_aggregate(spark, sf_dir):
     assert got["n_rows"] == n_acted == direct.n_rows
     assert got["n_nulls"] == direct.n_nulls
     assert got["value_cents"] == direct.value_cents
+
+
+def test_clustering_coeff_consistent_with_triangle_query(spark, sf_dir):
+    """Edge and triangle counts agree with triangle_count_brand_graph
+    (same derivation); wedges recompute from an independent degree count;
+    C stays in [0, 1] and equals the closed form."""
+    from big_data_medical_analysis_spark.operators.analytics import (
+        brand_graph_clustering_coeff,
+        triangle_count_brand_graph,
+    )
+
+    c = brand_graph_clustering_coeff(spark, sf_dir).collect()[0]
+    t = triangle_count_brand_graph(spark, sf_dir).collect()[0]
+    assert c.n_edges == t.n_edges
+    assert c.n_triangles == t.n_triangles
+    assert 0 <= c.global_clustering <= 1
+    assert abs(
+        c.global_clustering - round(3.0 * c.n_triangles / c.n_wedges, 6)
+    ) < 1e-9
+    # every triangle contributes 3 wedges, so wedges >= 3*triangles
+    assert c.n_wedges >= 3 * c.n_triangles
+
+
+def test_release_gate_rows_agree_with_standalone_audits(spark, sf_dir):
+    """Each gate row's metric equals its standalone audit's number, and
+    `passed` is exactly metric <= threshold — including any honest FAIL
+    rows (the gate must not paint failing audits green)."""
+    from big_data_medical_analysis_spark.operators.quality import (
+        dq_release_gate,
+        k_anonymity_audit,
+        l_diversity_audit,
+        orders_dq_checks,
+    )
+
+    rows = {r.gate: r for r in dq_release_gate(spark, sf_dir).collect()}
+    assert set(rows) == {"constraints_clean", "k_anonymity", "l_diversity"}
+    dq_total = sum(
+        r.n_violations for r in orders_dq_checks(spark, sf_dir).collect()
+    )
+    assert rows["constraints_clean"].metric == dq_total
+    assert (
+        rows["k_anonymity"].metric
+        == k_anonymity_audit(spark, sf_dir).collect()[0].n_groups_below_k
+    )
+    assert (
+        rows["l_diversity"].metric
+        == l_diversity_audit(spark, sf_dir).collect()[0].n_groups_below_l
+    )
+    for r in rows.values():
+        assert r.passed == (r.metric <= r.threshold)
+    assert rows["constraints_clean"].passed  # clean synthetic data
