@@ -2375,7 +2375,12 @@ def woe_iv_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Gini concentration per segment (rank-sum without a global sort) — round 10
 # ---------------------------------------------------------------------------
 
-GINI_BUCKET_W = 2_000_000_000  # ~2e9 cents per coarse bucket of customer LTV
+# 2^23 cents per coarse bucket: ~65 buckets over this data's 6.4M..621M-cent
+# customer-LTV range. Size the width to value-range/≈64 — too wide collapses
+# level 2 to one bucket and the in-bucket window degenerates to a per-group
+# global window (the original 2e9 setting did exactly that; caught by the
+# bucket-spread pytest below).
+GINI_BUCKET_W = 8_388_608
 
 # Gini = (2·T − (n+1)·S) / (n·S) with T = Σ rank_i·x_i over ascending ranks
 # — tie-safe because a tied group's Σrank is fixed regardless of internal

@@ -463,3 +463,37 @@ def test_release_gate_rows_agree_with_standalone_audits(spark, sf_dir):
     for r in rows.values():
         assert r.passed == (r.metric <= r.threshold)
     assert rows["constraints_clean"].passed  # clean synthetic data
+
+
+def test_gini_and_auc_cells_spread_across_buckets(spark, sf_dir):
+    """The two-level machinery only beats a per-group global window when
+    values actually SPREAD across coarse buckets — pin >= 8 distinct
+    buckets for the Gini LTV cells and for the AUC full-resolution
+    scorer's cells (a too-wide width silently degenerates level 2 to one
+    bucket; the original Gini setting did exactly that)."""
+    from big_data_medical_analysis_spark.operators.statistics import (
+        AUC_BUCKET_W,
+        GINI_BUCKET_W,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    ltv_buckets = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("v"))
+        .select((F.col("v") / GINI_BUCKET_W).cast("long").alias("b"))
+        .distinct()
+        .count()
+    )
+    assert ltv_buckets >= 8
+    score_buckets = (
+        orders.select(
+            (F.round(F.col("o_totalprice") * 100).cast("long") / AUC_BUCKET_W)
+            .cast("long")
+            .alias("b")
+        )
+        .distinct()
+        .count()
+    )
+    assert score_buckets >= 8
