@@ -126,6 +126,7 @@ COHORTS: dict[str, list[str]] = {
         "woe_iv_encoding",
         "gini_customer_concentration",
         "ndcg_retrieval_eval",
+        "jackknife_mean_se",
     ],
     "multimodal": [
         "image_augment_fanout",

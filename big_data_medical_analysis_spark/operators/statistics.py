@@ -2509,3 +2509,147 @@ def gini_customer_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             (2.0 * F.col("t").cast("double") - (n_d + 1) * s_d) / (n_d * s_d), 6
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Group-jackknife standard error — round 10
+# ---------------------------------------------------------------------------
+
+# Leave-one-GROUP-out jackknife over the 25 nation blocks: θ̂ = mean order
+# cents; θ̂_(i) recomputes from the complement's exact sums (no resampling
+# RNG, no data pass per replicate — ALL replicates fall out of one per-group
+# sum table); SE² = (g-1)/g · Σ(θ̂_(i) − θ̄)². Per-replicate means are exact
+# integer ratios evaluated once in double, QUANTIZED to int64 micro-cents,
+# and the deviation sum runs on exact integers (d_i = g·tq_i − Σtq, squared
+# in DECIMAL(38,0)) — no order-sensitive float accumulation.
+_JACKKNIFE_SQL = """
+WITH g AS (
+  SELECT c.c_nationkey AS grp,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_nationkey
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_all, CAST(sum(s) AS BIGINT) AS s_all,
+         CAST(count(*) AS BIGINT) AS n_groups
+  FROM g
+),
+reps AS (
+  SELECT g.grp,
+         CAST(floor((CAST(tot.s_all - g.s AS DOUBLE) / (tot.n_all - g.n))
+                    * 1000000) AS BIGINT) AS tq
+  FROM g, tot
+),
+tq_tot AS (
+  SELECT CAST(sum(tq) AS BIGINT) AS sum_tq, CAST(count(*) AS BIGINT) AS gN
+  FROM reps
+),
+jk AS (
+  SELECT t.gN AS n_groups,
+         sum(CAST(t.gN * r.tq - t.sum_tq AS DECIMAL(38, 0))
+             * CAST(t.gN * r.tq - t.sum_tq AS DECIMAL(38, 0))) AS ssq
+  FROM reps r, tq_tot t
+  GROUP BY t.gN
+)
+SELECT jk.n_groups, tot.n_all AS n_rows,
+       round(CAST(tot.s_all AS DOUBLE) / tot.n_all / 100, 6) AS mean_value,
+       round(sqrt((jk.n_groups - 1.0) / jk.n_groups
+                  * CAST(jk.ssq AS DOUBLE)
+                  / (jk.n_groups * jk.n_groups) / 1e12) / 100, 6)
+         AS jackknife_se
+FROM jk, tot
+"""
+
+
+@register("jackknife_mean_se", oracle=_JACKKNIFE_SQL, category="evaluation")
+def jackknife_mean_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-jackknife standard error of the mean order value, nations as
+    the blocks — RNG-free resampling uncertainty: every leave-one-group-
+    out replicate θ̂_(i) falls out of ONE per-group exact-sum table (the
+    complement's sums are totals minus the group's), so 25 'resamples'
+    cost one combine aggregate, not 25 data passes — the only resampling
+    scheme that is both deterministic (full value oracle, unlike
+    bootstrap RNG) and shuffle-free at 100 TB. SE² = (g−1)/g·Σ(θ̂_(i)−θ̄)².
+
+    Replicate means are quantized to int64 micro-cents before the
+    deviation sum (exact integers through DECIMAL(38,0) squares — the
+    float appears once, inside sqrt); with ~600 orders per nation
+    block the group-jackknife SE here is a design-based estimate of the
+    cluster-level sampling error. The pytest re-derives the SE in Python
+    from the same per-group sums and pins the uniform-data magnitude."""
+    from big_data_medical_analysis_spark.operators.common import (
+        checkpoint_pinned,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    # pinned: four consumers (totals, replicates, quantized totals, final
+    # deviation pass) would otherwise re-run the fact scan each
+    g = checkpoint_pinned(
+        orders.join(
+            customer.select("c_custkey", "c_nationkey"),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .groupBy(F.col("c_nationkey").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(cents("o_totalprice")).cast("long").alias("s"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("n_all"),
+        F.sum("s").cast("long").alias("s_all"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+    )
+    # per-replicate mean quantized to int64 micro-cents BEFORE any sum —
+    # the deviation sum must never be an order-sensitive float
+    # accumulation (JSD/NDCG quantization discipline); deviations d_i =
+    # g·tq_i − Σtq are exact integers, squared in DECIMAL(38,0)
+    reps = g.crossJoin(F.broadcast(tot)).select(
+        "grp",
+        F.floor(
+            (
+                (F.col("s_all") - F.col("s")).cast("double")
+                / (F.col("n_all") - F.col("n"))
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("tq"),
+        "n_all",
+        "s_all",
+    )
+    tq_tot = reps.agg(
+        F.sum("tq").cast("long").alias("sum_tq"),
+        F.count(F.lit(1)).cast("long").alias("gN"),
+    )
+    dev = (F.col("gN") * F.col("tq") - F.col("sum_tq")).cast("decimal(38,0)")
+    jk = (
+        reps.crossJoin(F.broadcast(tq_tot))
+        .groupBy("gN")
+        .agg(
+            F.sum(dev * dev).alias("ssq"),
+            F.first("n_all").alias("n_all"),
+            F.first("s_all").alias("s_all"),
+        )
+    )
+    gN = F.col("gN")
+    return jk.select(
+        gN.alias("n_groups"),
+        F.col("n_all").alias("n_rows"),
+        F.round(
+            F.col("s_all").cast("double") / F.col("n_all") / 100, 6
+        ).alias("mean_value"),
+        F.round(
+            F.sqrt(
+                (gN - 1.0)
+                / gN
+                * F.col("ssq").cast("double")
+                / (gN * gN)
+                / 1e12
+            )
+            / 100,
+            6,
+        ).alias("jackknife_se"),
+    )

@@ -497,3 +497,42 @@ def test_gini_and_auc_cells_spread_across_buckets(spark, sf_dir):
         .count()
     )
     assert score_buckets >= 8
+
+
+def test_jackknife_se_matches_python_rederivation(spark, sf_dir):
+    """SE recomputes exactly in Python from the same per-group exact sums
+    (identical quantization path); mean matches the direct global mean;
+    SE is positive and, for ~uniform data, well under 2% of the mean."""
+    import math
+
+    from big_data_medical_analysis_spark.operators.statistics import (
+        jackknife_mean_se,
+    )
+
+    r = jackknife_mean_se(spark, sf_dir).collect()[0]
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    groups = (
+        orders.join(
+            customer.select("c_custkey", "c_nationkey"),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("s"),
+        )
+        .collect()
+    )
+    n_all = sum(x.n for x in groups)
+    s_all = sum(x.s for x in groups)
+    tq = [
+        math.floor((s_all - x.s) / (n_all - x.n) * 1000000) for x in groups
+    ]
+    g = len(tq)
+    ssq = sum((g * t - sum(tq)) ** 2 for t in tq)
+    se = math.sqrt((g - 1.0) / g * ssq / (g * g) / 1e12) / 100
+    assert r.n_groups == g and r.n_rows == n_all
+    assert abs(r.mean_value - round(s_all / n_all / 100, 6)) < 1e-9
+    assert abs(r.jackknife_se - round(se, 6)) < 2e-6
+    assert 0 < r.jackknife_se < 0.02 * r.mean_value
