@@ -55,6 +55,7 @@ COHORTS: dict[str, list[str]] = {
         "intersource_dup_matrix",
         "governed_mixture_sample",
         "lsh_blocking_quality_audit",
+        "snm_blocking_quality_audit",
     ],
     "similarity": [
         "cosine_topk",

@@ -536,3 +536,42 @@ def test_jackknife_se_matches_python_rederivation(spark, sf_dir):
     assert abs(r.mean_value - round(s_all / n_all / 100, 6)) < 1e-9
     assert abs(r.jackknife_se - round(se, 6)) < 2e-6
     assert 0 < r.jackknife_se < 0.02 * r.mean_value
+
+
+def test_snm_audit_catches_all_same_key_pairs_and_reads_below_lsh(spark, sf_dir):
+    """Counts are consistent; every exact-permutation pair (identical
+    sorted-token key, Jaccard 1.0) is guaranteed caught (rank distance
+    0); on this substitution-heavy corpus SNM's single-pass recall reads
+    BELOW the LSH tier's while reducing more."""
+    from big_data_medical_analysis_spark.operators.dedup import (
+        N_JACCARD_PROBES,
+        lsh_blocking_quality_audit,
+        snm_blocking_quality_audit,
+    )
+
+    s = snm_blocking_quality_audit(spark, sf_dir).collect()[0]
+    l = lsh_blocking_quality_audit(spark, sf_dir).collect()[0]
+    assert s.n_caught <= s.n_truth and s.n_caught <= s.n_candidates
+    assert s.n_all_pairs == l.n_all_pairs and s.n_truth == l.n_truth
+    assert s.recall < l.recall
+    assert s.reduction_ratio > l.reduction_ratio
+    # same-key (J=1) probe pairs must all be candidates: count them and
+    # verify they are within the caught set size's lower bound
+    docs = read_table(spark, sf_dir, "documents")
+    keyd = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.array_sort(F.array_distinct(F.split("text", " ")))
+        ).alias("k"),
+    ).collect()
+    by_key: dict[str, list[int]] = {}
+    for r in keyd:
+        by_key.setdefault(r.k, []).append(r.doc_id)
+    same_key_pairs = sum(
+        1
+        for ids in by_key.values()
+        for i, a in enumerate(sorted(ids))
+        for b in sorted(ids)[i + 1 :]
+        if a < N_JACCARD_PROBES
+    )
+    assert s.n_caught >= same_key_pairs > 0
