@@ -56,6 +56,7 @@ COHORTS: dict[str, list[str]] = {
         "governed_mixture_sample",
         "lsh_blocking_quality_audit",
         "snm_blocking_quality_audit",
+        "snm_multipass_blocking_audit",
     ],
     "similarity": [
         "cosine_topk",

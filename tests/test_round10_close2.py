@@ -575,3 +575,27 @@ def test_snm_audit_catches_all_same_key_pairs_and_reads_below_lsh(spark, sf_dir)
         if a < N_JACCARD_PROBES
     )
     assert s.n_caught >= same_key_pairs > 0
+
+
+def test_snm_multipass_union_dominates_each_pass(spark, sf_dir):
+    """Set algebra of the multi-pass union: caught(union) >= each pass's
+    caught, candidates(union) <= sum of passes' candidates (overlap
+    dedups), and union recall >= the single-pass audit's recall (the
+    forward pass is one of its passes)."""
+    from big_data_medical_analysis_spark.operators.dedup import (
+        snm_blocking_quality_audit,
+        snm_multipass_blocking_audit,
+    )
+
+    rows = {
+        r["pass"]: r
+        for r in snm_multipass_blocking_audit(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"sorted", "reversed", "union"}
+    u, s, rv = rows["union"], rows["sorted"], rows["reversed"]
+    assert u.n_caught >= max(s.n_caught, rv.n_caught)
+    assert u.n_candidates <= s.n_candidates + rv.n_candidates
+    assert u.recall >= max(s.recall, rv.recall)
+    single = snm_blocking_quality_audit(spark, sf_dir).collect()[0]
+    assert s.n_candidates == single.n_candidates  # same forward pass
+    assert u.recall >= single.recall
