@@ -230,6 +230,7 @@ COHORTS: dict[str, list[str]] = {
         "rfm_customer_segments",
         "daily_revenue_autocorr",
         "rolling_median_revenue",
+        "rolling_7d_distinct_users",
     ],
     "scalar_variant": [
         "balance_bracket_lookup",

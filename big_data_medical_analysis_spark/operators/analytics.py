@@ -2305,7 +2305,8 @@ win AS (
   FROM daily d1 JOIN daily d2
     ON d2.day BETWEEN d1.day - {ROLLMED_WINDOW - 1} AND d1.day
 )
-SELECT strftime(CAST(to_timestamp(day * 86400) AS DATE), '%Y-%m-%d') AS day,
+SELECT strftime(DATE '1970-01-01' + CAST(day AS INTEGER), '%Y-%m-%d')
+         AS day,
        CAST(count(*) AS BIGINT) AS n_days_in_window,
        CAST(CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY r) AS BIGINT)
             AS DOUBLE) / 100 AS median_revenue
@@ -2356,8 +2357,13 @@ def rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("median_revenue"),
         )
         .select(
+            # pure DATE arithmetic — a timestamp_seconds round-trip would
+            # re-enter the session timezone (TZ-probe caught the events
+            # variant under a vanilla non-UTC session)
             F.date_format(
-                F.to_date(F.timestamp_seconds(F.col("day") * 86400)),
+                F.date_add(
+                    F.to_date(F.lit("1970-01-01")), F.col("day").cast("int")
+                ),
                 "yyyy-MM-dd",
             ).alias("day"),
             "n_days_in_window",
@@ -2468,3 +2474,83 @@ def brand_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_clustering"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day DISTINCT users — round 10
+# ---------------------------------------------------------------------------
+
+ROLLDIST_WINDOW = 7
+
+_ROLLDIST_SQL = f"""
+WITH du AS (
+  SELECT DISTINCT (epoch(CAST(ts AS DATE)) // 86400) AS day, user_id
+  FROM events
+),
+spine AS (SELECT DISTINCT day FROM du),
+win AS (
+  SELECT s.day AS day, d.user_id
+  FROM spine s JOIN du d
+    ON d.day BETWEEN s.day - {ROLLDIST_WINDOW - 1} AND s.day
+)
+SELECT strftime(DATE '1970-01-01' + CAST(day AS INTEGER), '%Y-%m-%d')
+         AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_7d
+FROM win GROUP BY day
+"""
+
+
+@register(
+    "rolling_7d_distinct_users", oracle=_ROLLDIST_SQL, category="analytics"
+)
+def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {w}-day DISTINCT active users per day — the weekly-active-
+    users series, and the canonical NON-SUBTRACTABLE window: distinct
+    counts can't slide by add/remove like sums (``rolling_7d_user_value``),
+    so the engine shape is per-day distinct (day, user) pairs band-joined
+    to the day spine (each day re-unions its ≤{w} trailing days) and
+    deduplicated per window — a bounded ×{w} fan-out of the DAY-LEVEL
+    distinct table, never of raw events.
+
+    Scale: one fact scan collapses to the (day, user) distinct combine;
+    the fan-out and window count-distinct work on that table (days ×
+    daily-actives). When ×{w} re-dedup is too hot at 100 TB, the
+    mergeable-state alternative is the per-day BITMAP/HLL register
+    table (``bitmap_distinct_orders`` / ``hll_incremental_daily``)
+    OR-merged over the window — same band join, register-width rows."""
+    ev = read_table(spark, sf_dir, "events")
+    du = checkpoint_pinned(
+        ev.select(
+            F.floor(F.unix_timestamp(F.to_date("ts")) / 86400)
+            .cast("long")
+            .alias("day"),
+            "user_id",
+        ).distinct()
+    )
+    spine = du.select("day").distinct()
+    win = spine.alias("s").join(
+        du.alias("d"),
+        (F.col("d.day") >= F.col("s.day") - (ROLLDIST_WINDOW - 1))
+        & (F.col("d.day") <= F.col("s.day")),
+    ).select(F.col("s.day").alias("day"), F.col("d.user_id").alias("user_id"))
+    return (
+        win.groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users_7d"))
+        .select(
+            # pure DATE arithmetic — a timestamp_seconds round-trip would
+            # re-enter the session timezone (TZ-probe caught the events
+            # variant under a vanilla non-UTC session)
+            F.date_format(
+                F.date_add(
+                    F.to_date(F.lit("1970-01-01")), F.col("day").cast("int")
+                ),
+                "yyyy-MM-dd",
+            ).alias("day"),
+            "n_users_7d",
+        )
+    )
+
+
+rolling_7d_distinct_users.__doc__ = rolling_7d_distinct_users.__doc__.format(
+    w=ROLLDIST_WINDOW
+)

@@ -599,3 +599,33 @@ def test_snm_multipass_union_dominates_each_pass(spark, sf_dir):
     single = snm_blocking_quality_audit(spark, sf_dir).collect()[0]
     assert s.n_candidates == single.n_candidates  # same forward pass
     assert u.recall >= single.recall
+
+
+def test_rolling_distinct_bounds_and_exact_recompute(spark, sf_dir):
+    """Window distinct is bounded below by the day's own distinct count
+    and above by the window's summed daily distincts; spot-recompute the
+    full series in Python from the (day,user) pairs."""
+    from big_data_medical_analysis_spark.operators.analytics import (
+        ROLLDIST_WINDOW,
+        rolling_7d_distinct_users,
+    )
+    import datetime
+
+    rows = rolling_7d_distinct_users(spark, sf_dir).collect()
+    pairs = (
+        read_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+        .collect()
+    )
+    by_day: dict = {}
+    for r in pairs:
+        by_day.setdefault(r.d, set()).add(r.user_id)
+    assert len(rows) == len(by_day)
+    for r in rows:
+        d = datetime.date.fromisoformat(r.day)
+        users = set()
+        for k in range(ROLLDIST_WINDOW):
+            users |= by_day.get(d - datetime.timedelta(days=k), set())
+        assert r.n_users_7d == len(users)
+        assert r.n_users_7d >= len(by_day[d])
