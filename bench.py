@@ -129,6 +129,7 @@ COHORTS: dict[str, list[str]] = {
         "gini_customer_concentration",
         "ndcg_retrieval_eval",
         "jackknife_mean_se",
+        "conformal_interval_coverage",
     ],
     "multimodal": [
         "image_augment_fanout",

@@ -2653,3 +2653,165 @@ def jackknife_mean_se(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jackknife_se"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal interval coverage — round 10
+# ---------------------------------------------------------------------------
+
+CONF_ALPHA_PCT = 10  # α = 0.10 → target coverage 0.90
+CONF_Q = 10**6  # micro-cent quantization of predictions
+
+# Everything is exact integers until the final ratios: the split is a
+# portable md5 parity, the per-priority "model" is a half-up micro-cent
+# integer mean, nonconformity scores are integer |y·Q − ŷ_q|, and the
+# conformal quantile is the EXACT k-th order statistic with
+# k = ceil((n_cal+1)·(1−α)) located by cumulative counts (no global sort).
+_CONFORMAL_SQL = f"""
+WITH base AS (
+  SELECT o_orderpriority AS prio,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+         CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+              AS BIGINT) % 2 AS fold
+  FROM orders
+),
+model AS (
+  SELECT prio,
+         (sum(y) * {2 * CONF_Q} + count(*)) // (2 * count(*)) AS yhat_q
+  FROM base WHERE fold = 0 GROUP BY prio
+),
+cal AS (
+  SELECT abs(b.y * {CONF_Q} - m.yhat_q) AS s
+  FROM base b JOIN model m ON m.prio = b.prio
+  WHERE b.fold = 0
+),
+n_cal AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cal),
+k AS (SELECT ((n + 1) * {100 - CONF_ALPHA_PCT} + 99) // 100 AS k FROM n_cal),
+cells AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS c,
+         CAST(floor(s / 4194304000000.0) AS BIGINT) AS bucket
+  FROM cal GROUP BY s
+),
+ranked AS (
+  SELECT s, c, bucket,
+         CAST(coalesce(sum(c) OVER (
+           PARTITION BY bucket ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         + CAST(coalesce((SELECT sum(c2.c) FROM cells c2
+                          WHERE c2.bucket < cells.bucket), 0) AS BIGINT)
+           AS below
+  FROM cells
+),
+qhat AS (
+  SELECT min(s) AS q FROM ranked, k
+  WHERE ranked.below < k.k AND k.k <= ranked.below + ranked.c
+),
+test AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_test,
+         CAST(count_if(abs(b.y * {CONF_Q} - m.yhat_q) <= qhat.q) AS BIGINT)
+           AS n_covered
+  FROM base b JOIN model m ON m.prio = b.prio, qhat
+  WHERE b.fold = 1
+)
+SELECT CAST({CONF_ALPHA_PCT} AS BIGINT) AS alpha_pct,
+       n_cal.n AS n_cal, test.n_test, test.n_covered,
+       round(CAST(qhat.q AS DOUBLE) / {CONF_Q} / 100, 6) AS q_hat,
+       round(CAST(test.n_covered AS DOUBLE) / test.n_test, 6) AS coverage
+FROM test, qhat, n_cal
+"""
+
+
+@register(
+    "conformal_interval_coverage", oracle=_CONFORMAL_SQL, category="evaluation"
+)
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals with MEASURED coverage — the
+    distribution-free uncertainty wrapper every production model ships
+    with: calibrate |y − ŷ| on a held-out fold, take the exact k-th
+    order statistic with k = ⌈(n+1)(1−α)⌉, and the interval ŷ ± q̂ is
+    GUARANTEED ≥ 1−α coverage on exchangeable data — which the query
+    then verifies empirically on the other fold (α = 0.10 → measured
+    coverage ≈ 0.90; the pytest pins the guarantee's direction and a
+    finite-sample band).
+
+    Determinism end-to-end: portable-md5 parity split (no engine RNG),
+    half-up integer micro-cent per-priority means as the surrogate
+    model, integer nonconformity scores, and the conformal quantile
+    located by CUMULATIVE COUNTS over distinct-score cells — the
+    ``weight_below`` two-level prefix sum, never a global sort (the
+    third operator on that machinery, after AUC and Gini). One fact
+    scan feeds the pinned base; everything downstream is score-axis
+    sized."""
+    from big_data_medical_analysis_spark.operators.common import (
+        checkpoint_pinned,
+        weight_below,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = checkpoint_pinned(
+        orders.select(
+            F.col("o_orderpriority").alias("prio"),
+            cents("o_totalprice").alias("y"),
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("fold"),
+        )
+    )
+    model = (
+        base.filter(F.col("fold") == 0)
+        .groupBy("prio")
+        .agg(
+            F.expr(
+                f"(sum(y) * {2 * CONF_Q} + count(1)) div (2 * count(1))"
+            ).alias("yhat_q")
+        )
+    )
+    scored = base.join(F.broadcast(model), "prio").withColumn(
+        "s", F.abs(F.col("y") * CONF_Q - F.col("yhat_q"))
+    )
+    cal = scored.filter(F.col("fold") == 0)
+    n_cal = cal.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    k = n_cal.select(
+        "n",
+        F.expr(f"((n + 1) * {100 - CONF_ALPHA_PCT} + 99) div 100").alias("k"),
+    )
+    cells = checkpoint_pinned(
+        cal.groupBy("s")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .withColumn(
+            "bucket", F.floor(F.col("s") / F.lit(4194304000000.0)).cast("long")
+        )
+    )
+    ranked = weight_below(cells, [], "s", "c")
+    qhat = (
+        ranked.crossJoin(F.broadcast(k))
+        .filter(
+            (F.col("below") < F.col("k"))
+            & (F.col("k") <= F.col("below") + F.col("c"))
+        )
+        .agg(F.min("s").alias("q"))
+    )
+    test = (
+        scored.filter(F.col("fold") == 1)
+        .crossJoin(F.broadcast(qhat))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.count_if(F.col("s") <= F.col("q")).cast("long").alias("n_covered"),
+            F.first("q").alias("q"),
+        )
+    )
+    return test.crossJoin(F.broadcast(n_cal)).select(
+        F.lit(CONF_ALPHA_PCT).cast("long").alias("alpha_pct"),
+        F.col("n").alias("n_cal"),
+        "n_test",
+        "n_covered",
+        F.round(F.col("q").cast("double") / CONF_Q / 100, 6).alias("q_hat"),
+        F.round(
+            F.col("n_covered").cast("double") / F.col("n_test"), 6
+        ).alias("coverage"),
+    )

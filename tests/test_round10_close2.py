@@ -629,3 +629,21 @@ def test_rolling_distinct_bounds_and_exact_recompute(spark, sf_dir):
             users |= by_day.get(d - datetime.timedelta(days=k), set())
         assert r.n_users_7d == len(users)
         assert r.n_users_7d >= len(by_day[d])
+
+
+def test_conformal_coverage_honors_the_guarantee_band(spark, sf_dir):
+    """Folds partition the fact; q_hat is positive; measured test coverage
+    sits in the finite-sample band around the 1-alpha guarantee
+    (exchangeable synthetic data => coverage ~ Binomial(n_test, >=0.9),
+    so >= 0.9 - 3/sqrt(n_test) and < 1)."""
+    from big_data_medical_analysis_spark.operators.statistics import (
+        conformal_interval_coverage,
+    )
+
+    r = conformal_interval_coverage(spark, sf_dir).collect()[0]
+    n_orders = read_table(spark, sf_dir, "orders").count()
+    assert r.n_cal + r.n_test == n_orders
+    assert r.q_hat > 0
+    assert r.n_covered <= r.n_test
+    lo = (100 - r.alpha_pct) / 100 - 3.0 / (r.n_test ** 0.5)
+    assert lo <= r.coverage < 1.0
