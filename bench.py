@@ -130,6 +130,8 @@ COHORTS: dict[str, list[str]] = {
         "ndcg_retrieval_eval",
         "jackknife_mean_se",
         "conformal_interval_coverage",
+        "cuped_adjusted_lift",
+        "ab_test_power_mde",
     ],
     "multimodal": [
         "image_augment_fanout",

@@ -2815,3 +2815,292 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_covered").cast("double") / F.col("n_test"), 6
         ).alias("coverage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction + experiment power (MDE) — round 10
+# ---------------------------------------------------------------------------
+
+# Period split at the exact event-time midpoint; θ = cov(X,Y)/var(X) from
+# DECIMAL(38,0) power sums over user-level (pre X, post Y) cent totals —
+# the one double ratio, applied in a fixed-order expression per arm.
+_CUPED_SQL = """
+WITH span AS (
+  SELECT (CAST(epoch_us(min(ts)) AS BIGINT)
+          + CAST(epoch_us(max(ts)) AS BIGINT)) // 2 AS mid_us
+  FROM events
+),
+ux AS (
+  SELECT e.user_id,
+         CAST(sum(CASE WHEN CAST(epoch_us(e.ts) AS BIGINT) < span.mid_us
+                       THEN CAST(round(e.value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN CAST(epoch_us(e.ts) AS BIGINT) >= span.mid_us
+                       THEN CAST(round(e.value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y,
+         CAST(concat('0x', substr(md5(concat(CAST(e.user_id AS VARCHAR),
+                                             ':exp1')), 1, 8)) AS BIGINT) % 2
+           AS arm
+  FROM events e, span
+  GROUP BY e.user_id
+),
+pool AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(x AS DECIMAL(38,0))) AS sx,
+         sum(CAST(y AS DECIMAL(38,0))) AS sy,
+         sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+         sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy,
+         sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy
+  FROM ux
+),
+th AS (
+  SELECT n,
+         CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+         (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           AS theta,
+         1.0 - (n * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             * (n * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                 * CAST(sx AS DOUBLE))
+              * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                 * CAST(sy AS DOUBLE))) AS var_ratio
+  FROM pool
+)
+SELECT CAST(ux.arm AS BIGINT) AS arm,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(CAST(sum(CAST(ux.y AS DECIMAL(38,0))) AS DOUBLE)
+             / count(*) / 100, 6) AS mean_y,
+       round((CAST(sum(CAST(ux.y AS DECIMAL(38,0))) AS DOUBLE) / count(*)
+              - th.theta * (CAST(sum(CAST(ux.x AS DECIMAL(38,0))) AS DOUBLE)
+                            / count(*) - th.sx / th.n)) / 100, 6)
+         AS mean_y_cuped,
+       round(th.theta, 6) AS theta,
+       round(1.0 - th.var_ratio, 6) AS var_reduction
+FROM ux, th
+GROUP BY ux.arm, th.theta, th.var_ratio, th.sx, th.n
+"""
+
+
+@register("cuped_adjusted_lift", oracle=_CUPED_SQL, category="evaluation")
+def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted experiment means — the variance-reduction technique
+    every experimentation platform applies before reading a lift:
+    Y′ = Y − θ·(X − E[X]) with X the PRE-period covariate and
+    θ = cov(X,Y)/var(X) pooled across arms (CUPED leaves the treatment
+    effect unbiased while cutting variance by the squared X–Y
+    correlation — reported as ``var_reduction`` = 1 − var(Y′)/var(Y) =
+    ρ², so the consumer sees exactly how many samples the covariate
+    bought). Arms are the sticky portable-md5 split of
+    ``ab_test_proportions``; the period split is the exact event-time
+    midpoint; a null experiment by construction, so the two arms'
+    adjusted means should agree — pytest-pinned.
+
+    Exactness: user-level (X, Y) cent totals in ONE conditional-sum
+    combine; θ and ρ² from DECIMAL(38,0) power sums (the
+    ``corr_covar_price_qty`` discipline) applied once; per-arm means
+    exact integer ratios adjusted in a fixed-order expression."""
+    from big_data_medical_analysis_spark.operators.common import (
+        checkpoint_pinned,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    # midpoint in integer epoch MICROSECONDS — interval/2 is an engine
+    # trap: DuckDB halves the day and time components SEPARATELY (29d
+    # 23:57 / 2 = 14d 11:58, a 12-hour skew vs Spark's exact interval
+    # halving; caught by the oracle on first run)
+    span = ev.agg(
+        ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2)
+        .cast("long")
+        .alias("mid_us")
+    )
+    mid_pred = F.unix_micros(F.col("ts")) < F.col("mid_us")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":exp1"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    ux = checkpoint_pinned(
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(mid_pred, cents("value")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(~mid_pred, cents("value")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("y"),
+            F.first(arm).alias("arm"),
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    pool = ux.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * dec("x")).alias("sxx"),
+        F.sum(dec("x") * dec("y")).alias("sxy"),
+        F.sum(dec("y") * dec("y")).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    cov_n = F.col("n") * d("sxy") - d("sx") * d("sy")
+    varx_n = F.col("n") * d("sxx") - d("sx") * d("sx")
+    vary_n = F.col("n") * d("syy") - d("sy") * d("sy")
+    th = pool.select(
+        "n",
+        d("sx").alias("sx"),
+        (cov_n / varx_n).alias("theta"),
+        (1.0 - cov_n * cov_n / (varx_n * vary_n)).alias("var_ratio"),
+    )
+    return (
+        ux.crossJoin(F.broadcast(th))
+        .groupBy(
+            F.col("arm").cast("long").alias("arm"),
+            "theta",
+            "var_ratio",
+            "sx",
+            "n",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(dec("y")).alias("sum_y"),
+            F.sum(dec("x")).alias("sum_x"),
+        )
+        .select(
+            "arm",
+            "n_users",
+            F.round(d("sum_y") / F.col("n_users") / 100, 6).alias("mean_y"),
+            F.round(
+                (
+                    d("sum_y") / F.col("n_users")
+                    - F.col("theta")
+                    * (d("sum_x") / F.col("n_users") - F.col("sx") / F.col("n"))
+                )
+                / 100,
+                6,
+            ).alias("mean_y_cuped"),
+            F.round("theta", 6).alias("theta"),
+            F.round(1.0 - F.col("var_ratio"), 6).alias("var_reduction"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Minimum detectable effect (experiment power) — round 10
+# ---------------------------------------------------------------------------
+
+# z constants spelled to full double precision IDENTICALLY in both engines
+# (two-sided α=0.05 and 80% power); variances from DECIMAL(38,0) power sums.
+_Z_ALPHA = "1.959963984540054"
+_Z_BETA = "0.8416212335729143"
+
+_MDE_SQL = f"""
+WITH ux AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y,
+         CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR),
+                                             ':exp1')), 1, 8)) AS BIGINT) % 2
+           AS arm
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(y AS DECIMAL(38,0))) AS sy,
+         sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy
+  FROM ux GROUP BY arm
+),
+w AS (
+  SELECT
+    max(CASE WHEN arm = 0 THEN n END) AS n_a,
+    max(CASE WHEN arm = 1 THEN n END) AS n_b,
+    max(CASE WHEN arm = 0 THEN
+      (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+      / n / (n - 1) END) AS var_a,
+    max(CASE WHEN arm = 1 THEN
+      (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+      / n / (n - 1) END) AS var_b,
+    max(CASE WHEN arm = 0 THEN CAST(sy AS DOUBLE) / n END) AS mean_a
+  FROM s
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(mean_a / 100, 6) AS mean_control,
+       round(({_Z_ALPHA} + {_Z_BETA})
+             * sqrt(var_a / n_a + var_b / n_b) / 100, 6) AS mde_abs,
+       round(({_Z_ALPHA} + {_Z_BETA})
+             * sqrt(var_a / n_a + var_b / n_b) / mean_a * 100, 6)
+         AS mde_rel_pct
+FROM w
+"""
+
+
+@register("ab_test_power_mde", oracle=_MDE_SQL, category="evaluation")
+def ab_test_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect of the running experiment design — the
+    power calculation an experimenter runs BEFORE trusting a flat
+    readout: MDE = (z_{{α/2}} + z_{{power}})·√(s²_A/n_A + s²_B/n_B) at
+    two-sided α = 0.05 and 80% power, on the user-level value metric
+    under the same sticky md5 arm split as ``ab_test_proportions`` /
+    ``cuped_adjusted_lift``. An A/B readout smaller than ``mde_abs`` is
+    indistinguishable from noise AT THIS SAMPLE SIZE — the number that
+    separates "no effect" from "underpowered".
+
+    Sample variances come from DECIMAL(38,0) power sums per arm (the
+    engine's float-accumulation rule); the z constants are spelled to
+    full double precision identically in both dialects. One user-level
+    combine, a 2-row arm rollup, scalar arithmetic."""
+    ev = read_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":exp1"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    ux = ev.groupBy("user_id").agg(
+        F.sum(cents("value")).cast("long").alias("y"),
+        F.first(arm).alias("arm"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = ux.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("y") * dec("y")).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    var = (
+        (F.col("n") * d("syy") - d("sy") * d("sy"))
+        / F.col("n")
+        / (F.col("n") - 1)
+    )
+    w = s.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 0, var)).alias("var_a"),
+        F.max(F.when(F.col("arm") == 1, var)).alias("var_b"),
+        F.max(F.when(F.col("arm") == 0, d("sy") / F.col("n"))).alias("mean_a"),
+    )
+    zsum = F.lit(float(_Z_ALPHA)) + F.lit(float(_Z_BETA))
+    mde = zsum * F.sqrt(
+        F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    )
+    return w.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(F.col("mean_a") / 100, 6).alias("mean_control"),
+        F.round(mde / 100, 6).alias("mde_abs"),
+        F.round(mde / F.col("mean_a") * 100, 6).alias("mde_rel_pct"),
+    )

@@ -647,3 +647,51 @@ def test_conformal_coverage_honors_the_guarantee_band(spark, sf_dir):
     assert r.n_covered <= r.n_test
     lo = (100 - r.alpha_pct) / 100 - 3.0 / (r.n_test ** 0.5)
     assert lo <= r.coverage < 1.0
+
+
+def test_cuped_null_experiment_arms_agree_and_reduction_is_rho2(spark, sf_dir):
+    """Null experiment: the two arms' adjusted means stay close (within a
+    few SE of each other); theta and var_reduction are shared; CUPED
+    preserves the pooled mean (the adjustment is mean-zero across all
+    users); var_reduction in [0, 1)."""
+    from big_data_medical_analysis_spark.operators.statistics import (
+        cuped_adjusted_lift,
+    )
+
+    rows = {r.arm: r for r in cuped_adjusted_lift(spark, sf_dir).collect()}
+    assert set(rows) == {0, 1}
+    a, b = rows[0], rows[1]
+    assert a.theta == b.theta and a.var_reduction == b.var_reduction
+    assert 0.0 <= a.var_reduction < 1.0
+    # null design: relative gap between adjusted means stays small
+    gap = abs(a.mean_y_cuped - b.mean_y_cuped)
+    assert gap / max(a.mean_y, 1e-9) < 0.25
+    # mean-zero adjustment: pooled weighted mean is preserved
+    pooled_raw = (a.mean_y * a.n_users + b.mean_y * b.n_users) / (
+        a.n_users + b.n_users
+    )
+    pooled_adj = (
+        a.mean_y_cuped * a.n_users + b.mean_y_cuped * b.n_users
+    ) / (a.n_users + b.n_users)
+    assert abs(pooled_raw - pooled_adj) < 0.01
+
+
+def test_mde_scales_inversely_with_sqrt_n(spark):
+    """MDE at sf0.001 (150 users) should exceed MDE at sf0.01 (1500
+    users) by roughly sqrt(10); relative MDE is positive and the arms
+    partition the users."""
+    from big_data_medical_analysis_spark.operators.statistics import (
+        ab_test_power_mde,
+    )
+
+    small = ab_test_power_mde(spark, "/root/testdata/sf0.001").collect()[0]
+    big = ab_test_power_mde(spark, "/root/testdata/sf0.01").collect()[0]
+    for r, sf in ((small, "/root/testdata/sf0.001"), (big, "/root/testdata/sf0.01")):
+        n_users = (
+            read_table(spark, sf, "events").select("user_id").distinct().count()
+        )
+        assert r.n_a + r.n_b == n_users
+    expected = ((big.n_a + big.n_b) / (small.n_a + small.n_b)) ** 0.5
+    ratio = small.mde_abs / big.mde_abs
+    assert expected / 3 < ratio < expected * 3  # ~1/sqrt(n), variance noise
+    assert small.mde_rel_pct > 0 and big.mde_rel_pct > 0
