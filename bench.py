@@ -91,6 +91,7 @@ COHORTS: dict[str, list[str]] = {
         "source_vocab_divergence",
         "bm25_doc_ranking",
         "rrf_fusion_ranking",
+        "bigram_lm_perplexity_filter",
     ],
     "streaming_batch": [
         "tumbling_event_counts",

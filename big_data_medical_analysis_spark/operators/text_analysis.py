@@ -1793,3 +1793,142 @@ def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("idcg_q").cast("double") / NDCG_Q).alias("idcg"),
         F.round(F.col("dcg_q").cast("double") / F.col("idcg_q"), 6).alias("ndcg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM perplexity filter — round 10
+# ---------------------------------------------------------------------------
+
+PPL_TOP_K = 25
+PPL_Q = 10**12
+PPL_SMOOTH_NUM = 0.5  # add-k smoothing: (c(w1,w2)+k) / (c(w1)+k·V)
+
+_PPL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+big AS (
+  SELECT doc_id,
+         unnest(list_slice(tk, 1, len(tk) - 1)) AS w1,
+         unnest(list_slice(tk, 2, len(tk))) AS w2
+  FROM toks WHERE len(tk) >= 2
+),
+uni AS (
+  SELECT w1 AS w, CAST(count(*) AS BIGINT) AS cu
+  FROM big GROUP BY w1
+),
+v AS (SELECT CAST(count(*) AS BIGINT) AS vsz FROM uni),
+bc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM big GROUP BY w1, w2
+),
+scored AS (
+  SELECT b.doc_id,
+         CAST(floor(ln((bc.cb + {PPL_SMOOTH_NUM})
+                       / (uni.cu + {PPL_SMOOTH_NUM} * v.vsz))
+                    * {PPL_Q}) AS BIGINT) AS lq
+  FROM big b
+  JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+  JOIN uni ON uni.w = b.w1
+  CROSS JOIN v
+),
+perdoc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(lq) AS BIGINT) AS sum_lq
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       round(exp(-(CAST(sum_lq AS DOUBLE) / n_bigrams / {PPL_Q})), 4)
+         AS perplexity
+FROM perdoc
+ORDER BY perplexity DESC, doc_id
+LIMIT {PPL_TOP_K}
+"""
+
+
+@register("bigram_lm_perplexity_filter", oracle=_PPL_SQL, category="text")
+def bigram_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity filtering — the classic LLM-corpus quality gate (drop
+    documents a language model finds surprising): a corpus-trained
+    add-{k} bigram model scores each doc's mean negative log-likelihood
+    per bigram, and the {topk} HIGHEST-perplexity docs surface as drop
+    candidates (heuristic gates like ``doc_quality_scores`` catch
+    malformed text; perplexity catches fluent-but-off-distribution
+    text). Self-scoring on the training corpus is the standard
+    bootstrap; swap the count tables for a reference corpus's to score
+    against clean text.
+
+    Determinism: counts are exact; each token's log term is quantized to
+    1e-12 int64 units BEFORE the per-doc sum (the JSD/NDCG discipline)
+    so both engines accumulate identically; exp once per doc, rounded at
+    4. Scale: bigrams derive ONCE (pinned, array HOF — no quadratic
+    explode-join) and feed both the count tables and the scoring join;
+    count tables join back by (w1, w2)/(w1) equi-keys — broadcast here,
+    shuffle joins at web-corpus vocab. Top-k via TakeOrderedAndProject."""
+    docs = read_table(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    big = checkpoint_pinned(
+        docs.select("doc_id", tk.alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("tk") - 2),
+                    lambda i: F.struct(
+                        F.element_at(F.col("tk"), i + 1).alias("w1"),
+                        F.element_at(F.col("tk"), i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    # unigram counts over ALL tokens = bigram-w1 counts + one final token
+    # per doc; train on the same token stream the bigrams came from: count
+    # w1 occurrences (the conditioning context), which is the standard
+    # bigram-LM denominator
+    uni = big.groupBy(F.col("w1").alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("cu")
+    )
+    v = uni.agg(F.count(F.lit(1)).cast("long").alias("vsz"))
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    scored = (
+        big.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(uni), big["w1"] == uni["w"])
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(
+                    (F.col("cb") + F.lit(PPL_SMOOTH_NUM))
+                    / (F.col("cu") + F.lit(PPL_SMOOTH_NUM) * F.col("vsz"))
+                )
+                * PPL_Q
+            )
+            .cast("long")
+            .alias("lq"),
+        )
+    )
+    perdoc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("lq").cast("long").alias("sum_lq"),
+    )
+    return (
+        perdoc.select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.exp(
+                    -(F.col("sum_lq").cast("double") / F.col("n_bigrams") / PPL_Q)
+                ),
+                4,
+            ).alias("perplexity"),
+        )
+        .orderBy(F.desc("perplexity"), F.asc("doc_id"))
+        .limit(PPL_TOP_K)
+    )
+
+
+bigram_lm_perplexity_filter.__doc__ = bigram_lm_perplexity_filter.__doc__.format(
+    k=PPL_SMOOTH_NUM, topk=PPL_TOP_K
+)

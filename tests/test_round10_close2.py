@@ -695,3 +695,29 @@ def test_mde_scales_inversely_with_sqrt_n(spark):
     ratio = small.mde_abs / big.mde_abs
     assert expected / 3 < ratio < expected * 3  # ~1/sqrt(n), variance noise
     assert small.mde_rel_pct > 0 and big.mde_rel_pct > 0
+
+
+def test_perplexity_filter_planted_gibberish_scores_highest(spark, tmp_path):
+    """A corpus with one planted out-of-distribution doc (tokens no other
+    doc uses) must rank it at the top of the perplexity filter; in-
+    distribution repeats score near the corpus floor. Runs the SAME
+    operator against a synthetic parquet corpus."""
+    import os
+
+    from big_data_medical_analysis_spark.operators.text_analysis import (
+        bigram_lm_perplexity_filter,
+    )
+
+    sf = str(tmp_path / "ppl_sf")
+    os.makedirs(sf, exist_ok=True)
+    normal = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, normal, "en", "web", len(normal)) for i in range(40)]
+    rows.append((99, "zxq vvk qpw zzj xxw qqv zkx wvq pzz jxx", "en", "web", 40))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    res = bigram_lm_perplexity_filter(spark, sf).collect()
+    assert res[0].doc_id == 99  # the gibberish doc leads
+    assert res[0].perplexity > 2 * res[-1].perplexity
+    for r in res[1:]:
+        assert r.perplexity < res[0].perplexity
