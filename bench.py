@@ -72,6 +72,7 @@ COHORTS: dict[str, list[str]] = {
         "ann_recall_audit",
         "ivf_pq_topk",
         "ann_multiprobe_audit",
+        "embedding_diversity_score",
     ],
     "text": [
         "doc_token_stats",

@@ -2825,3 +2825,123 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lambda_est",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding diversity score — round 10
+# ---------------------------------------------------------------------------
+
+DIV_Q = 10**6  # unit-vector micro quantization (the _l2_unit_micro grain)
+
+# Mean pairwise cosine over a set of UNIT vectors collapses to the
+# mean-vector identity: Σ_{i≠j} u_i·u_j = ||Σu||² − Σ||u||², so the whole
+# metric is ONE linear pass — no pairwise join ever. Norms fold
+# sequentially (list_reduce ↔ F.aggregate, identical left-to-right IEEE
+# order); unit components quantize to int64 micro-units BEFORE any
+# cross-row sum, so component sums and the final squared norms are exact
+# integers/decimals in both engines.
+_DIVERSITY_SQL = f"""
+WITH n1 AS (
+  SELECT vec_id, label, embedding,
+         sqrt(list_reduce(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+              (a, b) -> a + b)) AS nrm
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) / nrm * {DIV_Q}) AS BIGINT)) AS u
+  FROM n1
+),
+comp AS (
+  SELECT label, unnest(u) AS qv,
+         unnest(list_transform(u, (x, i) -> i)) AS pos
+  FROM q
+),
+sums AS (
+  SELECT label, pos, CAST(sum(qv) AS BIGINT) AS s,
+         sum(CAST(qv AS DECIMAL(38,0)) * CAST(qv AS DECIMAL(38,0))) AS q2
+  FROM comp GROUP BY label, pos
+),
+agg AS (
+  SELECT label,
+         sum(CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))) AS ss,
+         sum(q2) AS sumq2
+  FROM sums GROUP BY label
+),
+n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vectors FROM q GROUP BY label)
+SELECT CAST(n.label AS BIGINT) AS label, n.n_vectors,
+       round((CAST(agg.ss AS DOUBLE) - CAST(agg.sumq2 AS DOUBLE))
+             / n.n_vectors / (n.n_vectors - 1) / {DIV_Q}.0 / {DIV_Q}.0, 6)
+         AS avg_pairwise_cosine,
+       round(1.0 - (CAST(agg.ss AS DOUBLE) - CAST(agg.sumq2 AS DOUBLE))
+             / n.n_vectors / (n.n_vectors - 1) / {DIV_Q}.0 / {DIV_Q}.0, 6)
+         AS diversity
+FROM agg JOIN n ON n.label = agg.label
+"""
+
+
+@register(
+    "embedding_diversity_score", oracle=_DIVERSITY_SQL, category="similarity"
+)
+def embedding_diversity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding diversity — mean pairwise cosine similarity of
+    the label's unit vectors, and 1 − that as the diversity score: the
+    corpus-health metric a curation pipeline watches to catch mode
+    collapse (near-duplicate embeddings → cosine ≈ 1, diversity ≈ 0) or
+    drift toward isotropy. Computed WITHOUT any pairwise join via the
+    mean-vector identity Σ_{{i≠j}} u_i·u_j = ||Σu||² − Σ||u||² — one
+    linear pass over n·d components regardless of n².
+
+    Determinism: per-vector norms fold sequentially (``F.aggregate`` ↔
+    ``list_reduce``, identical left-to-right IEEE order); unit
+    components quantize to int64 micro-units before ANY cross-row sum,
+    so component sums are exact integers and the squared norms exact
+    DECIMAL(38,0) — the one double division happens per label. Scale:
+    component sums shuffle (label, dim) keys — d·|labels| rows."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"), F.lit(0.0), lambda a, x: a + xd(x) * xd(x)
+        )
+    )
+    q = checkpoint_pinned(
+        emb.select(
+            "vec_id",
+            "label",
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(xd(x) / nrm * DIV_Q).cast("long"),
+            ).alias("u"),
+        )
+    )
+    comp = q.select("label", F.posexplode("u").alias("pos", "qv"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    sums = comp.groupBy("label", "pos").agg(
+        F.sum("qv").cast("long").alias("s"),
+        F.sum(dec("qv") * dec("qv")).alias("q2"),
+    )
+    agg = sums.groupBy("label").agg(
+        F.sum(dec("s") * dec("s")).alias("ss"),
+        F.sum("q2").alias("sumq2"),
+    )
+    n = q.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    qd = float(DIV_Q)
+    avg_cos = (
+        (F.col("ss").cast("double") - F.col("sumq2").cast("double"))
+        / F.col("n_vectors")
+        / (F.col("n_vectors") - 1)
+        / qd
+        / qd
+    )
+    return (
+        agg.join(n, "label")
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "n_vectors",
+            F.round(avg_cos, 6).alias("avg_pairwise_cosine"),
+            F.round(1.0 - avg_cos, 6).alias("diversity"),
+        )
+    )

@@ -721,3 +721,41 @@ def test_perplexity_filter_planted_gibberish_scores_highest(spark, tmp_path):
     assert res[0].perplexity > 2 * res[-1].perplexity
     for r in res[1:]:
         assert r.perplexity < res[0].perplexity
+
+
+def test_embedding_diversity_matches_numpy_pairwise(spark, sf_dir):
+    """avg_pairwise_cosine recomputes (to quantization tolerance) from a
+    numpy O(n^2) pairwise pass over the same quantized unit vectors;
+    diversity = 1 - avg; near-isotropic synthetic embeddings sit well
+    away from the mode-collapse reading of ~0."""
+    import math
+
+    import numpy as np
+
+    from big_data_medical_analysis_spark.operators.similarity import (
+        DIV_Q,
+        embedding_diversity_score,
+    )
+
+    rows = {r.label: r for r in embedding_diversity_score(spark, sf_dir).collect()}
+    emb = read_table(spark, sf_dir, "embeddings").collect()
+    by_label: dict[int, list] = {}
+    for r in emb:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        acc = 0.0
+        for x in v:  # same sequential fold as the engines
+            acc += x * x
+        u = np.floor(v / math.sqrt(acc) * DIV_Q).astype(np.int64)
+        by_label.setdefault(r.label, []).append(u)
+    for label, us in by_label.items():
+        n = len(us)
+        if n < 2:
+            continue
+        m = np.stack(us).astype(np.float64)
+        g = m @ m.T
+        avg = (g.sum() - np.trace(g)) / (n * (n - 1)) / DIV_Q / DIV_Q
+        r = rows[label]
+        assert r.n_vectors == n
+        assert abs(r.avg_pairwise_cosine - round(avg, 6)) < 2e-6
+        assert abs(r.diversity - (1 - r.avg_pairwise_cosine)) < 2e-6
+        assert r.diversity > 0.5  # synthetic embeddings are not collapsed
