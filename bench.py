@@ -139,6 +139,7 @@ COHORTS: dict[str, list[str]] = {
         "image_augment_fanout",
         "png_decode_stats",
         "pkl_png_roundtrip",
+        "image_dhash_near_dup",
     ],
     "sketch_stats": [
         "countmin_user_counts",

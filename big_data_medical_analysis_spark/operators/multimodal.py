@@ -46,6 +46,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from big_data_medical_analysis_spark.operators.common import (
+    checkpoint_pinned,
     fan_out,
     per_user_tmpdir,
 )
@@ -1104,3 +1105,124 @@ def audio_clip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("peak").alias("max_peak"),
         F.min("n_samples").alias("min_samples"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash (dHash) image near-duplicate pairs — round 10
+# ---------------------------------------------------------------------------
+
+DHASH_BANDS = 4
+DHASH_BAND_BITS = 16
+DHASH_MAX_HDIST = 3  # pigeonhole: ≤3 flipped bits ⇒ ≥1 of 4 bands identical
+DHASH_TWIN_EVERY = 10
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash: bilinear-resize to 8×9 grayscale, emit one
+    bit per horizontally-adjacent pixel pair (left < right). Robust to
+    re-encoding, brightness shifts, and small edits — the standard cheap
+    perceptual signature for image dedup."""
+    small = resize_bilinear(img, 8, 9).astype(np.int16)
+    bits = (small[:, :-1] < small[:, 1:]).flatten()
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+@pandas_udf(T.LongType())
+def _dhash_udf(content: pd.Series, height: pd.Series, width: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            dhash64(decode_gray(c, int(h), int(w)))
+            for c, h, w in zip(content, height, width)
+        ]
+    )
+
+
+@pandas_udf(T.BinaryType())
+def _bump_pixel(content: pd.Series) -> pd.Series:
+    """The planted near-duplicate edit: +1 on one pixel (saturating) — an
+    imperceptible change a byte-level hash misses and a perceptual hash
+    must survive."""
+    out = []
+    for c in content:
+        a = np.frombuffer(c, dtype=np.uint8).copy()
+        a[0] = min(int(a[0]) + 1, 255)
+        out.append(a.tobytes())
+    return pd.Series(out)
+
+
+@register("image_dhash_near_dup", oracle=None, category="multimodal")
+def image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by perceptual dHash — the dedup pillar
+    applied to the MULTIMODAL column (training-image corpora dedup on
+    perceptual, not byte, identity: re-encodes and tiny edits must
+    collide): every {te}-th image gains a planted one-pixel twin, each
+    image gets a 64-bit dHash (bilinear 8×9 resize → adjacent-pixel
+    comparisons, pure-numpy Arrow UDF), and candidate pairs come from
+    {b}×{bb}-bit band buckets (the ``simhash_near_dup`` pigeonhole:
+    hamming ≤ {hd} ⇒ some band equal — GUARANTEED recall at the
+    threshold, never all-pairs) verified by exact Hamming distance.
+
+    Rows-only by the codec census class (numpy-RNG image content has no
+    DuckDB twin); the property pytest pins planted-twin recall = 100%,
+    pair canonicalization, and the Hamming bound. Scale: banding is
+    O(N·bands) into an equi-join, the dHash UDF is one Arrow pass."""
+    imgs = synth_images(spark, sf_dir)
+    twins = imgs.filter(F.col("img_id") % DHASH_TWIN_EVERY == 0).select(
+        (F.col("img_id") + 1_000_000).alias("img_id"),
+        "label",
+        "width",
+        "height",
+        _bump_pixel("content").alias("content"),
+    )
+    hashed = checkpoint_pinned(
+        imgs.unionByName(twins).select(
+            "img_id",
+            _dhash_udf("content", "height", "width").alias("h"),
+        )
+    )
+    bands = hashed.select(
+        "img_id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(
+                            F.col("h"), b * DHASH_BAND_BITS
+                        ).bitwiseAND(F.lit((1 << DHASH_BAND_BITS) - 1))
+                        .alias("bucket"),
+                    )
+                    for b in range(DHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("img_id", "h", "bb.band", "bb.bucket")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.img_id") < F.col("b.img_id")),
+        )
+        .select(
+            F.col("a.img_id").alias("img_a"),
+            F.col("b.img_id").alias("img_b"),
+            F.col("a.h").alias("h_a"),
+            F.col("b.h").alias("h_b"),
+        )
+        .distinct()
+    )
+    hdist = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int")
+    return cand.select("img_a", "img_b", hdist.alias("hdist")).filter(
+        F.col("hdist") <= DHASH_MAX_HDIST
+    )
+
+
+image_dhash_near_dup.__doc__ = image_dhash_near_dup.__doc__.format(
+    te=DHASH_TWIN_EVERY, b=DHASH_BANDS, bb=DHASH_BAND_BITS, hd=DHASH_MAX_HDIST
+)

@@ -56,4 +56,8 @@ ROWS_ONLY_CENSUS: dict[str, str] = {
     "video_frame_sample": "binary codec output — no DuckDB codec path",
     "audio_clip_stats": "binary codec output — no DuckDB codec path",
     "pkl_png_roundtrip": "binary codec output — no DuckDB codec path",
+    "image_dhash_near_dup": (
+        "binary codec output (numpy-RNG image content, bilinear resize) — "
+        "no DuckDB codec path"
+    ),
 }

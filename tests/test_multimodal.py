@@ -393,3 +393,55 @@ def test_pkl_png_roundtrip_full_range_and_identity(spark, sf_dir):
     for r in rows:
         assert r.n_roundtrip_ok == r.n_maps, f"lossy roundtrip in {r.task}"
         assert r.min_pixel == 0 and r.max_pixel == 255
+
+
+def test_dhash_near_dup_finds_every_planted_twin_and_nothing_random(spark, sf_dir):
+    """Perceptual dedup contract: every planted one-pixel twin pair is
+    found (the pigeonhole banding guarantees recall at the Hamming
+    threshold), pairs are canonical (a < b), and no two INDEPENDENT
+    random images collide within the threshold (64-bit dHash on
+    uniform-noise images ~ 32-bit expected distance)."""
+    from big_data_medical_analysis_spark.operators.multimodal import (
+        DHASH_MAX_HDIST,
+        DHASH_TWIN_EVERY,
+        image_dhash_near_dup,
+    )
+    from big_data_medical_analysis_spark.sources.readers import read_table
+
+    rows = image_dhash_near_dup(spark, sf_dir).collect()
+    n_imgs = read_table(spark, sf_dir, "documents").count()
+    expected_twins = {
+        (i, i + 1_000_000) for i in range(0, n_imgs, DHASH_TWIN_EVERY)
+    }
+    got_twins = {
+        (r.img_a, r.img_b) for r in rows if r.img_b - r.img_a == 1_000_000
+    }
+    assert got_twins == expected_twins  # 100% planted recall
+    for r in rows:
+        assert r.img_a < r.img_b
+        assert 0 <= r.hdist <= DHASH_MAX_HDIST
+    randoms = [r for r in rows if r.img_b - r.img_a != 1_000_000]
+    assert len(randoms) == 0  # uniform-noise images never collide
+
+
+def test_dhash_kernel_survives_the_edit_a_byte_hash_misses(spark):
+    """Unit contract of the perceptual hash: the one-pixel bump changes
+    the BYTES (md5 differs) but not the dHash (Hamming 0) — exactly the
+    robustness byte-level dedup lacks; a genuinely different image sits
+    far away in Hamming space."""
+    import hashlib
+
+    import numpy as np
+
+    from big_data_medical_analysis_spark.operators.multimodal import dhash64
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(64, 192, size=(32, 32)).astype(np.uint8)
+    bumped = img.copy()
+    bumped[0, 0] = min(int(bumped[0, 0]) + 1, 255)
+    assert hashlib.md5(img.tobytes()).hexdigest() != hashlib.md5(
+        bumped.tobytes()
+    ).hexdigest()
+    assert dhash64(img) == dhash64(bumped)
+    other = rng.randint(64, 192, size=(32, 32)).astype(np.uint8)
+    assert bin(dhash64(img) ^ dhash64(other)).count("1") > 10
