@@ -113,6 +113,16 @@ _DEFER_WITHIN_NEVER_CHECKED: tuple[str, ...] = (
     # took the 50th slot: hints change physical strategy, never semantics,
     # and the underlying join outputs are green in many checked queries
     "join_hint_strategies",
+    # round-10 closing session registered 53 never-checked against the
+    # 50-slot window; defer the three whose building blocks are already
+    # driver-green in other queries (band join + percentile_disc via
+    # rolling/gapfill family; power-sum variances via corr/regr family;
+    # the k_anonymity_audit group shape) — NOT the novel-machinery ones
+    # (AUC/Gini/conformal prefix sums, blocking audits, perplexity,
+    # diversity, dHash), which need their first driver row
+    "rolling_median_revenue",
+    "ab_test_power_mde",
+    "l_diversity_audit",
 )
 
 # Explicit rotation key AHEAD of plain staleness (VERDICT r9 task 1): a query
