@@ -196,6 +196,7 @@ COHORTS: dict[str, list[str]] = {
         "rendezvous_reshard_audit",
         "snapshot_table_diff",
         "scd2_dimension_build",
+        "user_erasure_rewrite",
     ],
     "analytics": [
         "rolling_7d_user_value",

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from big_data_medical_analysis_spark.operators.common import (
+    cents,
     checkpoint_pinned,
     money_sum,
     per_user_tmpdir,
@@ -2279,3 +2280,93 @@ def scd2_versions(log: DataFrame) -> DataFrame:
         F.lead("es").over(w).alias("eff_to"),
         F.row_number().over(w).cast("long").alias("version"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Right-to-erasure rewrite audit — round 10
+# ---------------------------------------------------------------------------
+
+ERASE_EVERY = 100
+ERASE_RESIDUE = 7
+
+_ERASURE_SQL = f"""
+WITH del AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_erased
+  FROM events WHERE user_id % {ERASE_EVERY} = {ERASE_RESIDUE}
+),
+before AS (SELECT CAST(count(*) AS BIGINT) AS rows_before FROM events),
+after AS (
+  SELECT CAST(count(*) AS BIGINT) AS rows_after,
+         CAST(count_if(user_id % {ERASE_EVERY} = {ERASE_RESIDUE}) AS BIGINT)
+           AS residual_rows,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS retained_value_cents
+  FROM events WHERE user_id % {ERASE_EVERY} <> {ERASE_RESIDUE}
+)
+SELECT del.n_users_erased, before.rows_before, after.rows_after,
+       before.rows_before - after.rows_after AS rows_removed,
+       after.residual_rows,
+       CAST(after.retained_value_cents AS DOUBLE) / 100 AS retained_value
+FROM del, before, after
+"""
+
+
+@register("user_erasure_rewrite", oracle=_ERASURE_SQL, category="etl")
+def user_erasure_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure (GDPR Art. 17) rewrite with a completeness audit —
+    the privacy-ops job that closes the governance loop (k-anonymity /
+    l-diversity / PII scrub AUDIT disclosure risk; this one REMOVES a
+    deletion cohort): events are rewritten WITHOUT the erased users
+    (every {every}-th, residue {res}) to a real parquet sink, and the
+    audit reads the REWRITTEN files — so a green oracle row (which
+    recomputes the expectations from the source) proves the rewrite both
+    complete (``residual_rows`` = 0: no erased row survived) and minimal
+    (``rows_removed`` equals exactly the cohort's rows; retained value
+    conserved to the cent).
+
+    Scale: erasure on a keyed lake is partition-pruned — delete-list ⋈
+    affected partitions only; here the whole (small) table rewrites
+    once, the ``compact_small_files`` sink discipline (write job ≠
+    expression). The anti-join side is a broadcast of the deletion list
+    at production scale; the modulus stands in for it portably."""
+    root = os.path.join(
+        per_user_tmpdir("spark_graft_erasure"),
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    out_dir = os.path.join(root, "events_rewritten")
+    ev = read_table(spark, sf_dir, "events")
+    erased = F.pmod(F.col("user_id"), F.lit(ERASE_EVERY)) == ERASE_RESIDUE
+    ev.filter(~erased).write.mode("overwrite").parquet(out_dir)
+    rewritten = spark.read.parquet(out_dir)
+    del_users = ev.filter(erased).agg(
+        F.countDistinct("user_id").cast("long").alias("n_users_erased")
+    )
+    before = ev.agg(F.count(F.lit(1)).cast("long").alias("rows_before"))
+    after = rewritten.agg(
+        F.count(F.lit(1)).cast("long").alias("rows_after"),
+        F.count_if(
+            F.pmod(F.col("user_id"), F.lit(ERASE_EVERY)) == ERASE_RESIDUE
+        )
+        .cast("long")
+        .alias("residual_rows"),
+        F.sum(cents("value")).cast("long").alias("retained_value_cents"),
+    )
+    return (
+        del_users.crossJoin(F.broadcast(before))
+        .crossJoin(F.broadcast(after))
+        .select(
+            "n_users_erased",
+            "rows_before",
+            "rows_after",
+            (F.col("rows_before") - F.col("rows_after")).alias("rows_removed"),
+            "residual_rows",
+            (F.col("retained_value_cents").cast("double") / 100).alias(
+                "retained_value"
+            ),
+        )
+    )
+
+
+user_erasure_rewrite.__doc__ = user_erasure_rewrite.__doc__.format(
+    every=ERASE_EVERY, res=ERASE_RESIDUE
+)

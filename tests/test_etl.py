@@ -556,3 +556,34 @@ def test_snapshot_diff_pruning_is_transparent_and_effective(spark, sf_dir):
         )
         dirty_max = E.DIFF_CHANGE_HI // E.DIFF_BUCKET_WIDTH + 2  # lo + clone buckets
         assert n_buckets >= 3 * dirty_max
+
+
+def test_erasure_rewrite_complete_minimal_and_value_conserving(spark, sf_dir):
+    """The audit row's invariants, re-derived from the source: residual
+    is zero, removed = exactly the cohort's rows, users erased matches
+    the distinct cohort, and retained value equals the source total
+    minus the cohort's to the cent."""
+    from big_data_medical_analysis_spark.operators.etl import (
+        ERASE_EVERY,
+        ERASE_RESIDUE,
+        user_erasure_rewrite,
+    )
+    from pyspark.sql import functions as F
+    from big_data_medical_analysis_spark.sources.readers import read_table
+
+    r = user_erasure_rewrite(spark, sf_dir).collect()[0]
+    ev = read_table(spark, sf_dir, "events")
+    erased = F.pmod(F.col("user_id"), F.lit(ERASE_EVERY)) == ERASE_RESIDUE
+    src = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(erased, 1).otherwise(0)).alias("n_erased_rows"),
+        F.count_distinct(F.when(erased, F.col("user_id"))).alias("n_users"),
+        F.sum(
+            F.when(~erased, F.round(F.col("value") * 100).cast("long"))
+        ).alias("kept_cents"),
+    ).collect()[0]
+    assert r.residual_rows == 0
+    assert r.rows_before == src.n
+    assert r.rows_removed == src.n_erased_rows
+    assert r.n_users_erased == src.n_users
+    assert abs(r.retained_value - src.kept_cents / 100) < 1e-6
