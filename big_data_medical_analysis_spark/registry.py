@@ -123,6 +123,11 @@ _DEFER_WITHIN_NEVER_CHECKED: tuple[str, ...] = (
     "rolling_median_revenue",
     "ab_test_power_mde",
     "l_diversity_audit",
+    # 54th never-checked (user_erasure_rewrite took a window slot — a
+    # sink-job audit needs its first driver row more than RFM's CASE
+    # binning over percentile_disc thresholds, whose pieces are green
+    # via the decile/ntile family)
+    "rfm_customer_segments",
 )
 
 # Explicit rotation key AHEAD of plain staleness (VERDICT r9 task 1): a query
