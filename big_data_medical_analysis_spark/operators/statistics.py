@@ -2193,9 +2193,11 @@ def auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-score table (≤ score-axis size, partition-pruned by
     bucket). num2 peaks at ~n_pos·2·n_neg ≈ 2·(N/2)² — int64-safe
     through N ≈ 4.3B rows per scorer; beyond that, shard the numerator
-    by bucket before the final sum. Cells are checkpoint-pinned: three
-    consumers (within-window, bucket totals, final join) read one
-    materialization, not three fact scans."""
+    by bucket before the final sum. Cells are checkpoint-pinned (three
+    consumers inside ``common.weight_below`` — the shared two-level
+    prefix-sum helper this query, Gini, and the conformal quantile all
+    ride, hypothesis-pinned against brute force) so one materialization
+    serves them, not three fact scans."""
     from big_data_medical_analysis_spark.operators.common import (
         checkpoint_pinned,
         weight_below,
