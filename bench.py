@@ -134,6 +134,7 @@ COHORTS: dict[str, list[str]] = {
         "conformal_interval_coverage",
         "cuped_adjusted_lift",
         "ab_test_power_mde",
+        "did_estimator",
     ],
     "multimodal": [
         "image_augment_fanout",
@@ -238,6 +239,7 @@ COHORTS: dict[str, list[str]] = {
         "daily_revenue_autocorr",
         "rolling_median_revenue",
         "rolling_7d_distinct_users",
+        "forecast_accuracy_naive",
     ],
     "scalar_variant": [
         "balance_bracket_lookup",

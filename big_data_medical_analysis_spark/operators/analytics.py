@@ -2554,3 +2554,123 @@ def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 rolling_7d_distinct_users.__doc__ = rolling_7d_distinct_users.__doc__.format(
     w=ROLLDIST_WINDOW
 )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast accuracy (MAPE / sMAPE / MASE) — round 10
+# ---------------------------------------------------------------------------
+
+FC_SEASON = 7
+FC_Q = 10**9  # per-day ratio-term quantization
+
+# Absolute errors are EXACT integer cents; the per-day percentage terms
+# are quantized to 1e-9 int64 units before summation; MASE is a pure
+# integer ratio (Σ|e7| scaled by counts over Σ|e1|) with one division.
+_FC_SQL = f"""
+WITH daily AS (
+  SELECT (epoch(CAST(o_orderdate AS DATE)) // 86400) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r
+  FROM orders GROUP BY 1
+),
+fc AS (
+  SELECT a.day, a.r, f.r AS f
+  FROM daily a JOIN daily f ON f.day = a.day - {FC_SEASON}
+),
+nv AS (
+  SELECT a.day, abs(a.r - p.r) AS e1
+  FROM daily a JOIN daily p ON p.day = a.day - 1
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(abs(r - f)) AS BIGINT) AS sum_ae,
+         CAST(sum(CAST(floor(CAST(abs(r - f) AS DOUBLE) / r * {FC_Q})
+                       AS BIGINT)) AS BIGINT) AS mape_q,
+         CAST(sum(CAST(floor(2.0 * abs(r - f) / (r + f) * {FC_Q})
+                       AS BIGINT)) AS BIGINT) AS smape_q
+  FROM fc
+),
+nagg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n1, CAST(sum(e1) AS BIGINT) AS sum_e1
+  FROM nv
+)
+SELECT agg.n_days,
+       round(CAST(agg.mape_q AS DOUBLE) / agg.n_days / {FC_Q} * 100, 6)
+         AS mape_pct,
+       round(CAST(agg.smape_q AS DOUBLE) / agg.n_days / {FC_Q} * 100, 6)
+         AS smape_pct,
+       round(CAST(agg.sum_ae AS DOUBLE) / agg.n_days
+             / (CAST(nagg.sum_e1 AS DOUBLE) / nagg.n1), 6) AS mase
+FROM agg, nagg
+"""
+
+
+@register("forecast_accuracy_naive", oracle=_FC_SQL, category="analytics")
+def forecast_accuracy_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy metrics for the SEASONAL-NAIVE baseline
+    (tomorrow = same weekday last week) on daily revenue: MAPE, sMAPE,
+    and MASE — the trio every forecasting pipeline reports, and the
+    baseline any model must beat before shipping (MASE < 1 means the
+    {s}-day seasonal forecaster beats the naive-1 in-sample MAE it is
+    scaled by; on this white-noise-ish series it sits near 1, the
+    honest reading). Pairs with ``daily_revenue_autocorr`` (which
+    detects the seasonality this forecaster would exploit).
+
+    Exactness: absolute errors are exact integer CENTS; the per-day
+    percentage terms quantize to 1e-9 int64 units before summation (no
+    float accumulation); MASE is one double division of two integer
+    ratios. Scale: one fact scan collapses to the calendar-bounded day
+    axis; both lag joins are axis-sized equi-joins on day−{s}/day−1."""
+    daily = checkpoint_pinned(
+        read_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.floor(F.unix_timestamp(F.to_date("o_orderdate")) / 86400)
+            .cast("long")
+            .alias("day")
+        )
+        .agg(F.sum(cents("o_totalprice")).cast("long").alias("r"))
+    )
+    a, f, p = daily.alias("a"), daily.alias("f"), daily.alias("p")
+    fc = a.join(f, F.col("f.day") == F.col("a.day") - FC_SEASON).select(
+        F.col("a.r").alias("r"), F.col("f.r").alias("f")
+    )
+    nv = a.join(p, F.col("p.day") == F.col("a.day") - 1).select(
+        F.abs(F.col("a.r") - F.col("p.r")).alias("e1")
+    )
+    ae = F.abs(F.col("r") - F.col("f"))
+    agg = fc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(ae).cast("long").alias("sum_ae"),
+        F.sum(
+            F.floor(ae.cast("double") / F.col("r") * FC_Q).cast("long")
+        )
+        .cast("long")
+        .alias("mape_q"),
+        F.sum(
+            F.floor(2.0 * ae / (F.col("r") + F.col("f")) * FC_Q).cast("long")
+        )
+        .cast("long")
+        .alias("smape_q"),
+    )
+    nagg = nv.agg(
+        F.count(F.lit(1)).cast("long").alias("n1"),
+        F.sum("e1").cast("long").alias("sum_e1"),
+    )
+    qd = float(FC_Q)
+    return agg.crossJoin(F.broadcast(nagg)).select(
+        "n_days",
+        F.round(F.col("mape_q").cast("double") / F.col("n_days") / qd * 100, 6)
+        .alias("mape_pct"),
+        F.round(F.col("smape_q").cast("double") / F.col("n_days") / qd * 100, 6)
+        .alias("smape_pct"),
+        F.round(
+            F.col("sum_ae").cast("double")
+            / F.col("n_days")
+            / (F.col("sum_e1").cast("double") / F.col("n1")),
+            6,
+        ).alias("mase"),
+    )
+
+
+forecast_accuracy_naive.__doc__ = forecast_accuracy_naive.__doc__.format(
+    s=FC_SEASON
+)

@@ -3106,3 +3106,159 @@ def ab_test_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mde / 100, 6).alias("mde_abs"),
         F.round(mde / F.col("mean_a") * 100, 6).alias("mde_rel_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences (2x2 cell means) — round 10
+# ---------------------------------------------------------------------------
+
+# Four (arm, period) cells from one conditional combine; every mean and
+# variance comes from DECIMAL(38,0) power sums, the doubles applied once in
+# a fixed-order expression; SE by the independent-cells formula.
+_DID_SQL = """
+WITH span AS (
+  SELECT (CAST(epoch_us(min(ts)) AS BIGINT)
+          + CAST(epoch_us(max(ts)) AS BIGINT)) // 2 AS mid_us
+  FROM events
+),
+cells AS (
+  SELECT CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR),
+                                             ':exp1')), 1, 8)) AS BIGINT) % 2
+           AS arm,
+         CASE WHEN CAST(epoch_us(ts) AS BIGINT) >= span.mid_us
+              THEN 1 ELSE 0 END AS period,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events, span
+),
+s AS (
+  SELECT arm, period, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(y AS DECIMAL(38,0))) AS sy,
+         sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy
+  FROM cells GROUP BY arm, period
+),
+m AS (
+  SELECT arm, period, n,
+         CAST(sy AS DOUBLE) / n AS mu,
+         (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+         / n / (n - 1) / n AS mu_var
+  FROM s
+),
+w AS (
+  SELECT
+    max(CASE WHEN arm = 0 AND period = 0 THEN mu END) AS m00,
+    max(CASE WHEN arm = 0 AND period = 1 THEN mu END) AS m01,
+    max(CASE WHEN arm = 1 AND period = 0 THEN mu END) AS m10,
+    max(CASE WHEN arm = 1 AND period = 1 THEN mu END) AS m11,
+    max(CASE WHEN arm = 0 AND period = 0 THEN mu_var END)
+    + max(CASE WHEN arm = 0 AND period = 1 THEN mu_var END)
+    + max(CASE WHEN arm = 1 AND period = 0 THEN mu_var END)
+    + max(CASE WHEN arm = 1 AND period = 1 THEN mu_var END) AS se2,
+    CAST(sum(n) AS BIGINT) AS n_events
+  FROM m
+)
+SELECT n_events,
+       round(m00 / 100, 6) AS mean_ctrl_pre,
+       round(m01 / 100, 6) AS mean_ctrl_post,
+       round(m10 / 100, 6) AS mean_treat_pre,
+       round(m11 / 100, 6) AS mean_treat_post,
+       round(((m11 - m10) - (m01 - m00)) / 100, 6) AS did,
+       round(sqrt(se2) / 100, 6) AS se,
+       round(((m11 - m10) - (m01 - m00)) / sqrt(se2), 6) AS t_stat
+FROM w
+"""
+
+
+@register("did_estimator", oracle=_DID_SQL, category="evaluation")
+def did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the panel-data estimator for
+    treatments that switch ON at a point in time: DiD = (treat_post −
+    treat_pre) − (ctrl_post − ctrl_pre) nets out both the group gap and
+    the common time trend, with SE from the four independent cells'
+    mean variances. Completes the experimentation suite (proportions →
+    power → CUPED → conformal → DiD) on the same sticky md5 arms and
+    integer epoch-µs period midpoint as ``cuped_adjusted_lift``. A null
+    design by construction, so DiD ≈ 0 and |t| small — pytest-pinned,
+    the A/A-correct readout.
+
+    One conditional combine into FOUR cells (map-side, exact
+    DECIMAL(38,0) power sums); every mean/variance double is applied
+    once in a fixed-order expression. The same plan scores any 100 TB
+    exposure log."""
+    ev = read_table(spark, sf_dir, "events")
+    span = ev.agg(
+        ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2)
+        .cast("long")
+        .alias("mid_us")
+    )
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":exp1"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    cells = ev.crossJoin(F.broadcast(span)).select(
+        arm.alias("arm"),
+        F.when(F.unix_micros(F.col("ts")) >= F.col("mid_us"), 1)
+        .otherwise(0)
+        .alias("period"),
+        cents("value").alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = cells.groupBy("arm", "period").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("y") * dec("y")).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    m = s.select(
+        "arm",
+        "period",
+        "n",
+        (d("sy") / F.col("n")).alias("mu"),
+        (
+            (F.col("n") * d("syy") - d("sy") * d("sy"))
+            / F.col("n")
+            / (F.col("n") - 1)
+            / F.col("n")
+        ).alias("mu_var"),
+    )
+
+    def cell(a: int, p: int):
+        return F.max(
+            F.when((F.col("arm") == a) & (F.col("period") == p), F.col("mu"))
+        )
+
+    def vcell(a: int, p: int):
+        return F.max(
+            F.when(
+                (F.col("arm") == a) & (F.col("period") == p), F.col("mu_var")
+            )
+        )
+
+    # fixed-order 4-term addition, never a float groupBy-sum (4-row
+    # accumulation order is partition-dependent)
+    w = m.agg(
+        cell(0, 0).alias("m00"),
+        cell(0, 1).alias("m01"),
+        cell(1, 0).alias("m10"),
+        cell(1, 1).alias("m11"),
+        (vcell(0, 0) + vcell(0, 1) + vcell(1, 0) + vcell(1, 1)).alias("se2"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+    did = (F.col("m11") - F.col("m10")) - (F.col("m01") - F.col("m00"))
+    return w.select(
+        "n_events",
+        F.round(F.col("m00") / 100, 6).alias("mean_ctrl_pre"),
+        F.round(F.col("m01") / 100, 6).alias("mean_ctrl_post"),
+        F.round(F.col("m10") / 100, 6).alias("mean_treat_pre"),
+        F.round(F.col("m11") / 100, 6).alias("mean_treat_post"),
+        F.round(did / 100, 6).alias("did"),
+        F.round(F.sqrt(F.col("se2")) / 100, 6).alias("se"),
+        F.round(did / F.sqrt(F.col("se2")), 6).alias("t_stat"),
+    )

@@ -128,6 +128,11 @@ _DEFER_WITHIN_NEVER_CHECKED: tuple[str, ...] = (
     # binning over percentile_disc thresholds, whose pieces are green
     # via the decile/ntile family)
     "rfm_customer_segments",
+    # 55th/56th: the DiD cells are the ab_test/CUPED combine shape
+    # (both prioritized in-window) and the forecast metrics are lag
+    # joins + quantized sums green via ACF/rolling-median — defer both
+    "did_estimator",
+    "forecast_accuracy_naive",
 )
 
 # Explicit rotation key AHEAD of plain staleness (VERDICT r9 task 1): a query

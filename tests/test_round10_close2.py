@@ -759,3 +759,69 @@ def test_embedding_diversity_matches_numpy_pairwise(spark, sf_dir):
         assert abs(r.avg_pairwise_cosine - round(avg, 6)) < 2e-6
         assert abs(r.diversity - (1 - r.avg_pairwise_cosine)) < 2e-6
         assert r.diversity > 0.5  # synthetic embeddings are not collapsed
+
+
+def test_did_null_design_reads_no_effect(spark, sf_dir):
+    """Null experiment AND null treatment timing: DiD sits near 0 with
+    |t| in the no-effect band; the four cell means are all positive and
+    close (same distribution); SE recomputes from the cells."""
+    from big_data_medical_analysis_spark.operators.statistics import (
+        did_estimator,
+    )
+
+    r = did_estimator(spark, sf_dir).collect()[0]
+    means = [r.mean_ctrl_pre, r.mean_ctrl_post, r.mean_treat_pre, r.mean_treat_post]
+    assert all(m > 0 for m in means)
+    assert max(means) / min(means) < 1.5
+    assert abs(r.t_stat) < 4.0  # A/A-correct: no detectable effect
+    expect_did = (r.mean_treat_post - r.mean_treat_pre) - (
+        r.mean_ctrl_post - r.mean_ctrl_pre
+    )
+    assert abs(r.did - expect_did) < 1e-5
+    assert r.se > 0
+
+
+def test_forecast_metrics_recompute_and_white_noise_mase_near_one(spark, sf_dir):
+    """MAPE/sMAPE/MASE recompute in Python from the daily series (same
+    quantization); on this non-seasonal series the seasonal-naive MASE
+    sits near 1 (no weekly signal to exploit)."""
+    import math
+
+    from big_data_medical_analysis_spark.operators.analytics import (
+        FC_Q,
+        FC_SEASON,
+        forecast_accuracy_naive,
+    )
+
+    r = forecast_accuracy_naive(spark, sf_dir).collect()[0]
+    daily = {
+        x.day: x.r
+        for x in read_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.floor(F.unix_timestamp(F.to_date("o_orderdate")) / 86400)
+            .cast("long")
+            .alias("day")
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("r"))
+        .collect()
+    }
+    fc = [
+        (daily[d], daily[d - FC_SEASON])
+        for d in daily
+        if d - FC_SEASON in daily
+    ]
+    nv = [abs(daily[d] - daily[d - 1]) for d in daily if d - 1 in daily]
+    n = len(fc)
+    mape = sum(math.floor(abs(a - f) / a * FC_Q) for a, f in fc) / n / FC_Q * 100
+    smape = (
+        sum(math.floor(2.0 * abs(a - f) / (a + f) * FC_Q) for a, f in fc)
+        / n
+        / FC_Q
+        * 100
+    )
+    mase = (sum(abs(a - f) for a, f in fc) / n) / (sum(nv) / len(nv))
+    assert r.n_days == n
+    assert abs(r.mape_pct - round(mape, 6)) < 2e-6
+    assert abs(r.smape_pct - round(smape, 6)) < 2e-6
+    assert abs(r.mase - round(mase, 6)) < 2e-6
+    assert 0.5 < r.mase < 2.0  # white-noise-ish: seasonal naive ~ naive-1
