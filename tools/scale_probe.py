@@ -1,0 +1,153 @@
+"""Scale probe: MEASURED scaling evidence for the headline queries.
+
+Replicates the sf0.1 FACT tables (orders, lineitem, events) ``mult``×
+with join-consistent key shifts (o_orderkey and l_orderkey shift
+together, so the order⋈lineitem edge scales like a real TPC-H scale-up;
+dimensions stay fixed, as dimensions do), then times every bench
+HEADLINE query at 1×, and each requested multiplier, min-of-2 after a
+warm-up. The product is the wall-clock RATIO per query — the empirical
+answer to "would this plan survive a scale-up", next to PLANS.md's
+static answer.
+
+Usage: python tools/scale_probe.py [mult ...]   (default: 10 30)
+Writes SCALING.md at the repo root and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+from big_data_medical_analysis_spark import registry  # noqa: E402
+from big_data_medical_analysis_spark.operators.common import (  # noqa: E402
+    per_user_tmpdir,
+)
+from big_data_medical_analysis_spark.session import get_spark  # noqa: E402
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DIMS = ["region", "nation", "customer", "supplier", "part", "documents", "embeddings"]
+FACT_SHIFT_KEYS = {
+    # table -> columns sharing the shift grain (join edges must scale together)
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id"],
+}
+
+
+def build_scaled(spark, mult: int) -> str:
+    from pyspark.sql import functions as F
+
+    out = os.path.join(per_user_tmpdir("spark_graft_scale"), f"x{mult}")
+    done_marker = os.path.join(out, "_BUILT")
+    if os.path.exists(done_marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    for t in DIMS:
+        spark.read.parquet(os.path.join(BASE_SF, f"{t}.parquet")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"{t}.parquet"))
+    # one consistent shift grain for the orders/lineitem edge
+    okey_shift = (
+        spark.read.parquet(os.path.join(BASE_SF, "orders.parquet"))
+        .agg(F.max("o_orderkey"))
+        .collect()[0][0]
+        + 1
+    )
+    ekey_shift = (
+        spark.read.parquet(os.path.join(BASE_SF, "events.parquet"))
+        .agg(F.max("event_id"))
+        .collect()[0][0]
+        + 1
+    )
+    shifts = {"orders": okey_shift, "lineitem": okey_shift, "events": ekey_shift}
+    for t, keys in FACT_SHIFT_KEYS.items():
+        df = spark.read.parquet(os.path.join(BASE_SF, f"{t}.parquet"))
+        parts = []
+        for i in range(mult):
+            p = df
+            for k in keys:
+                p = p.withColumn(k, F.col(k) + F.lit(i * shifts[t]))
+            parts.append(p)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.write.mode("overwrite").parquet(os.path.join(out, f"{t}.parquet"))
+    open(done_marker, "w").write("ok")
+    return out
+
+
+def time_headline(spark, sf_dir: str) -> dict[str, float]:
+    qs = registry.queries()
+    out: dict[str, float] = {}
+    # warm-up pass
+    for name in bench.HEADLINE:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    for name in bench.HEADLINE:
+        best = float("inf")
+        for _ in range(2):
+            t = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t)
+        out[name] = round(best, 3)
+    return out
+
+
+def main() -> int:
+    mults = [int(a) for a in sys.argv[1:]] or [10, 30]
+    spark = get_spark("scale_probe")
+    results = {1: time_headline(spark, BASE_SF)}
+    for m in mults:
+        d = build_scaled(spark, m)
+        results[m] = time_headline(spark, d)
+    lines = [
+        "# SCALING — measured headline wall-clock vs fact-table scale",
+        "",
+        f"Base = `{BASE_SF}` (sf0.1). Facts (orders/lineitem/events) replicated",
+        "with join-consistent key shifts; dimensions fixed. min-of-2 after",
+        "warm-up, local[32]. The RATIO column is the evidence: a plan that",
+        "holds its shape scales ≈ linearly in fact rows (ratios ≤ the",
+        "multiplier — sub-linear where fixed overheads amortize); a plan",
+        "hiding an accidental quadratic or a broadcast-turned-shuffle would",
+        "blow past it.",
+        "",
+        "| query | 1x (s) | "
+        + " | ".join(f"{m}x (s) | {m}x/1x" for m in mults)
+        + " |",
+        "|---|---|" + "---|---|" * len(mults),
+    ]
+    total1 = sum(results[1].values())
+    for name in bench.HEADLINE:
+        row = [name, f"{results[1][name]:.3f}"]
+        for m in mults:
+            r = results[m][name]
+            row += [f"{r:.3f}", f"{r / max(results[1][name], 1e-9):.2f}x"]
+        lines.append("| " + " | ".join(row) + " |")
+    tot_row = ["**total**", f"**{total1:.3f}**"]
+    for m in mults:
+        tm = sum(results[m].values())
+        tot_row += [f"**{tm:.3f}**", f"**{tm / total1:.2f}x**"]
+    lines.append("| " + " | ".join(tot_row) + " |")
+    lines += [
+        "",
+        "## Reading",
+        "",
+        "Sub-linear ratios = fixed overheads amortizing over partitioned",
+        "throughput; a ratio NEAR OR ABOVE the multiplier would flag a",
+        "super-linear term (accidental quadratic, broadcast-turned-shuffle).",
+        "Dimension-bound queries (e.g. topk_parts_per_brand) stay flat by",
+        "construction — dimensions don't scale with facts.",
+    ]
+    open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"), "w").write(
+        "\n".join(lines) + "\n"
+    )
+    print(json.dumps({"mults": mults, "results": {str(k): v for k, v in results.items()}}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
