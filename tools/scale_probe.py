@@ -31,6 +31,21 @@ from big_data_medical_analysis_spark.session import get_spark  # noqa: E402
 
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DIMS = ["region", "nation", "customer", "supplier", "part", "documents", "embeddings"]
+# LLM-pillar probe: text/embedding queries over SCALED documents/embeddings.
+# Copies get DISJOINT vocabularies (every token prefixed with the copy tag)
+# so exact/near-dup structure does not replicate across copies — otherwise
+# every bucket gains m copies and intra-bucket PAIR OUTPUT grows m², which
+# measures the blowup of duplicated data, not the algorithm.
+PILLAR_QUERIES = [
+    "doc_token_stats",
+    "docs_exact_dedup",
+    "minhash_portable_groups",
+    "simhash_near_dup",
+    "tfidf_top_terms",
+    "bigram_lm_perplexity_filter",
+    "cosine_topk",
+    "embedding_diversity_score",
+]
 FACT_SHIFT_KEYS = {
     # table -> columns sharing the shift grain (join edges must scale together)
     "orders": ["o_orderkey"],
@@ -81,13 +96,64 @@ def build_scaled(spark, mult: int) -> str:
     return out
 
 
-def time_headline(spark, sf_dir: str) -> dict[str, float]:
+def build_scaled_docs(spark, mult: int) -> str:
+    """documents/embeddings scaled mult× with disjoint-vocabulary copies
+    (tokens prefixed per copy) and shifted ids; relational tables copied."""
+    from pyspark.sql import functions as F
+
+    out = os.path.join(per_user_tmpdir("spark_graft_scale"), f"docs_x{mult}")
+    done_marker = os.path.join(out, "_BUILT")
+    if os.path.exists(done_marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events"]:
+        spark.read.parquet(os.path.join(BASE_SF, f"{t}.parquet")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"{t}.parquet"))
+    docs = spark.read.parquet(os.path.join(BASE_SF, "documents.parquet"))
+    d_shift = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    parts = [docs]
+    for i in range(1, mult):
+        tag = F.lit(f"c{i}")
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + i * d_shift).alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.split("text", " "), lambda tk: F.concat(tag, tk)
+                    ),
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            ).withColumn("n_chars", F.length("text").cast("long"))
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(BASE_SF, "embeddings.parquet"))
+    e_shift = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    eparts = [emb] + [
+        emb.withColumn("vec_id", F.col("vec_id") + i * e_shift)
+        for i in range(1, mult)
+    ]
+    eu = eparts[0]
+    for p in eparts[1:]:
+        eu = eu.unionByName(p)
+    eu.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    open(done_marker, "w").write("ok")
+    return out
+
+
+def time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     qs = registry.queries()
     out: dict[str, float] = {}
     # warm-up pass
-    for name in bench.HEADLINE:
+    for name in names:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    for name in bench.HEADLINE:
+    for name in names:
         best = float("inf")
         for _ in range(2):
             t = time.time()
@@ -97,13 +163,21 @@ def time_headline(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def time_headline(spark, sf_dir: str) -> dict[str, float]:
+    return time_queries(spark, sf_dir, bench.HEADLINE)
+
+
 def main() -> int:
     mults = [int(a) for a in sys.argv[1:]] or [10, 30]
+    pillar_mult = 10
     spark = get_spark("scale_probe")
     results = {1: time_headline(spark, BASE_SF)}
     for m in mults:
         d = build_scaled(spark, m)
         results[m] = time_headline(spark, d)
+    p_results = {1: time_queries(spark, BASE_SF, PILLAR_QUERIES)}
+    pd_dir = build_scaled_docs(spark, pillar_mult)
+    p_results[pillar_mult] = time_queries(spark, pd_dir, PILLAR_QUERIES)
     lines = [
         "# SCALING — measured headline wall-clock vs fact-table scale",
         "",
@@ -134,6 +208,26 @@ def main() -> int:
     lines.append("| " + " | ".join(tot_row) + " |")
     lines += [
         "",
+        "## LLM-pillar scaling (documents/embeddings ×{m}, DISJOINT-vocabulary".format(m=pillar_mult),
+        "copies — exact/near-dup structure deliberately does NOT replicate",
+        "across copies, so the probe measures the algorithms, not an m²",
+        "pair-output blowup of duplicated data)",
+        "",
+        "| query | 1x (s) | {m}x (s) | {m}x/1x |".format(m=pillar_mult),
+        "|---|---|---|---|",
+    ]
+    pt1 = sum(p_results[1].values())
+    for name in PILLAR_QUERIES:
+        r1, rm = p_results[1][name], p_results[pillar_mult][name]
+        lines.append(
+            f"| {name} | {r1:.3f} | {rm:.3f} | {rm / max(r1, 1e-9):.2f}x |"
+        )
+    ptm = sum(p_results[pillar_mult].values())
+    lines.append(
+        f"| **total** | **{pt1:.3f}** | **{ptm:.3f}** | **{ptm / pt1:.2f}x** |"
+    )
+    lines += [
+        "",
         "## Reading",
         "",
         "Sub-linear ratios = fixed overheads amortizing over partitioned",
@@ -145,7 +239,11 @@ def main() -> int:
     open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"), "w").write(
         "\n".join(lines) + "\n"
     )
-    print(json.dumps({"mults": mults, "results": {str(k): v for k, v in results.items()}}))
+    print(json.dumps({
+        "mults": mults,
+        "results": {str(k): v for k, v in results.items()},
+        "pillar": {str(k): v for k, v in p_results.items()},
+    }))
     return 0
 
 
