@@ -229,18 +229,34 @@ def weight_below(
     must already carry ``bucket_col`` (floor(order/width)) and be safe to
     consume three times (checkpoint-pinned by callers).
 
+    Tie semantics: for INTEGRAL ``order_col`` the level-1 window uses a
+    RANGE frame (… ≤ order − 1 ≡ strictly smaller), so duplicate
+    (group, order) cells are handled exactly. For non-numeric order
+    columns (the SNM sort-key callers) RANGE boundaries don't exist, so
+    the frame is ROWS and **cells MUST be distinct per (group,
+    order_col)** — every current caller guarantees this via
+    groupBy/distinct on the order key; a tied pair under ROWS would
+    count nondeterministically as "below".
+
     Shared by ``auc_mann_whitney`` (weight = negatives per score) and
     ``gini_customer_concentration`` (weight = count per value); the
     hypothesis property test in tests/test_round10_close2.py pins the
-    helper against an O(n²) brute force over random inputs.
+    helper against an O(n²) brute force over random inputs, including
+    duplicate integral cells on the RANGE path.
     """
     from pyspark.sql import Window
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
-    w = (
-        Window.partitionBy(*group_cols, bucket_col)
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    order_type = cells.schema[order_col].dataType
+    base = Window.partitionBy(*group_cols, bucket_col).orderBy(order_col)
+    if isinstance(order_type, (ByteType, ShortType, IntegerType, LongType)):
+        # value ≤ current − 1 ≡ strictly smaller for integers; exact
+        # under duplicate (group, order) cells
+        w = base.rangeBetween(Window.unboundedPreceding, -1)
+    else:
+        # string/other order keys: strictly-smaller holds only because
+        # callers pass distinct (group, order) cells — see docstring
+        w = base.rowsBetween(Window.unboundedPreceding, -1)
     within = cells.withColumn(
         "_within_below",
         F.coalesce(F.sum(weight_col).over(w), F.lit(0)).cast("long"),

@@ -2665,16 +2665,18 @@ CONF_ALPHA_PCT = 10  # α = 0.10 → target coverage 0.90
 CONF_Q = 10**6  # micro-cent quantization of predictions
 
 # Everything is exact integers until the final ratios: the split is a
-# portable md5 parity, the per-priority "model" is a half-up micro-cent
-# integer mean, nonconformity scores are integer |y·Q − ŷ_q|, and the
-# conformal quantile is the EXACT k-th order statistic with
+# portable md5 mod-3 (fold 0 fits the model, fold 1 calibrates, fold 2
+# tests — calibration DISJOINT from fitting, so the split-conformal
+# finite-sample guarantee holds), the per-priority "model" is a half-up
+# micro-cent integer mean, nonconformity scores are integer |y·Q − ŷ_q|,
+# and the conformal quantile is the EXACT k-th order statistic with
 # k = ceil((n_cal+1)·(1−α)) located by cumulative counts (no global sort).
 _CONFORMAL_SQL = f"""
 WITH base AS (
   SELECT o_orderpriority AS prio,
          CAST(round(o_totalprice * 100) AS BIGINT) AS y,
          CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
-              AS BIGINT) % 2 AS fold
+              AS BIGINT) % 3 AS fold
   FROM orders
 ),
 model AS (
@@ -2685,7 +2687,7 @@ model AS (
 cal AS (
   SELECT abs(b.y * {CONF_Q} - m.yhat_q) AS s
   FROM base b JOIN model m ON m.prio = b.prio
-  WHERE b.fold = 0
+  WHERE b.fold = 1
 ),
 n_cal AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cal),
 k AS (SELECT ((n + 1) * {100 - CONF_ALPHA_PCT} + 99) // 100 AS k FROM n_cal),
@@ -2713,7 +2715,7 @@ test AS (
          CAST(count_if(abs(b.y * {CONF_Q} - m.yhat_q) <= qhat.q) AS BIGINT)
            AS n_covered
   FROM base b JOIN model m ON m.prio = b.prio, qhat
-  WHERE b.fold = 1
+  WHERE b.fold = 2
 )
 SELECT CAST({CONF_ALPHA_PCT} AS BIGINT) AS alpha_pct,
        n_cal.n AS n_cal, test.n_test, test.n_covered,
@@ -2729,14 +2731,16 @@ FROM test, qhat, n_cal
 def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-conformal prediction intervals with MEASURED coverage — the
     distribution-free uncertainty wrapper every production model ships
-    with: calibrate |y − ŷ| on a held-out fold, take the exact k-th
-    order statistic with k = ⌈(n+1)(1−α)⌉, and the interval ŷ ± q̂ is
-    GUARANTEED ≥ 1−α coverage on exchangeable data — which the query
-    then verifies empirically on the other fold (α = 0.10 → measured
-    coverage ≈ 0.90; the pytest pins the guarantee's direction and a
-    finite-sample band).
+    with. Three-way md5-mod-3 split: fold 0 FITS the surrogate model,
+    fold 1 (disjoint from fitting — the split-conformal requirement)
+    supplies the calibration scores |y − ŷ| whose exact k-th order
+    statistic, k = ⌈(n_cal+1)(1−α)⌉, is q̂; the interval ŷ ± q̂ is then
+    GUARANTEED ≥ 1−α coverage on exchangeable data, which the query
+    verifies empirically on fold 2 (α = 0.10 → measured coverage ≈
+    0.90; the pytest pins the guarantee's direction and a finite-sample
+    band).
 
-    Determinism end-to-end: portable-md5 parity split (no engine RNG),
+    Determinism end-to-end: portable-md5 mod-3 split (no engine RNG),
     half-up integer micro-cent per-priority means as the surrogate
     model, integer nonconformity scores, and the conformal quantile
     located by CUMULATIVE COUNTS over distinct-score cells — the
@@ -2760,7 +2764,7 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                     16,
                     10,
                 ).cast("long")
-                % 2
+                % 3
             ).alias("fold"),
         )
     )
@@ -2776,7 +2780,7 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = base.join(F.broadcast(model), "prio").withColumn(
         "s", F.abs(F.col("y") * CONF_Q - F.col("yhat_q"))
     )
-    cal = scored.filter(F.col("fold") == 0)
+    cal = scored.filter(F.col("fold") == 1)
     n_cal = cal.agg(F.count(F.lit(1)).cast("long").alias("n"))
     k = n_cal.select(
         "n",
@@ -2799,7 +2803,7 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("s").alias("q"))
     )
     test = (
-        scored.filter(F.col("fold") == 1)
+        scored.filter(F.col("fold") == 2)
         .crossJoin(F.broadcast(qhat))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_test"),

@@ -1437,12 +1437,15 @@ RRF_TOP_K = 10
 
 def _bm25_term_sql(t: str) -> str:
     """One probe term's BM25 contribution (dialect-shared fixed-order
-    arithmetic; 2.2 = k1+1, 0.25 = 1-b, 0.75 = b)."""
+    arithmetic). The k1/b literals are interpolated from BM25_K1/BM25_B
+    so the oracle can never silently desync from the Spark-side
+    ``_bm25_scored``, which derives the same four factors from the same
+    module constants."""
     return (
         f"CASE WHEN tf_{t} = 0 THEN 0.0 ELSE "
         f"ln(1.0 + (c.n_docs - c.df_{t} + 0.5) / (c.df_{t} + 0.5)) "
-        f"* (tf_{t} * 2.2) "
-        f"/ (tf_{t} + 1.2 * (0.25 + 0.75 * dl "
+        f"* (tf_{t} * {BM25_K1 + 1.0}) "
+        f"/ (tf_{t} + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl "
         f"/ (CAST(c.sum_dl AS DOUBLE) / c.n_docs))) END"
     )
 
@@ -1675,7 +1678,10 @@ NDCG_Q = 10**12  # per-term int64 quantization (the source_vocab_divergence tric
 
 # DCG terms (2^grade − 1)/log2(rank+1) are doubles from identical integer
 # inputs, quantized to 1e-12 int64 units BEFORE the sum so both engines
-# accumulate exactly; grades are the probe-term hit counts (0..3).
+# accumulate exactly; grades are the probe-term hit counts (0..3). The
+# bm25 list selects AND ranks on the 6-dp ROUNDED score — the same key
+# the Spark side gets from _bm25_scored (the _RRF_SQL discipline), so a
+# sub-1e-6 raw-score tie can never order the two engines differently.
 _NDCG_SQL = f"""
 WITH {_BM25_PERDOC_SQL},
 scored AS (
@@ -1688,8 +1694,8 @@ scored AS (
            AS s_density
   FROM perdoc p CROSS JOIN corpus c
 ),
-a AS (SELECT doc_id, grade, s_bm25 AS s FROM scored
-      ORDER BY s_bm25 DESC, doc_id LIMIT {NDCG_K}),
+a AS (SELECT doc_id, grade, round(s_bm25, 6) AS s FROM scored
+      ORDER BY round(s_bm25, 6) DESC, doc_id LIMIT {NDCG_K}),
 b AS (SELECT doc_id, grade, s_density AS s FROM scored
       ORDER BY s_density DESC, doc_id LIMIT {NDCG_K}),
 ideal AS (SELECT doc_id, grade, CAST(grade AS DOUBLE) AS s FROM scored

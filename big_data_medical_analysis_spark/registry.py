@@ -169,7 +169,36 @@ _CODE_CHANGED_ROUND: dict[str, int] = {
     # re-derived per consumer branch; 37->8 and 22->8 shuffles)
     "triangle_count_brand_graph": 10,
     "frequent_triples_apriori": 10,
+    # round 11 ADVICE fixes: conformal moved to a TRUE 3-way split (md5
+    # mod 3: train/calibrate/test — values change); NDCG oracle now
+    # ranks the bm25 list on the 6-dp rounded score like the Spark side
+    # (latent tie-order flake removed); AUC/Gini ride weight_below's
+    # new integral-order RANGE frame (value-identical for their
+    # distinct cells, re-check anyway since the frame expression
+    # changed — the histogram_incremental_daily precedent)
+    "conformal_interval_coverage": 11,
+    "ndcg_retrieval_eval": 11,
+    "auc_mann_whitney": 11,
+    "gini_customer_concentration": 11,
 }
+
+# ---------------------------------------------------------------------------
+# Rotation growth cap (VERDICT r10 task 1, written rule):
+#
+#   net catalog growth in a round MUST stay below
+#       _WINDOW − queries_owed
+#   where queries_owed = (never-driver-checked) + (code-changed since
+#   their last driver row) + (queries whose latest driver row is at the
+#   current staleness floor). New registrations lead the priority order,
+#   so every query added above that cap evicts an owed query from the
+#   next driver window — exactly the lag rounds 8–10 accumulated (+56
+#   queries vs 50 slots left 6 queries never checked and a 19-query
+#   r5-stale tail for two rounds).
+#
+# tests/test_entry.py::test_rotation_growth_cap enforces this
+# mechanically: the first _WINDOW names of the priority order must
+# include EVERY never-checked query and EVERY code-changed-stale query.
+# ---------------------------------------------------------------------------
 
 
 def _repo_root() -> str:

@@ -141,6 +141,33 @@ def test_rows_only_registrations_match_census():
     assert empty == [], f"census reasons too thin: {empty}"
 
 
+def test_rotation_growth_cap():
+    """VERDICT r10 task 1, the written rotation rule made mechanical: the
+    next driver window (first _WINDOW names of the priority order) must
+    contain EVERY query the rotation owes a row — never-driver-checked
+    queries and queries whose code changed after their latest driver row.
+    Registering more new queries than the window has spare slots evicts
+    an owed query and fails here, so the verification lag rounds 8–10
+    accumulated (+56 queries vs 50 slots → 6 never-checked, a 19-query
+    r5-stale tail) can never rebuild silently."""
+    from big_data_medical_analysis_spark import registry
+
+    latest = registry.latest_driver_rounds()
+    ordered = list(registry.all_queries())
+    owed = [
+        n
+        for n in ordered
+        if n not in latest or latest[n] < registry._CODE_CHANGED_ROUND.get(n, 0)
+    ]
+    assert len(owed) <= registry._WINDOW, (
+        f"{len(owed)} owed queries exceed the {registry._WINDOW}-slot window; "
+        "stop registering new queries until the debt drains"
+    )
+    window = set(ordered[: registry._WINDOW])
+    evicted = [n for n in owed if n not in window]
+    assert evicted == [], f"owed queries evicted from the next window: {evicted}"
+
+
 def test_priority_order_pure_logic(monkeypatch):
     """The rotation sort itself, on synthetic artifacts: never-checked
     first (registration order, deferred names at the block's tail), then

@@ -343,8 +343,9 @@ def test_weight_below_matches_brute_force_on_random_inputs(spark):
     """The two-level prefix-sum helper (shared by the AUC and Gini
     queries) equals the O(n²) brute force — Σ weight over same-group rows
     with strictly smaller order — on hypothesis-random inputs spanning
-    multiple groups, duplicate order values, zero weights, and bucket
-    boundaries."""
+    multiple groups, duplicate (group, order) cells (the integral-order
+    RANGE frame must exclude ALL ties, not a row-position-dependent
+    subset), zero weights, and bucket boundaries."""
     from hypothesis import given, settings, strategies as st
 
     from big_data_medical_analysis_spark.operators.common import weight_below
@@ -362,30 +363,47 @@ def test_weight_below_matches_brute_force_on_random_inputs(spark):
         )
     )
     def check(rows):
-        # collapse to distinct (group, order) cells, as the callers do
-        cells: dict[tuple[str, int], int] = {}
-        for g, v, wgt in rows:
-            cells[(g, v)] = cells.get((g, v), 0) + wgt
+        # raw rows, duplicates INCLUDED — the RANGE frame handles ties
         data = [
             (g, v, wgt, v // 7)  # bucket width 7, negatives cross 0
-            for (g, v), wgt in cells.items()
+            for g, v, wgt in rows
         ]
         df = spark.createDataFrame(
             data, "grp string, val long, wgt long, bucket long"
         )
-        got = {
-            (r.grp, r.val): r.below
+        got = sorted(
+            (r.grp, r.val, r.wgt, r.below)
             for r in weight_below(df, ["grp"], "val", "wgt").collect()
-        }
-        want = {
-            (g, v): sum(
-                w2 for (g2, v2), w2 in cells.items() if g2 == g and v2 < v
+        )
+        want = sorted(
+            (
+                g,
+                v,
+                wgt,
+                sum(w2 for g2, v2, w2 in rows if g2 == g and v2 < v),
             )
-            for (g, v) in cells
-        }
+            for g, v, wgt in rows
+        )
         assert got == want
 
     check()
+
+
+def test_weight_below_string_order_path_on_distinct_cells(spark):
+    """The non-numeric order-key path (ROWS frame — the SNM sort-key
+    shape) matches the brute force on DISTINCT (group, order) cells,
+    the contract that path documents and its callers guarantee via
+    groupBy/distinct on the key."""
+    from big_data_medical_analysis_spark.operators.common import weight_below
+
+    keys = ["apple", "apricot", "banana", "berry", "cherry", "citron", "date"]
+    cells = [(k, i + 1, k[:1]) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(cells, "k string, wgt long, bucket string")
+    got = {r.k: r.below for r in weight_below(df, [], "k", "wgt").collect()}
+    want = {
+        k: sum(w2 for k2, w2, _ in cells if k2 < k) for k, _, _ in cells
+    }
+    assert got == want
 
 
 def test_row_observation_reconciles_with_direct_aggregate(spark, sf_dir):
@@ -632,7 +650,10 @@ def test_rolling_distinct_bounds_and_exact_recompute(spark, sf_dir):
 
 
 def test_conformal_coverage_honors_the_guarantee_band(spark, sf_dir):
-    """Folds partition the fact; q_hat is positive; measured test coverage
+    """Three-way split: train + calibrate + test partition the fact, so
+    the calibration set is DISJOINT from model fitting (the
+    split-conformal requirement) and n_cal + n_test < all orders — the
+    train fold holds the rest. q_hat is positive; measured test coverage
     sits in the finite-sample band around the 1-alpha guarantee
     (exchangeable synthetic data => coverage ~ Binomial(n_test, >=0.9),
     so >= 0.9 - 3/sqrt(n_test) and < 1)."""
@@ -642,7 +663,13 @@ def test_conformal_coverage_honors_the_guarantee_band(spark, sf_dir):
 
     r = conformal_interval_coverage(spark, sf_dir).collect()[0]
     n_orders = read_table(spark, sf_dir, "orders").count()
-    assert r.n_cal + r.n_test == n_orders
+    # md5 mod 3 folds: cal and test are each ~1/3; train holds the rest
+    assert 0 < r.n_cal < n_orders
+    assert 0 < r.n_test < n_orders
+    assert r.n_cal + r.n_test < n_orders
+    n_train = n_orders - r.n_cal - r.n_test
+    for part in (n_train, r.n_cal, r.n_test):
+        assert abs(part - n_orders / 3) < 0.1 * n_orders
     assert r.q_hat > 0
     assert r.n_covered <= r.n_test
     lo = (100 - r.alpha_pct) / 100 - 3.0 / (r.n_test ** 0.5)
