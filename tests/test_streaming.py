@@ -400,6 +400,13 @@ def test_running_user_totals_tws_matches_legacy_and_batch(spark, tmp_path):
     server; without a working google.protobuf the driver worker crashes
     (ImportError inside pyspark's StateMessage_pb2), so this test skips
     where the dependency is absent rather than pretending the surface ran.
+    Where only the vendored gcloud runtime exists, conftest's pbshim
+    activates it (tools/pbshim/sitecustomize.py) and this test runs.
+
+    TWS additionally requires a state store with column families —
+    RocksDB, bundled with Spark 4 — so the provider conf is set around
+    the query and restored (HDFSBackedStateStoreProvider hard-rejects
+    TWS with STATE_STORE_MULTIPLE_COLUMN_FAMILIES).
     """
     pytest.importorskip(
         "google.protobuf.descriptor",
@@ -409,42 +416,60 @@ def test_running_user_totals_tws_matches_legacy_and_batch(spark, tmp_path):
     indir = str(tmp_path / "in")
     qname = "s_" + uuid.uuid4().hex[:8]
 
+    # 0.125 is binary-EXACT, so 0.125*100 = 12.5 sits precisely on the
+    # half boundary: half-away gives 13 cents (pandas' half-even would
+    # give 12) — the rounding-discipline pin. A decimal like 1.005 does
+    # NOT pin anything: its double is below the boundary, so every
+    # engine (including batch cents()) rounds it DOWN.
     _write_events(
         indir,
         "a.json",
         [
-            (1, "2024-01-01 01:00:00.000000", 1, "click", 1.005),
+            (1, "2024-01-01 01:00:00.000000", 1, "click", 0.125),
             (2, "2024-01-01 02:00:00.000000", 1, "click", 2.5),
             (3, "2024-01-01 03:00:00.000000", 2, "view", 3.0),
         ],
     )
-    stream = SW.running_user_totals_tws(SW.read_event_stream(spark, indir))
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("update")
-        .start()
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
     )
     try:
-        q.processAllAvailable()
-        after_b0 = {
-            r.user_id: (r.n_events, r.total_value)
-            for r in spark.sql(f"SELECT * FROM {qname}").collect()
-        }
-        _write_events(
-            indir,
-            "b.json",
-            [(4, "2024-01-01 04:00:00.000000", 1, "click", 4.0)],
+        stream = SW.running_user_totals_tws(SW.read_event_stream(spark, indir))
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .start()
         )
-        q.processAllAvailable()
-        rows = spark.sql(f"SELECT * FROM {qname}").collect()
+        try:
+            q.processAllAvailable()
+            after_b0 = {
+                r.user_id: (r.n_events, r.total_value)
+                for r in spark.sql(f"SELECT * FROM {qname}").collect()
+            }
+            _write_events(
+                indir,
+                "b.json",
+                [(4, "2024-01-01 04:00:00.000000", 1, "click", 4.0)],
+            )
+            q.processAllAvailable()
+            rows = spark.sql(f"SELECT * FROM {qname}").collect()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
 
-    # 1.005 cents-rounds half-away to 1.01 — same as money_sum
-    assert after_b0 == {1: (2, 3.51), 2: (1, 3.0)}
+    # 0.125 cents-rounds half-away to 0.13 — same as money_sum / cents()
+    assert after_b0 == {1: (2, 2.63), 2: (1, 3.0)}
     tuples = sorted((r.user_id, r.n_events, r.total_value) for r in rows)
-    assert tuples == [(1, 2, 3.51), (1, 3, 7.51), (2, 1, 3.0)]
+    assert tuples == [(1, 2, 2.63), (1, 3, 6.63), (2, 1, 3.0)]
 
 
 def test_hll_state_stream_matches_batch_and_is_idempotent(spark, tmp_path):
