@@ -278,6 +278,82 @@ COHORTS: dict[str, list[str]] = {
     # isolated in its own cohort so its wall time is measured, visible, and
     # never muddies another cohort's trend.
     "recursion": ["order_chain_recursion"],
+    # ----- round 11 (VERDICT r10 task 4): the 58 early r1/r2 queries that
+    # predate the cohort system, added as NEW cohorts (existing cohort
+    # membership stays append-only and untouched) so every registered
+    # query has a wall-clock trend. With these, cohort∪headline ≡ the
+    # whole registry — pinned by tests/test_entry.py::test_bench_cohorts
+    # _cover_registry. -----
+    "relational_core": [
+        "embedding_hof_predicates",
+        "lineitem_price_quantiles",
+        "price_histogram",
+        "small_order_revenue",
+        "distinct_users_by_type",
+        "approx_distinct_users",
+        "revenue_rollup",
+        "qty_cube",
+        "revenue_grouping_sets",
+        "customers_with_orders",
+        "customers_without_orders",
+        "nation_activity_full_outer",
+        "brand_price_range_frame",
+        "top_customers_by_balance",
+        "segment_nations_union",
+        "part_string_functions",
+        "embedding_array_ops",
+        "top_revenue_suppliers",
+        "rich_idle_customers",
+        "event_type_stats",
+        "label_distribution",
+        "distinct_labels",
+        "event_pairs_range_join",
+        "nations_with_both",
+        "nations_customers_only",
+        "event_props_map",
+        "math_functions",
+    ],
+    "etl_legacy": [
+        "salted_stratified_split",
+        "partition_size_profile",
+        "dedup_guard",
+        "deterministic_client_split",
+        "exact_stratified_split",
+        "stratified_sample_by",
+        "random_split_shards",
+        "explode_part_tokens",
+        "partitioned_parquet_prune",
+        "key_dedup_count",
+        "csv_roundtrip_revenue",
+    ],
+    "text_legacy": [
+        "doc_quality_scores",
+        "language_id_markers",
+        "doc_fingerprints",
+        "regex_token_counts",
+        "ngram_stats",
+    ],
+    "multimodal_legacy": [
+        "image_decode_stats",
+        "wav_decode_stats",
+        "jpeg_decode_stats",
+        "image_resize_stats",
+        "video_frame_sample",
+        "audio_clip_stats",
+    ],
+    "dedup_legacy": [
+        "minhash_band_groups",
+        "ngram_jaccard_pairs",
+        "dedup_components",
+        "embedding_near_dup_pairs",
+    ],
+    "udf_legacy": [
+        "fedavg_client_weights",
+        "embeddings_l2_normalize",
+        "running_user_totals_batch",
+        "embedding_int8_quantize",
+        "kfold_target_encoding",
+    ],
 }
 OPTIONAL = [n for cohort in COHORTS.values() for n in cohort]
 

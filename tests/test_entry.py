@@ -168,6 +168,30 @@ def test_rotation_growth_cap():
     assert evicted == [], f"owed queries evicted from the next window: {evicted}"
 
 
+def test_bench_cohorts_cover_registry():
+    """VERDICT r10 task 4: every registered query must have a wall-clock
+    trend — bench cohort membership ∪ headline ≡ the whole registry, no
+    duplicates across cohorts, no stale names."""
+    import importlib.util as ilu
+
+    from big_data_medical_analysis_spark import registry
+
+    spec = ilu.spec_from_file_location(
+        "bench_mod", os.path.join(os.path.dirname(_ENTRY_PATH), "bench.py")
+    )
+    bench = ilu.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    regs = set(registry.queries())
+    headline = set(bench.HEADLINE)
+    cohort_names = [n for members in bench.COHORTS.values() for n in members]
+    dupes = {n for n in cohort_names if cohort_names.count(n) > 1}
+    assert dupes == set(), f"queries in multiple cohorts: {dupes}"
+    covered = headline | set(cohort_names)
+    assert covered - regs == set(), f"bench names not registered: {covered - regs}"
+    assert regs - covered == set(), f"registered but unbenched: {regs - covered}"
+
+
 def test_priority_order_pure_logic(monkeypatch):
     """The rotation sort itself, on synthetic artifacts: never-checked
     first (registration order, deferred names at the block's tail), then
