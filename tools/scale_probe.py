@@ -46,6 +46,19 @@ PILLAR_QUERIES = [
     "cosine_topk",
     "embedding_diversity_score",
 ]
+# Heavy production shapes (VERDICT r10 task 5): the persisted-index probes,
+# the exact prefix-filter similarity join, and the 5-stage governance
+# composition — the queries where an accidental candidate-set blowup would
+# actually show at 10×. Same disjoint-vocabulary corpus as the pillar (and
+# shifted vec_ids for the ANN index), so candidate structure measures the
+# blocking algorithm, not duplicated data.
+HEAVY_QUERIES = [
+    "minhash_incremental_probe",
+    "ann_incremental_probe",
+    "ann_recall_audit",
+    "prefix_filter_jaccard_join",
+    "governed_mixture_sample",
+]
 FACT_SHIFT_KEYS = {
     # table -> columns sharing the shift grain (join edges must scale together)
     "orders": ["o_orderkey"],
@@ -178,6 +191,8 @@ def main() -> int:
     p_results = {1: time_queries(spark, BASE_SF, PILLAR_QUERIES)}
     pd_dir = build_scaled_docs(spark, pillar_mult)
     p_results[pillar_mult] = time_queries(spark, pd_dir, PILLAR_QUERIES)
+    h_results = {1: time_queries(spark, BASE_SF, HEAVY_QUERIES)}
+    h_results[pillar_mult] = time_queries(spark, pd_dir, HEAVY_QUERIES)
     lines = [
         "# SCALING — measured headline wall-clock vs fact-table scale",
         "",
@@ -228,6 +243,27 @@ def main() -> int:
     )
     lines += [
         "",
+        "## Heavy dedup/ANN production tier (same disjoint ×{m} corpus —".format(m=pillar_mult),
+        "persisted-index probes, exact prefix-filter similarity join, and",
+        "the 5-stage governance composition: the shapes where an accidental",
+        "candidate blowup would actually show; index build + probe both",
+        "inside the timed wall)",
+        "",
+        "| query | 1x (s) | {m}x (s) | {m}x/1x |".format(m=pillar_mult),
+        "|---|---|---|---|",
+    ]
+    ht1 = sum(h_results[1].values())
+    for name in HEAVY_QUERIES:
+        r1, rm = h_results[1][name], h_results[pillar_mult][name]
+        lines.append(
+            f"| {name} | {r1:.3f} | {rm:.3f} | {rm / max(r1, 1e-9):.2f}x |"
+        )
+    htm = sum(h_results[pillar_mult].values())
+    lines.append(
+        f"| **total** | **{ht1:.3f}** | **{htm:.3f}** | **{htm / ht1:.2f}x** |"
+    )
+    lines += [
+        "",
         "## Reading",
         "",
         "Sub-linear ratios = fixed overheads amortizing over partitioned",
@@ -243,6 +279,7 @@ def main() -> int:
         "mults": mults,
         "results": {str(k): v for k, v in results.items()},
         "pillar": {str(k): v for k, v in p_results.items()},
+        "heavy": {str(k): v for k, v in h_results.items()},
     }))
     return 0
 
