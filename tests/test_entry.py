@@ -192,6 +192,23 @@ def test_bench_cohorts_cover_registry():
     assert regs - covered == set(), f"registered but unbenched: {regs - covered}"
 
 
+def test_spec_docs_name_every_registered_query():
+    """VERDICT r10 task 7 made permanent: the spec may never lag the
+    registry — every registered query name must appear verbatim in
+    SURVEY.md or COVERAGE.md (COVERAGE carries the row-by-row operator→
+    query mapping the judge audits). A query registered without a spec
+    row fails here in the round that adds it."""
+    from big_data_medical_analysis_spark import registry
+
+    root = os.path.dirname(_ENTRY_PATH)
+    docs = ""
+    for f in ("SURVEY.md", "COVERAGE.md"):
+        with open(os.path.join(root, f)) as fh:
+            docs += fh.read()
+    unmapped = [n for n in registry.queries() if n not in docs]
+    assert unmapped == [], f"registered queries missing from spec docs: {unmapped}"
+
+
 def test_priority_order_pure_logic(monkeypatch):
     """The rotation sort itself, on synthetic artifacts: never-checked
     first (registration order, deferred names at the block's tail), then
