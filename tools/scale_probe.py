@@ -271,6 +271,18 @@ def main() -> int:
         "super-linear term (accidental quadratic, broadcast-turned-shuffle).",
         "Dimension-bound queries (e.g. topk_parts_per_brand) stay flat by",
         "construction — dimensions don't scale with facts.",
+        "",
+        "The heavy tier's spread is the honest shape of each algorithm:",
+        "index PROBES (minhash/ann incremental) scale with the probe slice",
+        "plus an index rebuild amortized per corpus, staying well under the",
+        "multiplier; governed_mixture_sample is the tier's most LINEAR",
+        "member because every stage's work is corpus-proportional by design",
+        "— N·bands MinHash signatures plus one exact-Jaccard verification",
+        "per banded candidate (candidates grow ~m on a disjoint corpus,",
+        "never m²) — with no fixed-cost headroom left to amortize at this",
+        "size. Linear-in-corpus IS the target cost model for a curation",
+        "policy loop; the ratio to watch for is above the multiplier, and",
+        "none is.",
     ]
     open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"), "w").write(
         "\n".join(lines) + "\n"
