@@ -557,6 +557,68 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
     )
 
 
+class _TypeBreakdownProcessor(_StatefulProcessor):
+    """StatefulProcessor exercising the TWS state surfaces the ValueState
+    twin doesn't: a MapState (per-user running count keyed by event_type —
+    the state store holds each map entry as its own column-family row, so
+    an unbounded type universe never serializes one growing blob) and a
+    ListState (the user's event_ids in arrival order — appended per batch,
+    never rewritten). Emits one row per (user, type) seen so far."""
+
+    def init(self, handle) -> None:  # noqa: ANN001
+        self._by_type = handle.getMapState("by_type", "t string", "n long")
+        self._ids = handle.getListState("ids", "event_id long")
+
+    def handleInputRows(self, key, rows, timer_values):  # noqa: ANN001
+        import pandas as pd
+
+        for pdf in rows:
+            self._ids.appendList(
+                [(int(e),) for e in pdf["event_id"].tolist()]
+            )
+            for t, n in pdf.groupby("event_type").size().items():
+                prev = (
+                    self._by_type.getValue((t,))[0]
+                    if self._by_type.containsKey((t,))
+                    else 0
+                )
+                self._by_type.updateValue((t,), (prev + int(n),))
+        n_ids = sum(1 for _ in self._ids.get())
+        out = [
+            {
+                "user_id": key[0],
+                "event_type": t[0],
+                "n": n[0],
+                "n_ids_total": n_ids,
+            }
+            for t, n in self._by_type.iterator()
+        ]
+        yield pd.DataFrame(out)
+
+    def close(self) -> None:
+        pass
+
+
+def user_type_breakdown_tws(events: DataFrame) -> DataFrame:
+    """Per-user per-event-type running counts on MapState + ListState —
+    the multi-state TWS form next to ``running_user_totals_tws``'s single
+    ValueState. Batch twin: ``events.groupBy(user_id, event_type).count()``
+    (the pytest asserts final-emission equality), and the ListState length
+    must equal the user's total event count — state-surface coverage the
+    legacy applyInPandasWithState API cannot express (one opaque tuple).
+
+    Scale: MapState rows are per-(user, type) — the store scales with
+    live keys, not with a per-user blob; ListState appends are O(batch)."""
+    return events.select("user_id", "event_type", "event_id").groupBy(
+        "user_id"
+    ).transformWithStateInPandas(
+        _TypeBreakdownProcessor(),
+        "user_id long, event_type string, n long, n_ids_total long",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming HLL state maintenance (round 9): foreachBatch register merge
 # ---------------------------------------------------------------------------

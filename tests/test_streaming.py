@@ -472,6 +472,90 @@ def test_running_user_totals_tws_matches_legacy_and_batch(spark, tmp_path):
     assert tuples == [(1, 2, 2.63), (1, 3, 6.63), (2, 1, 3.0)]
 
 
+def test_tws_map_and_list_state_match_batch_breakdown(spark, tmp_path):
+    """The MULTI-state TWS surfaces — MapState (per-user counts keyed by
+    event_type, one column-family row per map entry) and ListState
+    (append-only event-id log) — carry correct state across micro-batches:
+    the final emission per (user, type) equals the batch
+    groupBy(user, type).count(), and the ListState length equals the
+    user's total event count. This is the state shape the legacy
+    applyInPandasWithState API cannot express (one opaque tuple per key).
+
+    Same environment notes as the ValueState test: protobuf via the
+    conftest pbshim where no distribution is installed; RocksDB state
+    store set around the query (column families required)."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithStateInPandas requires protobuf "
+        "(pyspark StateMessage_pb2)",
+    )
+    indir = str(tmp_path / "in")
+    qname = "s_" + uuid.uuid4().hex[:8]
+
+    _write_events(
+        indir,
+        "a.json",
+        [
+            (1, "2024-01-01 01:00:00.000000", 1, "click", 1.0),
+            (2, "2024-01-01 02:00:00.000000", 1, "view", 1.0),
+            (3, "2024-01-01 03:00:00.000000", 2, "click", 1.0),
+        ],
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = SW.user_type_breakdown_tws(SW.read_event_stream(spark, indir))
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            after_b0 = {
+                (r.user_id, r.event_type): (r.n, r.n_ids_total)
+                for r in spark.sql(f"SELECT * FROM {qname}").collect()
+            }
+            _write_events(
+                indir,
+                "b.json",
+                [
+                    (4, "2024-01-01 04:00:00.000000", 1, "click", 1.0),
+                    (5, "2024-01-01 05:00:00.000000", 3, "view", 1.0),
+                ],
+            )
+            q.processAllAvailable()
+            rows = spark.sql(f"SELECT * FROM {qname}").collect()
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+    assert after_b0 == {(1, "click"): (1, 2), (1, "view"): (1, 2), (2, "click"): (1, 1)}
+    # final state per (user, type): counts are monotone per user, so the
+    # max over the update-mode emissions is the last one
+    final: dict = {}
+    for r in rows:
+        k = (r.user_id, r.event_type)
+        if k not in final or r.n_ids_total > final[k][1]:
+            final[k] = (r.n, r.n_ids_total)
+    assert final == {
+        (1, "click"): (2, 3),
+        (1, "view"): (1, 3),
+        (2, "click"): (1, 1),
+        (3, "view"): (1, 1),
+    }
+
+
 def test_hll_state_stream_matches_batch_and_is_idempotent(spark, tmp_path):
     """The streaming register merger must converge to EXACTLY the state
     the batch builder computes over the same events (register-level
