@@ -599,6 +599,80 @@ class _TypeBreakdownProcessor(_StatefulProcessor):
         pass
 
 
+IDLE_GAP_MS = 30 * 60 * 1000  # session closes 30 min after its last event
+
+
+class _IdleSessionCloseProcessor(_StatefulProcessor):
+    """StatefulProcessor exercising EVENT-TIME TIMERS — the TWS surface
+    neither state-only twin touches: each input batch re-arms one timer
+    per user at (last event time + gap); when the WATERMARK passes that
+    expiry the engine calls handleExpiredTimer for the key (with or
+    without input rows for it in that batch), which emits the closed
+    session and evicts the state. This is the timeout arm of session
+    semantics — the declarative twin is ``session_window`` aggregation;
+    the legacy twin is ``GroupStateTimeout.EventTimeTimeout``."""
+
+    def init(self, handle) -> None:  # noqa: ANN001
+        self._handle = handle
+        self._sess = handle.getValueState("sess", "n long, max_ts_ms long")
+
+    def handleInputRows(self, key, rows, timer_values):  # noqa: ANN001
+        n, max_ms = (0, 0)
+        if self._sess.exists():
+            n, max_ms = self._sess.get()
+        for pdf in rows:
+            n += len(pdf)
+            max_ms = max(max_ms, int(pdf["ts"].max().value // 1_000_000))
+        # one live timer per key: re-arm at last-event + gap
+        for t in list(self._handle.listTimers()):
+            self._handle.deleteTimer(t)
+        self._handle.registerTimer(max_ms + IDLE_GAP_MS)
+        self._sess.update((n, max_ms))
+        return iter([])  # sessions emit only when the timer closes them
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):  # noqa: ANN001
+        import pandas as pd
+
+        n, _max_ms = self._sess.get() if self._sess.exists() else (0, 0)
+        self._sess.clear()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "closed_at_ms": [expiredTimerInfo.getExpiryTimeInMs()],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def idle_session_close_tws(events: DataFrame, watermark: str = "0 seconds") -> DataFrame:
+    """Idle-session closer on TWS event-time timers: per-user sessions
+    emit ONCE, when the watermark passes (last event + {gap} min), with
+    their event count — state and its timer are evicted on close, so the
+    store is O(open sessions). timeMode='EventTime' requires the input
+    watermark; emissions are timer-driven (a key can emit in a batch that
+    carried no rows for it — the pytest drives watermark-advancing
+    sentinel batches and asserts exactly that timing)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "ts")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _IdleSessionCloseProcessor(),
+            "user_id long, n_events long, closed_at_ms long",
+            outputMode="Update",
+            timeMode="EventTime",
+        )
+    )
+
+
+idle_session_close_tws.__doc__ = idle_session_close_tws.__doc__.format(
+    gap=IDLE_GAP_MS // 60000
+)
+
+
 def user_type_breakdown_tws(events: DataFrame) -> DataFrame:
     """Per-user per-event-type running counts on MapState + ListState —
     the multi-state TWS form next to ``running_user_totals_tws``'s single

@@ -556,6 +556,87 @@ def test_tws_map_and_list_state_match_batch_breakdown(spark, tmp_path):
     }
 
 
+def test_tws_event_time_timer_closes_idle_sessions(spark, tmp_path):
+    """EVENT-TIME TIMERS on TWS: sessions close exactly when the watermark
+    passes (last event + 30 min), in a batch that carries NO input rows
+    for the closing keys (timer-driven emission — the semantics the
+    state-only processors can't produce). Timeline: batch a seeds users
+    1 and 2 (nothing fires — watermark still 0 during a); the sentinel
+    file (03:00) advances the watermark, and processAllAvailable DRAINS
+    the watermark-induced follow-up batch, so both sessions emit within
+    that call — with their exact expiry timestamps and counts, state
+    evicted. A further sentinel produces NO duplicate emissions and the
+    sentinel user's own timer stays unexpired (no emission for 99)."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithStateInPandas requires protobuf "
+        "(pyspark StateMessage_pb2)",
+    )
+    indir = str(tmp_path / "in")
+    qname = "s_" + uuid.uuid4().hex[:8]
+
+    _write_events(
+        indir,
+        "a.json",
+        [
+            (1, "2024-01-01 01:00:00.000000", 1, "click", 1.0),
+            (2, "2024-01-01 01:10:00.000000", 1, "view", 1.0),
+            (3, "2024-01-01 01:05:00.000000", 2, "click", 1.0),
+        ],
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = SW.idle_session_close_tws(SW.read_event_stream(spark, indir))
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            n_after_a = spark.sql(f"SELECT * FROM {qname}").count()
+            _write_events(
+                indir,
+                "b.json",
+                [(90, "2024-01-01 03:00:00.000000", 99, "click", 1.0)],
+            )
+            q.processAllAvailable()
+            n_after_b = spark.sql(f"SELECT * FROM {qname}").count()
+            _write_events(
+                indir,
+                "c.json",
+                [(91, "2024-01-01 03:10:00.000000", 99, "click", 1.0)],
+            )
+            q.processAllAvailable()
+            rows = spark.sql(f"SELECT * FROM {qname}").collect()
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+    # nothing may close before the watermark passes an expiry
+    assert n_after_a == 0
+    # the sentinel's drain includes the watermark-induced batch: both fire
+    assert n_after_b == 2
+    base = 1704067200000  # 2024-01-01 00:00:00 UTC in ms
+    got = sorted((r.user_id, r.n_events, r.closed_at_ms) for r in rows)
+    # a later batch adds NO duplicate emissions (state + timer evicted)
+    assert got == [
+        (1, 2, base + (70 + 30) * 60000),  # last event 01:10 + 30 min
+        (2, 1, base + (65 + 30) * 60000),  # last event 01:05 + 30 min
+    ]
+
+
 def test_hll_state_stream_matches_batch_and_is_idempotent(spark, tmp_path):
     """The streaming register merger must converge to EXACTLY the state
     the batch builder computes over the same events (register-level
