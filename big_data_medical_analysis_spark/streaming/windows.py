@@ -528,6 +528,15 @@ class _RunningTotalsProcessor(_StatefulProcessor):
             }
         )
 
+    def handleInitialState(self, key, initialState, timerValues) -> None:  # noqa: ANN001
+        # batch-bootstrap handoff (first batch only; no-op unless the
+        # query passes initialState): seed the typed state from the
+        # backfill aggregate's EXACT integer columns — n and int64 cents,
+        # never a re-rounded double
+        self._state.update(
+            (int(initialState["n"].iloc[0]), int(initialState["cents"].iloc[0]))
+        )
+
     def close(self) -> None:
         pass
 
@@ -597,6 +606,40 @@ class _TypeBreakdownProcessor(_StatefulProcessor):
 
     def close(self) -> None:
         pass
+
+
+def running_user_totals_tws_bootstrapped(
+    stream_events: DataFrame, backfill_events: DataFrame
+) -> DataFrame:
+    """Backfill→tail STATE HANDOFF on TWS ``initialState``: the batch
+    backfill's per-user aggregate seeds the typed state in the stream's
+    FIRST micro-batch (``handleInitialState``), so the tail continues the
+    running totals instead of restarting them — the state-carrying form
+    of the ``backfill_available_now`` pattern (which hands off at the
+    DATA level by replaying files). Exactness: the handoff columns are
+    the count and the int64-cents sum, so the seeded state is
+    bit-identical to what a stream over the backfill would have built.
+
+    Scale: the initial-state join is one co-partitioned pass at stream
+    start (both sides grouped on user_id); thereafter cost is identical
+    to ``running_user_totals_tws``."""
+    from big_data_medical_analysis_spark.operators.common import cents
+
+    initial = backfill_events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents("value")).cast("long").alias("cents"),
+    )
+    return (
+        stream_events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _RunningTotalsProcessor(),
+            "user_id long, n_events long, total_value double",
+            outputMode="Update",
+            timeMode="None",
+            initialState=initial.groupBy("user_id"),
+        )
+    )
 
 
 IDLE_GAP_MS = 30 * 60 * 1000  # session closes 30 min after its last event

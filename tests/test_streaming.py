@@ -556,6 +556,66 @@ def test_tws_map_and_list_state_match_batch_breakdown(spark, tmp_path):
     }
 
 
+def test_tws_initial_state_bootstraps_backfill_totals(spark, tmp_path):
+    """TWS initialState handoff: a batch backfill aggregate seeds the
+    stream's typed state, so the tail CONTINUES the running totals — the
+    first tail emission for a backfilled user already includes the
+    backfill (n and exact cents), and equals the batch aggregate over
+    backfill ∪ tail. A user present only in the backfill emits nothing
+    (update mode, no input rows) — state seeded silently, not leaked."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithStateInPandas requires protobuf "
+        "(pyspark StateMessage_pb2)",
+    )
+    indir = str(tmp_path / "in")
+    qname = "s_" + uuid.uuid4().hex[:8]
+
+    backfill = spark.createDataFrame(
+        [(1, 1.0), (1, 2.5), (3, 9.0)], "user_id long, value double"
+    )
+    _write_events(
+        indir,
+        "tail.json",
+        [
+            (10, "2024-01-02 01:00:00.000000", 1, "click", 4.0),
+            (11, "2024-01-02 02:00:00.000000", 2, "view", 3.0),
+        ],
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = SW.running_user_totals_tws_bootstrapped(
+            SW.read_event_stream(spark, indir), backfill
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql(f"SELECT * FROM {qname}").collect()
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+    got = sorted((r.user_id, r.n_events, r.total_value) for r in rows)
+    # user 1: backfill (2 events, 3.50) + tail 4.0 = (3, 7.5);
+    # user 2: tail only; user 3: backfill only -> NO emission
+    assert got == [(1, 3, 7.5), (2, 1, 3.0)]
+
+
 def test_tws_event_time_timer_closes_idle_sessions(spark, tmp_path):
     """EVENT-TIME TIMERS on TWS: sessions close exactly when the watermark
     passes (last event + 30 min), in a batch that carries NO input rows
