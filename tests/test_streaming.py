@@ -616,6 +616,87 @@ def test_tws_initial_state_bootstraps_backfill_totals(spark, tmp_path):
     assert got == [(1, 3, 7.5), (2, 1, 3.0)]
 
 
+def test_tws_state_survives_query_restart_from_checkpoint(spark, tmp_path):
+    """TWS typed state persists in the RocksDB checkpoint across a clean
+    stop + restart: the restarted query's first emission for a user
+    CONTINUES the pre-restart running totals (n and exact cents), not a
+    restart from zero — the recovery contract that makes the operator
+    production-usable. (Crash-with-same-JVM needs a cold checkpoint copy
+    — the HDFSMetadataLog cache gotcha documented in the verify notes —
+    so this pins the supported stop/restart path.)"""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithStateInPandas requires protobuf "
+        "(pyspark StateMessage_pb2)",
+    )
+    indir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_events(
+        indir,
+        "a.json",
+        [
+            (1, "2024-01-01 01:00:00.000000", 1, "click", 1.0),
+            (2, "2024-01-01 02:00:00.000000", 1, "click", 2.5),
+        ],
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    out_dir = str(tmp_path / "out")
+    try:
+        def start():
+            # memory sink refuses checkpoint recovery; the repo's
+            # idempotent foreachBatch parquet writer is the recoverable
+            # sink (exactly-once via batch-id overwrite)
+            stream = SW.running_user_totals_tws(
+                SW.read_event_stream(spark, indir)
+            )
+            return (
+                stream.writeStream.foreachBatch(
+                    SW.make_idempotent_batch_writer(out_dir)
+                )
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .start()
+            )
+
+        q1 = start()
+        try:
+            q1.processAllAvailable()
+        finally:
+            q1.stop()
+
+        _write_events(
+            indir,
+            "b.json",
+            [(3, "2024-01-01 03:00:00.000000", 1, "click", 4.0)],
+        )
+        q2 = start()
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+    out = spark.read.parquet(out_dir)
+    per_batch = {
+        int(r.batch_id): (r.user_id, r.n_events, r.total_value)
+        for r in out.collect()
+    }
+    # batch 0 (pre-restart): totals from a.json; batch 1 (post-restart):
+    # its FIRST emission already carries the recovered (2, 350c) state
+    assert per_batch == {0: (1, 2, 3.5), 1: (1, 3, 7.5)}
+
+
 def test_tws_event_time_timer_closes_idle_sessions(spark, tmp_path):
     """EVENT-TIME TIMERS on TWS: sessions close exactly when the watermark
     passes (last event + 30 min), in a batch that carries NO input rows
