@@ -541,7 +541,7 @@ class _RunningTotalsProcessor(_StatefulProcessor):
         pass
 
 
-def running_user_totals_tws(events: DataFrame) -> DataFrame:
+def running_user_totals_tws(events: DataFrame, initial_state=None) -> DataFrame:
     """Per-user running totals on ``transformWithStateInPandas`` — Spark 4's
     successor to ``applyInPandasWithState`` (running_user_totals_stream):
     instead of one opaque state tuple threaded through a function, the
@@ -555,7 +555,13 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
     Scale: state lives in the per-partition state store (RocksDB at
     production scale), keyed by user — O(active users) state, streamed
     Arrow batches per key, no global structure.
+
+    ``initial_state`` (optional GroupedData over (user_id, n, cents))
+    seeds the typed state in the first micro-batch via
+    ``handleInitialState`` — the backfill→tail handoff;
+    ``running_user_totals_tws_bootstrapped`` builds that aggregate.
     """
+    kwargs = {} if initial_state is None else {"initialState": initial_state}
     return events.select("user_id", "value").groupBy(
         "user_id"
     ).transformWithStateInPandas(
@@ -563,6 +569,7 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         "user_id long, n_events long, total_value double",
         outputMode="Update",
         timeMode="None",
+        **kwargs,
     )
 
 
@@ -577,14 +584,17 @@ class _TypeBreakdownProcessor(_StatefulProcessor):
     def init(self, handle) -> None:  # noqa: ANN001
         self._by_type = handle.getMapState("by_type", "t string", "n long")
         self._ids = handle.getListState("ids", "event_id long")
+        self._n_total = handle.getValueState("n_total", "n long")
 
     def handleInputRows(self, key, rows, timer_values):  # noqa: ANN001
         import pandas as pd
 
+        n_ids = self._n_total.get()[0] if self._n_total.exists() else 0
         for pdf in rows:
             self._ids.appendList(
                 [(int(e),) for e in pdf["event_id"].tolist()]
             )
+            n_ids += len(pdf)
             for t, n in pdf.groupby("event_type").size().items():
                 prev = (
                     self._by_type.getValue((t,))[0]
@@ -592,7 +602,11 @@ class _TypeBreakdownProcessor(_StatefulProcessor):
                     else 0
                 )
                 self._by_type.updateValue((t,), (prev + int(n),))
-        n_ids = sum(1 for _ in self._ids.get())
+        # the running total rides a ValueState counter — re-counting the
+        # ListState would re-materialize the whole per-user history every
+        # batch (O(lifetime), not O(batch)); the list stays append-only,
+        # an audit log a downstream state reader exports
+        self._n_total.update((n_ids,))
         out = [
             {
                 "user_id": key[0],
@@ -629,16 +643,8 @@ def running_user_totals_tws_bootstrapped(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(cents("value")).cast("long").alias("cents"),
     )
-    return (
-        stream_events.select("user_id", "value")
-        .groupBy("user_id")
-        .transformWithStateInPandas(
-            _RunningTotalsProcessor(),
-            "user_id long, n_events long, total_value double",
-            outputMode="Update",
-            timeMode="None",
-            initialState=initial.groupBy("user_id"),
-        )
+    return running_user_totals_tws(
+        stream_events, initial_state=initial.groupBy("user_id")
     )
 
 
@@ -660,18 +666,42 @@ class _IdleSessionCloseProcessor(_StatefulProcessor):
         self._sess = handle.getValueState("sess", "n long, max_ts_ms long")
 
     def handleInputRows(self, key, rows, timer_values):  # noqa: ANN001
-        n, max_ms = (0, 0)
-        if self._sess.exists():
-            n, max_ms = self._sess.get()
+        import pandas as pd
+
+        have = self._sess.exists()
+        n, max_ms = self._sess.get() if have else (0, 0)
+        ts_ms = []
         for pdf in rows:
-            n += len(pdf)
-            max_ms = max(max_ms, int(pdf["ts"].max().value // 1_000_000))
-        # one live timer per key: re-arm at last-event + gap
-        for t in list(self._handle.listTimers()):
-            self._handle.deleteTimer(t)
-        self._handle.registerTimer(max_ms + IDLE_GAP_MS)
-        self._sess.update((n, max_ms))
-        return iter([])  # sessions emit only when the timer closes them
+            ts_ms.extend(
+                int(v) // 1_000_000 for v in pdf["ts"].astype("int64").tolist()
+            )
+        ts_ms.sort()
+        closed = []
+        for t in ts_ms:
+            if have and t > max_ms + IDLE_GAP_MS:
+                # the open session's gap was already exceeded by this
+                # event (the watermark simply hadn't fired the timer
+                # yet): close it NOW at its true expiry and start a new
+                # session — merging across the gap would under-count
+                # sessions vs the declarative session_window twin
+                closed.append((key[0], n, max_ms + IDLE_GAP_MS))
+                n, max_ms = (0, 0)
+            n += 1
+            max_ms = max(max_ms, t)
+            have = True
+        if ts_ms:
+            # one live timer per key: re-arm at last-event + gap
+            for tmr in list(self._handle.listTimers()):
+                self._handle.deleteTimer(tmr)
+            self._handle.registerTimer(max_ms + IDLE_GAP_MS)
+            self._sess.update((n, max_ms))
+        if closed:
+            yield pd.DataFrame(
+                [
+                    {"user_id": u, "n_events": c, "closed_at_ms": e}
+                    for u, c, e in closed
+                ]
+            )
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):  # noqa: ANN001
         import pandas as pd
@@ -692,12 +722,16 @@ class _IdleSessionCloseProcessor(_StatefulProcessor):
 
 def idle_session_close_tws(events: DataFrame, watermark: str = "0 seconds") -> DataFrame:
     """Idle-session closer on TWS event-time timers: per-user sessions
-    emit ONCE, when the watermark passes (last event + {gap} min), with
-    their event count — state and its timer are evicted on close, so the
-    store is O(open sessions). timeMode='EventTime' requires the input
-    watermark; emissions are timer-driven (a key can emit in a batch that
-    carried no rows for it — the pytest drives watermark-advancing
-    sentinel batches and asserts exactly that timing)."""
+    emit ONCE, when closed — by the TIMER when the watermark passes
+    (last event + {gap} min), or INLINE when a later event for the same
+    user already exceeds the open session's gap before the watermark
+    got there (watermark lag must split sessions, not merge them — the
+    semantics of the declarative ``session_window`` twin). State and
+    timer are evicted/re-armed per close, so the store is O(open
+    sessions). timeMode='EventTime' requires the input watermark;
+    timer emissions fire for keys with no rows in the firing batch (the
+    pytest drives watermark-advancing sentinel batches and asserts
+    exactly that timing, plus the gap-split path)."""
     return (
         events.withWatermark("ts", watermark)
         .select("user_id", "ts")
@@ -717,15 +751,18 @@ idle_session_close_tws.__doc__ = idle_session_close_tws.__doc__.format(
 
 
 def user_type_breakdown_tws(events: DataFrame) -> DataFrame:
-    """Per-user per-event-type running counts on MapState + ListState —
-    the multi-state TWS form next to ``running_user_totals_tws``'s single
-    ValueState. Batch twin: ``events.groupBy(user_id, event_type).count()``
-    (the pytest asserts final-emission equality), and the ListState length
-    must equal the user's total event count — state-surface coverage the
-    legacy applyInPandasWithState API cannot express (one opaque tuple).
+    """Per-user per-event-type running counts on MapState + ListState +
+    a ValueState counter — the multi-state TWS form next to
+    ``running_user_totals_tws``'s single ValueState. Batch twin:
+    ``events.groupBy(user_id, event_type).count()`` (the pytest asserts
+    final-emission equality), and the emitted running total must equal
+    the user's total event count — state-surface coverage the legacy
+    applyInPandasWithState API cannot express (one opaque tuple).
 
     Scale: MapState rows are per-(user, type) — the store scales with
-    live keys, not with a per-user blob; ListState appends are O(batch)."""
+    live keys, not with a per-user blob; ListState appends and the
+    counter update are O(batch), and nothing re-reads the accumulated
+    list on the hot path."""
     return events.select("user_id", "event_type", "event_id").groupBy(
         "user_id"
     ).transformWithStateInPandas(

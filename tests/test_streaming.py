@@ -20,6 +20,29 @@ from pyspark.sql import functions as F
 
 from big_data_medical_analysis_spark.streaming import windows as SW
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _rocksdb_state_store(spark):
+    """TWS requires a column-family state store (RocksDB, bundled with
+    Spark 4); set the provider for the enclosed query and restore after —
+    the other streaming tests keep the default HDFS-backed provider."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
 
 def _write_events(dirpath: str, name: str, rows: list[tuple]) -> None:
     """rows: (event_id, ts_str, user_id, event_type, value)."""
@@ -430,14 +453,7 @@ def test_running_user_totals_tws_matches_legacy_and_batch(spark, tmp_path):
             (3, "2024-01-01 03:00:00.000000", 2, "view", 3.0),
         ],
     )
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
-    try:
+    with _rocksdb_state_store(spark):
         stream = SW.running_user_totals_tws(SW.read_event_stream(spark, indir))
         q = (
             stream.writeStream.format("memory")
@@ -460,11 +476,6 @@ def test_running_user_totals_tws_matches_legacy_and_batch(spark, tmp_path):
             rows = spark.sql(f"SELECT * FROM {qname}").collect()
         finally:
             q.stop()
-    finally:
-        if prev is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev)
 
     # 0.125 cents-rounds half-away to 0.13 — same as money_sum / cents()
     assert after_b0 == {1: (2, 2.63), 2: (1, 3.0)}
@@ -501,14 +512,7 @@ def test_tws_map_and_list_state_match_batch_breakdown(spark, tmp_path):
             (3, "2024-01-01 03:00:00.000000", 2, "click", 1.0),
         ],
     )
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
-    try:
+    with _rocksdb_state_store(spark):
         stream = SW.user_type_breakdown_tws(SW.read_event_stream(spark, indir))
         q = (
             stream.writeStream.format("memory")
@@ -534,11 +538,6 @@ def test_tws_map_and_list_state_match_batch_breakdown(spark, tmp_path):
             rows = spark.sql(f"SELECT * FROM {qname}").collect()
         finally:
             q.stop()
-    finally:
-        if prev is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev)
 
     assert after_b0 == {(1, "click"): (1, 2), (1, "view"): (1, 2), (2, "click"): (1, 1)}
     # final state per (user, type): counts are monotone per user, so the
@@ -554,6 +553,70 @@ def test_tws_map_and_list_state_match_batch_breakdown(spark, tmp_path):
         (2, "click"): (1, 1),
         (3, "view"): (1, 1),
     }
+
+
+def test_tws_idle_session_gap_split_under_watermark_lag(spark, tmp_path):
+    """Watermark lag must SPLIT sessions, not merge them: a same-user
+    event arriving after the open session's gap — but before the
+    watermark fired its timer — closes the old session inline (at its
+    true expiry) and starts a new one, matching the declarative
+    session_window semantics. Timeline: user 1 at 01:00 (expiry 01:30);
+    next batch carries user 1 at 02:00 while the watermark is still
+    01:00 → session 1 closes inline (1 event, 01:30); sentinels then
+    advance the watermark past 02:30 → session 2 closes by timer
+    (1 event, 02:30)."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithStateInPandas requires protobuf "
+        "(pyspark StateMessage_pb2)",
+    )
+    indir = str(tmp_path / "in")
+    qname = "s_" + uuid.uuid4().hex[:8]
+
+    _write_events(
+        indir, "a.json", [(1, "2024-01-01 01:00:00.000000", 1, "click", 1.0)]
+    )
+    with _rocksdb_state_store(spark):
+        stream = SW.idle_session_close_tws(SW.read_event_stream(spark, indir))
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            _write_events(
+                indir,
+                "b.json",
+                [(2, "2024-01-01 02:00:00.000000", 1, "click", 1.0)],
+            )
+            q.processAllAvailable()
+            after_split = sorted(
+                (r.user_id, r.n_events, r.closed_at_ms)
+                for r in spark.sql(f"SELECT * FROM {qname}").collect()
+            )
+            _write_events(
+                indir,
+                "c.json",
+                [(90, "2024-01-01 05:00:00.000000", 99, "click", 1.0)],
+            )
+            q.processAllAvailable()
+            rows = sorted(
+                (r.user_id, r.n_events, r.closed_at_ms)
+                for r in spark.sql(f"SELECT * FROM {qname}").collect()
+            )
+        finally:
+            q.stop()
+
+    base = 1704067200000  # 2024-01-01 00:00:00 UTC in ms
+    # inline close at the OLD session's true expiry, before any timer fired
+    assert after_split == [(1, 1, base + 90 * 60000)]
+    # the second session then closes by timer at its own expiry
+    assert rows == [
+        (1, 1, base + 90 * 60000),
+        (1, 1, base + 150 * 60000),
+    ]
 
 
 def test_tws_initial_state_bootstraps_backfill_totals(spark, tmp_path):
@@ -582,14 +645,7 @@ def test_tws_initial_state_bootstraps_backfill_totals(spark, tmp_path):
             (11, "2024-01-02 02:00:00.000000", 2, "view", 3.0),
         ],
     )
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
-    try:
+    with _rocksdb_state_store(spark):
         stream = SW.running_user_totals_tws_bootstrapped(
             SW.read_event_stream(spark, indir), backfill
         )
@@ -604,11 +660,6 @@ def test_tws_initial_state_bootstraps_backfill_totals(spark, tmp_path):
             rows = spark.sql(f"SELECT * FROM {qname}").collect()
         finally:
             q.stop()
-    finally:
-        if prev is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev)
 
     got = sorted((r.user_id, r.n_events, r.total_value) for r in rows)
     # user 1: backfill (2 events, 3.50) + tail 4.0 = (3, 7.5);
@@ -640,15 +691,8 @@ def test_tws_state_survives_query_restart_from_checkpoint(spark, tmp_path):
             (2, "2024-01-01 02:00:00.000000", 1, "click", 2.5),
         ],
     )
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
     out_dir = str(tmp_path / "out")
-    try:
+    with _rocksdb_state_store(spark):
         def start():
             # memory sink refuses checkpoint recovery; the repo's
             # idempotent foreachBatch parquet writer is the recoverable
@@ -681,11 +725,6 @@ def test_tws_state_survives_query_restart_from_checkpoint(spark, tmp_path):
             q2.processAllAvailable()
         finally:
             q2.stop()
-    finally:
-        if prev is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev)
 
     out = spark.read.parquet(out_dir)
     per_batch = {
@@ -725,14 +764,7 @@ def test_tws_event_time_timer_closes_idle_sessions(spark, tmp_path):
             (3, "2024-01-01 01:05:00.000000", 2, "click", 1.0),
         ],
     )
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
-    try:
+    with _rocksdb_state_store(spark):
         stream = SW.idle_session_close_tws(SW.read_event_stream(spark, indir))
         q = (
             stream.writeStream.format("memory")
@@ -759,11 +791,6 @@ def test_tws_event_time_timer_closes_idle_sessions(spark, tmp_path):
             rows = spark.sql(f"SELECT * FROM {qname}").collect()
         finally:
             q.stop()
-    finally:
-        if prev is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev)
 
     # nothing may close before the watermark passes an expiry
     assert n_after_a == 0

@@ -56,14 +56,19 @@ def _activate() -> None:
     except ImportError:
         return
     _orig = _rv.ValidateProtobufRuntimeVersion
+    _runtime_major = getattr(_rv, "MAJOR", None)
 
-    def _lenient(*args, **kwargs):
+    def _lenient(gen_domain, gen_major, gen_minor, gen_patch, gen_suffix, location):
         try:
-            _orig(*args, **kwargs)
+            _orig(gen_domain, gen_major, gen_minor, gen_patch, gen_suffix, location)
         except _rv.VersionError:
-            # vendored 6.32 runtime vs pyspark 6.33 gencode: wire-format
-            # compatible for the StateMessage set; tolerated in tests only
-            pass
+            # Tolerate ONLY a minor-version skew within the same major
+            # (vendored 6.32 runtime vs pyspark 6.33 gencode — wire-format
+            # compatible for the StateMessage set). A major-version gap is
+            # a real incompatibility: re-raise so it fails loudly here,
+            # not as an opaque deserialization error mid-stream.
+            if _runtime_major is None or gen_major != _runtime_major:
+                raise
 
     _rv.ValidateProtobufRuntimeVersion = _lenient
 

@@ -221,47 +221,72 @@ def main() -> int:
         tm = sum(results[m].values())
         tot_row += [f"**{tm:.3f}**", f"**{tm / total1:.2f}x**"]
     lines.append("| " + " | ".join(tot_row) + " |")
-    lines += [
-        "",
-        "## LLM-pillar scaling (documents/embeddings ×{m}, DISJOINT-vocabulary".format(m=pillar_mult),
-        "copies — exact/near-dup structure deliberately does NOT replicate",
-        "across copies, so the probe measures the algorithms, not an m²",
-        "pair-output blowup of duplicated data)",
-        "",
-        "| query | 1x (s) | {m}x (s) | {m}x/1x |".format(m=pillar_mult),
-        "|---|---|---|---|",
-    ]
-    pt1 = sum(p_results[1].values())
-    for name in PILLAR_QUERIES:
-        r1, rm = p_results[1][name], p_results[pillar_mult][name]
+    def emit_tier(heading_lines, names, res, m):
+        """One single-multiplier tier table; the per-row and total-row
+        zero-division guards are unified here (the three tables used to
+        be near-verbatim copies that guarded inconsistently)."""
+        lines.extend(["", *heading_lines, "",
+                      f"| query | 1x (s) | {m}x (s) | {m}x/1x |",
+                      "|---|---|---|---|"])
+        for name in names:
+            r1, rm = res[1][name], res[m][name]
+            lines.append(
+                f"| {name} | {r1:.3f} | {rm:.3f} | {rm / max(r1, 1e-9):.2f}x |"
+            )
+        t1, tm = sum(res[1].values()), sum(res[m].values())
         lines.append(
-            f"| {name} | {r1:.3f} | {rm:.3f} | {rm / max(r1, 1e-9):.2f}x |"
+            f"| **total** | **{t1:.3f}** | **{tm:.3f}** |"
+            f" **{tm / max(t1, 1e-9):.2f}x** |"
         )
-    ptm = sum(p_results[pillar_mult].values())
-    lines.append(
-        f"| **total** | **{pt1:.3f}** | **{ptm:.3f}** | **{ptm / pt1:.2f}x** |"
+
+    emit_tier(
+        [
+            "## LLM-pillar scaling (documents/embeddings ×{m}, DISJOINT-vocabulary".format(m=pillar_mult),
+            "copies — exact/near-dup structure deliberately does NOT replicate",
+            "across copies, so the probe measures the algorithms, not an m²",
+            "pair-output blowup of duplicated data)",
+        ],
+        PILLAR_QUERIES, p_results, pillar_mult,
     )
-    lines += [
-        "",
-        "## Heavy dedup/ANN production tier (same disjoint ×{m} corpus —".format(m=pillar_mult),
-        "persisted-index probes, exact prefix-filter similarity join, and",
-        "the 5-stage governance composition: the shapes where an accidental",
-        "candidate blowup would actually show; index build + probe both",
-        "inside the timed wall)",
-        "",
-        "| query | 1x (s) | {m}x (s) | {m}x/1x |".format(m=pillar_mult),
-        "|---|---|---|---|",
-    ]
-    ht1 = sum(h_results[1].values())
-    for name in HEAVY_QUERIES:
-        r1, rm = h_results[1][name], h_results[pillar_mult][name]
-        lines.append(
-            f"| {name} | {r1:.3f} | {rm:.3f} | {rm / max(r1, 1e-9):.2f}x |"
+    emit_tier(
+        [
+            "## Heavy dedup/ANN production tier (same disjoint ×{m} corpus —".format(m=pillar_mult),
+            "persisted-index probes, exact prefix-filter similarity join, and",
+            "the 5-stage governance composition: the shapes where an accidental",
+            "candidate blowup would actually show; index build + probe both",
+            "inside the timed wall)",
+        ],
+        HEAVY_QUERIES, h_results, pillar_mult,
+    )
+    # The heavy-tier verdict is COMPUTED from this run's measurements —
+    # never static prose that a future regression could contradict.
+    h_ratios = {
+        n: h_results[pillar_mult][n] / max(h_results[1][n], 1e-9)
+        for n in HEAVY_QUERIES
+    }
+    over = sorted((n, r) for n, r in h_ratios.items() if r > pillar_mult)
+    most_linear = max(h_ratios, key=h_ratios.get)
+    if over:
+        heavy_verdict = (
+            "**SUPER-LINEAR RATIOS MEASURED — regression to bisect:** "
+            + ", ".join(f"{n} at {r:.2f}x vs the {pillar_mult}x multiplier"
+                        for n, r in over)
+            + ". A ratio above the multiplier means a candidate-set or"
+            " pair-output blowup; this table exists to catch exactly that."
         )
-    htm = sum(h_results[pillar_mult].values())
-    lines.append(
-        f"| **total** | **{ht1:.3f}** | **{htm:.3f}** | **{htm / ht1:.2f}x** |"
-    )
+    else:
+        heavy_verdict = (
+            f"This run: every heavy-tier ratio is ≤ the {pillar_mult}x"
+            f" multiplier (max {most_linear} at"
+            f" {h_ratios[most_linear]:.2f}x). The most linear member is the"
+            " one whose every stage is corpus-proportional by design —"
+            " N·bands signatures plus one exact-Jaccard verification per"
+            " banded candidate (candidates grow ~m on a disjoint corpus,"
+            " never m²) — with no fixed-cost headroom left to amortize."
+            " Linear-in-corpus IS the target cost model for a curation"
+            " policy loop; the flag this table watches for is a ratio"
+            " ABOVE the multiplier."
+        )
     lines += [
         "",
         "## Reading",
@@ -272,17 +297,9 @@ def main() -> int:
         "Dimension-bound queries (e.g. topk_parts_per_brand) stay flat by",
         "construction — dimensions don't scale with facts.",
         "",
-        "The heavy tier's spread is the honest shape of each algorithm:",
-        "index PROBES (minhash/ann incremental) scale with the probe slice",
-        "plus an index rebuild amortized per corpus, staying well under the",
-        "multiplier; governed_mixture_sample is the tier's most LINEAR",
-        "member because every stage's work is corpus-proportional by design",
-        "— N·bands MinHash signatures plus one exact-Jaccard verification",
-        "per banded candidate (candidates grow ~m on a disjoint corpus,",
-        "never m²) — with no fixed-cost headroom left to amortize at this",
-        "size. Linear-in-corpus IS the target cost model for a curation",
-        "policy loop; the ratio to watch for is above the multiplier, and",
-        "none is.",
+        "Index PROBES (minhash/ann incremental) scale with the probe slice",
+        "plus an index rebuild amortized per corpus.",
+        heavy_verdict,
     ]
     open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"), "w").write(
         "\n".join(lines) + "\n"
