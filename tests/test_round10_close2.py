@@ -393,17 +393,34 @@ def test_weight_below_string_order_path_on_distinct_cells(spark):
     """The non-numeric order-key path (ROWS frame — the SNM sort-key
     shape) matches the brute force on DISTINCT (group, order) cells,
     the contract that path documents and its callers guarantee via
-    groupBy/distinct on the key."""
+    groupBy/distinct on the key — on hypothesis-random ASCII keys with
+    first-char coarse buckets (exactly the SNM caller shape), including
+    single-char keys, shared prefixes, and empty buckets."""
+    from hypothesis import given, settings, strategies as st
+
     from big_data_medical_analysis_spark.operators.common import weight_below
 
-    keys = ["apple", "apricot", "banana", "berry", "cherry", "citron", "date"]
-    cells = [(k, i + 1, k[:1]) for i, k in enumerate(keys)]
-    df = spark.createDataFrame(cells, "k string, wgt long, bucket string")
-    got = {r.k: r.below for r in weight_below(df, [], "k", "wgt").collect()}
-    want = {
-        k: sum(w2 for k2, w2, _ in cells if k2 < k) for k, _, _ in cells
-    }
-    assert got == want
+    key_st = st.text(
+        alphabet="abcdxyz", min_size=1, max_size=6
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.dictionaries(key_st, st.integers(min_value=0, max_value=5),
+                        min_size=1, max_size=15)
+    )
+    def check(cells):
+        data = [(k, w, k[:1]) for k, w in cells.items()]
+        df = spark.createDataFrame(data, "k string, wgt long, bucket string")
+        got = {
+            r.k: r.below for r in weight_below(df, [], "k", "wgt").collect()
+        }
+        want = {
+            k: sum(w2 for k2, w2 in cells.items() if k2 < k) for k in cells
+        }
+        assert got == want
+
+    check()
 
 
 def test_row_observation_reconciles_with_direct_aggregate(spark, sf_dir):
