@@ -678,12 +678,17 @@ class _IdleSessionCloseProcessor(_StatefulProcessor):
         ts_ms.sort()
         closed = []
         for t in ts_ms:
-            if have and t > max_ms + IDLE_GAP_MS:
-                # the open session's gap was already exceeded by this
-                # event (the watermark simply hadn't fired the timer
+            if have and t >= max_ms + IDLE_GAP_MS:
+                # the open session's gap was already met or exceeded by
+                # this event (the watermark simply hadn't fired the timer
                 # yet): close it NOW at its true expiry and start a new
                 # session — merging across the gap would under-count
-                # sessions vs the declarative session_window twin
+                # sessions vs the declarative session_window twin. >= (not
+                # >): the timer closes at exactly max_ms + gap and
+                # session_window's window END is exclusive, so an event
+                # timestamped exactly at the expiry starts a NEW session
+                # regardless of whether it arrives before or after the
+                # watermark fires — arrival order must not change output
                 closed.append((key[0], n, max_ms + IDLE_GAP_MS))
                 n, max_ms = (0, 0)
             n += 1

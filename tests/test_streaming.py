@@ -1672,3 +1672,109 @@ def test_range_pair_stream_outer_emits_nulls_after_watermark(spark, tmp_path):
         if r.next_event_id is None:
             assert r.gap_us is None
     assert len([r for r in rows if r.next_event_id is None]) == len(outer)
+
+
+def test_tws_idle_session_boundary_event_starts_new_session(spark, tmp_path):
+    """ADVICE r11: an event timestamped EXACTLY at the open session's
+    expiry (last event + gap) must start a NEW session regardless of
+    whether it arrives before or after the watermark fires the timer —
+    the timer closes at exactly max_ms + gap and session_window's window
+    END is exclusive, so the boundary event belongs to the next session.
+    Before the fix the inline path used a strict `>` and would MERGE the
+    boundary event into the old session whenever it beat the watermark,
+    making output depend on arrival order. Timeline: user 1 at 01:00
+    (expiry 01:30); next batch carries user 1 at exactly 01:30 while the
+    watermark is still 01:00 → session 1 closes inline (1 event, 01:30)
+    and session 2 opens at 01:30 (expiry 02:00); sentinels then advance
+    the watermark → session 2 closes by timer (1 event, 02:00)."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithStateInPandas requires protobuf "
+        "(pyspark StateMessage_pb2)",
+    )
+    indir = str(tmp_path / "in")
+    qname = "s_" + uuid.uuid4().hex[:8]
+
+    _write_events(
+        indir, "a.json", [(1, "2024-01-01 01:00:00.000000", 1, "click", 1.0)]
+    )
+    with _rocksdb_state_store(spark):
+        stream = SW.idle_session_close_tws(SW.read_event_stream(spark, indir))
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # boundary event: EXACTLY at the open session's expiry, arriving
+            # while the watermark (01:00) has not yet fired the 01:30 timer
+            _write_events(
+                indir,
+                "b.json",
+                [(2, "2024-01-01 01:30:00.000000", 1, "click", 1.0)],
+            )
+            q.processAllAvailable()
+            after_boundary = sorted(
+                (r.user_id, r.n_events, r.closed_at_ms)
+                for r in spark.sql(f"SELECT * FROM {qname}").collect()
+            )
+            _write_events(
+                indir,
+                "c.json",
+                [(90, "2024-01-01 05:00:00.000000", 99, "click", 1.0)],
+            )
+            q.processAllAvailable()
+            rows = sorted(
+                (r.user_id, r.n_events, r.closed_at_ms)
+                for r in spark.sql(f"SELECT * FROM {qname}").collect()
+            )
+        finally:
+            q.stop()
+
+    base = 1704067200000  # 2024-01-01 00:00:00 UTC in ms
+    # the old session closed inline at its true expiry with ONLY its own
+    # event — the boundary event did NOT merge in
+    assert after_boundary == [(1, 1, base + 90 * 60000)]
+    # the boundary event's own session then closes by timer at 02:00
+    assert rows == [
+        (1, 1, base + 90 * 60000),
+        (1, 1, base + 120 * 60000),
+    ]
+
+
+def test_pbshim_version_gap_canary():
+    """VERDICT r11 task 4: the pbshim tolerates exactly ONE verified
+    runtime-behind-gencode skew (same major, gencode at most one minor
+    ahead). This canary measures the ACTUAL gap between pyspark's
+    StateMessage_pb2 gencode stamp and the protobuf runtime in use and
+    FAILS (never skips) if a pyspark upgrade widens it beyond the
+    tolerated bound — so TWS coverage can't silently re-gate behind the
+    shim. On failure: install a protobuf >= the gencode version (the
+    production recipe), or re-verify wire compatibility end-to-end (the
+    TWS pytests) before widening the shim's bound."""
+    import inspect
+    import re
+
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+    from google.protobuf import runtime_version as rv
+
+    m = re.search(
+        r"ValidateProtobufRuntimeVersion\(\s*[^,]+,\s*(\d+),\s*(\d+),\s*(\d+)",
+        inspect.getsource(sm),
+    )
+    assert m, (
+        "pyspark's StateMessage_pb2 no longer stamps a gencode version — "
+        "the pbshim's tolerance check has nothing to validate against; "
+        "re-audit tools/pbshim/sitecustomize.py for this pyspark"
+    )
+    gen_major, gen_minor, _gen_patch = (int(g) for g in m.groups())
+    assert gen_major == rv.MAJOR and gen_minor - rv.MINOR <= 1, (
+        f"protobuf runtime {rv.MAJOR}.{rv.MINOR}.{rv.PATCH} is more than "
+        f"one minor behind pyspark's gencode {gen_major}.{gen_minor} — "
+        "outside the verified-compatible skew the pbshim tolerates. "
+        "Install protobuf >= the gencode version (production recipe) or "
+        "re-verify the TWS wire protocol end-to-end before widening "
+        "tools/pbshim/sitecustomize.py"
+    )

@@ -9,8 +9,9 @@ runtime's ``ValidateProtobufRuntimeVersion`` hard-rejects runtime <
 gencode even across a pure-wire-compatible minor. This shim
 
 1. appends the vendored runtime to ``sys.path``, and
-2. wraps the validator to tolerate exactly that rejection (VersionError
-   only — real import errors still propagate),
+2. wraps the validator to tolerate ONLY the verified skew — same major,
+   gencode at most one minor ahead of the runtime (VersionError only;
+   real import errors still propagate; a wider gap re-raises loudly),
 
 which is enough for ``transformWithStateInPandas``'s Python worker <->
 JVM state-server protocol to run end-to-end (verified by
@@ -57,17 +58,29 @@ def _activate() -> None:
         return
     _orig = _rv.ValidateProtobufRuntimeVersion
     _runtime_major = getattr(_rv, "MAJOR", None)
+    _runtime_minor = getattr(_rv, "MINOR", None)
 
     def _lenient(gen_domain, gen_major, gen_minor, gen_patch, gen_suffix, location):
         try:
             _orig(gen_domain, gen_major, gen_minor, gen_patch, gen_suffix, location)
         except _rv.VersionError:
-            # Tolerate ONLY a minor-version skew within the same major
-            # (vendored 6.32 runtime vs pyspark 6.33 gencode — wire-format
-            # compatible for the StateMessage set). A major-version gap is
-            # a real incompatibility: re-raise so it fails loudly here,
-            # not as an opaque deserialization error mid-stream.
-            if _runtime_major is None or gen_major != _runtime_major:
+            # Tolerate ONLY the verified known-good skew: same major AND
+            # gencode at most ONE minor ahead of the vendored runtime
+            # (6.32 runtime vs pyspark's 6.33 gencode — wire-compatible
+            # for the StateMessage set, verified end-to-end by the TWS
+            # pytests). protobuf does NOT guarantee forward wire/gencode
+            # compatibility across arbitrary minors, so a future pyspark
+            # bump that widens the gap re-raises and fails loudly here —
+            # not as an opaque deserialization error mid-stream, and
+            # never as a silent re-gate of the TWS tests (ADVICE r11;
+            # tests/test_streaming.py::test_pbshim_version_gap_canary
+            # pins the same bound from the outside).
+            if (
+                _runtime_major is None
+                or _runtime_minor is None
+                or gen_major != _runtime_major
+                or gen_minor - _runtime_minor > 1
+            ):
                 raise
 
     _rv.ValidateProtobufRuntimeVersion = _lenient
