@@ -1451,6 +1451,46 @@ def pmh_index_dir(sf_dir: str) -> str:
     return os.path.join(per_user_tmpdir("spark_graft_pmh_index"), tag)
 
 
+def pmh_build_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build + persist the band-partitioned signature index over the 90%
+    corpus slice — the amortized state a production dedup service
+    maintains; returns the index directory. Extracted (expressions
+    byte-identical) from ``minhash_incremental_probe`` so
+    tools/scale_probe.py can time the index-BUILD wall separately from
+    the probe wall: probe-only scaling is the production steady state
+    (VERDICT r11 task 3)."""
+    docs = read_table(spark, sf_dir, "documents")
+    out_dir = pmh_index_dir(sf_dir)
+    pmh_banded_buckets(docs.filter(F.expr(_PMH_INCR_INDEX))).write.mode(
+        "overwrite"
+    ).partitionBy("band").parquet(out_dir)
+    return out_dir
+
+
+def pmh_probe_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-only plan against the ALREADY-persisted signature index
+    (built by ``pmh_build_index``): the new batch bands itself and
+    equi-joins the persisted band table — the per-batch steady-state
+    cost a production pipeline pays, with the index build amortized
+    away."""
+    docs = read_table(spark, sf_dir, "documents")
+    index = (
+        spark.read.parquet(pmh_index_dir(sf_dir))
+        .withColumnRenamed("doc_id", "index_doc_id")
+        .withColumn("band", F.col("band").cast("int"))
+    )
+    probe = pmh_banded_buckets(docs.filter(F.expr(_PMH_INCR_PROBE)))
+    return (
+        probe.join(index, ["band", "bucket"])
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("band").alias("n_bands_hit"),
+            F.countDistinct("index_doc_id").alias("n_index_matches"),
+            F.min("index_doc_id").alias("min_index_doc"),
+        )
+    )
+
+
 @register("minhash_incremental_probe", oracle=_PMH_INCR_SQL, category="dedup")
 def minhash_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION dedup shape: dedup each NEW ingest batch against a
@@ -1484,30 +1524,17 @@ def minhash_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the batch alone, batch-sized cost) runs beside it — the union of
     the two legs reconstructs exactly the whole-corpus groups
     (tests/test_dedup.py pins this on the fixture).
+
+    Round 12: build and probe are the extracted ``pmh_build_index`` /
+    ``pmh_probe_index`` above (expressions unchanged) so the scale probe
+    can time the two walls separately; this registered query remains
+    build + probe end-to-end.
     """
-    docs = read_table(spark, sf_dir, "documents")
-    out_dir = pmh_index_dir(sf_dir)
     # Build + persist the signature index (the "already have it" state a
     # real pipeline amortizes over every future batch). Band-partitioned:
     # a probe that only needs band b prunes to that directory.
-    pmh_banded_buckets(docs.filter(F.expr(_PMH_INCR_INDEX))).write.mode(
-        "overwrite"
-    ).partitionBy("band").parquet(out_dir)
-    index = (
-        spark.read.parquet(out_dir)
-        .withColumnRenamed("doc_id", "index_doc_id")
-        .withColumn("band", F.col("band").cast("int"))
-    )
-    probe = pmh_banded_buckets(docs.filter(F.expr(_PMH_INCR_PROBE)))
-    return (
-        probe.join(index, ["band", "bucket"])
-        .groupBy("doc_id")
-        .agg(
-            F.countDistinct("band").alias("n_bands_hit"),
-            F.countDistinct("index_doc_id").alias("n_index_matches"),
-            F.min("index_doc_id").alias("min_index_doc"),
-        )
-    )
+    pmh_build_index(spark, sf_dir)
+    return pmh_probe_index(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

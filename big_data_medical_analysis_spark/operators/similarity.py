@@ -1238,54 +1238,33 @@ FROM stats s JOIN best b ON b.probe_id = s.probe_id
 """
 
 
-@register("ann_incremental_probe", oracle=_ann_incr_sql(), category="similarity")
-def ann_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PRODUCTION ANN shape — the similarity-pillar twin of
-    ``minhash_incremental_probe`` and ``hll_incremental_daily``: a
-    persisted LSH index over the existing corpus, probed by each NEW
-    ingest batch, instead of re-indexing everything per batch. Every
-    other ANN operator here (brute force, IVF, BRP-LSH) indexes and
-    queries one static table; a real 100 TB embedding store ingests
-    continuously, and this operator is the batch-vs-index join that
-    amortizes the index build.
-
-    The 90% index slice ({_ANN_INDEX}) is bucketed on a seeded
-    {ANN_LSH_TABLES}-table x {ANN_LSH_BITS}-bit sign-LSH family
-    (hyperplanes are literal ±1 matrices on both engines — the
-    ``rp_sign_matrix`` portability discipline, so bucket ids carry a FULL
-    value oracle, unlike the engine-RNG ``ann_brp_lsh`` tier), written as
-    table-partitioned parquet, and read BACK; the 10% "new batch"
-    ({_ANN_PROBE}) buckets itself and probes with a (tbl, bucket)
-    equi-join. Candidates are then scored EXACTLY (int64 dot / sqrt-norm
-    cosine) by joining vectors back by key, and ranked per probe with
-    deterministic ties (cos DESC, cand_id). Output per colliding probe:
-    tables hit, distinct candidates, and the best candidate with its
-    cosine — a green row proves the parquet persist/reload of the index
-    lost nothing.
-
-    Scale: batch cost is O(batch x L) bucketing (one Arrow matmul pass,
-    no shuffle) + an equi-join that touches only matching (tbl, bucket)
-    partitions + a key-join to fetch candidate vectors — the index's
-    vectors are never re-scanned wholesale. At 100 TB the index table
-    would be bucketBy(bucket) so probes co-locate without shuffling the
-    index, and batches APPEND their bucket rows after probing (same
-    state-table pattern as the dedup twin). Candidate volume is bounded
-    by table geometry (E[random collisions] ~= N*L/2^B per probe), not
-    corpus size; raising B trades recall for candidates exactly as in
-    production LSH tuning.
-    """
+def ann_build_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build + persist the table-partitioned sign-LSH index over the 90%
+    corpus slice — the amortized state a production embedding store
+    maintains; returns the index directory. Extracted (expressions
+    byte-identical) from ``ann_incremental_probe`` so tools/scale_probe.py
+    can time the index-BUILD wall separately from the probe wall:
+    probe-only scaling is the production steady state (VERDICT r11
+    task 3)."""
     emb = read_table(spark, sf_dir, "embeddings")
     out_dir = ann_index_dir(sf_dir)
     ann_lsh_buckets(emb.filter(F.expr(_ANN_INDEX))).write.mode(
         "overwrite"
     ).partitionBy("tbl").parquet(out_dir)
-    index = (
-        spark.read.parquet(out_dir)
-        .select(
-            F.col("vec_id").alias("cand_id"),
-            F.col("tbl").cast("int").alias("tbl"),
-            "bucket",
-        )
+    return out_dir
+
+
+def ann_probe_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-only plan against the ALREADY-persisted LSH index (built by
+    ``ann_build_index``): the new batch buckets itself, (tbl, bucket)
+    equi-joins the persisted table, and candidates are exact-cosine
+    reranked — the per-batch steady-state cost with the index build
+    amortized away."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    index = spark.read.parquet(ann_index_dir(sf_dir)).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("tbl").cast("int").alias("tbl"),
+        "bucket",
     )
     probe = ann_lsh_buckets(emb.filter(F.expr(_ANN_PROBE))).select(
         F.col("vec_id").alias("probe_id"), "tbl", "bucket"
@@ -1337,6 +1316,51 @@ def ann_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(best, "probe_id").select(
         "probe_id", "n_tables_hit", "n_candidates", "best_cand_id", "best_cos"
     )
+
+
+@register("ann_incremental_probe", oracle=_ann_incr_sql(), category="similarity")
+def ann_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION ANN shape — the similarity-pillar twin of
+    ``minhash_incremental_probe`` and ``hll_incremental_daily``: a
+    persisted LSH index over the existing corpus, probed by each NEW
+    ingest batch, instead of re-indexing everything per batch. Every
+    other ANN operator here (brute force, IVF, BRP-LSH) indexes and
+    queries one static table; a real 100 TB embedding store ingests
+    continuously, and this operator is the batch-vs-index join that
+    amortizes the index build.
+
+    The 90% index slice ({_ANN_INDEX}) is bucketed on a seeded
+    {ANN_LSH_TABLES}-table x {ANN_LSH_BITS}-bit sign-LSH family
+    (hyperplanes are literal ±1 matrices on both engines — the
+    ``rp_sign_matrix`` portability discipline, so bucket ids carry a FULL
+    value oracle, unlike the engine-RNG ``ann_brp_lsh`` tier), written as
+    table-partitioned parquet, and read BACK; the 10% "new batch"
+    ({_ANN_PROBE}) buckets itself and probes with a (tbl, bucket)
+    equi-join. Candidates are then scored EXACTLY (int64 dot / sqrt-norm
+    cosine) by joining vectors back by key, and ranked per probe with
+    deterministic ties (cos DESC, cand_id). Output per colliding probe:
+    tables hit, distinct candidates, and the best candidate with its
+    cosine — a green row proves the parquet persist/reload of the index
+    lost nothing.
+
+    Scale: batch cost is O(batch x L) bucketing (one Arrow matmul pass,
+    no shuffle) + an equi-join that touches only matching (tbl, bucket)
+    partitions + a key-join to fetch candidate vectors — the index's
+    vectors are never re-scanned wholesale. At 100 TB the index table
+    would be bucketBy(bucket) so probes co-locate without shuffling the
+    index, and batches APPEND their bucket rows after probing (same
+    state-table pattern as the dedup twin). Candidate volume is bounded
+    by table geometry (E[random collisions] ~= N*L/2^B per probe), not
+    corpus size; raising B trades recall for candidates exactly as in
+    production LSH tuning.
+
+    Round 12: build and probe are the extracted ``ann_build_index`` /
+    ``ann_probe_index`` above (expressions unchanged) so the scale probe
+    can time the two walls separately; this registered query remains
+    build + probe end-to-end.
+    """
+    ann_build_index(spark, sf_dir)
+    return ann_probe_index(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

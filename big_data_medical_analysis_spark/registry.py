@@ -180,6 +180,13 @@ _CODE_CHANGED_ROUND: dict[str, int] = {
     "ndcg_retrieval_eval": 11,
     "auc_mann_whitney": 11,
     "gini_customer_concentration": 11,
+    # round 12 build/probe wall split (VERDICT r11 task 3): pure function
+    # extraction with byte-identical expressions — value-identical by
+    # construction, re-check anyway per the histogram_incremental_daily
+    # precedent (the code path the driver verified is no longer the one
+    # that runs)
+    "minhash_incremental_probe": 12,
+    "ann_incremental_probe": 12,
 }
 
 # ---------------------------------------------------------------------------

@@ -180,9 +180,52 @@ def time_headline(spark, sf_dir: str) -> dict[str, float]:
     return time_queries(spark, sf_dir, bench.HEADLINE)
 
 
+# The two persisted-index queries, with their extracted build/probe halves:
+# the registered query times build + probe together, which hides probe-only
+# scaling — the production steady state, where the index is amortized over
+# every future batch (VERDICT r11 task 3). The probe tool times the walls
+# separately via the operator modules' own extracted functions.
+def _split_timers():
+    from big_data_medical_analysis_spark.operators.dedup import (
+        pmh_build_index,
+        pmh_probe_index,
+    )
+    from big_data_medical_analysis_spark.operators.similarity import (
+        ann_build_index,
+        ann_probe_index,
+    )
+
+    return {
+        "minhash_incremental_probe": (pmh_build_index, pmh_probe_index),
+        "ann_incremental_probe": (ann_build_index, ann_probe_index),
+    }
+
+
+def time_build_probe(spark, sf_dir: str) -> dict[str, dict[str, float]]:
+    """Per incremental query: separate min-of-2 walls for index BUILD
+    (bands/buckets + partitioned parquet write) and PROBE (batch bands
+    itself + equi-join + rerank against the persisted index)."""
+    out: dict[str, dict[str, float]] = {}
+    for name, (build, probe) in _split_timers().items():
+        build(spark, sf_dir)  # warm-up + guarantee the index exists
+        probe(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        b_best = p_best = float("inf")
+        for _ in range(2):
+            t = time.time()
+            build(spark, sf_dir)
+            b_best = min(b_best, time.time() - t)
+        for _ in range(2):
+            t = time.time()
+            probe(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            p_best = min(p_best, time.time() - t)
+        out[name] = {"build": round(b_best, 3), "probe": round(p_best, 3)}
+    return out
+
+
 def main() -> int:
     mults = [int(a) for a in sys.argv[1:]] or [10, 30]
     pillar_mult = 10
+    heavy_mults = [10, 30]
     spark = get_spark("scale_probe")
     results = {1: time_headline(spark, BASE_SF)}
     for m in mults:
@@ -192,7 +235,11 @@ def main() -> int:
     pd_dir = build_scaled_docs(spark, pillar_mult)
     p_results[pillar_mult] = time_queries(spark, pd_dir, PILLAR_QUERIES)
     h_results = {1: time_queries(spark, BASE_SF, HEAVY_QUERIES)}
-    h_results[pillar_mult] = time_queries(spark, pd_dir, HEAVY_QUERIES)
+    s_results = {1: time_build_probe(spark, BASE_SF)}
+    for m in heavy_mults:
+        d = pd_dir if m == pillar_mult else build_scaled_docs(spark, m)
+        h_results[m] = time_queries(spark, d, HEAVY_QUERIES)
+        s_results[m] = time_build_probe(spark, d)
     lines = [
         "# SCALING — measured headline wall-clock vs fact-table scale",
         "",
@@ -248,42 +295,107 @@ def main() -> int:
         ],
         PILLAR_QUERIES, p_results, pillar_mult,
     )
-    emit_tier(
-        [
-            "## Heavy dedup/ANN production tier (same disjoint ×{m} corpus —".format(m=pillar_mult),
-            "persisted-index probes, exact prefix-filter similarity join, and",
-            "the 5-stage governance composition: the shapes where an accidental",
-            "candidate blowup would actually show; index build + probe both",
-            "inside the timed wall)",
-        ],
-        HEAVY_QUERIES, h_results, pillar_mult,
-    )
+    lines.extend([
+        "",
+        "## Heavy dedup/ANN production tier (same disjoint-vocabulary corpus",
+        "at each multiplier — persisted-index probes, exact prefix-filter",
+        "similarity join, and the 5-stage governance composition: the shapes",
+        "where an accidental candidate blowup would actually show; index",
+        "build + probe both inside the timed wall for the two incremental",
+        "queries — see the split table below for the separated walls)",
+        "",
+        "| query | 1x (s) | "
+        + " | ".join(f"{m}x (s) | {m}x/1x" for m in heavy_mults)
+        + " |",
+        "|---|---|" + "---|---|" * len(heavy_mults),
+    ])
+    for name in HEAVY_QUERIES:
+        row = [name, f"{h_results[1][name]:.3f}"]
+        for m in heavy_mults:
+            r = h_results[m][name]
+            row += [f"{r:.3f}", f"{r / max(h_results[1][name], 1e-9):.2f}x"]
+        lines.append("| " + " | ".join(row) + " |")
+    ht1 = sum(h_results[1].values())
+    tot_row = ["**total**", f"**{ht1:.3f}**"]
+    for m in heavy_mults:
+        tm = sum(h_results[m].values())
+        tot_row += [f"**{tm:.3f}**", f"**{tm / max(ht1, 1e-9):.2f}x**"]
+    lines.append("| " + " | ".join(tot_row) + " |")
+    lines.extend([
+        "",
+        "### Incremental-index walls, split (VERDICT r11 task 3): BUILD =",
+        "band/bucket + partitioned parquet write of the 90% index slice;",
+        "PROBE = the 10% batch bands itself + equi-join (+ exact rerank for",
+        "ANN) against the ALREADY-persisted index. Probe-only scaling is the",
+        "production steady state — a batch's cost must track the batch and",
+        "its candidates, with the index build amortized across batches.",
+        "",
+        "| query | wall | 1x (s) | "
+        + " | ".join(f"{m}x (s) | {m}x/1x" for m in heavy_mults)
+        + " |",
+        "|---|---|---|" + "---|---|" * len(heavy_mults),
+    ])
+    for name in _split_timers():
+        for wall in ("build", "probe"):
+            base = s_results[1][name][wall]
+            row = [name, wall, f"{base:.3f}"]
+            for m in heavy_mults:
+                r = s_results[m][name][wall]
+                row += [f"{r:.3f}", f"{r / max(base, 1e-9):.2f}x"]
+            lines.append("| " + " | ".join(row) + " |")
     # The heavy-tier verdict is COMPUTED from this run's measurements —
-    # never static prose that a future regression could contradict.
+    # never static prose that a future regression could contradict. The
+    # per-query cost-model sentence is keyed off the measured max-ratio
+    # member (ADVICE r11: a static algorithm description can describe the
+    # wrong query when the ranking shifts).
+    top_mult = max(heavy_mults)
     h_ratios = {
-        n: h_results[pillar_mult][n] / max(h_results[1][n], 1e-9)
+        n: h_results[top_mult][n] / max(h_results[1][n], 1e-9)
         for n in HEAVY_QUERIES
     }
-    over = sorted((n, r) for n, r in h_ratios.items() if r > pillar_mult)
-    most_linear = max(h_ratios, key=h_ratios.get)
+    over = sorted((n, r) for n, r in h_ratios.items() if r > top_mult)
+    max_ratio_member = max(h_ratios, key=h_ratios.get)
+    cost_models = {
+        "minhash_incremental_probe": (
+            "its every stage is corpus-proportional by design — N·bands"
+            " signatures plus one equi-join probe per banded candidate"
+            " (candidates grow ~m on a disjoint corpus, never m²)"
+        ),
+        "ann_incremental_probe": (
+            "its wall is index rebuild + probe together (see the split"
+            " table for the separated walls); bucketing is one Arrow pass"
+            " and candidates are bounded by table geometry, not corpus size"
+        ),
+        "ann_recall_audit": (
+            "it prices an exact-truth audit — the truth pass is"
+            " deliberately corpus-proportional per probe, bounded by the"
+            " fixed probe panel"
+        ),
+        "prefix_filter_jaccard_join": (
+            "exact PPJoin verification cost tracks the candidate count,"
+            " which the prefix filter keeps ~linear on a disjoint corpus"
+        ),
+        "governed_mixture_sample": (
+            "its 5 fused governance stages each rescan the kept relation"
+            " once — linear-in-corpus with the least fixed-cost headroom"
+            " to amortize, so it sits closest to the multiplier"
+        ),
+    }
     if over:
         heavy_verdict = (
             "**SUPER-LINEAR RATIOS MEASURED — regression to bisect:** "
-            + ", ".join(f"{n} at {r:.2f}x vs the {pillar_mult}x multiplier"
+            + ", ".join(f"{n} at {r:.2f}x vs the {top_mult}x multiplier"
                         for n, r in over)
             + ". A ratio above the multiplier means a candidate-set or"
             " pair-output blowup; this table exists to catch exactly that."
         )
     else:
         heavy_verdict = (
-            f"This run: every heavy-tier ratio is ≤ the {pillar_mult}x"
-            f" multiplier (max {most_linear} at"
-            f" {h_ratios[most_linear]:.2f}x). The most linear member is the"
-            " one whose every stage is corpus-proportional by design —"
-            " N·bands signatures plus one exact-Jaccard verification per"
-            " banded candidate (candidates grow ~m on a disjoint corpus,"
-            " never m²) — with no fixed-cost headroom left to amortize."
-            " Linear-in-corpus IS the target cost model for a curation"
+            f"This run: every heavy-tier ratio is ≤ the {top_mult}x"
+            f" multiplier. The max-ratio member is {max_ratio_member} at"
+            f" {h_ratios[max_ratio_member]:.2f}x — "
+            + cost_models[max_ratio_member]
+            + ". Linear-in-corpus IS the target cost model for a curation"
             " policy loop; the flag this table watches for is a ratio"
             " ABOVE the multiplier."
         )
@@ -309,6 +421,7 @@ def main() -> int:
         "results": {str(k): v for k, v in results.items()},
         "pillar": {str(k): v for k, v in p_results.items()},
         "heavy": {str(k): v for k, v in h_results.items()},
+        "heavy_split": {str(k): v for k, v in s_results.items()},
     }))
     return 0
 
