@@ -141,6 +141,8 @@ COHORTS: dict[str, list[str]] = {
         "png_decode_stats",
         "pkl_png_roundtrip",
         "image_dhash_near_dup",
+        # round 12: the end-to-end reference-pipeline twin (capstone)
+        "chexpert_pipeline_twin",
     ],
     "sketch_stats": [
         "countmin_user_counts",

@@ -1,0 +1,410 @@
+"""End-to-end reference-pipeline twin — the capstone composition.
+
+Every stage of the reference's two programs exists in this repo as a
+verified operator; this module chains them the way the reference actually
+runs, as ONE registered query:
+
+    reference stage (file:line)                twin stage
+    -------------------------------------      ---------------------------
+    CSV label ingest, two files, val/test      schema'd distributed CSV scan
+      swap (src/preprocessing_pipeline.py        (sources/readers.read_csv;
+      :256-264)                                  90% slice trains — the swap)
+    path rebase concat(base_dir, Path)         same pure expression (:265-268)
+    repartition(16, Path) (:273)               common.fan_out on img_id
+    duplicate check + dropDuplicates           dup-count audit row +
+      (:280-283)                                 dropDuplicates(["path"])
+    normalize (equalizeHist UDF, :22-63)       equalize_hist, fused pass
+    9x augment + save (:65-134)                augment_variants, same pass
+    split+explode to rows (:136-155)           the fused pass EMITS the rows
+    randomSplit even client split (:185-207)   deterministic portable-md5
+                                                 (img_id, variant) -> client
+    verify_unique_split (utils/preprocessing   declarative overlap +
+      _testing_utils.py:60-80)                   completeness audit rows
+    test_partitioning label distribution       per-client Pneumonia-positive
+      (utils/...:55-58)                          counts
+    per-client local fit + fed-avg rounds      closed-form ridge on exact
+      (src/federated_learning_pipeline.py        int64 sufficient stats, 3
+      :124-153)                                  rounds (udf_surface exprs)
+    evaluate_global_model on the second CSV    final server state applied to
+      (src/federated_learning_pipeline.py        the held-out slice's
+      :155-172, :182-184)                        features -> MSE row
+
+SURVEY §2.2 corrections applied: augmentation operates on the NORMALIZED
+image (the reference augments the raw image by mistake, §2.2.2), variants
+are content-seeded deterministic (not global-RNG), the client split is
+hash-deterministic (randomSplit is engine-RNG and needs the post-hoc
+audit the reference ships), and no stage collects data rows to the driver.
+
+Spark-first shape: ONE fused ``mapInPandas`` pass does decode -> equalize
+-> 9x augment -> per-variant int64 pixel-sum features, so image bytes
+cross the Arrow boundary ONCE and never transit back to the JVM — the
+composable bytes-returning stages (``normalize_pipeline``,
+``augment_pipeline``, ``write_images``) remain the right form when the
+augmented corpus itself is the product; here the product is the training
+trajectory, so only (img_id, variant, pix_sum, n_pix) rows come back.
+Kernel parity with those stages is byte-exact (same ``equalize_hist`` /
+``augment_variants`` calls — pinned by tests/test_pipeline_twin.py).
+
+At 100 TB: the label CSVs scan distributed; the image pass is
+embarrassingly parallel after ``fan_out``; every audit/aggregate is a
+map-side-combinable shuffle on narrow rows; the fed-avg loop runs on a
+K-row checkpointed sufficient-statistics frame against a broadcast 1-row
+server state (round count never re-touches the corpus); the eval join
+broadcasts the 1-row final model.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from big_data_medical_analysis_spark.operators.common import (
+    checkpoint_pinned,
+    fan_out,
+    per_user_tmpdir,
+)
+from big_data_medical_analysis_spark.operators.multimodal import (
+    IMG_SIDE,
+    _synth_content,
+    augment_variants,
+    decode_gray,
+    equalize_hist,
+)
+from big_data_medical_analysis_spark.operators.udf_surface import (
+    _FEDAVG_SRV_EXPRS,
+    _fedavg_fit_exprs,
+)
+from big_data_medical_analysis_spark.registry import register
+from big_data_medical_analysis_spark.sources.readers import (
+    read_csv,
+    read_table,
+)
+
+TWIN_N_CLIENTS = 4  # reference: num_clients = 4 (preprocessing :328)
+TWIN_N_ROUNDS = 3  # reference: NUM_ROUNDS federated loop (federated :135-153)
+TWIN_LAMBDA = 25.0  # same ridge pull as fedavg_rounds (shared expr template)
+_BASE_DIR = "chexlocalize/CheXpert/"  # reference :263
+
+_LABELS_SCHEMA = T.StructType(
+    [
+        T.StructField("Path", T.StringType()),
+        T.StructField("Pneumonia", T.IntegerType()),
+        T.StructField("Edema", T.IntegerType()),
+        T.StructField("Consolidation", T.IntegerType()),
+    ]
+)
+
+# Deterministic portable split of (img_id, variant) -> client, the same
+# md5 recipe as udf_surface's _FEDAVG_CLIENT_SPARK — disjoint and complete
+# by construction, replacing the reference's randomSplit + post-hoc audit.
+_TWIN_CLIENT = (
+    "CAST(pmod(CAST(conv(substring(md5(concat(CAST(img_id AS STRING), ':', "
+    "CAST(variant AS STRING))), 1, 8), 16, 10) AS BIGINT), "
+    f"{TWIN_N_CLIENTS}) AS INT)"
+)
+
+
+def _labels_root(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(per_user_tmpdir("spark_graft_chexpert"), tag)
+
+
+def write_label_csvs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize the two label CSVs the reference ingests (test_labels
+    used for TRAINING because it is the numerous file — the deliberate
+    swap at preprocessing :256-259 — and val_labels for evaluation).
+
+    Deterministic content keyed off documents.doc_id: CheXpert-shaped
+    relative paths plus 0/1 findings (only Pneumonia is consumed
+    downstream, mirroring the reference's hardcoded stratification label,
+    :172-176). The train file carries PLANTED duplicate rows (every
+    doc_id % 20 == 0) so the dedup guard has real work, like the raw
+    CheXpert label files the reference guards against. Idempotent
+    overwrite per call; distributed CSV write, read back by directory
+    glob — the reference's part-file glob+concat (federated :57-59) is a
+    native multi-part scan here."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    labels = docs.select(
+        F.format_string(
+            "train/patient%05d/study1/view1_frontal.jpg", F.col("doc_id")
+        ).alias("Path"),
+        (F.col("doc_id") % 3 == 0).cast("int").alias("Pneumonia"),
+        (F.col("doc_id") % 5 == 0).cast("int").alias("Edema"),
+        (F.col("doc_id") % 7 == 0).cast("int").alias("Consolidation"),
+        "doc_id",
+    )
+    train = labels.filter(F.col("doc_id") % 10 != 9)
+    dup_tail = train.filter(F.col("doc_id") % 20 == 0)
+    evald = labels.filter(F.col("doc_id") % 10 == 9)
+    root = _labels_root(sf_dir)
+    train_dir = os.path.join(root, "test_labels_csv")  # the swap: trains
+    eval_dir = os.path.join(root, "val_labels_csv")
+    train.unionAll(dup_tail).drop("doc_id").write.mode("overwrite").option(
+        "header", True
+    ).csv(train_dir)
+    evald.drop("doc_id").write.mode("overwrite").option("header", True).csv(
+        eval_dir
+    )
+    return train_dir, eval_dir
+
+
+def _attach_images(labels: DataFrame) -> DataFrame:
+    """Rebased-path label rows -> (img_id, pneumonia, width, height,
+    content): img_id parsed back out of the CheXpert path (everything in
+    the reference keys on Path), content from the deterministic synthetic
+    corpus (same ``_synth_content`` the whole multimodal family uses —
+    stands in for the binaryFile scan of a real image tree, SURVEY §5.2).
+    ``fan_out`` first: one small CSV dir otherwise scans into few
+    partitions and would serialize the Python-heavy pass downstream."""
+    keyed = labels.select(
+        F.regexp_extract("path", r"patient(\d+)", 1).cast("long").alias("img_id"),
+        F.col("Pneumonia").alias("pneumonia"),
+    )
+    return fan_out(keyed, "img_id").select(
+        "img_id",
+        "pneumonia",
+        F.lit(IMG_SIDE).alias("width"),
+        F.lit(IMG_SIDE).alias("height"),
+        _synth_content(F.col("img_id")).alias("content"),
+    )
+
+
+def _augment_features(images: DataFrame) -> DataFrame:
+    """The fused image pass: decode -> equalize_hist -> 9 deterministic
+    augment variants -> per-variant exact int64 pixel features. One
+    Arrow crossing for the whole chain; output rows are 5 narrow columns
+    (no image bytes return to the JVM). Kernels are the SAME functions
+    as normalize_pipeline/augment_pipeline — byte parity pinned by
+    tests/test_pipeline_twin.py::test_feature_pass_matches_bytes_stages."""
+
+    def _gen(batches):
+        for pdf in batches:
+            out: dict[str, list] = {
+                "img_id": [], "pneumonia": [], "variant": [],
+                "pix_sum": [], "n_pix": [],
+            }
+            for img_id, pneu, w, h, content in zip(
+                pdf["img_id"], pdf["pneumonia"], pdf["width"],
+                pdf["height"], pdf["content"],
+            ):
+                norm = equalize_hist(decode_gray(content, h, w))
+                nbytes = norm.tobytes()
+                for v, b in enumerate(augment_variants(norm, nbytes)):
+                    out["img_id"].append(img_id)
+                    out["pneumonia"].append(pneu)
+                    out["variant"].append(v)
+                    # exact integer pixel sum — order-independent, so the
+                    # downstream sufficient statistics are bit-stable
+                    out["pix_sum"].append(
+                        int(np.frombuffer(b, np.uint8).sum(dtype=np.int64))
+                    )
+                    out["n_pix"].append(len(b))
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(
+        _gen,
+        "img_id long, pneumonia int, variant int, pix_sum long, n_pix long",
+    )
+
+
+def _metric_rows(df: DataFrame, stage: str, idx_col, *metric_value) -> DataFrame:
+    """Shape helper: project (stage, idx, metric, value) rows."""
+    outs = []
+    for metric, value in metric_value:
+        outs.append(
+            df.select(
+                F.lit(stage).alias("stage"),
+                idx_col.cast("int").alias("idx"),
+                F.lit(metric).alias("metric"),
+                value.cast("double").alias("value"),
+            )
+        )
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionAll(o)
+    return u
+
+
+@register("chexpert_pipeline_twin", oracle=None, category="multimodal")
+def chexpert_pipeline_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE program as one registered composition (see
+    module docstring for the stage-by-stage mapping to
+    src/preprocessing_pipeline.py:243-331 and
+    src/federated_learning_pipeline.py:124-199): two-file schema'd CSV
+    ingest -> path rebase -> duplicate audit + dedup guard -> fused
+    normalize/9x-augment/feature pass -> deterministic disjoint client
+    split -> disjointness + completeness + stratification audits ->
+    3-round federated averaging (closed-form ridge on exact int64
+    sufficient statistics, the SAME shared expression template as
+    fedavg_rounds) -> held-out evaluation of the final server model.
+
+    Output: one (stage, idx, metric, value) row per pipeline audit metric
+    and trained weight — 23 rows at any scale factor (axis-sized: stages
+    x clients x rounds, never data-sized). Rows-only by census: the
+    feature values derive from the binary image codec path, which no
+    DuckDB oracle can express; every non-codec stage has a full-oracle
+    twin elsewhere (csv_roundtrip_revenue, dedup_guard,
+    portable_client_split, fedavg_rounds, model_eval_accuracy), and the
+    composition's invariants are pinned by tests/test_pipeline_twin.py.
+
+    Scale: the only corpus-sized stages are the CSV scans and the fused
+    image pass (one Arrow crossing, narrow rows out, parallel after
+    fan_out); everything after ``features`` is aggregates over 5-column
+    int rows; the fed-avg loop is arithmetic on a K-row checkpointed
+    frame vs a broadcast 1-row server state; the eval model join
+    broadcasts 1 row. Nothing data-sized ever reaches the driver.
+    """
+    train_dir, eval_dir = write_label_csvs(spark, sf_dir)
+    rebase = F.concat(F.lit(_BASE_DIR), F.col("Path")).alias("path")
+
+    train_labels = checkpoint_pinned(
+        read_csv(spark, train_dir, _LABELS_SCHEMA).select(
+            rebase, "Pneumonia"
+        )
+    )
+    eval_labels = read_csv(spark, eval_dir, _LABELS_SCHEMA).select(
+        rebase, "Pneumonia"
+    )
+
+    # --- ingest audits + dedup guard (reference :270-283) ---------------
+    n_train_csv = train_labels.agg(F.count(F.lit(1)).alias("v"))
+    dup_paths = (
+        train_labels.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    deduped = train_labels.dropDuplicates(["path"])
+
+    # --- fused image pass over train + eval (corrections §2.2.1/2.2.2) --
+    features = checkpoint_pinned(
+        _augment_features(_attach_images(deduped)).withColumn(
+            "client", F.expr(_TWIN_CLIENT)
+        )
+    )
+    eval_features = checkpoint_pinned(
+        _augment_features(_attach_images(eval_labels))
+    )
+
+    # --- split + audits (reference verify_unique_split / test_partitioning)
+    per_client = features.groupBy("client").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("pneumonia").cast("long").alias("pneu_pos"),
+    )
+    # overlap: a (img_id, variant) key assigned to >1 client (0 by
+    # construction — audited from the DATA, as the reference does)
+    overlap = (
+        features.groupBy("img_id", "variant")
+        .agg(F.countDistinct("client").alias("nc"))
+        .filter(F.col("nc") > 1)
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    completeness = per_client.crossJoin(
+        F.broadcast(features.agg(F.count(F.lit(1)).alias("total")))
+    ).agg((F.max("total") - F.sum("n_rows")).alias("v"))
+
+    # --- fed-avg rounds on exact int64 sufficient statistics ------------
+    # x = variant index, y = mean-pixel in micro units (exact ints end to
+    # end; the double arithmetic after them is the shared fixed op tree)
+    shards = features.select(
+        "client",
+        F.col("variant").cast("long").alias("qc"),
+        F.expr(
+            "CAST(round(CAST(pix_sum AS DOUBLE) * 1000000.0 "
+            "/ CAST(n_pix AS DOUBLE)) AS BIGINT)"
+        ).alias("yc"),
+    )
+    stats = checkpoint_pinned(  # K rows; cuts the image pass out of the loop
+        shards.groupBy("client").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qc").alias("sx"),
+            F.sum("yc").alias("sy"),
+            F.sum(F.col("qc") * F.col("qc")).alias("sxx"),
+            F.sum(F.col("qc") * F.col("yc")).alias("sxy"),
+        )
+    )
+    w0m, w1m = _fedavg_fit_exprs(TWIN_LAMBDA)
+    s0m_e, s1m_e, total_e = _FEDAVG_SRV_EXPRS
+    server = spark.range(1).selectExpr("0.0 AS s0", "0.0 AS s1")
+    srv_rounds = []
+    for _ in range(TWIN_N_ROUNDS):
+        fits = stats.crossJoin(F.broadcast(server)).selectExpr(
+            "client", "n", w0m, w1m
+        )
+        srv = fits.selectExpr(s0m_e, s1m_e, total_e)
+        srv_rounds.append(srv)
+        server = srv.selectExpr(
+            "CAST(s0m AS DOUBLE) / 1000000.0 AS s0",
+            "CAST(s1m AS DOUBLE) / 1000000.0 AS s1",
+        )
+
+    # --- evaluation on the held-out file (federated :155-172) -----------
+    final = srv_rounds[-1].select("s0m", "s1m")
+    eval_scored = eval_features.crossJoin(F.broadcast(final)).select(
+        # y and the model are both in y-micro units: w0m/w1m carry an
+        # EXTRA 1e6 quantization factor (micro-of-micro), undone here
+        (
+            F.expr(
+                "CAST(round(CAST(pix_sum AS DOUBLE) * 1000000.0 "
+                "/ CAST(n_pix AS DOUBLE)) AS BIGINT)"
+            )
+            - (F.col("s0m") + F.col("s1m") * F.col("variant")) / 1e6
+        ).alias("resid_micro")
+    )
+    mse = eval_scored.agg(
+        F.round(
+            F.avg(F.pow(F.col("resid_micro") / 1e6, F.lit(2))), 6
+        ).alias("v")
+    )
+
+    # --- assemble the (stage, idx, metric, value) report -----------------
+    neg1 = F.lit(-1)
+    parts = [
+        _metric_rows(n_train_csv, "ingest", neg1, ("n_train_csv_rows", F.col("v"))),
+        _metric_rows(dup_paths, "ingest", neg1, ("n_dup_paths", F.col("v"))),
+        _metric_rows(
+            eval_labels.agg(F.count(F.lit(1)).alias("v")),
+            "ingest", neg1, ("n_eval_csv_rows", F.col("v")),
+        ),
+        _metric_rows(
+            deduped.agg(F.count(F.lit(1)).alias("v")),
+            "dedup", neg1, ("n_unique_images", F.col("v")),
+        ),
+        _metric_rows(
+            features.agg(F.count(F.lit(1)).alias("v")),
+            "augment", neg1, ("n_augmented", F.col("v")),
+        ),
+        _metric_rows(
+            per_client, "split", F.col("client"),
+            ("n_rows", F.col("n_rows")),
+            ("pneumonia_pos_rows", F.col("pneu_pos")),
+        ),
+        _metric_rows(overlap, "audit", neg1, ("overlap_keys", F.col("v"))),
+        _metric_rows(
+            completeness, "audit", neg1, ("completeness_delta", F.col("v"))
+        ),
+    ]
+    for r, srv in enumerate(srv_rounds, start=1):
+        parts.append(
+            _metric_rows(
+                srv, "fedavg", F.lit(r),
+                ("s0m", F.col("s0m")),
+                ("s1m", F.col("s1m")),
+            )
+        )
+    parts.append(
+        _metric_rows(
+            eval_features.agg(F.count(F.lit(1)).alias("v")),
+            "eval", neg1, ("n_eval_rows", F.col("v")),
+        )
+    )
+    parts.append(_metric_rows(mse, "eval", neg1, ("mse_px2", F.col("v"))))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -59,6 +59,7 @@ def _load_all() -> None:
         dedup,
         etl,
         multimodal,
+        pipeline_twin,
         quality,
         relational,
         similarity,

@@ -60,4 +60,10 @@ ROWS_ONLY_CENSUS: dict[str, str] = {
         "binary codec output (numpy-RNG image content, bilinear resize) — "
         "no DuckDB codec path"
     ),
+    "chexpert_pipeline_twin": (
+        "binary codec output feeds the split/fed-avg/eval features — no "
+        "DuckDB codec path; every non-codec stage has a full-oracle twin "
+        "(csv_roundtrip_revenue, dedup_guard, portable_client_split, "
+        "fedavg_rounds, model_eval_accuracy)"
+    ),
 }

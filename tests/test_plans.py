@@ -858,3 +858,28 @@ def test_skew_audit_uses_take_ordered(spark, sf_dir):
     plan = P.physical_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "row_number" not in plan
+
+
+def test_chexpert_pipeline_twin_plan_budget(spark, sf_dir):
+    """The capstone composition's FINAL plan (round 12): everything
+    corpus-sized (CSV train scan, the fused image pass, the sufficient
+    statistics) sits behind audited checkpoints, so the report plan is
+    unions of small aggregates — zero sort-merge joins, zero cartesian
+    products, every 1-row model/total join broadcast, no parquet rescans
+    (the documents scan happens once, inside the label-CSV fixture
+    write), and a bounded exchange budget (one partial+final pair per
+    metric branch). A regression that re-derives the image pass per
+    consumer or demotes a broadcast to SMJ fails here."""
+    df = QS["chexpert_pipeline_twin"](spark, sf_dir)
+    plan = P.physical_plan(df)
+    assert plan.count("SortMergeJoin") == 0, plan
+    assert plan.count("CartesianProduct") == 0, plan
+    assert plan.count("Scan parquet") == 0, plan
+    # the one un-checkpointed CSV consumer is the eval-labels count
+    assert plan.count("Scan csv") <= 2, plan
+    assert P.exchange_count(df) <= 40, plan
+    # every join in the report is a broadcast of a 1-row/K-row aggregate
+    assert P.broadcast_join_count(df) == (
+        plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin")
+    )
+    assert P.unpartitioned_window_count(df) == 0, plan
