@@ -591,6 +591,18 @@ def main() -> None:
         "sf": sf_val,
         "queries": times,
         "spread": spread,
+        # Per-pass wall arrays for HIGH-VARIANCE members (spread > min):
+        # the r10 multimodal anomaly (driver cohort 15.2s vs 4.2s quiet)
+        # was only attributable after a manual per-pass bisect — recording
+        # the individual passes for the load-sensitive members makes the
+        # next box-load event attributable from the artifact alone
+        # (VERDICT r11 task 5). Gated on spread>min so the artifact stays
+        # compact on quiet boxes.
+        "passes": {
+            n: [round(x, 3) for x in samples[n]]
+            for n in names
+            if spread[n] > times[n]
+        },
         "cohorts": {c: [n for n in m if n in times] for c, m in COHORTS.items()},
         "cohort_totals": cohort_totals,
         "pass_totals": [
