@@ -73,6 +73,8 @@ COHORTS: dict[str, list[str]] = {
         "ivf_pq_topk",
         "ann_multiprobe_audit",
         "embedding_diversity_score",
+        # round 12: the geometry-scaling ladder (B vs candidates/probe)
+        "ann_geometry_scaling_audit",
     ],
     "text": [
         "doc_token_stats",

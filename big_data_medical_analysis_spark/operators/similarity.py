@@ -2969,3 +2969,184 @@ def embedding_diversity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(1.0 - avg_cos, 6).alias("diversity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH geometry-scaling audit (round 12)
+# ---------------------------------------------------------------------------
+
+# The round-12 scale probe's build/probe split made the fixed-geometry cost
+# model visible: at constant (L, B), per-probe RANDOM candidates grow with
+# the index (~N*L/2^B), so probe cost trends toward m² as index and batch
+# both grow m×. The production answer is to scale B with log N — this audit
+# MEASURES that knob. One max-resolution banding pass (the existing 48
+# seeded ±1 planes regrouped as 4 tables × 12 bits); every coarser geometry
+# B < 12 derives by integer masking, because bit r carries weight 2^r:
+#     bucket_B = bucket_12 % 2^B
+# — the same trick a production store uses (persist max-resolution
+# signatures once; serve any coarser geometry by masking, no re-banding).
+GEO_TABLES = 4
+GEO_BITS_MAX = 12
+GEO_LADDER = (6, 8, 10, 12)
+
+
+def _geo_bucket_mapper():
+    """mapInPandas closure: (vec_id, embedding) -> GEO_TABLES rows of
+    (vec_id, tbl, bucket) at max resolution (12 bits). Same seeded plane
+    matrix as the incremental-ANN family (ann_sign_matrix's 48 rows),
+    regrouped so table t owns plane rows [t*12, (t+1)*12)."""
+    import numpy as np
+    import pandas as pd
+
+    planes_t = np.array(ann_sign_matrix(), dtype=np.int64).T  # IN x 48
+    weights = 1 << np.arange(GEO_BITS_MAX, dtype=np.int64)
+
+    def _buckets(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            s = mat * float(_SCALE)
+            iv = np.copysign(np.floor(np.abs(s) + 0.5), s).astype(np.int64)
+            bits = (iv @ planes_t) >= 0  # N x (GEO_TABLES*GEO_BITS_MAX)
+            bkt = (
+                bits.reshape(len(pdf), GEO_TABLES, GEO_BITS_MAX)
+                .astype(np.int64)
+                @ weights
+            )
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), GEO_TABLES),
+                    "tbl": np.tile(np.arange(GEO_TABLES, dtype=np.int32), n),
+                    "bucket": bkt.reshape(-1),
+                }
+            )
+
+    return _buckets
+
+
+def _geo_bucket_sql_cols() -> list[str]:
+    """DuckDB twins of the 12-bit buckets: same plane literals, same
+    2^r bit weights, table t = plane rows [t*12, (t+1)*12)."""
+    planes = ann_sign_matrix()
+    cols = []
+    for t in range(GEO_TABLES):
+        bits = []
+        for r in range(GEO_BITS_MAX):
+            signs = "[" + ", ".join(
+                str(s) for s in planes[t * GEO_BITS_MAX + r]
+            ) + "]"
+            bits.append(
+                "(CASE WHEN list_sum(list_transform(list_zip(iv, "
+                f"{signs}), z -> z[1] * z[2])) >= 0 THEN {1 << r} ELSE 0 END)"
+            )
+        cols.append("(" + " + ".join(bits) + f") AS g{t}")
+    return cols
+
+
+def _geo_audit_sql() -> str:
+    bucket_cols = ",\n         ".join(_geo_bucket_sql_cols())
+    banded = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, g{t} AS bucket FROM sig"
+        for t in range(GEO_TABLES)
+    )
+    per_geo = "\nUNION ALL\n".join(
+        f"""SELECT {b} AS bits,
+       CAST(count(DISTINCT p.vec_id) AS BIGINT) AS n_probes_colliding,
+       CAST(count(DISTINCT (p.vec_id, i.vec_id)) AS BIGINT) AS total_pairs,
+       CAST(count(DISTINCT (p.vec_id, i.vec_id, p.tbl)) AS BIGINT)
+         AS total_hits
+FROM banded p JOIN banded i
+  ON p.tbl = i.tbl AND (p.bucket % {1 << b}) = (i.bucket % {1 << b})
+WHERE p.{_ANN_PROBE} AND i.{_ANN_INDEX}"""
+        for b in GEO_LADDER
+    )
+    return f"""
+WITH scaled AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x::DOUBLE * {_SCALE}) AS BIGINT))
+           AS iv
+  FROM embeddings
+),
+sig AS (
+  SELECT vec_id, {bucket_cols}
+  FROM scaled
+),
+banded AS (
+  {banded}
+)
+{per_geo}
+"""
+
+
+@register(
+    "ann_geometry_scaling_audit",
+    oracle=_geo_audit_sql(),
+    category="similarity",
+)
+def ann_geometry_scaling_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED LSH geometry scaling — the production knob the round-12
+    scale probe's build/probe split exposed: at fixed (L, B) geometry,
+    per-probe random candidates grow with the index (~N·L/2^B), so probe
+    cost trends toward m² as index and batch grow together; holding
+    candidates constant requires B ≈ log2(N·L / target). This audit
+    measures the candidate curve across a bit-ladder B ∈ {6, 8, 10, 12}
+    on the SAME {GEO_TABLES}-table family: vectors are banded ONCE at max
+    resolution (12 bits, the seeded ±1 planes of the incremental-ANN
+    family regrouped 4×12), and every coarser geometry derives by integer
+    masking (bit r carries weight 2^r ⇒ bucket_B = bucket_12 % 2^B) —
+    the persist-max-resolution / mask-to-serve pattern a production
+    store uses, so the ladder costs one banding pass, not four.
+
+    Output: one row per B — probes with ≥1 index collision, distinct
+    (probe, candidate) pairs, and total per-table hits. The measured
+    curve halves candidates per added bit (±mixing noise), the evidence
+    behind SCALING.md's "scale B with log N" reading. Full value oracle:
+    plane literals + masking arithmetic are engine-portable (the
+    rp_sign_matrix discipline). Recall-vs-truth across geometries is
+    ``ann_recall_audit``'s job; this query prices candidates.
+
+    Scale: one Arrow banding pass (no shuffle) into a checkpointed
+    (N·L)-row bucket table; each ladder rung is one masked equi-join on
+    (tbl, bucket % 2^B) — shuffle payload is the narrow bucket rows, and
+    at 100 TB each rung prunes to matching masked-bucket partitions of a
+    bucketBy-written signature table exactly like the incremental probe.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    banded = checkpoint_pinned(
+        fan_out(emb.select("vec_id", "embedding"), "vec_id").mapInPandas(
+            _geo_bucket_mapper(), "vec_id long, tbl int, bucket long"
+        )
+    )
+    probe = banded.filter(F.expr(_ANN_PROBE)).select(
+        F.col("vec_id").alias("probe_id"), "tbl", "bucket"
+    )
+    index = banded.filter(F.expr(_ANN_INDEX)).select(
+        F.col("vec_id").alias("cand_id"),
+        "tbl",
+        F.col("bucket").alias("i_bucket"),
+    )
+    out: DataFrame | None = None
+    for b in GEO_LADDER:
+        mask = 1 << b
+        hits = probe.withColumn("mb", F.col("bucket") % mask).join(
+            index.withColumn("mb", F.col("i_bucket") % mask),
+            ["tbl", "mb"],
+        )
+        row = hits.agg(
+            F.lit(b).alias("bits"),
+            F.countDistinct("probe_id").alias("n_probes_colliding"),
+            F.countDistinct("probe_id", "cand_id").alias("total_pairs"),
+            F.countDistinct("probe_id", "cand_id", "tbl").alias("total_hits"),
+        ).select("bits", "n_probes_colliding", "total_pairs", "total_hits")
+        out = row if out is None else out.unionAll(row)
+    assert out is not None
+    return out
+
+
+ann_geometry_scaling_audit.__doc__ = ann_geometry_scaling_audit.__doc__.replace(
+    "{GEO_TABLES}", str(GEO_TABLES)
+)

@@ -497,3 +497,30 @@ def test_multiprobe_dominates_single(spark, sf_dir):
     assert sum(m.n_scored for m in multi.values()) > sum(
         s.n_scored for s in single.values()
     )
+
+
+def test_geometry_ladder_halves_candidates_per_bit(spark, sf_dir):
+    """ann_geometry_scaling_audit (round 12): random-pair collisions per
+    table scale ~2^-B, so each +2 bits on the ladder must cut per-table
+    hits by ~4x (mixing noise allowed: [2, 8] band per rung — the sf0.01
+    measured curve is 1627 -> 402 -> 125 -> 41). Also pins the masking
+    identity: the B=12 rung IS the unmasked bucket join, and coarser
+    rungs can only ADD collisions (a probe colliding at B bits collides
+    at every B' < B), so probes/pairs/hits are all monotone
+    non-increasing in B."""
+    from big_data_medical_analysis_spark.operators.similarity import (
+        GEO_LADDER,
+        ann_geometry_scaling_audit,
+    )
+
+    rows = {
+        r.bits: r
+        for r in ann_geometry_scaling_audit(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(GEO_LADDER)
+    for lo, hi in zip(GEO_LADDER, GEO_LADDER[1:]):
+        assert rows[lo].n_probes_colliding >= rows[hi].n_probes_colliding
+        assert rows[lo].total_pairs >= rows[hi].total_pairs
+        assert rows[lo].total_hits > rows[hi].total_hits
+        ratio = rows[lo].total_hits / max(rows[hi].total_hits, 1)
+        assert 2.0 <= ratio <= 8.0, (lo, hi, ratio)
