@@ -107,6 +107,7 @@ def test_feature_pass_matches_bytes_stages(spark):
             "Pneumonia",
         )
         .dropDuplicates(["path"])
+        .withColumn("is_eval", F.lit(0))
     )
     images = PT._attach_images(labels).filter(F.col("img_id") < 40)
     fused = {
@@ -114,7 +115,7 @@ def test_feature_pass_matches_bytes_stages(spark):
         for r in PT._augment_features(images).collect()
     }
     composed = augment_pipeline(
-        images.withColumnRenamed("pneumonia", "label")
+        images.drop("is_eval").withColumnRenamed("pneumonia", "label")
     ).collect()
     assert len(composed) == len(fused) > 0
     for r in composed:
