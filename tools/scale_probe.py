@@ -240,10 +240,121 @@ def time_build_probe(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     return out
 
 
+_READING_LINES = [
+    "Sub-linear ratios = fixed overheads amortizing over partitioned",
+    "throughput; a ratio NEAR OR ABOVE the multiplier would flag a",
+    "super-linear term (accidental quadratic, broadcast-turned-shuffle).",
+    "Dimension-bound queries (e.g. topk_parts_per_brand) stay flat by",
+    "construction — dimensions don't scale with facts.",
+    "",
+    "Index PROBES scale with batch_size x per-probe candidates. The",
+    "MinHash banding keys on content, so on a disjoint corpus its",
+    "per-probe candidates stay ~constant and the probe wall tracks the",
+    "batch (sub-multiplier). Sign-LSH is different: at FIXED geometry,",
+    "per-probe RANDOM candidates grow with the index (~N*L/2^B), so the",
+    "ANN probe wall trends toward multiplier^2 at large m BY THE",
+    "GEOMETRY'S OWN COST MODEL — production holds candidates constant",
+    "by scaling B with log N (the measured knob:",
+    "ann_geometry_scaling_audit's ~4x-per-2-bits curve), which this",
+    "fixed-geometry probe deliberately does not do, so the growth stays",
+    "visible instead of being tuned away.",
+]
+
+# Per-query DOCUMENTED scaling bound at corpus multiplier m. Default is m
+# (linear-in-corpus). ann_incremental_probe is the one member whose honest
+# fixed-geometry cost model is super-linear: probe work ~ batch(m) x
+# per-probe candidates(~m) = m^2 (the Reading paragraph above) — flagging
+# it as a "regression" at large m would misread its own documentation, so
+# its bound is m^2 and the verdict reports it against that bound instead.
+HEAVY_DOCUMENTED_BOUND = {
+    "ann_incremental_probe": lambda m: float(m) * m,
+}
+
+_COST_MODELS = {
+    "minhash_incremental_probe": (
+        "its every stage is corpus-proportional by design — N·bands"
+        " signatures plus one equi-join probe per banded candidate"
+        " (candidates grow ~m on a disjoint corpus, never m²)"
+    ),
+    "ann_incremental_probe": (
+        "fixed-geometry sign-LSH: probe work ~ batch(m) × per-probe"
+        " candidates(~m) = m² by its documented cost model; production"
+        " re-tunes B with log N — see ann_geometry_scaling_audit"
+    ),
+    "ann_recall_audit": (
+        "it prices an exact-truth audit — the truth pass is"
+        " deliberately corpus-proportional per probe, bounded by the"
+        " fixed probe panel"
+    ),
+    "prefix_filter_jaccard_join": (
+        "exact PPJoin verification cost tracks the candidate count,"
+        " which the prefix filter keeps ~linear on a disjoint corpus"
+    ),
+    "governed_mixture_sample": (
+        "its 5 fused governance stages each rescan the kept relation"
+        " once — linear-in-corpus with the least fixed-cost headroom"
+        " to amortize, so it sits closest to the multiplier"
+    ),
+}
+
+
+def heavy_verdict_text(h_ratios: dict[str, float], top_mult: int) -> str:
+    """The COMPUTED heavy-tier verdict (never static prose a regression
+    could contradict): each member is judged against its DOCUMENTED bound
+    — m for linear-in-corpus members, m² for the deliberately
+    fixed-geometry ANN probe — and members above the plain multiplier but
+    inside their documented bound are reported as such, not as
+    regressions (the per-query sentence keyed off the measured member,
+    ADVICE r11)."""
+    bound = {
+        n: HEAVY_DOCUMENTED_BOUND.get(n, lambda m: float(m))(top_mult)
+        for n in h_ratios
+    }
+    over = sorted((n, r) for n, r in h_ratios.items() if r > bound[n])
+    if over:
+        return (
+            "**RATIOS ABOVE THEIR DOCUMENTED BOUND — regression to"
+            " bisect:** "
+            + ", ".join(
+                f"{n} at {r:.2f}x vs its {bound[n]:.0f}x bound"
+                for n, r in over
+            )
+            + ". A ratio above the documented bound means a candidate-set"
+            " or pair-output blowup beyond the member's own cost model;"
+            " this table exists to catch exactly that."
+        )
+    linear = {n: r for n, r in h_ratios.items() if bound[n] == top_mult}
+    max_lin = max(linear, key=linear.get)
+    parts = [
+        f"This run: every linear-bound member is ≤ the {top_mult}x"
+        f" multiplier (max {max_lin} at {linear[max_lin]:.2f}x — "
+        + _COST_MODELS[max_lin]
+        + ")."
+    ]
+    for n, r in sorted(h_ratios.items()):
+        if bound[n] > top_mult:
+            parts.append(
+                f" {n} measures {r:.2f}x against its documented"
+                f" {bound[n]:.0f}x fixed-geometry bound — "
+                + _COST_MODELS[n]
+                + "."
+            )
+    parts.append(
+        " Linear-in-corpus IS the target cost model for a curation"
+        " policy loop; the flag this table watches for is a ratio ABOVE"
+        " the member's documented bound."
+    )
+    return "".join(parts)
+
+
 def main() -> int:
     mults = [int(a) for a in sys.argv[1:]] or [10, 30]
     pillar_mult = 10
-    heavy_mults = [10, 30]
+    # the heavy tier follows the deepest headline tier: a full 10/30/100
+    # probe run also prices the dedup/ANN production shapes at 100x —
+    # the tier where governed_mixture_sample's near-the-line linearity
+    # (17x at 30x) either holds or breaks
+    heavy_mults = [10, 30] + ([100] if 100 in mults else [])
     spark = get_spark("scale_probe")
     results = {1: time_headline(spark, BASE_SF)}
     for m in mults:
@@ -372,74 +483,9 @@ def main() -> int:
         n: h_results[top_mult][n] / max(h_results[1][n], 1e-9)
         for n in HEAVY_QUERIES
     }
-    over = sorted((n, r) for n, r in h_ratios.items() if r > top_mult)
-    max_ratio_member = max(h_ratios, key=h_ratios.get)
-    cost_models = {
-        "minhash_incremental_probe": (
-            "its every stage is corpus-proportional by design — N·bands"
-            " signatures plus one equi-join probe per banded candidate"
-            " (candidates grow ~m on a disjoint corpus, never m²)"
-        ),
-        "ann_incremental_probe": (
-            "its wall is index rebuild + probe together (see the split"
-            " table for the separated walls); bucketing is one Arrow pass"
-            " and candidates are bounded by table geometry, not corpus size"
-        ),
-        "ann_recall_audit": (
-            "it prices an exact-truth audit — the truth pass is"
-            " deliberately corpus-proportional per probe, bounded by the"
-            " fixed probe panel"
-        ),
-        "prefix_filter_jaccard_join": (
-            "exact PPJoin verification cost tracks the candidate count,"
-            " which the prefix filter keeps ~linear on a disjoint corpus"
-        ),
-        "governed_mixture_sample": (
-            "its 5 fused governance stages each rescan the kept relation"
-            " once — linear-in-corpus with the least fixed-cost headroom"
-            " to amortize, so it sits closest to the multiplier"
-        ),
-    }
-    if over:
-        heavy_verdict = (
-            "**SUPER-LINEAR RATIOS MEASURED — regression to bisect:** "
-            + ", ".join(f"{n} at {r:.2f}x vs the {top_mult}x multiplier"
-                        for n, r in over)
-            + ". A ratio above the multiplier means a candidate-set or"
-            " pair-output blowup; this table exists to catch exactly that."
-        )
-    else:
-        heavy_verdict = (
-            f"This run: every heavy-tier ratio is ≤ the {top_mult}x"
-            f" multiplier. The max-ratio member is {max_ratio_member} at"
-            f" {h_ratios[max_ratio_member]:.2f}x — "
-            + cost_models[max_ratio_member]
-            + ". Linear-in-corpus IS the target cost model for a curation"
-            " policy loop; the flag this table watches for is a ratio"
-            " ABOVE the multiplier."
-        )
-    lines += [
-        "",
-        "## Reading",
-        "",
-        "Sub-linear ratios = fixed overheads amortizing over partitioned",
-        "throughput; a ratio NEAR OR ABOVE the multiplier would flag a",
-        "super-linear term (accidental quadratic, broadcast-turned-shuffle).",
-        "Dimension-bound queries (e.g. topk_parts_per_brand) stay flat by",
-        "construction — dimensions don't scale with facts.",
-        "",
-        "Index PROBES scale with batch_size x per-probe candidates. The",
-        "MinHash banding keys on content, so on a disjoint corpus its",
-        "per-probe candidates stay ~constant and the probe wall tracks the",
-        "batch (sub-multiplier). Sign-LSH is different: at FIXED geometry,",
-        "per-probe RANDOM candidates grow with the index (~N*L/2^B), so the",
-        "ANN probe wall trends toward multiplier^2 at large m BY THE",
-        "GEOMETRY'S OWN COST MODEL — production holds candidates constant",
-        "by scaling B with log N (the operator docstring's tuning note),",
-        "which this fixed-geometry probe deliberately does not do, so the",
-        "growth stays visible instead of being tuned away.",
-        heavy_verdict,
-    ]
+    lines += ["", "## Reading", ""]
+    lines += _READING_LINES
+    lines.append(heavy_verdict_text(h_ratios, top_mult))
     open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"), "w").write(
         "\n".join(lines) + "\n"
     )
