@@ -234,3 +234,44 @@ def test_priority_order_pure_logic(monkeypatch):
     # a, e never-checked (registration order); c never-checked but deferred;
     # d and f stalest (r2, registration order); b freshest (r3)
     assert order == ["a", "e", "c", "d", "f", "b"]
+
+
+def test_heavy_verdict_judges_documented_bounds():
+    """tools/scale_probe.heavy_verdict_text (round 12): members are judged
+    against their DOCUMENTED bound — m for linear-in-corpus members, m²
+    for the deliberately fixed-geometry ANN probe — so a known cost model
+    is reported as such while anything beyond its own bound still flags
+    as a regression."""
+    import importlib.util as ilu
+
+    spec = ilu.spec_from_file_location(
+        "scale_probe_mod",
+        os.path.join(os.path.dirname(_ENTRY_PATH), "tools", "scale_probe.py"),
+    )
+    sp = ilu.module_from_spec(spec)
+    spec.loader.exec_module(sp)
+
+    base = {
+        "minhash_incremental_probe": 10.0,
+        "ann_recall_audit": 2.7,
+        "prefix_filter_jaccard_join": 10.8,
+        "governed_mixture_sample": 69.2,
+    }
+    # ANN probe above the multiplier but inside its m^2 bound: reported
+    # against the documented bound, NOT flagged as a regression
+    ok = sp.heavy_verdict_text({**base, "ann_incremental_probe": 172.7}, 100)
+    assert "regression" not in ok.lower()
+    assert "documented 10000x" in ok
+    assert "governed_mixture_sample" in ok  # max linear-bound member named
+    # beyond the m^2 bound: flagged loudly
+    bad = sp.heavy_verdict_text(
+        {**base, "ann_incremental_probe": 20_000.0}, 100
+    )
+    assert "regression to bisect" in bad
+    assert "ann_incremental_probe" in bad
+    # a linear member above m: flagged
+    bad2 = sp.heavy_verdict_text(
+        {**base, "governed_mixture_sample": 130.0,
+         "ann_incremental_probe": 172.7}, 100
+    )
+    assert "regression to bisect" in bad2 and "governed_mixture_sample" in bad2
