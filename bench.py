@@ -358,6 +358,14 @@ COHORTS: dict[str, list[str]] = {
         "embedding_int8_quantize",
         "kfold_target_encoding",
     ],
+    # ----- round 12 (continuation): the three published data-selection
+    # algorithms (SemDeDup / DSIR / trained quality classifier) — their
+    # own cohort so the selection tier's wall-clock trend is visible. -----
+    "llm_selection": [
+        "semdedup_prune_stats",
+        "dsir_importance_select",
+        "quality_classifier_gd",
+    ],
 }
 OPTIONAL = [n for cohort in COHORTS.values() for n in cohort]
 

@@ -827,12 +827,14 @@ KMEANS_ITERS = 2
 _EMB_DIM = 64
 
 
-def _kmeans_oracle() -> str:
-    """Unrolled Lloyd's iterations in DuckDB SQL. Every quantity is exact:
-    int64-micro components, integer squared distances (order-independent
-    sums), argmin tie-broken on cluster id, centroid update as ONE
-    round(sum/count) division per dimension — the same single IEEE op the
-    Spark side performs."""
+def _lloyd_oracle_ctes() -> str:
+    """WITH-clause prefix replaying the full Lloyd trajectory in DuckDB
+    (vm → c0 → a1/u1/c1 → … → c{{KMEANS_ITERS}}) — shared by the kmeans
+    and semdedup oracles so both replay the IDENTICAL clustering. Every
+    quantity is exact: int64-micro components, integer squared distances
+    (order-independent sums), argmin tie-broken on cluster id, centroid
+    update as ONE round(sum/count) division per dimension — the same
+    single IEEE op the Spark side performs."""
     parts = [
         f"""WITH vm AS (
   SELECT vec_id, list_transform(embedding,
@@ -868,13 +870,96 @@ c0 AS (
   SELECT cluster, list(cm ORDER BY dim) AS c FROM u{it} GROUP BY cluster
 )"""
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _kmeans_oracle() -> str:
+    """The kmeans output off the shared trajectory: the final iteration's
+    per-(cluster, dim) update rows."""
+    return (
+        _lloyd_oracle_ctes()
+        + f"""
 SELECT cluster, CAST(dim - 1 AS INTEGER) AS dim_idx,
        cm AS centroid_micro, n AS n_members
 FROM u{KMEANS_ITERS}"""
     )
-    return "".join(parts)
+
+
+def _kmeans_vm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The int64-micro-scaled vector table, scaled ONCE and
+    localCheckpointed: vm is consumed by the init centroids plus twice per
+    Lloyd iteration (assignment + update), and the executed plan re-read
+    parquet and re-ran the scaling transform for each consumer (5 scans at
+    2 iterations — the r8 rescan class). Lloyd's per-iteration pass over
+    the vectors is inherent; re-deriving them per pass is not. At 100 TB:
+    persist(DISK_ONLY) of the scaled table, same trade as the mining
+    baskets."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda y: F.round(y.cast("double") * 1_000_000).cast("long"),
+        ).alias("v"),
+    ).transform(checkpoint_pinned)
+
+
+def _lloyd_assign(vm: DataFrame, centroids: DataFrame) -> DataFrame:
+    """One Lloyd assignment pass: exact integer squared distance of every
+    vector against every (broadcast) centroid, argmin tie-broken on
+    cluster id — a map-side argmin, no shuffle of the vectors. Returns
+    (vec_id, cluster, d) for each vector's winning cluster."""
+    d = F.aggregate(
+        F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = vm.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "cluster", d.alias("d")
+    )
+    wn = W.partitionBy("vec_id").orderBy("d", "cluster")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wn))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "cluster", "d")
+    )
+
+
+def _lloyd_iterations(vm: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """{KMEANS_ITERS} Lloyd rounds from the deterministic first-k init.
+    Returns (centroids, update): the final (cluster, c) centroid arrays
+    and the final iteration's per-(cluster, dim) update rows."""
+    centroids = vm.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").cast("integer").alias("cluster"), F.col("v").alias("c")
+    )
+    update = None
+    for _ in range(KMEANS_ITERS):
+        members = _lloyd_assign(vm, centroids).select("vec_id", "cluster")
+        # posexplode_outer + output null-filter: posexplode's inferred
+        # size(v)>0 filter pushes through the join to the embeddings scan
+        # with the int-scaling transform substituted (a full second
+        # per-row scaling pass each iteration — seen in the plan audit)
+        exploded = (
+            members.join(vm, "vec_id")
+            .select("cluster", F.posexplode_outer("v").alias("pos", "val"))
+            .filter(F.col("pos").isNotNull())
+        )
+        update = exploded.groupBy("cluster", (F.col("pos") + 1).alias("dim")).agg(
+            F.round(
+                F.sum("val").cast("double") / F.count(F.lit(1)).cast("double")
+            )
+            .cast("long")
+            .alias("cm"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        centroids = update.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cm"))),
+                lambda s: s.cm,
+            ).alias("c")
+        )
+    assert update is not None
+    return centroids, update
 
 
 @register("kmeans_lloyd_centroids", oracle=_kmeans_oracle(), category="similarity")
@@ -898,74 +983,177 @@ def kmeans_lloyd_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     count multiplies passes over the data, not shuffle width; at 100 TB
     you run assignment on a sample for the first iterations and full-pass
     only the last (standard practice), which changes this plan's input,
-    not its shape.
+    not its shape. (Round 12: the vm scaling, assignment pass, and Lloyd
+    loop are factored into `_kmeans_vm`/`_lloyd_assign`/`_lloyd_iterations`
+    — shared with ``semdedup_prune_stats`` — with byte-identical
+    expressions; re-verified per the registry's code-changed convention.)
     """
-    emb = read_table(spark, sf_dir, "embeddings")
-    # int-scale ONCE and localCheckpoint: vm is consumed by the init
-    # centroids plus twice per Lloyd iteration (assignment + update), and
-    # the executed plan re-read parquet and re-ran the scaling transform
-    # for each consumer (5 scans at 2 iterations — the r8 rescan class).
-    # Lloyd's per-iteration pass over the vectors is inherent; re-deriving
-    # them per pass is not. At 100 TB: persist(DISK_ONLY) of the scaled
-    # table, same trade as the mining baskets.
-    vm = emb.select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda y: F.round(y.cast("double") * 1_000_000).cast("long"),
-        ).alias("v"),
-    ).transform(checkpoint_pinned)
-    centroids = (
-        vm.filter(F.col("vec_id") < KMEANS_K)
-        .select(F.col("vec_id").cast("integer").alias("cluster"), F.col("v").alias("c"))
-    )
-    update = None
-    for _ in range(KMEANS_ITERS):
-        d = F.aggregate(
-            F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        scored = vm.crossJoin(F.broadcast(centroids)).select(
-            "vec_id", "cluster", d.alias("d")
-        )
-        wn = W.partitionBy("vec_id").orderBy("d", "cluster")
-        members = (
-            scored.withColumn("rnk", F.row_number().over(wn))
-            .filter(F.col("rnk") == 1)
-            .select("vec_id", "cluster")
-        )
-        # posexplode_outer + output null-filter: posexplode's inferred
-        # size(v)>0 filter pushes through the join to the embeddings scan
-        # with the int-scaling transform substituted (a full second
-        # per-row scaling pass each iteration — seen in the plan audit)
-        exploded = (
-            members.join(vm, "vec_id")
-            .select("cluster", F.posexplode_outer("v").alias("pos", "val"))
-            .filter(F.col("pos").isNotNull())
-        )
-        update = exploded.groupBy(
-            "cluster", (F.col("pos") + 1).alias("dim")
-        ).agg(
-            F.round(
-                F.sum("val").cast("double") / F.count(F.lit(1)).cast("double")
-            )
-            .cast("long")
-            .alias("cm"),
-            F.count(F.lit(1)).cast("long").alias("n"),
-        )
-        centroids = update.groupBy("cluster").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "cm"))),
-                lambda s: s.cm,
-            ).alias("c")
-        )
-    assert update is not None
+    vm = _kmeans_vm(spark, sf_dir)
+    _, update = _lloyd_iterations(vm)
     return update.select(
         "cluster",
         (F.col("dim") - 1).cast("integer").alias("dim_idx"),
         F.col("cm").alias("centroid_micro"),
         F.col("n").alias("n_members"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup via cluster-then-prune (round 12)
+# ---------------------------------------------------------------------------
+
+# The synthetic embeddings are near-random (within-label cosine q99 ≈ 0.30,
+# see NEAR_DUP_COS); within-KMEANS-cluster similarity is only mildly
+# elevated, so the published 0.9+ "semantic duplicate" band would prune
+# nothing here. 0.25 exercises a real selective threshold; production tunes
+# this per-corpus exactly as the paper does.
+SEMDEDUP_TAU = 0.25
+
+
+def _semdedup_oracle() -> str:
+    """Replay the SHARED Lloyd trajectory, then the SemDeDup decision:
+    final assignment vs the final centroids, rank within cluster by
+    distance-to-centroid (farthest kept first), prune any vector whose
+    cosine with a better-ranked cluster-mate reaches SEMDEDUP_TAU."""
+    i = KMEANS_ITERS
+    return (
+        _lloyd_oracle_ctes()
+        + f""", normed AS (
+  SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS n2 FROM vm
+), af AS (
+  SELECT vec_id, cluster, d,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rnk
+  FROM (
+    SELECT vm.vec_id, c{i}.cluster,
+           list_sum(list_transform(vm.v,
+             (x, j) -> (x - c{i}.c[j]) * (x - c{i}.c[j]))) AS d
+    FROM vm, c{i}
+  )
+), sel AS (
+  SELECT vec_id, cluster, d FROM af WHERE rnk = 1
+), ranked AS (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY cluster ORDER BY d DESC, vec_id) AS r
+  FROM sel
+), pruned AS (
+  SELECT DISTINCT b.cluster, b.vec_id
+  FROM ranked a
+  JOIN ranked b ON a.cluster = b.cluster AND a.r < b.r
+  JOIN normed na ON na.vec_id = a.vec_id
+  JOIN normed nb ON nb.vec_id = b.vec_id
+  WHERE round(
+          CAST(list_sum(list_transform(list_zip(na.v, nb.v),
+                                       z -> z[1] * z[2])) AS DOUBLE)
+          / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6)
+        >= {SEMDEDUP_TAU}
+), pc AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n_members FROM sel GROUP BY cluster
+), pp AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n_pruned FROM pruned GROUP BY cluster
+)
+SELECT pc.cluster, pc.n_members,
+       CAST(coalesce(pp.n_pruned, 0) AS BIGINT) AS n_pruned,
+       CAST(pc.n_members - coalesce(pp.n_pruned, 0) AS BIGINT) AS n_kept,
+       round(CAST(coalesce(pp.n_pruned, 0) AS DOUBLE) / pc.n_members, 6)
+         AS prune_rate
+FROM pc LEFT JOIN pp ON pc.cluster = pp.cluster"""
+    )
+
+
+@register("semdedup_prune_stats", oracle=_semdedup_oracle(), category="similarity")
+def semdedup_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering THEN pruning — k-means partitions the
+    corpus so the quadratic cosine screen runs only within a cluster, and
+    within each cluster every vector whose cosine with a better-ranked
+    cluster-mate reaches {SEMDEDUP_TAU} is pruned. Rank = distance to the
+    cluster centroid DESCENDING (ties on vec_id): the paper's
+    keep-the-low-centroid-similarity policy, which retains the most
+    atypical representative of each duplicate neighborhood. This is the
+    missing middle tier between ``embedding_near_dup_pairs`` (blocks GIVEN
+    by a label column) and ``dedup_components`` (graph components over
+    banded candidates): here the engine derives the blocking itself from
+    the SAME deterministic Lloyd trajectory as ``kmeans_lloyd_centroids``
+    — trajectory, final assignment, ranking, pairwise screen, and prune
+    counts all replay bit-for-bit in DuckDB (int64-micro vectors, integer
+    squared distances, one rounded division per cosine).
+
+    Output: per cluster — member count, pruned count, kept count, prune
+    rate (the corpus-curation dashboard row SemDeDup deployments report).
+
+    Scale: clustering is the kmeans plan (broadcast centroids, map-side
+    argmin, one combinable aggregate per iteration). The screen's
+    quadratic term is Σ|cluster|², not N² — at 100 TB k grows ∝ corpus
+    size (the paper runs k ≈ √N·c) so cluster width stays bounded and the
+    screen stays linear; the better-ranked side broadcasts per cluster
+    block exactly like ``embedding_near_dup_pairs``'s blocked join. One
+    extra assignment pass prices the final cluster ids — a map-side
+    broadcast, no vector shuffle.
+    """
+    vm = _kmeans_vm(spark, sf_dir)
+    centroids, _ = _lloyd_iterations(vm)
+    assign = _lloyd_assign(vm, centroids)
+    wr = W.partitionBy("cluster").orderBy(F.desc("d"), F.asc("vec_id"))
+    ranked = assign.withColumn("r", F.row_number().over(wr)).select(
+        "vec_id", "cluster", "r"
+    )
+    n2 = F.aggregate(
+        F.transform("v", lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    normed = vm.select("vec_id", "v", n2.alias("n2"))
+    with_vec = ranked.join(normed, "vec_id")
+    # fan_out side a: the cluster key has only KMEANS_K values, so a keyed
+    # shuffle join would cap pair generation at k tasks; broadcasting side b
+    # keeps side a at full parallelism (at 100 TB side b is one cluster
+    # block, still broadcast-sized — the embedding_near_dup_pairs argument).
+    a = fan_out(with_vec, "vec_id").select(
+        "cluster",
+        F.col("r").alias("r_a"),
+        F.col("v").alias("v_a"),
+        F.col("n2").alias("n2_a"),
+    )
+    b = with_vec.select(
+        F.col("cluster").alias("cluster_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("r").alias("r_b"),
+        F.col("v").alias("v_b"),
+        F.col("n2").alias("n2_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pruned = (
+        a.join(
+            F.broadcast(b),
+            (F.col("cluster") == F.col("cluster_b")) & (F.col("r_a") < F.col("r_b")),
+        )
+        .select(
+            "cluster",
+            "vec_b",
+            cosine(dot, F.col("n2_a"), F.col("n2_b")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= SEMDEDUP_TAU)
+        .select("cluster", "vec_b")
+        .distinct()
+    )
+    pc = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+    pp = pruned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_pruned"))
+    return pc.join(pp, "cluster", "left").select(
+        "cluster",
+        "n_members",
+        F.coalesce(F.col("n_pruned"), F.lit(0)).cast("long").alias("n_pruned"),
+        (F.col("n_members") - F.coalesce(F.col("n_pruned"), F.lit(0)))
+        .cast("long")
+        .alias("n_kept"),
+        F.round(
+            F.coalesce(F.col("n_pruned"), F.lit(0)).cast("double")
+            / F.col("n_members"),
+            6,
+        ).alias("prune_rate"),
     )
 
 

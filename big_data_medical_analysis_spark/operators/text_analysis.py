@@ -1423,6 +1423,339 @@ def vocab_jsd(docs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DSIR data selection: hashed n-gram importance resampling — round 12
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 64
+DSIR_TARGET_SOURCE = "src0"
+DSIR_KEEP = 100
+
+_DSIR_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+),
+g AS (
+  SELECT t.doc_id, t.source,
+         CAST(concat('0x', substr(md5(u.gram), 1, 8)) AS BIGINT)
+           % {DSIR_BUCKETS} AS bucket
+  FROM t, unnest(list_concat(
+    t.toks,
+    list_transform(list_zip(t.toks[1:len(t.toks) - 1], t.toks[2:len(t.toks)]),
+                   z -> z[1] || ' ' || z[2])
+  )) AS u(gram)
+),
+db AS (
+  SELECT doc_id, source, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM g GROUP BY 1, 2, 3
+),
+rb AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS c FROM db GROUP BY 1),
+tb AS (
+  SELECT bucket, CAST(sum(c) AS BIGINT) AS c
+  FROM db WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY 1
+),
+tot AS (
+  SELECT (SELECT CAST(sum(c) AS BIGINT) FROM tb) AS t_n,
+         (SELECT CAST(sum(c) AS BIGINT) FROM rb) AS r_n
+),
+lam AS (
+  SELECT rb.bucket,
+         CAST(round(ln(
+           ((coalesce(tb.c, 0) + 1.0) / (tot.t_n + {DSIR_BUCKETS}))
+           / ((rb.c + 1.0) / (tot.r_n + {DSIR_BUCKETS}))
+         ) * 1000000) AS BIGINT) AS lam_micro
+  FROM rb LEFT JOIN tb USING (bucket) CROSS JOIN tot
+),
+w AS (
+  SELECT db.doc_id, CAST(sum(db.c * lam.lam_micro) AS BIGINT) AS weight_micro
+  FROM db JOIN lam USING (bucket) GROUP BY 1
+)
+SELECT doc_id, source, weight_micro, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT w.doc_id, d.source, w.weight_micro,
+         row_number() OVER (ORDER BY w.weight_micro DESC, w.doc_id) AS rnk
+  FROM w JOIN documents d USING (doc_id)
+)
+WHERE rnk <= {DSIR_KEEP}
+"""
+
+
+@register("dsir_importance_select", oracle=_DSIR_SQL, category="text")
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023, arXiv:2302.03169): data selection via
+    importance resampling on HASHED N-GRAM features — the published
+    target-distribution-matching selector (select raw-corpus docs that
+    look like a small curated target set). Features are uni+bigrams
+    hashed into {DSIR_BUCKETS} buckets (portable md5 % B); the target
+    distribution is the '{DSIR_TARGET_SOURCE}' slice (the curated-corpus
+    stand-in, the GPT-3/PaLM "WebText-like" framing); per-bucket
+    log-likelihood ratios use Laplace (+1) smoothing. A doc's importance
+    weight is Σ_b count_doc[b]·λ[b]; the top {DSIR_KEEP} by weight are
+    selected. Exactness: λ is quantized to int64 micro after ONE ln per
+    bucket (the lang_quota_sample ln precedent), so every per-doc weight
+    is an exact integer sum and the top-k cut is deterministic
+    (weight DESC, doc_id).
+
+    This is the distribution-matching member of the selection family —
+    ``source_mixture_weights`` sizes sources, ``governed_mixture_sample``
+    enforces quotas, ``benchmark_decontamination`` removes eval overlap;
+    DSIR picks WHICH raw docs enter the pool in the first place.
+
+    Scale: one gram explode → (doc, bucket) combine (the shuffle carries
+    doc×bucket cells, B-bounded per doc); the λ table is B rows —
+    broadcast; per-doc weights are one combinable aggregate; the global
+    cut is orderBy+limit = TakeOrderedAndProject (no full sort), with the
+    rank window running over only the {DSIR_KEEP} survivors.
+    """
+    return dsir_select(read_table(spark, sf_dir, "documents"))
+
+
+def dsir_select(docs: DataFrame) -> DataFrame:
+    """Core of ``dsir_importance_select`` over any (doc_id, source, text)
+    DataFrame — factored out so the pytest can plant a target slice with
+    a genuinely distinct vocabulary and prove the selector prefers
+    target-like documents."""
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.concat(toks, bigrams)).alias("gram"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
+        % DSIR_BUCKETS
+    )
+    # db feeds three consumers (raw counts, target counts, per-doc join):
+    # count once, checkpoint, reuse — the kmeans-vm rescan argument.
+    db = checkpoint_pinned(
+        grams.select("doc_id", "source", bucket.alias("bucket"))
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    rb = db.groupBy("bucket").agg(F.sum("c").cast("long").alias("rc"))
+    tb = (
+        db.filter(F.col("source") == DSIR_TARGET_SOURCE)
+        .groupBy("bucket")
+        .agg(F.sum("c").cast("long").alias("tc"))
+    )
+    tot = rb.agg(F.sum("rc").cast("long").alias("r_n")).crossJoin(
+        F.broadcast(tb.agg(F.sum("tc").cast("long").alias("t_n")))
+    )
+    lam = (
+        rb.join(F.broadcast(tb), "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    ((F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1.0))
+                     / (F.col("t_n") + F.lit(float(DSIR_BUCKETS))))
+                    / ((F.col("rc") + F.lit(1.0))
+                       / (F.col("r_n") + F.lit(float(DSIR_BUCKETS))))
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("lam_micro"),
+        )
+    )
+    w = (
+        db.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(F.sum(F.col("c") * F.col("lam_micro")).cast("long").alias("weight_micro"))
+    )
+    # global top-k: orderBy+limit compiles to TakeOrderedAndProject; the
+    # single-partition rank window then runs over DSIR_KEEP rows only.
+    selected = w.orderBy(F.desc("weight_micro"), F.asc("doc_id")).limit(DSIR_KEEP)
+    wr = W.orderBy(F.desc("weight_micro"), F.asc("doc_id"))
+    return selected.select(
+        "doc_id",
+        "source",
+        "weight_micro",
+        F.row_number().over(wr).alias("rnk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality classifier: logistic regression by exact full-batch GD — round 12
+# ---------------------------------------------------------------------------
+
+QC_ITERS = 2
+QC_ETA = 0.5
+QC_TARGET_SOURCE = "src0"
+
+_QC_FEATS_SQL = f"""feats AS (
+  SELECT doc_id, source,
+         CAST(1000000 AS BIGINT) AS x0,
+         CAST(len(string_split(text, ' ')) * 10000 AS BIGINT) AS x1,
+         CAST(round(1000000.0 * len(list_distinct(string_split(text, ' ')))
+                    / len(string_split(text, ' '))) AS BIGINT) AS x2,
+         CAST(round(100000.0 * (length(text) - len(string_split(text, ' ')) + 1)
+                    / len(string_split(text, ' '))) AS BIGINT) AS x3,
+         CAST(CASE WHEN source = '{QC_TARGET_SOURCE}' THEN 1000000 ELSE 0 END
+              AS BIGINT) AS y
+  FROM documents
+)"""
+
+
+def _qc_oracle() -> str:
+    """Unrolled full-batch logistic GD in DuckDB: micro-int features, the
+    per-row sigmoid quantized to micro BEFORE the gradient sum (so the sum
+    is an exact integer in any order), one rounded division per weight per
+    step — the fedavg_rounds/kmeans trajectory-replay recipe applied to a
+    trained model."""
+    parts = [
+        "WITH ",
+        _QC_FEATS_SQL,
+        ",\nw0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,"
+        " CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)",
+    ]
+    for t in range(1, QC_ITERS + 1):
+        parts.append(
+            f""",
+p{t} AS (
+  SELECT f.doc_id, f.x0, f.x1, f.x2, f.x3, f.y,
+         CAST(round(1000000.0 / (1.0 + exp(
+           -(CAST(w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3
+                  AS DOUBLE) / 1000000000000.0)))) AS BIGINT) AS p
+  FROM feats f, w{t - 1} w
+),
+w{t} AS (
+  SELECT w.w0 + CAST(round({QC_ETA} * g.g0 / (g.n * 1000000.0)) AS BIGINT) AS w0,
+         w.w1 + CAST(round({QC_ETA} * g.g1 / (g.n * 1000000.0)) AS BIGINT) AS w1,
+         w.w2 + CAST(round({QC_ETA} * g.g2 / (g.n * 1000000.0)) AS BIGINT) AS w2,
+         w.w3 + CAST(round({QC_ETA} * g.g3 / (g.n * 1000000.0)) AS BIGINT) AS w3
+  FROM (
+    SELECT CAST(sum((y - p) * x0) AS BIGINT) AS g0,
+           CAST(sum((y - p) * x1) AS BIGINT) AS g1,
+           CAST(sum((y - p) * x2) AS BIGINT) AS g2,
+           CAST(sum((y - p) * x3) AS BIGINT) AS g3,
+           CAST(count(*) AS BIGINT) AS n
+    FROM p{t}
+  ) g, w{t - 1} w
+)"""
+        )
+    parts.append(
+        f"""
+SELECT f.doc_id, f.source, CAST(f.y / 1000000 AS INTEGER) AS label,
+       CAST(round(1000000.0 / (1.0 + exp(
+         -(CAST(w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3
+                AS DOUBLE) / 1000000000000.0)))) AS BIGINT) AS score_micro
+FROM feats f, w{QC_ITERS} w"""
+    )
+    return "".join(parts)
+
+
+@register("quality_classifier_gd", oracle=_qc_oracle(), category="text")
+def quality_classifier_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A trained quality classifier, the GPT-3/PaLM curation pattern: fit
+    logistic regression to discriminate a curated reference slice (source
+    = '{QC_TARGET_SOURCE}') from the raw corpus, then score EVERY document
+    with the trained model — the learned counterpart of the heuristic
+    gates (``doc_quality_scores``, ``gopher_quality_gates``). Features are
+    the standard quality signals (bias, token count, distinct-token
+    fraction, mean token length), int64-micro-scaled; training is
+    {QC_ITERS} full-batch gradient steps from w=0 at η={QC_ETA}.
+
+    Cross-engine exactness for a model with a sigmoid: each row's
+    probability is quantized to micro-int immediately after the ONE
+    exp per step (the lang_quota_sample ln / source_mixture_weights sqrt
+    precedent), so gradients are exact integer sums in any order and each
+    weight update is ONE rounded division — DuckDB replays the training
+    trajectory and the final scores bit-for-bit, the fedavg_rounds recipe
+    applied to a trained model.
+
+    Scale: each GD step is one broadcast of the 4-weight row against the
+    feature table and one map-side-combinable 5-column aggregate — the
+    kmeans iteration shape with a 1-row state instead of k centroids.
+    Feature extraction runs once and is pinned (consumed {QC_ITERS}+1
+    times); at 100 TB you train on a sample and score the full corpus,
+    which changes this plan's input, not its shape.
+    """
+    return qc_train_score(read_table(spark, sf_dir, "documents"))
+
+
+def qc_train_score(docs: DataFrame) -> DataFrame:
+    """Core of ``quality_classifier_gd`` over any (doc_id, source, text)
+    DataFrame — factored out so the pytest can plant a linearly separable
+    curated slice and prove training moves the right weight."""
+    spark = docs.sparkSession
+    toks = F.split("text", " ")
+    nt = F.size(toks)
+    feats = checkpoint_pinned(
+        docs.select(
+            "doc_id",
+            "source",
+            F.lit(1_000_000).cast("long").alias("x0"),
+            (nt.cast("long") * 10_000).alias("x1"),
+            F.round(
+                F.lit(1_000_000.0) * F.size(F.array_distinct(toks)) / nt
+            )
+            .cast("long")
+            .alias("x2"),
+            F.round(
+                F.lit(100_000.0) * (F.length("text") - nt + 1) / nt
+            )
+            .cast("long")
+            .alias("x3"),
+            F.when(F.col("source") == QC_TARGET_SOURCE, F.lit(1_000_000))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    w = spark.range(1).select(
+        *[F.lit(0).cast("long").alias(f"w{j}") for j in range(4)]
+    )
+    xs = ["x0", "x1", "x2", "x3"]
+
+    def p_micro() -> F.Column:
+        z = (
+            sum(F.col(f"w{j}") * F.col(xs[j]) for j in range(4))
+        ).cast("double") / F.lit(1_000_000_000_000.0)
+        return F.round(F.lit(1_000_000.0) / (F.lit(1.0) + F.exp(-z))).cast(
+            "long"
+        )
+
+    for _ in range(QC_ITERS):
+        scored = feats.crossJoin(F.broadcast(w)).withColumn("p", p_micro())
+        g = scored.agg(
+            *[
+                F.sum((F.col("y") - F.col("p")) * F.col(xs[j]))
+                .cast("long")
+                .alias(f"g{j}")
+                for j in range(4)
+            ],
+            F.count(F.lit(1)).cast("long").alias("n"),
+            *[F.first(f"w{j}").alias(f"w{j}_prev") for j in range(4)],
+        )
+        w = g.select(
+            *[
+                (
+                    F.col(f"w{j}_prev")
+                    + F.round(
+                        F.lit(QC_ETA)
+                        * F.col(f"g{j}").cast("double")
+                        / (F.col("n").cast("double") * F.lit(1_000_000.0))
+                    ).cast("long")
+                ).alias(f"w{j}")
+                for j in range(4)
+            ]
+        )
+    return feats.crossJoin(F.broadcast(w)).select(
+        "doc_id",
+        "source",
+        (F.col("y") / 1_000_000).cast("integer").alias("label"),
+        p_micro().alias("score_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # BM25 retrieval scoring + reciprocal-rank fusion — round 10
 # ---------------------------------------------------------------------------
 

@@ -188,6 +188,11 @@ _CODE_CHANGED_ROUND: dict[str, int] = {
     # that runs)
     "minhash_incremental_probe": 12,
     "ann_incremental_probe": 12,
+    # round 12 (continued): the Lloyd loop factored into shared helpers
+    # (_kmeans_vm/_lloyd_assign/_lloyd_iterations) so semdedup_prune_stats
+    # reuses the identical trajectory — byte-identical expressions,
+    # re-check anyway per the same convention as the probe split above
+    "kmeans_lloyd_centroids": 12,
 }
 
 # ---------------------------------------------------------------------------

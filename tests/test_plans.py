@@ -883,3 +883,53 @@ def test_chexpert_pipeline_twin_plan_budget(spark, sf_dir):
         plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin")
     )
     assert P.unpartitioned_window_count(df) == 0, plan
+
+
+def test_semdedup_prune_plan_budget(spark, sf_dir):
+    """SemDeDup (round 12): the int-scaled vector table is checkpointed
+    once (no parquet rescans across the trajectory + screen), every
+    centroid pass is a broadcast (map-side argmin — the kmeans shape),
+    and the within-cluster screen broadcasts the better-ranked side
+    instead of shuffling on the k-valued cluster key. No cartesian
+    products anywhere."""
+    df = QS["semdedup_prune_stats"](spark, sf_dir)
+    plan = P.physical_plan(df)
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("CartesianProduct") == 0, plan
+    # centroid crossJoins (init + per-iteration + final assignment) are
+    # all broadcast nested loops; the pair screen is a broadcast join too
+    assert plan.count("BroadcastNestedLoopJoin") >= 3, plan
+    assert P.broadcast_join_count(df) >= 4, plan
+
+
+def test_dsir_select_plan_budget(spark, sf_dir):
+    """DSIR (round 12): the global cut compiles to TakeOrderedAndProject
+    (never a full sort), the λ table and totals broadcast (the doc×bucket
+    side never shuffles for the join), and the only window is the
+    disclosed K-row rank over the survivors."""
+    df = QS["dsir_importance_select"](spark, sf_dir)
+    plan = P.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("SortMergeJoin") == 0, plan
+    assert plan.count("CartesianProduct") == 0, plan
+    assert P.broadcast_join_count(df) >= 2, plan
+    # the K-row rank window rides TakeOrderedAndProject's already-single
+    # partition output — Catalyst inserts NO SinglePartition exchange, so
+    # the plan-level audit correctly sees zero unpartitioned windows (the
+    # runtime WindowExec warning it would correspond to is K-bounded)
+    assert P.unpartitioned_window_count(df) == 0, plan
+    assert "TakeOrderedAndProject" in plan.split("Window")[1], plan
+
+
+def test_quality_classifier_plan_budget(spark, sf_dir):
+    """Trained quality classifier (round 12): the feature table is
+    checkpointed once (no parquet rescans across the GD steps + scoring
+    pass), every weight-state join is a broadcast of a 1-row aggregate,
+    and nothing cartesian or sort-merge joins."""
+    df = QS["quality_classifier_gd"](spark, sf_dir)
+    plan = P.physical_plan(df)
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("CartesianProduct") == 0, plan
+    assert plan.count("SortMergeJoin") == 0, plan
+    assert plan.count("BroadcastNestedLoopJoin") >= 1, plan
+    assert P.unpartitioned_window_count(df) == 0, plan

@@ -524,3 +524,26 @@ def test_geometry_ladder_halves_candidates_per_bit(spark, sf_dir):
         assert rows[lo].total_hits > rows[hi].total_hits
         ratio = rows[lo].total_hits / max(rows[hi].total_hits, 1)
         assert 2.0 <= ratio <= 8.0, (lo, hi, ratio)
+
+
+def test_semdedup_prune_invariants(spark, sf_dir):
+    """SemDeDup per-cluster rows must conserve members (kept + pruned =
+    members, rate = pruned/members), cover every vector exactly once
+    across clusters, and keep at least the rank-1 (farthest-from-centroid)
+    representative of every non-empty cluster — the policy's floor."""
+    from big_data_medical_analysis_spark.operators.similarity import (
+        KMEANS_K,
+        semdedup_prune_stats,
+    )
+    from big_data_medical_analysis_spark.sources.readers import read_table
+
+    rows = semdedup_prune_stats(spark, sf_dir).collect()
+    n_vecs = read_table(spark, sf_dir, "embeddings").count()
+    assert rows, "no clusters"
+    assert sum(r.n_members for r in rows) == n_vecs
+    for r in rows:
+        assert 0 <= r.cluster < KMEANS_K
+        assert r.n_kept + r.n_pruned == r.n_members
+        assert r.n_kept >= 1, "rank-1 member must always survive"
+        assert 0.0 <= r.prune_rate <= 1.0
+        assert r.prune_rate == round(r.n_pruned / r.n_members, 6)
