@@ -365,6 +365,11 @@ COHORTS: dict[str, list[str]] = {
         "semdedup_prune_stats",
         "dsir_importance_select",
         "quality_classifier_gd",
+        # round 12 (continuation): the mixture/stratification/two-stage
+        # members of the published-selection family
+        "doremi_domain_weights",
+        "ccnet_perplexity_buckets",
+        "d4_prototype_prune",
     ],
 }
 OPTIONAL = [n for cohort in COHORTS.values() for n in cohort]

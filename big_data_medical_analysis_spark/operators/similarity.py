@@ -1010,11 +1010,13 @@ def kmeans_lloyd_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_TAU = 0.25
 
 
-def _semdedup_oracle() -> str:
-    """Replay the SHARED Lloyd trajectory, then the SemDeDup decision:
-    final assignment vs the final centroids, rank within cluster by
-    distance-to-centroid (farthest kept first), prune any vector whose
-    cosine with a better-ranked cluster-mate reaches SEMDEDUP_TAU."""
+def _semdedup_screen_ctes() -> str:
+    """The shared SemDeDup screen as oracle CTEs: replay the Lloyd
+    trajectory, assign every vector to its final centroid (`sel`), rank
+    within cluster by distance-to-centroid DESC (`ranked`), and mark any
+    vector whose cosine with a better-ranked cluster-mate reaches
+    SEMDEDUP_TAU (`pruned`). Consumed by `_semdedup_oracle` (prune
+    stats) and `_d4_oracle` (the prototypicality stage on survivors)."""
     i = KMEANS_ITERS
     return (
         _lloyd_oracle_ctes()
@@ -1046,7 +1048,16 @@ def _semdedup_oracle() -> str:
                                        z -> z[1] * z[2])) AS DOUBLE)
           / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6)
         >= {SEMDEDUP_TAU}
-), pc AS (
+)"""
+    )
+
+
+def _semdedup_oracle() -> str:
+    """The semdedup_prune_stats output off the shared screen: per-cluster
+    member / pruned / kept counts and the prune rate."""
+    return (
+        _semdedup_screen_ctes()
+        + """, pc AS (
   SELECT cluster, CAST(count(*) AS BIGINT) AS n_members FROM sel GROUP BY cluster
 ), pp AS (
   SELECT cluster, CAST(count(*) AS BIGINT) AS n_pruned FROM pruned GROUP BY cluster
@@ -1091,8 +1102,44 @@ def semdedup_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast, no vector shuffle.
     """
     vm = _kmeans_vm(spark, sf_dir)
+    assign, pruned = _semdedup_screen(vm)
+    pc = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+    pp = pruned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_pruned"))
+    return pc.join(pp, "cluster", "left").select(
+        "cluster",
+        "n_members",
+        F.coalesce(F.col("n_pruned"), F.lit(0)).cast("long").alias("n_pruned"),
+        (F.col("n_members") - F.coalesce(F.col("n_pruned"), F.lit(0)))
+        .cast("long")
+        .alias("n_kept"),
+        F.round(
+            F.coalesce(F.col("n_pruned"), F.lit(0)).cast("double")
+            / F.col("n_members"),
+            6,
+        ).alias("prune_rate"),
+    )
+
+
+def _semdedup_screen(
+    vm: DataFrame, pin: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """The shared SemDeDup screen off the Lloyd trajectory: returns
+    (assign, pruned) — every vector's final (vec_id, cluster, d)
+    assignment, and the distinct (cluster, vec_id) set pruned by the
+    within-cluster cosine screen. Factored out of
+    ``semdedup_prune_stats`` (byte-identical expressions) so
+    ``d4_prototype_prune`` composes its prototypicality stage on the
+    exact same screen; the SQL twin is `_semdedup_screen_ctes`.
+
+    ``pin=True`` localCheckpoints both outputs: D4 consumes each twice
+    (survivor anti-join + the per-cluster counts), and without the pin
+    the quadratic cosine screen executes once per consumer — the r8
+    rescan class. semdedup_prune_stats keeps pin=False: its second
+    consumer is the k-row count, cheaper than a materialization."""
     centroids, _ = _lloyd_iterations(vm)
     assign = _lloyd_assign(vm, centroids)
+    if pin:
+        assign = checkpoint_pinned(assign)
     wr = W.partitionBy("cluster").orderBy(F.desc("d"), F.asc("vec_id"))
     ranked = assign.withColumn("r", F.row_number().over(wr)).select(
         "vec_id", "cluster", "r"
@@ -1137,24 +1184,143 @@ def semdedup_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine(dot, F.col("n2_a"), F.col("n2_b")).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= SEMDEDUP_TAU)
-        .select("cluster", "vec_b")
+        .select("cluster", F.col("vec_b").alias("vec_id"))
         .distinct()
     )
-    pc = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
-    pp = pruned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_pruned"))
-    return pc.join(pp, "cluster", "left").select(
-        "cluster",
-        "n_members",
-        F.coalesce(F.col("n_pruned"), F.lit(0)).cast("long").alias("n_pruned"),
-        (F.col("n_members") - F.coalesce(F.col("n_pruned"), F.lit(0)))
-        .cast("long")
-        .alias("n_kept"),
-        F.round(
-            F.coalesce(F.col("n_pruned"), F.lit(0)).cast("double")
-            / F.col("n_members"),
-            6,
-        ).alias("prune_rate"),
+    if pin:
+        pruned = checkpoint_pinned(pruned)
+    return assign, pruned
+
+
+D4_PROTO_PCT = 25  # prune the most-prototypical quarter of each cluster's
+# SemDeDup survivors (the paper's data-rich keep-hard-examples regime)
+
+
+def _d4_oracle() -> str:
+    """Replay the shared screen, then the prototypicality stage: rank the
+    survivors of each cluster by distance-to-centroid ASCENDING (closest
+    = most prototypical) and prune the first floor(n·pct/100) — exact
+    integer arithmetic end to end."""
+    return (
+        _semdedup_screen_ctes()
+        + f""", surv AS (
+  SELECT s.vec_id, s.cluster, s.d
+  FROM sel s
+  LEFT JOIN pruned p ON p.cluster = s.cluster AND p.vec_id = s.vec_id
+  WHERE p.vec_id IS NULL
+), pr AS (
+  SELECT cluster,
+         row_number() OVER (PARTITION BY cluster ORDER BY d, vec_id) AS r,
+         CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_surv
+  FROM surv
+), ppr AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n_proto
+  FROM pr WHERE r <= (n_surv * {D4_PROTO_PCT}) // 100 GROUP BY cluster
+), pc AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n_members FROM sel GROUP BY cluster
+), pp AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n_sem FROM pruned GROUP BY cluster
+)
+SELECT pc.cluster, pc.n_members,
+       CAST(coalesce(pp.n_sem, 0) AS BIGINT) AS n_semdedup_pruned,
+       CAST(coalesce(ppr.n_proto, 0) AS BIGINT) AS n_proto_pruned,
+       CAST(pc.n_members - coalesce(pp.n_sem, 0) - coalesce(ppr.n_proto, 0)
+            AS BIGINT) AS n_kept,
+       round(CAST(pc.n_members - coalesce(pp.n_sem, 0)
+                  - coalesce(ppr.n_proto, 0) AS DOUBLE) / pc.n_members, 6)
+         AS keep_rate
+FROM pc
+LEFT JOIN pp ON pp.cluster = pc.cluster
+LEFT JOIN ppr ON ppr.cluster = pc.cluster"""
     )
+
+
+@register("d4_prototype_prune", oracle=_d4_oracle(), category="similarity")
+def d4_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 (Tirumala et al. 2023, arXiv:2308.12284): the published
+    two-stage embedding-space curation pipeline — SemDeDup prunes
+    semantic duplicates, then SSL-prototypes (Sorscher et al. 2022,
+    arXiv:2206.14486) prunes the most PROTOTYPICAL {pct}% of each
+    cluster's survivors (closest to centroid = least informative in the
+    data-rich regime), keeping the hard examples. Composes the shared
+    machinery end to end: the `_kmeans_vm` vectors, the
+    `kmeans_lloyd_centroids` trajectory, and the `_semdedup_screen`
+    cosine stage, plus a rank-quantile cut — every step replays
+    bit-for-bit in DuckDB (integer distances, one rounded division per
+    cosine, floor(n·pct/100) integer cut).
+
+    Output: per cluster — member count, SemDeDup-pruned count,
+    prototype-pruned count, kept count, keep rate (the two-stage
+    curation dashboard row the paper reports per bucket).
+
+    Scale: everything up to the screen is the semdedup plan (broadcast
+    centroids, map-side argmin, Σ|cluster|² screen with k ∝ corpus).
+    The prototypicality stage adds one window partitioned BY CLUSTER
+    over the survivor rows (rank + partition count — streaming state,
+    never single-partition) and per-cluster count joins of k-row
+    aggregates. No new corpus pass: survivors derive from the already
+    shuffled assignment.
+    """
+    return d4_stats(_kmeans_vm(spark, sf_dir))
+
+
+def d4_stats(vm: DataFrame) -> DataFrame:
+    """Core of ``d4_prototype_prune`` over any (vec_id, v) int64-micro
+    vector table — factored out so the pytest can plant a cluster whose
+    semantic duplicate and whose most-prototypical survivor are known by
+    construction."""
+    assign, pruned = _semdedup_screen(vm, pin=True)
+    surv = assign.join(pruned, ["cluster", "vec_id"], "left_anti")
+    wc = W.partitionBy("cluster")
+    pr = surv.select(
+        "cluster",
+        F.row_number()
+        .over(wc.orderBy(F.asc("d"), F.asc("vec_id")))
+        .alias("r"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("n_surv"),
+    )
+    ppr = (
+        pr.filter(
+            F.col("r")
+            <= F.expr(f"CAST((n_surv * {D4_PROTO_PCT}) DIV 100 AS BIGINT)")
+        )
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_proto"))
+    )
+    pc = assign.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    pp = pruned.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sem")
+    )
+    kept = (
+        F.col("n_members")
+        - F.coalesce(F.col("n_sem"), F.lit(0))
+        - F.coalesce(F.col("n_proto"), F.lit(0))
+    )
+    # pp/ppr are k-row aggregates but sit behind the localCheckpoint, so
+    # Catalyst has no stats to auto-broadcast them — hint explicitly
+    return (
+        pc.join(F.broadcast(pp), "cluster", "left")
+        .join(F.broadcast(ppr), "cluster", "left")
+        .select(
+            "cluster",
+            "n_members",
+            F.coalesce(F.col("n_sem"), F.lit(0))
+            .cast("long")
+            .alias("n_semdedup_pruned"),
+            F.coalesce(F.col("n_proto"), F.lit(0))
+            .cast("long")
+            .alias("n_proto_pruned"),
+            kept.cast("long").alias("n_kept"),
+            F.round(kept.cast("double") / F.col("n_members"), 6).alias(
+                "keep_rate"
+            ),
+        )
+    )
+
+
+d4_prototype_prune.__doc__ = d4_prototype_prune.__doc__.format(pct=D4_PROTO_PCT)
 
 
 # ---------------------------------------------------------------------------

@@ -2271,3 +2271,352 @@ def bigram_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 bigram_lm_perplexity_filter.__doc__ = bigram_lm_perplexity_filter.__doc__.format(
     k=PPL_SMOOTH_NUM, topk=PPL_TOP_K
 )
+
+
+# ---------------------------------------------------------------------------
+# Shared unigram-LM NLL (round 12, continuation): the per-document token-level
+# negative log-likelihood both DoReMi and CCNet consume. A corpus-trained
+# add-1 unigram model stands in for the proxy/reference LM of the papers —
+# any LM order works for the *algorithms* under test (the reweighting /
+# bucketing math); the bigram member of the family is
+# `bigram_lm_perplexity_filter`, kept untouched on its own scoring model.
+# ---------------------------------------------------------------------------
+
+UNLL_SMOOTH = 1.0  # add-1 smoothing: (c(w) + 1) / (N + V)
+
+_UNLL_CTES = f"""tok AS (
+  SELECT doc_id, source, lang, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM tok GROUP BY w),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM tok),
+v AS (SELECT CAST(count(*) AS BIGINT) AS vsz FROM uni),
+unll_scored AS (
+  SELECT t.doc_id, t.source, t.lang,
+         CAST(floor(ln((uni.cw + {UNLL_SMOOTH})
+                       / (tot.n_all + {UNLL_SMOOTH} * v.vsz))
+                    * {PPL_Q}) AS BIGINT) AS lq
+  FROM tok t
+  JOIN uni USING (w)
+  CROSS JOIN tot
+  CROSS JOIN v
+),
+unll AS (
+  SELECT doc_id, source, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(lq) AS BIGINT) AS sum_lq
+  FROM unll_scored GROUP BY doc_id, source, lang
+)"""
+
+
+def _unigram_nll(docs: DataFrame) -> DataFrame:
+    """Per-document unigram-LM NLL over any (doc_id, source, lang, text)
+    DataFrame: each token's log-likelihood under the corpus-trained add-1
+    unigram model is quantized to {PPL_Q}^-1 int64 units BEFORE the
+    per-doc sum (the `bigram_lm_perplexity_filter` discipline), so both
+    engines accumulate identically in any order. Returns (doc_id, source,
+    lang, n_tokens, sum_lq).
+
+    Scale: the token table derives once and is pinned (three consumers:
+    count tables + scoring join); the count tables join back broadcast
+    here, shuffle equi-joins at web-corpus vocab. At 100 TB pin becomes
+    persist(DISK_ONLY) of the token table — or re-derive it per consumer
+    and trade one extra scan for no materialization; either way the model
+    tables stay tiny relative to the corpus."""
+    tok = checkpoint_pinned(
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.explode(F.split("text", " ")).alias("w"),
+        )
+    )
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cw"))
+    tot = tok.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    v = uni.agg(F.count(F.lit(1)).cast("long").alias("vsz"))
+    scored = (
+        tok.join(F.broadcast(uni), "w")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.floor(
+                F.log(
+                    (F.col("cw") + F.lit(UNLL_SMOOTH))
+                    / (F.col("n_all") + F.lit(UNLL_SMOOTH) * F.col("vsz"))
+                )
+                * PPL_Q
+            )
+            .cast("long")
+            .alias("lq"),
+        )
+    )
+    return scored.groupBy("doc_id", "source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("lq").cast("long").alias("sum_lq"),
+    )
+
+
+_unigram_nll.__doc__ = _unigram_nll.__doc__.format(PPL_Q=PPL_Q)
+
+
+# ---------------------------------------------------------------------------
+# DoReMi domain reweighting (round 12, continuation)
+# ---------------------------------------------------------------------------
+
+DOREMI_ETA = 1.0  # EG step size on per-domain excess loss (nats/token)
+DOREMI_CMIX_MICRO = 100_000  # uniform-mix c = 0.1 in micro units
+
+_DOREMI_SQL = f"""
+WITH {_UNLL_CTES},
+dom AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(sum(sum_lq) AS BIGINT) AS sum_lq
+  FROM unll GROUP BY source
+),
+domq AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(round(-CAST(sum_lq AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+              AS BIGINT) AS nll_q
+  FROM dom
+),
+ref AS (
+  SELECT CAST(round(-CAST(sum(sum_lq) AS DOUBLE)
+                    / CAST(sum(n_tokens) AS DOUBLE)) AS BIGINT) AS ref_q
+  FROM dom
+),
+ex AS (
+  SELECT d.source, d.n_docs, d.n_tokens, d.nll_q,
+         greatest(CAST(0 AS BIGINT), d.nll_q - r.ref_q) AS excess_q
+  FROM domq d CROSS JOIN ref r
+),
+em AS (
+  SELECT *, CAST(round(1000000.0 * exp({DOREMI_ETA}
+                       * CAST(excess_q AS DOUBLE) / {PPL_Q})) AS BIGINT)
+            AS e_micro
+  FROM ex
+),
+tote AS (
+  SELECT CAST(sum(e_micro) AS BIGINT) AS tot_e,
+         CAST(count(*) AS BIGINT) AS n_dom
+  FROM em
+)
+SELECT em.source, em.n_docs, em.n_tokens, em.nll_q, em.excess_q,
+       CAST(round((({1_000_000} - {DOREMI_CMIX_MICRO})
+                   * CAST(round(1000000.0 * em.e_micro / t.tot_e) AS BIGINT)
+                   + {DOREMI_CMIX_MICRO}
+                   * CAST(round(1000000.0 / t.n_dom) AS BIGINT))
+                  / 1000000.0) AS BIGINT) AS weight_micro
+FROM em CROSS JOIN tote t
+"""
+
+
+@register("doremi_domain_weights", oracle=_DOREMI_SQL, category="text")
+def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi domain reweighting (Xie et al. 2023, arXiv:2305.10429): the
+    published data-mixture algorithm — one exact exponentiated-gradient
+    update of the domain weights from uniform init, driven by per-domain
+    EXCESS loss (domain mean NLL minus the reference mean NLL, floored at
+    0 per the paper's clipping), then smoothing-mixed with uniform
+    (w = (1-c)·softmax + c·u, c = {c}). The corpus-trained add-1 unigram
+    LM stands in for the proxy/reference models (the reweighting update
+    is the operator under test; DoReMi's outer proxy-retraining loop
+    swaps the loss columns, not this plan). Completes the mixture family:
+    `source_mixture_weights` sizes sources heuristically,
+    `dsir_importance_select` picks instances, DoReMi *learns* the domain
+    mixture from losses.
+
+    Cross-engine exactness: token log-probs quantized to int64 before
+    any sum (shared `_unigram_nll`); per-domain NLL is one rounded
+    division of exact integer sums; ONE exp per domain quantized to
+    micro-int immediately (the `quality_classifier_gd` recipe); the
+    normalize and the uniform-mix are each one rounded division of
+    integer products — DuckDB replays every step bit-for-bit.
+
+    Output: one row per domain — doc/token counts, mean NLL (1e-12
+    units), clipped excess, final mixture weight (micro, Σ ≈ 1e6).
+
+    Scale: per-domain rows number |domains| (tens), so everything after
+    the shared NLL aggregation is broadcast 1-row/K-row algebra — the
+    corpus is touched once; the EG step costs the same at 100 TB.
+    """
+    return doremi_weights(read_table(spark, sf_dir, "documents"))
+
+
+def doremi_weights(docs: DataFrame) -> DataFrame:
+    """Core of ``doremi_domain_weights`` over any (doc_id, source, lang,
+    text) DataFrame — factored out so the pytest can plant an
+    out-of-distribution domain and prove the EG step upweights it."""
+    dom = checkpoint_pinned(
+        _unigram_nll(docs)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("sum_lq").cast("long").alias("sum_lq"),
+        )
+    )
+    domq = dom.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(-F.col("sum_lq").cast("double") / F.col("n_tokens").cast("double"))
+        .cast("long")
+        .alias("nll_q"),
+    )
+    ref = dom.agg(
+        F.round(
+            -F.sum("sum_lq").cast("double") / F.sum("n_tokens").cast("double")
+        )
+        .cast("long")
+        .alias("ref_q")
+    )
+    ex = domq.crossJoin(F.broadcast(ref)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "nll_q",
+        F.greatest(F.lit(0).cast("long"), F.col("nll_q") - F.col("ref_q")).alias(
+            "excess_q"
+        ),
+    )
+    em = ex.withColumn(
+        "e_micro",
+        F.round(
+            F.lit(1_000_000.0)
+            * F.exp(F.lit(DOREMI_ETA) * F.col("excess_q").cast("double") / PPL_Q)
+        ).cast("long"),
+    )
+    tote = em.agg(
+        F.sum("e_micro").cast("long").alias("tot_e"),
+        F.count(F.lit(1)).cast("long").alias("n_dom"),
+    )
+    norm = F.round(F.lit(1_000_000.0) * F.col("e_micro") / F.col("tot_e")).cast(
+        "long"
+    )
+    u = F.round(F.lit(1_000_000.0) / F.col("n_dom")).cast("long")
+    return em.crossJoin(F.broadcast(tote)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "nll_q",
+        "excess_q",
+        F.round(
+            (
+                (F.lit(1_000_000) - F.lit(DOREMI_CMIX_MICRO)) * norm
+                + F.lit(DOREMI_CMIX_MICRO) * u
+            )
+            / F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("weight_micro"),
+    )
+
+
+doremi_domain_weights.__doc__ = doremi_domain_weights.__doc__.format(
+    c=DOREMI_CMIX_MICRO / 1_000_000
+)
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity bucketing (round 12, continuation)
+# ---------------------------------------------------------------------------
+
+CCNET_NTILES = 3  # head / middle / tail, per the paper
+
+_CCNET_SQL = f"""
+WITH {_UNLL_CTES},
+pd AS (
+  SELECT doc_id, lang,
+         CAST(round(-CAST(sum_lq AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+              AS BIGINT) AS nll_q
+  FROM unll
+),
+nt AS (
+  SELECT lang, nll_q,
+         ntile({CCNET_NTILES}) OVER (PARTITION BY lang ORDER BY nll_q, doc_id)
+           AS b
+  FROM pd
+)
+SELECT lang,
+       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(nll_q) AS BIGINT) AS nll_min_q,
+       CAST(max(nll_q) AS BIGINT) AS nll_max_q,
+       CAST(round(CAST(sum(nll_q) AS DOUBLE) / count(*)) AS BIGINT)
+         AS nll_mean_q,
+       round(exp(CAST(max(nll_q) AS DOUBLE) / {PPL_Q}), 4) AS ppl_max
+FROM nt GROUP BY lang, b
+"""
+
+
+@register("ccnet_perplexity_buckets", oracle=_CCNET_SQL, category="text")
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity bucketing (Wenzek et al. 2020, arXiv:1911.00359):
+    the web-corpus curation step that splits each language's documents
+    into head / middle / tail terciles by LM perplexity — deployments
+    keep head+middle and drop (or down-sample) the tail. Per-doc score =
+    mean token NLL under the shared add-1 unigram model (`_unigram_nll`;
+    CCNet's KenLM 5-gram swaps in as the loss column, not a plan change);
+    tercile = ntile({n}) per language over (NLL asc, doc_id) — fully
+    deterministic, and ANSI ntile splits identically on both engines.
+    The per-language member of the filtering family:
+    `bigram_lm_perplexity_filter` flags a global top-k,
+    `doc_quality_scores` gates heuristically, CCNet *stratifies*.
+
+    Output: per (lang, bucket) — doc count, NLL min/max/mean (1e-12
+    units, exact-integer extrema and one rounded division for the mean)
+    and the bucket's worst perplexity (one exp of an exact integer,
+    rounded at 4 — the dashboard column).
+
+    Scale: one corpus scan into the shared NLL aggregate, then a window
+    partitioned BY LANGUAGE (never single-partition) over doc-level
+    rows and one combinable (lang, bucket) aggregate. Per-language doc
+    counts are web-scale but the window state is one row — ntile is a
+    streaming rank; skewed languages (English) shard fine because ntile
+    needs only partition-local counts (AQE handles the skewed sort).
+    """
+    return ccnet_buckets(read_table(spark, sf_dir, "documents"))
+
+
+def ccnet_buckets(docs: DataFrame) -> DataFrame:
+    """Core of ``ccnet_perplexity_buckets`` over any (doc_id, source,
+    lang, text) DataFrame — factored out so the pytest can plant fluent
+    vs gibberish documents and prove the tercile order."""
+    perdoc = _unigram_nll(docs)
+    pd2 = perdoc.select(
+        "doc_id",
+        "lang",
+        F.round(
+            -F.col("sum_lq").cast("double") / F.col("n_tokens").cast("double")
+        )
+        .cast("long")
+        .alias("nll_q"),
+    )
+    wn = W.partitionBy("lang").orderBy(F.asc("nll_q"), F.asc("doc_id"))
+    nt = pd2.withColumn("b", F.ntile(CCNET_NTILES).over(wn))
+    return nt.groupBy(
+        "lang",
+        F.when(F.col("b") == 1, F.lit("head"))
+        .when(F.col("b") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("nll_q").cast("long").alias("nll_min_q"),
+        F.max("nll_q").cast("long").alias("nll_max_q"),
+        F.round(F.sum("nll_q").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("nll_mean_q"),
+        F.round(F.exp(F.max("nll_q").cast("double") / PPL_Q), 4).alias(
+            "ppl_max"
+        ),
+    )
+
+
+ccnet_perplexity_buckets.__doc__ = ccnet_perplexity_buckets.__doc__.format(
+    n=CCNET_NTILES
+)

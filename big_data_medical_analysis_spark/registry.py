@@ -151,7 +151,8 @@ _CODE_CHANGED_ROUND: dict[str, int] = {
     "ivf_topk": 9,
     "approx_price_quantiles": 9,
     "order_chain_recursion": 9,
-    "kmeans_lloyd_centroids": 9,
+    # (kmeans_lloyd_centroids' r9 entry superseded by its r12 entry below —
+    # a dict literal keeps the later key, so the r9 line is removed)
     "null_safe_join_counts": 9,
     "split_leakage_audit": 9,
     "prefix_filter_jaccard_join": 9,

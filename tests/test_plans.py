@@ -933,3 +933,52 @@ def test_quality_classifier_plan_budget(spark, sf_dir):
     assert plan.count("SortMergeJoin") == 0, plan
     assert plan.count("BroadcastNestedLoopJoin") >= 1, plan
     assert P.unpartitioned_window_count(df) == 0, plan
+
+
+def test_doremi_plan_budget(spark, sf_dir):
+    """DoReMi (round 12 continuation): the token table is pinned (one
+    corpus scan feeds the count tables and the scoring join), the model
+    tables broadcast, and every post-aggregate EG step is a broadcast of
+    a 1-row/K-row aggregate — nothing cartesian, nothing sort-merge,
+    no single-partition window (the normalize rides broadcast joins)."""
+    df = QS["doremi_domain_weights"](spark, sf_dir)
+    plan = P.physical_plan(df)
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("CartesianProduct") == 0, plan
+    assert plan.count("SortMergeJoin") == 0, plan
+    assert plan.count("BroadcastNestedLoopJoin") >= 1, plan
+    assert P.unpartitioned_window_count(df) == 0, plan
+
+
+def test_ccnet_plan_budget(spark, sf_dir):
+    """CCNet bucketing (round 12 continuation): one corpus scan into the
+    shared NLL pipeline (pinned token table), the unigram model tables
+    broadcast, and the ONLY window partitions by language — never
+    single-partition."""
+    df = QS["ccnet_perplexity_buckets"](spark, sf_dir)
+    plan = P.physical_plan(df)
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("CartesianProduct") == 0, plan
+    assert plan.count("SortMergeJoin") == 0, plan
+    assert P.broadcast_join_count(df) >= 1, plan
+    assert P.unpartitioned_window_count(df) == 0, plan
+    assert plan.count("Window") >= 1, plan
+
+
+def test_d4_plan_budget(spark, sf_dir):
+    """D4 (round 12 continuation): the screen outputs are pinned (the
+    quadratic cosine stage executes once, not once per consumer — the
+    plan sees no parquet rescans and no re-derived screen), the
+    per-cluster count joins broadcast, and both prototypicality windows
+    partition by cluster."""
+    df = QS["d4_prototype_prune"](spark, sf_dir)
+    plan = P.physical_plan(df)
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("CartesianProduct") == 0, plan
+    # exactly ONE sort-merge join is correct: the survivor anti-join's
+    # pruned side is a corpus-sized fraction at 100 TB (never broadcast);
+    # a shuffled anti-join on (cluster, vec_id) is the scale plan
+    assert plan.count("SortMergeJoin") == 1, plan
+    assert "LeftAnti" in plan, plan
+    assert P.broadcast_join_count(df) >= 2, plan
+    assert P.unpartitioned_window_count(df) == 0, plan

@@ -86,3 +86,161 @@ def test_quality_classifier_learns_separating_feature(spark):
     # identical features ⇒ identical scores (the model is a pure function
     # of the feature row, never of doc identity)
     assert len(set(long_scores)) == 1 and len(set(short_scores)) == 1
+
+
+# ---------------------------------------------------------------------------
+# Round-12 continuation: DoReMi / CCNet bucketing / D4
+# ---------------------------------------------------------------------------
+
+
+def test_doremi_upweights_hard_domain(spark):
+    """DoReMi's whole point: a domain the reference model finds HARD
+    (high excess loss) must end up ABOVE uniform weight, and an easy
+    domain below it. Planted: one domain of a single repeated common
+    token (NLL ~ 0 excess), one domain of all-unique rare tokens."""
+    from big_data_medical_analysis_spark.operators.text_analysis import (
+        doremi_weights,
+    )
+
+    easy = " ".join("the" for _ in range(50))
+    rows = [(i, "easy", "en", easy) for i in range(10)]
+    rows += [
+        (100 + i, "hard", "en", " ".join(f"tok{i}_{j}" for j in range(50)))
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    )
+    got = {r.source: r for r in doremi_weights(docs).collect()}
+    assert got["easy"].excess_q == 0
+    assert got["hard"].excess_q > 0
+    assert got["hard"].weight_micro > 500_000 > got["easy"].weight_micro
+    # the smoothing mix keeps every domain at >= c·u
+    assert got["easy"].weight_micro >= 100_000 * 500_000 // 1_000_000
+
+
+def test_doremi_real_corpus_contract(spark, sf_dir):
+    """On the real corpus: one row per source, excess clipped at >= 0,
+    and the mixture sums to 1e6 within per-domain rounding."""
+    from big_data_medical_analysis_spark.operators.text_analysis import (
+        doremi_domain_weights,
+    )
+
+    rows = doremi_domain_weights(spark, sf_dir).collect()
+    assert len(rows) == len({r.source for r in rows}) == 20
+    assert all(r.excess_q >= 0 for r in rows)
+    assert all(r.weight_micro > 0 for r in rows)
+    assert abs(sum(r.weight_micro for r in rows) - 1_000_000) <= len(rows)
+
+
+def test_ccnet_planted_fluency_order(spark):
+    """CCNet's contract: documents written in the corpus's common
+    vocabulary land in the head, gibberish in the tail. Planted per
+    bucket: 2 docs of a very common token, 2 mid-frequency, 2 all-unique."""
+    from big_data_medical_analysis_spark.operators.text_analysis import (
+        ccnet_buckets,
+    )
+
+    common = " ".join("the" for _ in range(30))
+    mid = " ".join(f"mid{j % 5}" for j in range(30))
+    rows = [(i, "s", "en", common) for i in range(2)]
+    rows += [(10 + i, "s", "en", mid) for i in range(2)]
+    rows += [
+        (20 + i, "s", "en", " ".join(f"rare{i}_{j}" for j in range(30)))
+        for i in range(2)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    )
+    got = {r.bucket: r for r in ccnet_buckets(docs).collect()}
+    assert set(got) == {"head", "middle", "tail"}
+    assert all(r.n_docs == 2 for r in got.values())
+    assert got["head"].nll_max_q <= got["middle"].nll_min_q
+    assert got["middle"].nll_max_q <= got["tail"].nll_min_q
+
+
+def test_ccnet_real_corpus_contract(spark, sf_dir):
+    """On the real corpus: every language splits into 3 buckets whose
+    counts differ by at most 1 (ANSI ntile), bucket NLL ranges are
+    internally consistent and ordered head <= middle <= tail, and ppl_max
+    is monotone in nll_max_q."""
+    from collections import defaultdict
+
+    from big_data_medical_analysis_spark.operators.text_analysis import (
+        ccnet_perplexity_buckets,
+    )
+
+    by_lang = defaultdict(dict)
+    for r in ccnet_perplexity_buckets(spark, sf_dir).collect():
+        by_lang[r.lang][r.bucket] = r
+    for lang, bs in by_lang.items():
+        assert set(bs) == {"head", "middle", "tail"}, lang
+        counts = [b.n_docs for b in bs.values()]
+        assert max(counts) - min(counts) <= 1, (lang, counts)
+        for b in bs.values():
+            assert b.nll_min_q <= b.nll_mean_q <= b.nll_max_q, (lang, b)
+        assert bs["head"].nll_max_q <= bs["middle"].nll_min_q, lang
+        assert bs["middle"].nll_max_q <= bs["tail"].nll_min_q, lang
+        assert (
+            bs["head"].ppl_max <= bs["middle"].ppl_max <= bs["tail"].ppl_max
+        ), lang
+
+
+def test_d4_planted_two_stage_prune(spark):
+    """One cluster where both stages have a known victim: v0 points along
+    the centroid axis so every far member sees cosine 1/sqrt(5) > tau
+    against it (SemDeDup prunes exactly v0, the closest-to-centroid rank
+    loser), and the four surviving members tie in distance, so the
+    prototypicality stage prunes exactly floor(4*25/100) = 1 — the
+    lowest vec_id. Three singleton clusters prune nothing."""
+    from big_data_medical_analysis_spark.operators.similarity import d4_stats
+
+    M = 1_000_000
+    vecs = {
+        0: [M, 0, 0, 0, 0, 0, 0, 0],  # cluster-0 init, the semantic dup
+        1: [0, M, 0, 0, 0, 0, 0, 0],  # singleton inits
+        2: [0, 0, M, 0, 0, 0, 0, 0],
+        3: [0, 0, 0, M, 0, 0, 0, 0],
+        4: [M, 0, 0, 0, 2 * M, 0, 0, 0],  # members: cosine 0.2 pairwise,
+        5: [M, 0, 0, 0, 0, 2 * M, 0, 0],  # 1/sqrt(5) ~ 0.447 vs v0
+        6: [M, 0, 0, 0, 0, 0, 2 * M, 0],
+        7: [M, 0, 0, 0, 0, 0, 0, 2 * M],
+    }
+    vm = spark.createDataFrame(
+        [(i, [int(x) for x in v]) for i, v in sorted(vecs.items())],
+        "vec_id long, v array<long>",
+    )
+    got = {r.cluster: r for r in d4_stats(vm).collect()}
+    assert got[0].n_members == 5
+    assert got[0].n_semdedup_pruned == 1
+    assert got[0].n_proto_pruned == 1
+    assert got[0].n_kept == 3
+    for c in (1, 2, 3):
+        assert (
+            got[c].n_members,
+            got[c].n_semdedup_pruned,
+            got[c].n_proto_pruned,
+            got[c].n_kept,
+        ) == (1, 0, 0, 1), c
+
+
+def test_d4_consistent_with_semdedup(spark, sf_dir):
+    """D4's first stage IS the semdedup screen: per-cluster member and
+    semdedup-pruned counts must match semdedup_prune_stats exactly, the
+    prototype cut must respect floor((members - sem) * pct / 100), and
+    the kept arithmetic must close."""
+    from big_data_medical_analysis_spark.operators.similarity import (
+        D4_PROTO_PCT,
+        d4_prototype_prune,
+        semdedup_prune_stats,
+    )
+
+    sem = {r.cluster: r for r in semdedup_prune_stats(spark, sf_dir).collect()}
+    d4 = {r.cluster: r for r in d4_prototype_prune(spark, sf_dir).collect()}
+    assert set(sem) == set(d4)
+    for c, r in d4.items():
+        assert r.n_members == sem[c].n_members
+        assert r.n_semdedup_pruned == sem[c].n_pruned
+        n_surv = r.n_members - r.n_semdedup_pruned
+        assert r.n_proto_pruned == n_surv * D4_PROTO_PCT // 100
+        assert r.n_kept == n_surv - r.n_proto_pruned >= 0

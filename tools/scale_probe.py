@@ -45,6 +45,20 @@ PILLAR_QUERIES = [
     "bigram_lm_perplexity_filter",
     "cosine_topk",
     "embedding_diversity_score",
+    # round 12 (continuation): the linear-in-corpus members of the
+    # published-selection family — DSIR's gram explode, the trained
+    # classifier's GD passes, DoReMi's EG step, and CCNet's per-language
+    # ntile are all single-scan + bounded-state shapes that must track
+    # the corpus multiplier. (semdedup_prune_stats / d4_prototype_prune
+    # are NOT probed here: their cosine screen is Σ|cluster|² with k
+    # FIXED at 4 in this repo — m² by construction at m× corpus, the
+    # ann_geometry_scaling_audit class of fixed-geometry cost; the
+    # production story, k ∝ corpus so cluster width stays bounded, is
+    # documented in their SURVEY rows and docstrings.)
+    "dsir_importance_select",
+    "quality_classifier_gd",
+    "doremi_domain_weights",
+    "ccnet_perplexity_buckets",
 ]
 # Heavy production shapes (VERDICT r10 task 5): the persisted-index probes,
 # the exact prefix-filter similarity join, and the 5-stage governance
