@@ -2303,7 +2303,7 @@ unll_scored AS (
 ),
 unll AS (
   SELECT doc_id, source, lang, CAST(count(*) AS BIGINT) AS n_tokens,
-         CAST(sum(lq) AS BIGINT) AS sum_lq
+         sum(lq) AS sum_lq
   FROM unll_scored GROUP BY doc_id, source, lang
 )"""
 
@@ -2352,9 +2352,14 @@ def _unigram_nll(docs: DataFrame) -> DataFrame:
             .alias("lq"),
         )
     )
+    # sum_lq stays a WIDE exact integer (decimal(38,0) here, DuckDB's
+    # natural HUGEINT on the oracle side): per-token lq is ~1.6e13 in
+    # 1e-12 units, so int64 sums overflow near 10M tokens — the 10×
+    # pillar probe caught exactly this. Downstream consumers divide by a
+    # count and round, so the wide type never reaches an output column.
     return scored.groupBy("doc_id", "source", "lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.sum("lq").cast("long").alias("sum_lq"),
+        F.sum(F.col("lq").cast("decimal(38,0)")).alias("sum_lq"),
     )
 
 
@@ -2373,7 +2378,7 @@ WITH {_UNLL_CTES},
 dom AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-         CAST(sum(sum_lq) AS BIGINT) AS sum_lq
+         sum(sum_lq) AS sum_lq
   FROM unll GROUP BY source
 ),
 domq AS (
@@ -2455,7 +2460,8 @@ def doremi_weights(docs: DataFrame) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("n_tokens"),
-            F.sum("sum_lq").cast("long").alias("sum_lq"),
+            # exact wide sum — see the overflow note in _unigram_nll
+            F.sum("sum_lq").alias("sum_lq"),
         )
     )
     domq = dom.select(
@@ -2608,7 +2614,11 @@ def ccnet_buckets(docs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.min("nll_q").cast("long").alias("nll_min_q"),
         F.max("nll_q").cast("long").alias("nll_max_q"),
-        F.round(F.sum("nll_q").cast("double") / F.count(F.lit(1)))
+        # wide exact sum for the mean — see the overflow note in _unigram_nll
+        F.round(
+            F.sum(F.col("nll_q").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+        )
         .cast("long")
         .alias("nll_mean_q"),
         F.round(F.exp(F.max("nll_q").cast("double") / PPL_Q), 4).alias(
