@@ -2371,6 +2371,12 @@ _unigram_nll.__doc__ = _unigram_nll.__doc__.format(PPL_Q=PPL_Q)
 # ---------------------------------------------------------------------------
 
 DOREMI_ETA = 1.0  # EG step size on per-domain excess loss (nats/token)
+# Clip excess at 20 nats/token before the exp (DoReMi implementations
+# bound the per-step loss): keeps e_micro = round(1e6·e^(η·excess))
+# inside int64 for ANY corpus — an all-unique-token domain against a
+# one-token-dominated reference can reach excess ≈ ln(N+V) ≈ 35 nats,
+# where the unclipped exp would overflow the micro-int.
+DOREMI_EXCESS_CAP_Q = 20 * PPL_Q
 DOREMI_CMIX_MICRO = 100_000  # uniform-mix c = 0.1 in micro units
 
 _DOREMI_SQL = f"""
@@ -2394,7 +2400,8 @@ ref AS (
 ),
 ex AS (
   SELECT d.source, d.n_docs, d.n_tokens, d.nll_q,
-         greatest(CAST(0 AS BIGINT), d.nll_q - r.ref_q) AS excess_q
+         least(CAST({DOREMI_EXCESS_CAP_Q} AS BIGINT),
+               greatest(CAST(0 AS BIGINT), d.nll_q - r.ref_q)) AS excess_q
   FROM domq d CROSS JOIN ref r
 ),
 em AS (
@@ -2424,7 +2431,9 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     published data-mixture algorithm — one exact exponentiated-gradient
     update of the domain weights from uniform init, driven by per-domain
     EXCESS loss (domain mean NLL minus the reference mean NLL, floored at
-    0 per the paper's clipping), then smoothing-mixed with uniform
+    0 per the paper's clipping and capped at 20 nats/token so the
+    quantized exp stays inside int64 on any corpus), then smoothing-mixed
+    with uniform
     (w = (1-c)·softmax + c·u, c = {c}). The corpus-trained add-1 unigram
     LM stands in for the proxy/reference models (the reweighting update
     is the operator under test; DoReMi's outer proxy-retraining loop
@@ -2484,9 +2493,10 @@ def doremi_weights(docs: DataFrame) -> DataFrame:
         "n_docs",
         "n_tokens",
         "nll_q",
-        F.greatest(F.lit(0).cast("long"), F.col("nll_q") - F.col("ref_q")).alias(
-            "excess_q"
-        ),
+        F.least(
+            F.lit(DOREMI_EXCESS_CAP_Q).cast("long"),
+            F.greatest(F.lit(0).cast("long"), F.col("nll_q") - F.col("ref_q")),
+        ).alias("excess_q"),
     )
     em = ex.withColumn(
         "e_micro",
