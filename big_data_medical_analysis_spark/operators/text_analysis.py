@@ -1631,10 +1631,10 @@ w{t} AS (
          w.w2 + CAST(round({QC_ETA} * g.g2 / (g.n * 1000000.0)) AS BIGINT) AS w2,
          w.w3 + CAST(round({QC_ETA} * g.g3 / (g.n * 1000000.0)) AS BIGINT) AS w3
   FROM (
-    SELECT CAST(sum((y - p) * x0) AS BIGINT) AS g0,
-           CAST(sum((y - p) * x1) AS BIGINT) AS g1,
-           CAST(sum((y - p) * x2) AS BIGINT) AS g2,
-           CAST(sum((y - p) * x3) AS BIGINT) AS g3,
+    SELECT sum((y - p) * x0) AS g0,
+           sum((y - p) * x1) AS g1,
+           sum((y - p) * x2) AS g2,
+           sum((y - p) * x3) AS g3,
            CAST(count(*) AS BIGINT) AS n
     FROM p{t}
   ) g, w{t - 1} w
@@ -1724,10 +1724,17 @@ def qc_train_score(docs: DataFrame) -> DataFrame:
 
     for _ in range(QC_ITERS):
         scored = feats.crossJoin(F.broadcast(w)).withColumn("p", p_micro())
+        # gradient sums accumulate in exact wide integers (decimal(38,0);
+        # HUGEINT on the oracle side): per-row terms are ~2e12 for
+        # 200-token docs, so int64 sums overflow near 4.6M docs — the
+        # doremi_domain_weights overflow class, widened the same way
         g = scored.agg(
             *[
-                F.sum((F.col("y") - F.col("p")) * F.col(xs[j]))
-                .cast("long")
+                F.sum(
+                    (
+                        (F.col("y") - F.col("p")) * F.col(xs[j])
+                    ).cast("decimal(38,0)")
+                )
                 .alias(f"g{j}")
                 for j in range(4)
             ],
