@@ -77,6 +77,11 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the three per-stage pushdown-pruned reads are the honest cost. The
     stage frames are one-row-per-user aggregates, the cheapest possible
     thing to materialize.
+
+    int64 bound (overflow-audit, r12): the summed latency is ~1e11 µs
+    per conversion for day-scale gaps, so the global int64 sum is safe
+    through ~9e7 conversions; beyond that, widen the sum to
+    decimal(38,0) (the `_unigram_nll` recipe) or report per-cohort sums.
     """
     ev = read_table(spark, sf_dir, "events")
     s1 = (

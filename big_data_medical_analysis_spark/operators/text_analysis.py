@@ -2206,7 +2206,12 @@ def bigram_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: counts are exact; each token's log term is quantized to
     1e-12 int64 units BEFORE the per-doc sum (the JSD/NDCG discipline)
     so both engines accumulate identically; exp once per doc, rounded at
-    4. Scale: bigrams derive ONCE (pinned, array HOF — no quadratic
+    4. int64 bound (overflow-audit, r12): per-doc sums of 1e-12-unit
+    log terms are safe through ~500k tokens per document; chunk longer
+    monolithic docs first (``doc_chunk_windows``) or widen the per-doc
+    sum to decimal(38,0) (the ``_unigram_nll`` recipe — corpus-level
+    sums there already accumulate wide).
+    Scale: bigrams derive ONCE (pinned, array HOF — no quadratic
     explode-join) and feed both the count tables and the scoring join;
     count tables join back by (w1, w2)/(w1) equi-keys — broadcast here,
     shuffle joins at web-corpus vocab. Top-k via TakeOrderedAndProject."""
