@@ -2366,9 +2366,11 @@ def _unigram_nll(docs: DataFrame) -> DataFrame:
     )
     # sum_lq stays a WIDE exact integer (decimal(38,0) here, DuckDB's
     # natural HUGEINT on the oracle side): per-token lq is ~1.6e13 in
-    # 1e-12 units, so int64 sums overflow near 10M tokens — the 10×
-    # pillar probe caught exactly this. Downstream consumers divide by a
-    # count and round, so the wide type never reaches an output column.
+    # 1e-12 units, so an int64 sum overflows near ~575k tokens per
+    # summed group — the 10× pillar probe's ~10M-token corpus blew the
+    # global reference sum in doremi_domain_weights. Downstream
+    # consumers divide by a count and round, so the wide type never
+    # reaches an output column.
     return scored.groupBy("doc_id", "source", "lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.sum(F.col("lq").cast("decimal(38,0)")).alias("sum_lq"),
@@ -2564,20 +2566,20 @@ pd AS (
 ),
 nt AS (
   SELECT lang, nll_q,
-         ntile({CCNET_NTILES}) OVER (PARTITION BY lang ORDER BY nll_q, doc_id)
-           AS b
+         CASE ntile({CCNET_NTILES})
+                OVER (PARTITION BY lang ORDER BY nll_q, doc_id)
+           WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+           AS bucket
   FROM pd
 )
-SELECT lang,
-       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
-         AS bucket,
+SELECT lang, bucket,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(min(nll_q) AS BIGINT) AS nll_min_q,
        CAST(max(nll_q) AS BIGINT) AS nll_max_q,
        CAST(round(CAST(sum(nll_q) AS DOUBLE) / count(*)) AS BIGINT)
          AS nll_mean_q,
        round(exp(CAST(max(nll_q) AS DOUBLE) / {PPL_Q}), 4) AS ppl_max
-FROM nt GROUP BY lang, b
+FROM nt GROUP BY lang, bucket
 """
 
 
