@@ -81,12 +81,29 @@ FACT_SHIFT_KEYS = {
 }
 
 
+# Generation-recipe versions written INTO the _BUILT markers: a marker
+# from an older recipe no longer validates, so a code change to the
+# corpus generators can never be silently masked by a cached directory
+# (the r12 rotation fix was exactly one early-return away from never
+# taking effect on a box that had probed before it).
+_FACT_RECIPE = "v1-keyshift"
+_DOCS_RECIPE = "v3-rotate-signflip"
+
+
+def _marker_valid(path: str, recipe: str) -> bool:
+    try:
+        with open(path) as fh:
+            return fh.read().strip() == recipe
+    except OSError:
+        return False
+
+
 def build_scaled(spark, mult: int) -> str:
     from pyspark.sql import functions as F
 
     out = os.path.join(per_user_tmpdir("spark_graft_scale"), f"x{mult}")
     done_marker = os.path.join(out, "_BUILT")
-    if os.path.exists(done_marker):
+    if _marker_valid(done_marker, _FACT_RECIPE):
         return out
     os.makedirs(out, exist_ok=True)
     for t in DIMS:
@@ -119,7 +136,7 @@ def build_scaled(spark, mult: int) -> str:
         for p in parts[1:]:
             u = u.unionByName(p)
         u.write.mode("overwrite").parquet(os.path.join(out, f"{t}.parquet"))
-    open(done_marker, "w").write("ok")
+    open(done_marker, "w").write(_FACT_RECIPE)
     return out
 
 
@@ -130,7 +147,7 @@ def build_scaled_docs(spark, mult: int) -> str:
 
     out = os.path.join(per_user_tmpdir("spark_graft_scale"), f"docs_x{mult}")
     done_marker = os.path.join(out, "_BUILT")
-    if os.path.exists(done_marker):
+    if _marker_valid(done_marker, _DOCS_RECIPE):
         return out
     os.makedirs(out, exist_ok=True)
     for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events"]:
@@ -172,13 +189,29 @@ def build_scaled_docs(spark, mult: int) -> str:
     # exact twins and the probe wall measures an m-fold duplicated-data
     # candidate blowup, not the algorithm (caught by the round-12
     # build/probe split table: ann probe 12.3x at 30x before this fix).
+    # Rotation alone repeats with period dim-1 = 63, so at the 100x tier
+    # copies i and i+63 were byte-identical twins again (36 pairs —
+    # caught by review after the r12c/r12d runs); every second rotation
+    # cycle therefore also NEGATES the vector: sign-LSH buckets of -v are
+    # the bitwise complement (different buckets), exact cosine against v
+    # is -1 (never a near-dup), and norms/within-copy cosine magnitudes
+    # are preserved — distinct copies through mult = 2*(dim-1) = 126.
+    if mult > 2 * (dim - 1):
+        raise ValueError(
+            f"build_scaled_docs supports mult <= {2 * (dim - 1)} distinct "
+            "embedding copies (rotation x sign-flip); extend the recipe "
+            "with a per-copy permutation before probing higher"
+        )
     eparts = [emb] + [
         emb.select(
             (F.col("vec_id") + i * e_shift).alias("vec_id"),
             F.expr(
-                f"concat(slice(embedding, {i % (dim - 1) + 2}, "
-                f"{dim - (i % (dim - 1) + 1)}), "
-                f"slice(embedding, 1, {i % (dim - 1) + 1}))"
+                ("transform({rot}, x -> -x)" if (i // (dim - 1)) % 2 else "{rot}")
+                .format(
+                    rot=f"concat(slice(embedding, {i % (dim - 1) + 2}, "
+                    f"{dim - (i % (dim - 1) + 1)}), "
+                    f"slice(embedding, 1, {i % (dim - 1) + 1}))"
+                )
             ).alias("embedding"),
             "label",
         )
