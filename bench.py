@@ -75,6 +75,8 @@ COHORTS: dict[str, list[str]] = {
         "embedding_diversity_score",
         # round 12: the geometry-scaling ladder (B vs candidates/probe)
         "ann_geometry_scaling_audit",
+        # round 13: the geometry-ADAPTIVE registered serving path
+        "ann_adaptive_probe",
     ],
     "text": [
         "doc_token_stats",
@@ -145,6 +147,8 @@ COHORTS: dict[str, list[str]] = {
         "image_dhash_near_dup",
         # round 12: the end-to-end reference-pipeline twin (capstone)
         "chexpert_pipeline_twin",
+        # round 13: the twin's full-oracle replay off the pinned fixture
+        "chexpert_twin_replay",
     ],
     "sketch_stats": [
         "countmin_user_counts",

@@ -421,3 +421,312 @@ def chexpert_pipeline_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Full-oracle replay of the twin's non-codec tail (round 13, VERDICT r12
+# task 5): both engines read the SAME committed feature fixture.
+# ---------------------------------------------------------------------------
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+TWIN_FIXTURE = os.path.join(
+    _REPO_ROOT, "fixtures", "chexpert_twin_features.parquet"
+)
+
+# DuckDB twin of _TWIN_CLIENT (the portable_client_split md5 recipe);
+# the img_id ref is qualified because it sits on a two-table join
+_TWIN_CLIENT_DUCK = (
+    "CAST(CAST(concat('0x', substr(md5(concat(CAST(t.img_id AS VARCHAR), "
+    "':', CAST(variant AS VARCHAR))), 1, 8)) AS BIGINT) "
+    f"% {TWIN_N_CLIENTS} AS INTEGER)"
+)
+
+_TWIN_YC = (
+    "CAST(round(CAST(pix_sum AS DOUBLE) * 1000000.0 "
+    "/ CAST(n_pix AS DOUBLE)) AS BIGINT)"
+)
+
+
+def _twin_replay_sql() -> str:
+    from big_data_medical_analysis_spark.operators.udf_surface import (
+        _FEDAVG_SRV_EXPRS,
+        _fedavg_fit_exprs,
+    )
+
+    w0m, w1m = _fedavg_fit_exprs(TWIN_LAMBDA)
+    s0m, s1m, total = _FEDAVG_SRV_EXPRS
+    rounds = []
+    for r in range(1, TWIN_N_ROUNDS + 1):
+        rounds.append(
+            f""", fit{r} AS (
+  SELECT client, n, {w0m}, {w1m} FROM stats, srv{r - 1}
+), srv{r}agg AS (
+  SELECT {s0m}, {s1m}, {total} FROM fit{r}
+), srv{r} AS (
+  SELECT CAST(s0m AS DOUBLE) / 1000000.0 AS s0,
+         CAST(s1m AS DOUBLE) / 1000000.0 AS s1 FROM srv{r}agg
+)"""
+        )
+    fed_rows = "\nUNION ALL\n".join(
+        f"""SELECT 'fedavg' AS stage, {r} AS idx, 's0m' AS metric,
+       CAST(s0m AS DOUBLE) AS value FROM srv{r}agg
+UNION ALL
+SELECT 'fedavg', {r}, 's1m', CAST(s1m AS DOUBLE) FROM srv{r}agg"""
+        for r in range(1, TWIN_N_ROUNDS + 1)
+    )
+    return f"""
+WITH feat AS (
+  SELECT img_id, variant, pix_sum, n_pix
+  FROM read_parquet('{TWIN_FIXTURE}')
+),
+lab AS (
+  SELECT doc_id AS img_id,
+         CAST(doc_id % 3 = 0 AS INTEGER) AS pneumonia,
+         CAST(doc_id % 10 = 9 AS INTEGER) AS is_eval,
+         CAST(doc_id % 20 = 0 AS INTEGER) AS is_dup
+  FROM documents
+),
+train AS (SELECT * FROM lab WHERE is_eval = 0),
+f AS (
+  SELECT t.img_id AS img_id, fe.variant, fe.pix_sum, fe.n_pix, t.pneumonia,
+         {_TWIN_CLIENT_DUCK} AS client
+  FROM train t JOIN feat fe ON fe.img_id = t.img_id
+),
+ef AS (
+  SELECT CAST(fe.variant AS BIGINT) AS qc, {_TWIN_YC} AS yc
+  FROM lab e JOIN feat fe ON fe.img_id = e.img_id WHERE e.is_eval = 1
+),
+per_client AS (
+  SELECT client, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(pneumonia) AS BIGINT) AS pneu_pos
+  FROM f GROUP BY client
+),
+shards AS (
+  SELECT client, CAST(variant AS BIGINT) AS qc, {_TWIN_YC} AS yc FROM f
+),
+stats AS (
+  SELECT client, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(qc) AS BIGINT) AS sx, CAST(sum(yc) AS BIGINT) AS sy,
+         CAST(sum(qc * qc) AS BIGINT) AS sxx,
+         CAST(sum(qc * yc) AS BIGINT) AS sxy
+  FROM shards GROUP BY client
+),
+srv0 AS (SELECT 0.0 AS s0, 0.0 AS s1){''.join(rounds)},
+mse AS (
+  SELECT round(avg(pow(
+           (CAST(yc AS DOUBLE) - (s0m + s1m * qc) / 1000000.0)
+           / 1000000.0, 2)), 6) AS v
+  FROM ef, srv{TWIN_N_ROUNDS}agg
+)
+SELECT 'ingest' AS stage, -1 AS idx, 'n_train_csv_rows' AS metric,
+       CAST((SELECT count(*) + sum(is_dup) FROM train) AS DOUBLE) AS value
+UNION ALL
+SELECT 'ingest', -1, 'n_dup_paths',
+       CAST((SELECT sum(is_dup) FROM train) AS DOUBLE)
+UNION ALL
+SELECT 'ingest', -1, 'n_eval_csv_rows',
+       CAST((SELECT count(*) FROM lab WHERE is_eval = 1) AS DOUBLE)
+UNION ALL
+SELECT 'dedup', -1, 'n_unique_images',
+       CAST((SELECT count(*) FROM train) AS DOUBLE)
+UNION ALL
+SELECT 'augment', -1, 'n_augmented', CAST((SELECT count(*) FROM f) AS DOUBLE)
+UNION ALL
+SELECT 'split', idx, metric, value FROM (
+  SELECT client AS idx, 'n_rows' AS metric, CAST(n_rows AS DOUBLE) AS value
+  FROM per_client
+  UNION ALL
+  SELECT client, 'pneumonia_pos_rows', CAST(pneu_pos AS DOUBLE)
+  FROM per_client
+)
+UNION ALL
+SELECT 'audit', -1, 'overlap_keys',
+       CAST((SELECT count(*) FROM (
+          SELECT img_id, variant FROM f
+          GROUP BY img_id, variant HAVING count(DISTINCT client) > 1
+       )) AS DOUBLE)
+UNION ALL
+SELECT 'audit', -1, 'completeness_delta',
+       CAST((SELECT count(*) FROM f)
+            - (SELECT sum(n_rows) FROM per_client) AS DOUBLE)
+UNION ALL
+{fed_rows}
+UNION ALL
+SELECT 'eval', -1, 'n_eval_rows', CAST((SELECT count(*) FROM ef) AS DOUBLE)
+UNION ALL
+SELECT 'eval', -1, 'mse_px2', (SELECT v FROM mse)
+"""
+
+
+@register(
+    "chexpert_twin_replay", oracle=_twin_replay_sql(), category="multimodal"
+)
+def chexpert_twin_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-oracle replay of ``chexpert_pipeline_twin``'s non-codec tail
+    (VERDICT r12 task 5): every ingest-count / dedup / split / audit /
+    fed-avg / MSE row of the twin, recomputed from the COMMITTED feature
+    fixture ``fixtures/chexpert_twin_features.parquet`` — a pinned
+    (img_id, variant, pix_sum, n_pix) table that BOTH engines read (Spark
+    here, DuckDB via ``read_parquet`` in the oracle), so the whole
+    trajectory carries a DuckDB value oracle. What the twin's rows-only
+    census still has to take on faith shrinks to exactly the codec pass
+    that produced the fixture, and THAT is pinned separately:
+    ``tools/gen_twin_fixture.py`` regenerates the fixture from the same
+    pure numpy kernels (`_synth_content` -> `decode_gray` ->
+    `equalize_hist` -> `augment_variants`), and
+    tests/test_pipeline_twin.py asserts (a) a kernel-recomputed sample
+    matches the committed file and (b) this replay's 23 output rows equal
+    the twin's bit-for-bit at the oracle scale factors.
+
+    Same label model as ``write_label_csvs`` (train = doc_id%10 != 9 with
+    planted doc_id%20 == 0 duplicate rows; Pneumonia = doc_id%3 == 0),
+    same deterministic md5 client split, the same closed-form-ridge
+    fed-avg expression template (``_fedavg_fit_exprs`` /
+    ``_FEDAVG_SRV_EXPRS``, one source of truth for Spark AND the oracle),
+    and the same MSE op tree — so every double is produced by an
+    identical IEEE operation sequence on both engines.
+
+    Scale: the fixture stands in for the twin's fused Arrow image pass —
+    at 100 TB this IS the materialized feature table that pass writes,
+    and everything here is aggregates over narrow int rows: broadcast
+    1-row server state per fed-avg round, K-row client stats, map-side
+    combinable counts. The fixture join prunes to (img_id, variant,
+    pix_sum, n_pix) at the scan.
+    """
+    fixture = spark.read.parquet(TWIN_FIXTURE).select(
+        "img_id", "variant", "pix_sum", "n_pix"
+    )
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("img_id"),
+        (F.col("doc_id") % 3 == 0).cast("int").alias("pneumonia"),
+        (F.col("doc_id") % 10 == 9).cast("int").alias("is_eval"),
+        (F.col("doc_id") % 20 == 0).cast("int").alias("is_dup"),
+    )
+    train = checkpoint_pinned(docs.filter(F.col("is_eval") == 0))
+    f = checkpoint_pinned(
+        train.join(fixture, "img_id").withColumn(
+            "client", F.expr(_TWIN_CLIENT)
+        )
+    )
+    ef = (
+        docs.filter(F.col("is_eval") == 1)
+        .join(fixture, "img_id")
+        .select(
+            F.col("variant").cast("long").alias("qc"),
+            F.expr(_TWIN_YC).alias("yc"),
+        )
+    )
+
+    n_train_csv = train.agg(
+        (F.count(F.lit(1)) + F.sum("is_dup")).alias("v")
+    )
+    n_dups = train.agg(F.sum("is_dup").alias("v"))
+    n_eval_csv = docs.filter(F.col("is_eval") == 1).agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    n_unique = train.agg(F.count(F.lit(1)).alias("v"))
+    n_aug = f.agg(F.count(F.lit(1)).alias("v"))
+
+    per_client = f.groupBy("client").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("pneumonia").cast("long").alias("pneu_pos"),
+    )
+    overlap = (
+        f.groupBy("img_id", "variant")
+        .agg(F.countDistinct("client").alias("nc"))
+        .filter(F.col("nc") > 1)
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    completeness = per_client.crossJoin(
+        F.broadcast(f.agg(F.count(F.lit(1)).alias("total")))
+    ).agg((F.max("total") - F.sum("n_rows")).alias("v"))
+
+    shards = f.select(
+        "client",
+        F.col("variant").cast("long").alias("qc"),
+        F.expr(_TWIN_YC).alias("yc"),
+    )
+    stats = checkpoint_pinned(
+        shards.groupBy("client").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qc").alias("sx"),
+            F.sum("yc").alias("sy"),
+            F.sum(F.col("qc") * F.col("qc")).alias("sxx"),
+            F.sum(F.col("qc") * F.col("yc")).alias("sxy"),
+        )
+    )
+    from big_data_medical_analysis_spark.operators.udf_surface import (
+        _FEDAVG_SRV_EXPRS as _SRV,
+    )
+    from big_data_medical_analysis_spark.operators.udf_surface import (
+        _fedavg_fit_exprs as _fit,
+    )
+
+    w0m, w1m = _fit(TWIN_LAMBDA)
+    s0m_e, s1m_e, total_e = _SRV
+    server = spark.range(1).selectExpr("0.0 AS s0", "0.0 AS s1")
+    srv_rounds = []
+    for _ in range(TWIN_N_ROUNDS):
+        fits = stats.crossJoin(F.broadcast(server)).selectExpr(
+            "client", "n", w0m, w1m
+        )
+        srv = fits.selectExpr(s0m_e, s1m_e, total_e)
+        srv_rounds.append(srv)
+        server = srv.selectExpr(
+            "CAST(s0m AS DOUBLE) / 1000000.0 AS s0",
+            "CAST(s1m AS DOUBLE) / 1000000.0 AS s1",
+        )
+    final = srv_rounds[-1].select("s0m", "s1m")
+    mse = (
+        ef.crossJoin(F.broadcast(final))
+        .select(
+            (
+                F.col("yc").cast("double")
+                - (F.col("s0m") + F.col("s1m") * F.col("qc")) / 1e6
+            ).alias("resid_micro")
+        )
+        .agg(
+            F.round(
+                F.avg(F.pow(F.col("resid_micro") / 1e6, F.lit(2))), 6
+            ).alias("v")
+        )
+    )
+
+    neg1 = F.lit(-1)
+    parts = [
+        _metric_rows(n_train_csv, "ingest", neg1, ("n_train_csv_rows", F.col("v"))),
+        _metric_rows(n_dups, "ingest", neg1, ("n_dup_paths", F.col("v"))),
+        _metric_rows(n_eval_csv, "ingest", neg1, ("n_eval_csv_rows", F.col("v"))),
+        _metric_rows(n_unique, "dedup", neg1, ("n_unique_images", F.col("v"))),
+        _metric_rows(n_aug, "augment", neg1, ("n_augmented", F.col("v"))),
+        _metric_rows(
+            per_client, "split", F.col("client"),
+            ("n_rows", F.col("n_rows")),
+            ("pneumonia_pos_rows", F.col("pneu_pos")),
+        ),
+        _metric_rows(overlap, "audit", neg1, ("overlap_keys", F.col("v"))),
+        _metric_rows(
+            completeness, "audit", neg1, ("completeness_delta", F.col("v"))
+        ),
+    ]
+    for r, srv in enumerate(srv_rounds, start=1):
+        parts.append(
+            _metric_rows(
+                srv, "fedavg", F.lit(r),
+                ("s0m", F.col("s0m")),
+                ("s1m", F.col("s1m")),
+            )
+        )
+    parts.append(
+        _metric_rows(
+            ef.agg(F.count(F.lit(1)).alias("v")),
+            "eval", neg1, ("n_eval_rows", F.col("v")),
+        )
+    )
+    parts.append(_metric_rows(mse, "eval", neg1, ("mse_px2", F.col("v"))))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -194,6 +194,15 @@ _CODE_CHANGED_ROUND: dict[str, int] = {
     # reuses the identical trajectory — byte-identical expressions,
     # re-check anyway per the same convention as the probe split above
     "kmeans_lloyd_centroids": 12,
+    # round 13 (VERDICT r12 tasks 2 and 4): SemDeDup/D4 moved to the
+    # DERIVED-k trajectory (k = max(4, ceil(N/128)) from the corpus
+    # count; values change at sf0.1, identical at the 500-vector oracle
+    # sfs) with the map-side-combinable argmin; governed_mixture_sample
+    # pinned its banded/token relations (plan change, value-identical —
+    # the triangle_count precedent)
+    "semdedup_prune_stats": 13,
+    "d4_prototype_prune": 13,
+    "governed_mixture_sample": 13,
 }
 
 # ---------------------------------------------------------------------------
@@ -212,6 +221,14 @@ _CODE_CHANGED_ROUND: dict[str, int] = {
 # tests/test_entry.py::test_rotation_growth_cap enforces this
 # mechanically: the first _WINDOW names of the priority order must
 # include EVERY never-checked query and EVERY code-changed-stale query.
+#
+# Round-13 amendment (VERDICT r12 budgeted 5 owed slots against a
+# 48-query floor cohort, which the original all-inclusive cap could not
+# admit): never-checked + code-changed remain HARD owed (always inside
+# the window); the floor-stale tail is best-effort — it may spill past
+# the window only up to the hard-owed count, and the spilled names must
+# be exactly the next ones in priority order (they lead the following
+# round's window), so the tail still drains mechanically.
 # ---------------------------------------------------------------------------
 
 

@@ -123,3 +123,57 @@ def test_feature_pass_matches_bytes_stages(spark):
         arr = np.frombuffer(r.aug_content, np.uint8)
         assert npx == arr.size
         assert ps == int(arr.sum(dtype=np.int64))
+
+
+# ---------------------------------------------------------------------------
+# Round 13: the pinned feature fixture + the full-oracle replay
+# ---------------------------------------------------------------------------
+
+
+def test_fixture_matches_kernels():
+    """The committed fixture parquet is exactly what the pure numpy
+    kernels produce: recompute a spread-out sample of images via
+    tools/gen_twin_fixture.feature_rows (same _synth_content ->
+    decode_gray -> equalize_hist -> augment_variants chain the twin's
+    Arrow pass runs) and compare value-for-value. A codec change that
+    is not reflected by regenerating the fixture fails here."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo/tools")
+    from gen_twin_fixture import FIXTURE, feature_rows
+
+    sample_ids = list(range(0, 5000, 251))  # 20 images across the id space
+    want = feature_rows(sample_ids)
+    got = duckdb.sql(
+        f"SELECT img_id, variant, pix_sum, n_pix FROM '{FIXTURE}' "
+        f"WHERE img_id IN ({', '.join(map(str, sample_ids))}) "
+        "ORDER BY img_id, variant"
+    ).fetchall()
+    assert len(got) == len(want["img_id"]) == len(sample_ids) * 9
+    for i, (img_id, variant, ps, npx) in enumerate(got):
+        assert (img_id, variant, ps, npx) == (
+            want["img_id"][i],
+            want["variant"][i],
+            want["pix_sum"][i],
+            want["n_pix"][i],
+        )
+
+
+def test_replay_equals_twin(spark):
+    """chexpert_twin_replay must reproduce the twin's 23 (stage, idx,
+    metric) -> value rows BIT-FOR-BIT: the replay derives them from the
+    committed fixture, the twin from the live fused Arrow pass, so
+    equality pins (a) the fixture against the running codec and (b) the
+    replay's label/split/fed-avg algebra against the twin's."""
+    a = {
+        (r.stage, r.idx, r.metric): r.value
+        for r in PT.chexpert_pipeline_twin(spark, SF).collect()
+    }
+    b = {
+        (r.stage, r.idx, r.metric): r.value
+        for r in PT.chexpert_twin_replay(spark, SF).collect()
+    }
+    assert set(a) == set(b) and len(a) == 23
+    assert {k: (a[k], b[k]) for k in a if a[k] != b[k]} == {}

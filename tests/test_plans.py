@@ -982,3 +982,34 @@ def test_d4_plan_budget(spark, sf_dir):
     assert "LeftAnti" in plan, plan
     assert P.broadcast_join_count(df) >= 2, plan
     assert P.unpartitioned_window_count(df) == 0, plan
+
+
+def test_ann_adaptive_probe_plan_budget(spark, sf_dir):
+    """Adaptive ANN probe (round 13): the serve-geometry derivation and
+    candidate join sit above a checkpointed hits relation (the masked
+    equi-join executes once for stats + rerank), the rerank joins fetch
+    vectors by key, every window partitions by probe_id, and nothing is
+    cartesian. The 1-row serve frame broadcasts onto both sides inside
+    the checkpointed sub-plan (audited by checkpoint_pinned at
+    construction)."""
+    df = QS["ann_adaptive_probe"](spark, sf_dir)
+    plan = P.physical_plan(df)
+    assert plan.count("CartesianProduct") == 0, plan
+    assert P.unpartitioned_window_count(df) == 0, plan
+    # post-checkpoint: only the exact-rerank vector fetches scan parquet
+    assert plan.count("Scan parquet") <= 2, plan
+    assert P.broadcast_join_count(df) >= 1, plan
+
+
+def test_twin_replay_plan_budget(spark, sf_dir):
+    """Twin replay (round 13): the label slice and the fixture-joined
+    feature table are each pinned once (every report row reads the
+    checkpointed relations, not a re-derived join), all fed-avg/server
+    joins broadcast 1-row/K-row aggregates, and nothing is cartesian or
+    sort-merge — the whole report is narrow-row aggregate algebra."""
+    df = QS["chexpert_twin_replay"](spark, sf_dir)
+    plan = P.physical_plan(df)
+    assert plan.count("CartesianProduct") == 0, plan
+    assert plan.count("SortMergeJoin") == 0, plan
+    assert P.broadcast_join_count(df) >= 10, plan
+    assert P.unpartitioned_window_count(df) == 0, plan

@@ -121,13 +121,19 @@ def test_doremi_upweights_hard_domain(spark):
 
 def test_doremi_real_corpus_contract(spark, sf_dir):
     """On the real corpus: one row per source, excess clipped at >= 0,
-    and the mixture sums to 1e6 within per-domain rounding."""
+    and the mixture sums to 1e6 within per-domain rounding. The expected
+    source count is DERIVED from the documents table (ADVICE r12: a
+    literal 20 coupled this test to the current corpus composition)."""
     from big_data_medical_analysis_spark.operators.text_analysis import (
         doremi_domain_weights,
     )
+    from big_data_medical_analysis_spark.sources.readers import read_table
 
+    n_sources = (
+        read_table(spark, sf_dir, "documents").select("source").distinct().count()
+    )
     rows = doremi_domain_weights(spark, sf_dir).collect()
-    assert len(rows) == len({r.source for r in rows}) == 20
+    assert len(rows) == len({r.source for r in rows}) == n_sources > 0
     assert all(r.excess_q >= 0 for r in rows)
     assert all(r.weight_micro > 0 for r in rows)
     assert abs(sum(r.weight_micro for r in rows) - 1_000_000) <= len(rows)
@@ -244,3 +250,72 @@ def test_d4_consistent_with_semdedup(spark, sf_dir):
         n_surv = r.n_members - r.n_semdedup_pruned
         assert r.n_proto_pruned == n_surv * D4_PROTO_PCT // 100
         assert r.n_kept == n_surv - r.n_proto_pruned >= 0
+
+
+def test_unigram_nll_floor_boundary_parity(spark):
+    """ADVICE r12 canary: the shared NLL quantization
+    floor(ln((cw+1)/(n+vsz)) * 1e12) relies on JVM Math.log and DuckDB
+    std::log producing bit-identical doubles — a 1-ulp divergence at an
+    integer boundary would flip the floored int64 term inside DoReMi,
+    CCNet, AND the per-domain reference NLL. This sweeps the (cw, n, vsz)
+    triples whose quantized value lands CLOSEST to a floor boundary
+    (within ~2 quantization-ulps, where a libm drift would actually
+    flip) and asserts exact int64 agreement between the two engines, so
+    any future libm change fails CI here rather than a bench run."""
+    import math
+
+    import duckdb
+
+    from big_data_medical_analysis_spark.operators.text_analysis import (
+        PPL_Q,
+        UNLL_SMOOTH,
+    )
+
+    # brute-force a grid for near-boundary quantized values; one ulp of
+    # ln(p) ~ 2^-52 * |ln p| -> * 1e12 gives the flippable band width
+    cands = []
+    for n in range(950, 1100):
+        for cw in range(1, 60):
+            for vsz in (37, 271, 997):
+                p = (cw + UNLL_SMOOTH) / (n + UNLL_SMOOTH * vsz)
+                q = math.log(p) * PPL_Q
+                frac = q - math.floor(q)
+                band = abs(math.log(p)) * 2.0 ** -52 * PPL_Q * 2
+                if frac < band or (1 - frac) < band:
+                    cands.append((cw, n, vsz))
+    # always include a fixed spread so the test never goes vacuous
+    cands.extend((c, 1000, 271) for c in range(1, 40))
+    rows = [(int(c), int(n), int(v)) for c, n, v in cands]
+    df = spark.createDataFrame(rows, "cw long, n_all long, vsz long")
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.cw, r.n_all, r.vsz): r.lq
+        for r in df.select(
+            "cw", "n_all", "vsz",
+            F.floor(
+                F.log(
+                    (F.col("cw") + F.lit(UNLL_SMOOTH))
+                    / (F.col("n_all") + F.lit(UNLL_SMOOTH) * F.col("vsz"))
+                )
+                * PPL_Q
+            )
+            .cast("long")
+            .alias("lq"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (cw BIGINT, n_all BIGINT, vsz BIGINT)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = {
+        (cw, n, v): lq
+        for cw, n, v, lq in con.execute(
+            f"SELECT cw, n_all, vsz, CAST(floor(ln((cw + {UNLL_SMOOTH}) "
+            f"/ (n_all + {UNLL_SMOOTH} * vsz)) * {PPL_Q}) AS BIGINT) FROM t"
+        ).fetchall()
+    }
+    assert len(got) == len(want) >= 39
+    diffs = {k: (got[k], want[k]) for k in got if got[k] != want[k]}
+    assert diffs == {}, f"libm drift at floor boundaries: {diffs}"

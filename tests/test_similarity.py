@@ -547,3 +547,118 @@ def test_semdedup_prune_invariants(spark, sf_dir):
         assert r.n_kept >= 1, "rank-1 member must always survive"
         assert 0.0 <= r.prune_rate <= 1.0
         assert r.prune_rate == round(r.n_pruned / r.n_members, 6)
+
+
+# ---------------------------------------------------------------------------
+# Round 13: geometry-adaptive ANN probe
+# ---------------------------------------------------------------------------
+
+
+def test_adx_serve_bits_formula(spark, sf_dir):
+    """serve_bits must be the smallest B in [ADX_BITS_MIN, ADX_BITS_MAX]
+    with 2^B * target >= persisted index rows (= index vectors x tables),
+    derived from the data on every output row — the knob that holds
+    per-probe expected candidates <= target as the corpus grows."""
+    from big_data_medical_analysis_spark.operators.similarity import (
+        _ANN_INDEX,
+        ADX_BITS_MAX,
+        ADX_BITS_MIN,
+        ADX_TABLES,
+        ADX_TARGET_CANDIDATES,
+        ann_adaptive_probe,
+    )
+    from big_data_medical_analysis_spark.sources.readers import read_table
+
+    n_index = (
+        read_table(spark, sf_dir, "embeddings").filter(_ANN_INDEX).count()
+    )
+    rows = ann_adaptive_probe(spark, sf_dir).collect()
+    assert rows
+    nl = n_index * ADX_TABLES
+    expect = next(
+        (
+            b
+            for b in range(ADX_BITS_MIN, ADX_BITS_MAX + 1)
+            if (1 << b) * ADX_TARGET_CANDIDATES >= nl
+        ),
+        ADX_BITS_MAX,
+    )
+    for r in rows:
+        assert r.serve_bits == expect
+        assert 1 <= r.n_tables_hit <= ADX_TABLES
+        assert 1 <= r.n_candidates <= n_index
+        assert -1.0 <= r.best_cos <= 1.0
+
+
+def test_adx_planted_candidates_and_rerank(spark, sf_dir):
+    """Planted-semantics check against a from-scratch numpy replay: for a
+    sample of probes, recompute the 16-bit buckets from the seeded plane
+    matrix, mask to the served geometry, derive the exact candidate set
+    (any table's masked bucket matches), and verify the operator's
+    candidate count AND that best_cand_id/best_cos is the exact-cosine
+    argmax over that set with (cos DESC, cand_id) ties."""
+    import numpy as np
+
+    from big_data_medical_analysis_spark.operators.similarity import (
+        _SCALE,
+        ADX_BITS_MAX,
+        ADX_TABLES,
+        ann_adaptive_probe,
+        ann_sign_matrix,
+    )
+    from big_data_medical_analysis_spark.sources.readers import read_table
+
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in read_table(spark, sf_dir, "embeddings").collect()
+    }
+    planes = np.array(ann_sign_matrix(), dtype=np.int64)  # 48 x dim
+    iv = {
+        k: np.copysign(np.floor(np.abs(v * _SCALE) + 0.5), v * _SCALE).astype(
+            np.int64
+        )
+        for k, v in emb.items()
+    }
+    weights = 1 << np.arange(ADX_BITS_MAX, dtype=np.int64)
+
+    def buckets(k):
+        bits = (planes @ iv[k]) >= 0  # 48 bools
+        return [
+            int(bits[t * ADX_BITS_MAX : (t + 1) * ADX_BITS_MAX] @ weights)
+            for t in range(ADX_TABLES)
+        ]
+
+    rows = {r.probe_id: r for r in ann_adaptive_probe(spark, sf_dir).collect()}
+    assert rows
+    index_ids = [k for k in emb if k % 10 != 0]
+    ibkt = {k: buckets(k) for k in index_ids}
+    checked = 0
+    for pid in sorted(rows)[:5]:
+        r = rows[pid]
+        mask = 1 << r.serve_bits
+        pb = buckets(pid)
+        cands = {
+            k
+            for k in index_ids
+            if any(pb[t] % mask == ibkt[k][t] % mask for t in range(ADX_TABLES))
+        }
+        assert r.n_candidates == len(cands), pid
+        best = min(
+            (
+                (
+                    -round(
+                        float(np.dot(iv[pid], iv[k]))
+                        / (
+                            np.sqrt(float(np.dot(iv[pid], iv[pid])))
+                            * np.sqrt(float(np.dot(iv[k], iv[k])))
+                        ),
+                        6,
+                    ),
+                    k,
+                )
+                for k in cands
+            ),
+        )
+        assert (r.best_cand_id, r.best_cos) == (best[1], -best[0]), pid
+        checked += 1
+    assert checked == 5
