@@ -610,7 +610,10 @@ def chexpert_twin_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "client", F.expr(_TWIN_CLIENT)
         )
     )
-    ef = (
+    # pinned: ef feeds both the eval-row count and the MSE scan — without
+    # the pin each consumer re-scans documents + the fixture (the repo's
+    # two-scan budget, test_no_excessive_table_rescans)
+    ef = checkpoint_pinned(
         docs.filter(F.col("is_eval") == 1)
         .join(fixture, "img_id")
         .select(
