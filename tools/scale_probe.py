@@ -379,9 +379,11 @@ _COST_MODELS = {
         " which the prefix filter keeps ~linear on a disjoint corpus"
     ),
     "governed_mixture_sample": (
-        "its 5 fused governance stages each rescan the kept relation"
-        " once — linear-in-corpus with the least fixed-cost headroom"
-        " to amortize, so it sits closest to the multiplier"
+        "the size-gated candidate join (round 13) keeps the pair-dedup"
+        " shuffle linear in the corpus; the remaining wall is the"
+        " size-compatible verify + mixture stages — linear with the"
+        " least fixed-cost headroom, so it sits closest to the"
+        " multiplier"
     ),
 }
 
