@@ -604,6 +604,21 @@ def chexpert_twin_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 10 == 9).cast("int").alias("is_eval"),
         (F.col("doc_id") % 20 == 0).cast("int").alias("is_dup"),
     )
+    # Fixture-coverage guard (ADVICE r13): the committed fixture covers
+    # the sf0.1 doc_id space. At any larger scale factor the inner joins
+    # below would silently SHRINK the augment/split/fedavg/eval rows
+    # while the ingest/dedup counts stay full-corpus — and the oracle,
+    # reading the same fixture, would still pass. Assert coverage inside
+    # the plan instead: a 1-row anti-join count of doc ids missing from
+    # the fixture, crossJoined (broadcast) into the output and checked
+    # by assert_true — an uncovered sf fails LOUDLY at execution time
+    # instead of producing internally inconsistent metrics. Cost: one
+    # left_anti against the broadcast-sized distinct fixture-id list.
+    miss = docs.join(
+        F.broadcast(fixture.select("img_id").distinct()),
+        "img_id",
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("n_uncovered"))
     train = checkpoint_pinned(docs.filter(F.col("is_eval") == 0))
     f = checkpoint_pinned(
         train.join(fixture, "img_id").withColumn(
@@ -732,4 +747,27 @@ def chexpert_twin_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)
-    return out
+    return (
+        out.crossJoin(F.broadcast(miss))
+        .filter(
+            F.coalesce(
+                F.assert_true(
+                    F.col("n_uncovered") == 0,
+                    F.concat(
+                        F.lit(
+                            "chexpert_twin_replay: committed fixture does"
+                            " not cover this scale factor's doc_id space ("
+                        ),
+                        F.col("n_uncovered").cast("string"),
+                        F.lit(
+                            " uncovered rows) — regenerate"
+                            " fixtures/chexpert_twin_features.parquet via"
+                            " tools/gen_twin_fixture.py for this sf"
+                        ),
+                    ),
+                ),
+                F.lit(True),
+            )
+        )
+        .drop("n_uncovered")
+    )

@@ -827,34 +827,19 @@ KMEANS_ITERS = 2
 _EMB_DIM = 64
 
 
-def _lloyd_oracle_ctes(derived_k: bool = False) -> str:
-    """WITH-clause prefix replaying the full Lloyd trajectory in DuckDB
-    (vm → c0 → a1/u1/c1 → … → c{{KMEANS_ITERS}}) — shared by the kmeans
-    and semdedup oracles so both replay the IDENTICAL clustering. Every
-    quantity is exact: int64-micro components, integer squared distances
-    (order-independent sums), argmin tie-broken on cluster id, centroid
-    update as ONE round(sum/count) division per dimension — the same
-    single IEEE op the Spark side performs.
-
-    ``derived_k=True`` (the SemDeDup/D4 path, round 13): k is DERIVED
-    from the corpus's exact row count — k = max(KMEANS_K,
-    ceil(N / SEMDEDUP_TARGET_WIDTH)) in pure integer arithmetic — so the
-    within-cluster screen's Σ|cluster|² term stays width-bounded as the
-    corpus grows. The trajectory remains deterministic given k, and both
-    engines compute k from the same count, so the full value oracle
-    survives. ``derived_k=False`` keeps the byte-identical fixed-k text
-    the kmeans oracle has carried since round 6."""
-    if derived_k:
-        kk = f""",
-kk AS (
-  SELECT greatest({KMEANS_K}, (CAST(count(*) AS BIGINT)
-           + {SEMDEDUP_TARGET_WIDTH - 1}) // {SEMDEDUP_TARGET_WIDTH}) AS k
-  FROM vm
-)"""
-        init_from = "FROM vm, kk WHERE vec_id < kk.k"
-    else:
-        kk = ""
-        init_from = f"FROM vm WHERE vec_id < {KMEANS_K}"
+def _lloyd_oracle_ctes() -> str:
+    """WITH-clause prefix replaying the full FIXED-k Lloyd trajectory in
+    DuckDB (vm → c0 → a1/u1/c1 → … → c{{KMEANS_ITERS}}) for the kmeans
+    oracle — byte-identical text since round 6. Every quantity is exact:
+    int64-micro components, integer squared distances (order-independent
+    sums), argmin tie-broken on cluster id, centroid update as ONE
+    round(sum/count) division per dimension — the same single IEEE op
+    the Spark side performs. (The SemDeDup/D4 path replays its own
+    HIERARCHICAL trajectory via ``_hier_sel_ctes`` since round 14; the
+    round-13 derived-k branch this function carried is retired with
+    it.)"""
+    kk = ""
+    init_from = f"FROM vm WHERE vec_id < {KMEANS_K}"
     parts = [
         f"""WITH vm AS (
   SELECT vec_id, list_transform(embedding,
@@ -1033,20 +1018,50 @@ SEMDEDUP_TAU = 0.25
 # from the corpus's exact row count — k = max(KMEANS_K, ceil(N / width)) —
 # so the within-cluster cosine screen's Σ|cluster|² term stays
 # width-bounded (≈ N·width, linear) as the corpus grows, instead of m²
-# at a fixed k. 128 keeps k = 4 at the 500-vector oracle scale factors
-# (trajectory unchanged from r12) and yields k = 16 at sf0.1 / k ∝ N
-# beyond. The Lloyd trajectory is deterministic GIVEN k, and both engines
-# compute k from the same count, so the full value oracles survive.
+# at a fixed k.
+#
+# Round 14 (VERDICT r13 task 1): the ASSIGNMENT is now hierarchical too.
+# Flat Lloyd scored every vector against all k = ceil(N/width) centroids —
+# O(N·k) = O(N²/width) flops with a corpus-proportional centroid
+# broadcast, the last super-linear term in the selection family. The
+# two-level (IVF-pattern) trajectory below kills it: a DERIVED
+# kc = ceil(sqrt(k)) coarse codebook is Lloyd-trained first and routes
+# every vector to ONE cell (O(N·kc) flops against a broadcast-sized
+# table), then each cell trains its own derived-k fine clusters
+# (kf = ceil(|cell|/width)) and vectors score ONLY against their cell's
+# centroids via a (cell)-keyed equi-join — never a corpus-proportional
+# broadcast. Balanced-cell flops: coarse N·kc + fine Σ|cell|²/width
+# ≈ 2·N·sqrt(N/width) = O(N·sqrt(k)), the verdict-ordered bound. Both
+# levels reuse the exact Lloyd algebra (int64 distances, argmin ties on
+# id, one round(sum/count) per dim), every derived count (k, kc, kf) is
+# 1-row/K-row integer algebra off exact counts (sqrt is IEEE-754
+# CORRECTLY ROUNDED — unlike log — and belt-and-braces integer-corrected
+# anyway), so DuckDB replays the whole two-level trajectory bit-for-bit.
 SEMDEDUP_TARGET_WIDTH = 128
+# Global cluster id = cell * SHIFT + fine: fine counts are bounded by
+# ceil(|cell|/width) << 2^20 at any plausible cell size, and the id stays
+# a plain BIGINT both engines compute with one multiply-add.
+SEMDEDUP_CELL_SHIFT = 1 << 20
 
 
-def _semdedup_k_df(vm: DataFrame) -> DataFrame:
-    """1-row (k long) derived-cluster-count frame: pure integer
-    arithmetic off a count aggregate, broadcast back — never a driver
-    read. Must stay expression-identical to the oracle's kk CTE."""
-    return vm.agg(F.count(F.lit(1)).cast("long").alias("n")).selectExpr(
-        f"greatest(CAST({KMEANS_K} AS BIGINT), "
-        f"(n + {SEMDEDUP_TARGET_WIDTH - 1}) DIV {SEMDEDUP_TARGET_WIDTH}) AS k"
+def _hier_kc_df(vm: DataFrame) -> DataFrame:
+    """1-row (kc long) derived COARSE-cell-count frame: k = max(KMEANS_K,
+    ceil(N/width)) then kc = ceil(sqrt(k)), pure 1-row algebra off a
+    count aggregate, broadcast back — never a driver read. Must stay
+    expression-identical to the oracle's kk/cc CTEs. sqrt on a BIGINT
+    cast to DOUBLE is IEEE-754 correctly rounded (hardware instruction,
+    unlike libm log), and the two CASE steps integer-correct any ±1
+    drift regardless, so the derived kc is engine-portable by
+    construction."""
+    return (
+        vm.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .selectExpr(
+            f"greatest(CAST({KMEANS_K} AS BIGINT), "
+            f"(n + {SEMDEDUP_TARGET_WIDTH - 1}) DIV {SEMDEDUP_TARGET_WIDTH}) AS k"
+        )
+        .selectExpr("k", "CAST(floor(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS s0")
+        .selectExpr("k", "CASE WHEN s0 * s0 > k THEN s0 - 1 ELSE s0 END AS s")
+        .selectExpr("CASE WHEN s * s < k THEN s + 1 ELSE s END AS kc")
     )
 
 
@@ -1060,11 +1075,12 @@ def _lloyd_assign_agg(vm: DataFrame, centroids: DataFrame) -> DataFrame:
     row_number form shuffles all N·k scored rows into a per-vec_id
     window; this form partial-aggregates the argmin map-side, so the
     shuffle carries ~N slim rows regardless of k — the shape that
-    matters once k is derived from the corpus (k ∝ N makes N·k the
-    screen family's widest intermediate). Used by the derived-k
-    SemDeDup/D4 path; ``kmeans_lloyd_centroids`` keeps the original
-    driver-checked ``_lloyd_assign`` form untouched (rotation economy:
-    its checked code path does not change this round)."""
+    matters once counts derive from the corpus. Used by the
+    hierarchical SemDeDup/D4 path's COARSE level (Lloyd over
+    kc = ceil(sqrt(k)) cells, then the one routing pass);
+    ``kmeans_lloyd_centroids`` keeps the original driver-checked
+    ``_lloyd_assign`` form untouched (rotation economy: its checked
+    code path does not change)."""
     d = F.aggregate(
         F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
@@ -1083,20 +1099,19 @@ def _lloyd_assign_agg(vm: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def _lloyd_iterations_dk(vm: DataFrame) -> DataFrame:
-    """{KMEANS_ITERS} Lloyd rounds from the deterministic first-k init
-    with k DERIVED from the corpus count (``_semdedup_k_df``); returns
-    the final (cluster, c) centroid arrays. Same trajectory algebra as
-    ``_lloyd_iterations`` (exact int64 distances, argmin ties on cluster,
-    one round(sum/count) division per dimension) with two derived-k
-    differences: the init filter joins the broadcast 1-row k frame, and
-    assignment uses the map-side-combinable ``_lloyd_assign_agg`` form.
-    The fixed-k ``_lloyd_iterations`` stays byte-identical for
-    ``kmeans_lloyd_centroids``'s driver-checked path."""
-    kdf = _semdedup_k_df(vm)
+def _hier_coarse_centroids(vm: DataFrame) -> DataFrame:
+    """COARSE level of the two-level trajectory: {KMEANS_ITERS} Lloyd
+    rounds over kc = ceil(sqrt(k)) cells from the deterministic first-kc
+    init (init filter joins the broadcast 1-row kc frame). Same exact
+    algebra as ``_lloyd_iterations`` with the map-side-combinable
+    ``_lloyd_assign_agg`` assignment; returns (cluster int, c
+    array<long>) in the assign helper's column convention — the caller
+    renames cluster -> cell. The coarse table is kc·dim ints —
+    broadcast-sized at any corpus (kc ∝ sqrt(N/width): ~28k cells x 64
+    dims ≈ 14 MB at 1e11 docs)."""
     centroids = (
-        vm.crossJoin(F.broadcast(kdf))
-        .filter(F.col("vec_id") < F.col("k"))
+        vm.crossJoin(F.broadcast(_hier_kc_df(vm)))
+        .filter(F.col("vec_id") < F.col("kc"))
         .select(
             F.col("vec_id").cast("integer").alias("cluster"),
             F.col("v").alias("c"),
@@ -1125,32 +1140,266 @@ def _lloyd_iterations_dk(vm: DataFrame) -> DataFrame:
     return centroids
 
 
-def _semdedup_screen_ctes() -> str:
-    """The shared SemDeDup screen as oracle CTEs: replay the Lloyd
-    trajectory, assign every vector to its final centroid (`sel`), rank
-    within cluster by distance-to-centroid DESC (`ranked`), and mark any
-    vector whose cosine with a better-ranked cluster-mate reaches
-    SEMDEDUP_TAU (`pruned`). Consumed by `_semdedup_oracle` (prune
-    stats) and `_d4_oracle` (the prototypicality stage on survivors).
-    Round 13: the trajectory runs with DERIVED k (see
-    ``_lloyd_oracle_ctes(derived_k=True)``) so cluster width stays
-    bounded by SEMDEDUP_TARGET_WIDTH as the corpus grows."""
-    i = KMEANS_ITERS
+def _hier_fine_assign(vr: DataFrame, fc: DataFrame) -> DataFrame:
+    """One FINE assignment pass, cell-gated: vectors join their own
+    cell's centroids on the cell key (an equi-join — a shuffle join at
+    scale, NEVER a corpus-proportional broadcast), exact integer squared
+    distance, then the map-side-combinable argmin as
+    min(struct(d, fine)) per (vec_id, cell) — ties break on fine id
+    exactly like the coarse level's (d, cluster) struct. Returns
+    (vec_id, cell, fine, d). A hot cell skews the join's shuffle
+    partitions; AQE's skew-join split handles that at runtime (the same
+    answer as every banded self-join in the dedup family)."""
+    d = F.aggregate(
+        F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return (
-        _lloyd_oracle_ctes(derived_k=True)
+        vr.join(fc, "cell")
+        .select("vec_id", "cell", d.alias("d"), "fine")
+        .groupBy("vec_id", "cell")
+        .agg(F.min(F.struct("d", "fine")).alias("m"))
+        .select(
+            "vec_id",
+            "cell",
+            F.col("m.fine").alias("fine"),
+            F.col("m.d").alias("d"),
+        )
+    )
+
+
+def _hier_fine_centroids(vr: DataFrame) -> DataFrame:
+    """FINE level: per routed cell, kf = max(1, ceil(|cell|/width))
+    clusters from the deterministic first-kf-by-vec_id init (row_number
+    within cell joined against the broadcast kc-row kf frame), then
+    {KMEANS_ITERS} cell-gated Lloyd rounds — assignment via
+    ``_hier_fine_assign``, update as the usual one round(sum/count)
+    division per (cell, fine, dim). Returns (cell, fine int, c). Every
+    non-empty cell keeps >= 1 fine centroid at every round (its members
+    are assigned among its own centroids), so no vector is ever
+    orphaned."""
+    kf = (
+        vr.groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("nc"))
+        .selectExpr(
+            "cell",
+            f"greatest(CAST(1 AS BIGINT), (nc + {SEMDEDUP_TARGET_WIDTH - 1})"
+            f" DIV {SEMDEDUP_TARGET_WIDTH}) AS kf",
+        )
+    )
+    wn = W.partitionBy("cell").orderBy("vec_id")
+    fc = (
+        vr.withColumn("rn", F.row_number().over(wn))
+        .join(F.broadcast(kf), "cell")
+        .filter(F.col("rn") <= F.col("kf"))
+        .select(
+            "cell",
+            (F.col("rn") - 1).cast("integer").alias("fine"),
+            F.col("v").alias("c"),
+        )
+    )
+    for _ in range(KMEANS_ITERS):
+        members = _hier_fine_assign(vr, fc).select("vec_id", "cell", "fine")
+        exploded = (
+            members.join(vr.select("vec_id", "v"), "vec_id")
+            .select(
+                "cell", "fine", F.posexplode_outer("v").alias("pos", "val")
+            )
+            .filter(F.col("pos").isNotNull())
+        )
+        update = exploded.groupBy(
+            "cell", "fine", (F.col("pos") + 1).alias("dim")
+        ).agg(
+            F.round(
+                F.sum("val").cast("double") / F.count(F.lit(1)).cast("double")
+            )
+            .cast("long")
+            .alias("cm"),
+        )
+        fc = update.groupBy("cell", "fine").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cm"))),
+                lambda s: s.cm,
+            ).alias("c")
+        )
+    return fc
+
+
+def _hier_assign(vm: DataFrame) -> DataFrame:
+    """The full two-level assignment consumed by the SemDeDup screen:
+    train the coarse codebook, route every vector to its cell (one
+    broadcast argmin pass), pin the routed (vec_id, cell, v) table —
+    it feeds the kf counts, the fine init, two fine Lloyd rounds and the
+    final assignment (6 consumers; at 100 TB this is persist(DISK_ONLY),
+    the ``_kmeans_vm`` trade) — then train the fine centroids and emit
+    the final cell-gated argmin as (vec_id, cluster long, d) with the
+    global id cell * {SEMDEDUP_CELL_SHIFT} + fine."""
+    route = _lloyd_assign_agg(vm, _hier_coarse_centroids(vm)).select(
+        "vec_id", F.col("cluster").alias("cell")
+    )
+    vr = checkpoint_pinned(
+        vm.join(route, "vec_id").select("vec_id", "cell", "v")
+    )
+    fa = _hier_fine_assign(vr, _hier_fine_centroids(vr))
+    return fa.select(
+        "vec_id",
+        (
+            F.col("cell").cast("long") * SEMDEDUP_CELL_SHIFT + F.col("fine")
+        ).alias("cluster"),
+        "d",
+    )
+
+
+def _hier_sel_ctes() -> str:
+    """WITH-clause prefix replaying the FULL two-level (hierarchical)
+    trajectory in DuckDB, ending at ``sel(vec_id, cluster, d)`` — the
+    final assignment the SemDeDup screen and the D4 prototype stage
+    consume. Chain: vm -> kk/cc (derived k and kc = ceil(sqrt(k)),
+    integer-corrected IEEE sqrt) -> g0..g{KMEANS_ITERS} (coarse Lloyd)
+    -> route (one argmin pass, ties on cell) -> vr (routed vectors) ->
+    kf (per-cell derived fine count) -> f0..f{KMEANS_ITERS} (cell-gated
+    fine Lloyd: vectors join ONLY their own cell's centroids) -> sel
+    (global id cell * SHIFT + fine). Every quantity is exact: int64
+    components, integer squared distances, argmin ties on id, one
+    round(sum/count) per dim — the identical IEEE op sequence the Spark
+    side performs, so the trajectory replays bit-for-bit."""
+    w = SEMDEDUP_TARGET_WIDTH
+    parts = [
+        f"""WITH vm AS (
+  SELECT vec_id, list_transform(embedding,
+           y -> CAST(round(y::DOUBLE * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+kk AS (
+  SELECT greatest({KMEANS_K}, (CAST(count(*) AS BIGINT)
+           + {w - 1}) // {w}) AS k
+  FROM vm
+),
+cc AS (
+  SELECT CASE WHEN s * s < k THEN s + 1 ELSE s END AS kc
+  FROM (
+    SELECT k, CASE WHEN s0 * s0 > k THEN s0 - 1 ELSE s0 END AS s
+    FROM (SELECT k, CAST(floor(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS s0
+          FROM kk)
+  )
+),
+g0 AS (
+  SELECT CAST(vec_id AS INTEGER) AS cell, v AS c
+  FROM vm, cc WHERE vec_id < cc.kc
+)"""
+    ]
+    for it in range(1, KMEANS_ITERS + 1):
+        parts.append(
+            f""", ga{it} AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rnk
+  FROM (
+    SELECT vm.vec_id, g{it - 1}.cell,
+           list_sum(list_transform(vm.v,
+             (x, i) -> (x - g{it - 1}.c[i]) * (x - g{it - 1}.c[i]))) AS d
+    FROM vm, g{it - 1}
+  )
+), gu{it} AS (
+  SELECT a.cell, g.i AS dim,
+         CAST(round(CAST(sum(vm.v[g.i]) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cm
+  FROM (SELECT vec_id, cell FROM ga{it} WHERE rnk = 1) a
+  JOIN vm USING (vec_id),
+  (SELECT unnest(range(1, {_EMB_DIM} + 1)) AS i) g
+  GROUP BY 1, 2
+), g{it} AS (
+  SELECT cell, list(cm ORDER BY dim) AS c FROM gu{it} GROUP BY cell
+)"""
+        )
+    gi = f"g{KMEANS_ITERS}"
+    parts.append(
+        f""", route AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rnk
+    FROM (
+      SELECT vm.vec_id, {gi}.cell,
+             list_sum(list_transform(vm.v,
+               (x, i) -> (x - {gi}.c[i]) * (x - {gi}.c[i]))) AS d
+      FROM vm, {gi}
+    )
+  ) WHERE rnk = 1
+), vr AS (
+  SELECT vm.vec_id, route.cell, vm.v FROM vm JOIN route USING (vec_id)
+), kf AS (
+  SELECT cell, greatest(CAST(1 AS BIGINT),
+           (CAST(count(*) AS BIGINT) + {w - 1}) // {w}) AS kf
+  FROM vr GROUP BY cell
+), f0 AS (
+  SELECT r.cell, CAST(r.rn - 1 AS INTEGER) AS fine, r.v AS c
+  FROM (
+    SELECT cell, vec_id, v,
+           row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+    FROM vr
+  ) r JOIN kf ON kf.cell = r.cell
+  WHERE r.rn <= kf.kf
+)"""
+    )
+    for it in range(1, KMEANS_ITERS + 1):
+        parts.append(
+            f""", fa{it} AS (
+  SELECT vec_id, cell, fine,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, fine) AS rnk
+  FROM (
+    SELECT vr.vec_id, vr.cell, f{it - 1}.fine,
+           list_sum(list_transform(vr.v,
+             (x, i) -> (x - f{it - 1}.c[i]) * (x - f{it - 1}.c[i]))) AS d
+    FROM vr JOIN f{it - 1} ON f{it - 1}.cell = vr.cell
+  )
+), fu{it} AS (
+  SELECT a.cell, a.fine, g.i AS dim,
+         CAST(round(CAST(sum(vr.v[g.i]) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cm
+  FROM (SELECT vec_id, cell, fine FROM fa{it} WHERE rnk = 1) a
+  JOIN vr ON vr.vec_id = a.vec_id,
+  (SELECT unnest(range(1, {_EMB_DIM} + 1)) AS i) g
+  GROUP BY 1, 2, 3
+), f{it} AS (
+  SELECT cell, fine, list(cm ORDER BY dim) AS c
+  FROM fu{it} GROUP BY cell, fine
+)"""
+        )
+    fi = f"f{KMEANS_ITERS}"
+    parts.append(
+        f""", sel AS (
+  SELECT vec_id, CAST(cell AS BIGINT) * {SEMDEDUP_CELL_SHIFT} + fine
+           AS cluster, d
+  FROM (
+    SELECT vec_id, cell, fine, d,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, fine) AS rnk
+    FROM (
+      SELECT vr.vec_id, vr.cell, {fi}.fine,
+             list_sum(list_transform(vr.v,
+               (x, i) -> (x - {fi}.c[i]) * (x - {fi}.c[i]))) AS d
+      FROM vr JOIN {fi} ON {fi}.cell = vr.cell
+    )
+  ) WHERE rnk = 1
+)"""
+    )
+    return "".join(parts)
+
+
+def _semdedup_screen_ctes() -> str:
+    """The shared SemDeDup screen as oracle CTEs: replay the TWO-LEVEL
+    trajectory to the final assignment (``_hier_sel_ctes``'s `sel`),
+    rank within cluster by distance-to-centroid DESC (`ranked`), and
+    mark any vector whose cosine with a better-ranked cluster-mate
+    reaches SEMDEDUP_TAU (`pruned`). Consumed by `_semdedup_oracle`
+    (prune stats) and `_d4_oracle` (the prototypicality stage on
+    survivors). Round 14: the trajectory is hierarchical (coarse cells
+    -> cell-gated fine Lloyd), so both cluster width (fine
+    kf = ceil(|cell|/width)) AND assignment flops (O(N·sqrt(k))) stay
+    bounded as the corpus grows."""
+    return (
+        _hier_sel_ctes()
         + f""", normed AS (
   SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS n2 FROM vm
-), af AS (
-  SELECT vec_id, cluster, d,
-         row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rnk
-  FROM (
-    SELECT vm.vec_id, c{i}.cluster,
-           list_sum(list_transform(vm.v,
-             (x, j) -> (x - c{i}.c[j]) * (x - c{i}.c[j]))) AS d
-    FROM vm, c{i}
-  )
-), sel AS (
-  SELECT vec_id, cluster, d FROM af WHERE rnk = 1
 ), ranked AS (
   SELECT vec_id, cluster,
          row_number() OVER (PARTITION BY cluster ORDER BY d DESC, vec_id) AS r
@@ -1210,21 +1459,25 @@ def semdedup_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: per cluster — member count, pruned count, kept count, prune
     rate (the corpus-curation dashboard row SemDeDup deployments report).
 
-    Scale (round 13, VERDICT r12 task 2): k is now DERIVED from the
-    corpus's exact count — k = max(4, ceil(N/{SEMDEDUP_TARGET_WIDTH}))
-    on both engines — so the screen's quadratic term Σ|cluster|² is
-    width-bounded at ≈ N·{SEMDEDUP_TARGET_WIDTH}, linear in the corpus
-    (measured in the scale probe's selection tier at 10/30x). Clustering
-    is the kmeans plan with the map-side-combinable argmin
-    (``_lloyd_assign_agg``: the shuffle carries ~N slim rows, not the
-    N·k scored rows). The remaining super-linear term is the assignment
-    scoring itself, O(N·k) = O(N²/width) flops with flat k-means — at
-    true 100 TB scale production assigns hierarchically (cluster the k
-    centroids coarsely, score each vector only against its coarse cell's
-    centroids — the IVF pattern ``ivf_topk`` already implements), which
-    changes the assignment's input, not this plan's shape. The
-    better-ranked screen side broadcasts per cluster block exactly like
-    ``embedding_near_dup_pairs``'s blocked join.
+    Scale (round 14, VERDICT r13 task 1 — hierarchical assignment):
+    clustering is now the TWO-LEVEL (IVF-pattern) trajectory. A derived
+    kc = ceil(sqrt(k)) coarse codebook (k = max(4,
+    ceil(N/{SEMDEDUP_TARGET_WIDTH})) off the corpus's exact count, both
+    counts computed identically on both engines) Lloyd-trains first and
+    routes every vector to ONE cell — O(N·kc) flops against a
+    broadcast-SIZED table (kc ∝ sqrt(N/width): ~14 MB at 1e11 docs, vs
+    the flat form's corpus-proportional k-centroid broadcast). Each cell
+    then trains kf = max(1, ceil(|cell|/width)) fine clusters and
+    vectors score ONLY against their own cell's centroids via a
+    cell-keyed equi-join (shuffle join, AQE-skew-safe) — killing the
+    flat-Lloyd O(N·k) = O(N²/width) assignment flop term: balanced-cell
+    total is coarse N·kc + fine Σ|cell|²/width ≈ O(N·sqrt(k)). All
+    argmins stay map-side-combinable (the shuffle carries ~N slim rows),
+    the within-cluster cosine screen stays width-bounded at
+    ≈ N·{SEMDEDUP_TARGET_WIDTH} (fine clusters are width-bounded by
+    construction), and the better-ranked screen side broadcasts per
+    cluster block exactly like ``embedding_near_dup_pairs``'s blocked
+    join. Measured in the scale probe's selection tier at 10/30/100x.
     """
     vm = _kmeans_vm(spark, sf_dir)
     assign, pruned = _semdedup_screen(vm)
@@ -1262,13 +1515,14 @@ def _semdedup_screen(
     rescan class. semdedup_prune_stats keeps pin=False: its second
     consumer is the k-row count, cheaper than a materialization.
 
-    Round 13 (VERDICT r12 task 2): the trajectory is the DERIVED-k
-    ``_lloyd_iterations_dk`` (k = max(4, ceil(N/SEMDEDUP_TARGET_WIDTH))
-    off the corpus's exact count) and assignment is the map-side-
-    combinable ``_lloyd_assign_agg`` — identical values, width-bounded
-    screen."""
-    centroids = _lloyd_iterations_dk(vm)
-    assign = _lloyd_assign_agg(vm, centroids)
+    Round 14 (VERDICT r13 task 1): the trajectory is the HIERARCHICAL
+    ``_hier_assign`` — derived kc = ceil(sqrt(k)) coarse cells route
+    every vector, fine clusters (kf = ceil(|cell|/width)) train and
+    score cell-gated — killing the flat-Lloyd O(N·k) assignment flops
+    and the corpus-proportional centroid broadcast. Cluster ids become
+    cell * SEMDEDUP_CELL_SHIFT + fine; the screen algebra below is
+    byte-identical to r13."""
+    assign = _hier_assign(vm)
     if pin:
         assign = checkpoint_pinned(assign)
     wr = W.partitionBy("cluster").orderBy(F.desc("d"), F.asc("vec_id"))
@@ -1385,11 +1639,11 @@ def d4_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     prototype-pruned count, kept count, keep rate (the two-stage
     curation dashboard row the paper reports per bucket).
 
-    Scale: everything up to the screen is the semdedup plan — round 13:
-    k DERIVED from the corpus count (width-bounded Σ|cluster|² screen,
-    map-side-combinable argmin; see ``semdedup_prune_stats``'s scale
-    paragraph for the full cost model and the hierarchical-assignment
-    production story). The prototypicality stage adds one window
+    Scale: everything up to the screen is the semdedup plan — round 14:
+    the HIERARCHICAL trajectory (derived ceil(sqrt(k)) coarse cells,
+    cell-gated fine Lloyd; see ``semdedup_prune_stats``'s scale
+    paragraph for the full O(N·sqrt(k)) cost model). The
+    prototypicality stage adds one window
     partitioned BY CLUSTER
     over the survivor rows (rank + partition count — streaming state,
     never single-partition) and per-cluster count joins of k-row
@@ -1456,6 +1710,11 @@ def d4_stats(vm: DataFrame) -> DataFrame:
 
 
 d4_prototype_prune.__doc__ = d4_prototype_prune.__doc__.format(pct=D4_PROTO_PCT)
+semdedup_prune_stats.__doc__ = (
+    semdedup_prune_stats.__doc__.replace(
+        "{SEMDEDUP_TARGET_WIDTH}", str(SEMDEDUP_TARGET_WIDTH)
+    ).replace("{SEMDEDUP_TAU}", str(SEMDEDUP_TAU))
+)
 
 
 # ---------------------------------------------------------------------------
@@ -3738,8 +3997,8 @@ def ann_adaptive_build(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _adx_serve_bits(index: DataFrame) -> DataFrame:
-    """1-row (serve_bits int, nl long) derived from the index's EXACT row
-    count: the smallest B in [ADX_BITS_MIN, ADX_BITS_MAX] with
+    """1-row (serve_bits int) derived from the index's EXACT row count:
+    the smallest B in [ADX_BITS_MIN, ADX_BITS_MAX] with
     2^B * ADX_TARGET_CANDIDATES >= index rows (i.e. expected random
     candidates per probe = rows/2^B <= target), clamped to B_max when the
     index outgrows the persisted resolution. Pure 1-row algebra off a
@@ -3762,9 +4021,7 @@ def _adx_serve_bits(index: DataFrame) -> DataFrame:
             F.coalesce(F.min("b"), F.lit(ADX_BITS_MAX))
             .cast("int")
             .alias("serve_bits"),
-            F.max("nl").alias("nl"),
         )
-        .select("serve_bits")
     )
 
 

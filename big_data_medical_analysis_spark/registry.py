@@ -203,6 +203,21 @@ _CODE_CHANGED_ROUND: dict[str, int] = {
     "semdedup_prune_stats": 13,
     "d4_prototype_prune": 13,
     "governed_mixture_sample": 13,
+    # round 14 ADVICE fixes: the twin replay gained an in-plan
+    # fixture-coverage assert (values identical at covered sfs, plan
+    # changed); the adaptive serve-bits frame dropped its dead
+    # F.max(nl) aggregate (value-identical, expression changed) —
+    # re-check both per the histogram_incremental_daily precedent
+    "chexpert_twin_replay": 14,
+    "ann_adaptive_probe": 14,
+    # round 14 (VERDICT r13 task 1): SemDeDup/D4 moved to the
+    # HIERARCHICAL two-level trajectory (derived ceil(sqrt(k)) coarse
+    # cells route vectors; fine Lloyd is cell-gated) — values change
+    # (cluster ids become cell*2^20+fine and the clustering itself is
+    # the two-level one); both full DuckDB oracles replay the new
+    # trajectory bit-for-bit
+    "semdedup_prune_stats": 14,
+    "d4_prototype_prune": 14,
 }
 
 # ---------------------------------------------------------------------------

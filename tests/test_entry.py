@@ -187,7 +187,7 @@ def test_rotation_growth_cap():
     assert evicted == [], f"hard-owed queries evicted: {evicted}"
     # floor-stale spillover is bounded by the round's own change budget…
     spill = [n for n in floor_owed if n not in window]
-    assert len(spill) <= max(len(hard_owed), 0), (
+    assert len(spill) <= len(hard_owed), (
         f"{len(spill)} floor-stale queries spill past the window but only "
         f"{len(hard_owed)} slots were spent on new/changed work — the "
         "tail is shrinking slower than the change budget allows"
@@ -295,3 +295,11 @@ def test_heavy_verdict_judges_documented_bounds():
          "ann_incremental_probe": 172.7}, 100
     )
     assert "regression to bisect" in bad2 and "governed_mixture_sample" in bad2
+    # capped member (round 14, VERDICT r13 task 3): absent from the
+    # top-tier ratios, reported via its ceiling measurement + the retired
+    # r13 record — never re-proved at 100x, never misread as a regression
+    cap = sp.heavy_verdict_text(
+        base, 100, {"ann_incremental_probe": (30, 29.9)}
+    )
+    assert "regression" not in cap.lower()
+    assert "30x ceiling" in cap and "197x probe wall at 100x" in cap

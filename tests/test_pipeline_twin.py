@@ -137,11 +137,18 @@ def test_fixture_matches_kernels():
     decode_gray -> equalize_hist -> augment_variants chain the twin's
     Arrow pass runs) and compare value-for-value. A codec change that
     is not reflected by regenerating the fixture fails here."""
+    import os
     import sys
 
     import duckdb
 
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
     from gen_twin_fixture import FIXTURE, feature_rows
 
     sample_ids = list(range(0, 5000, 251))  # 20 images across the id space
@@ -159,6 +166,21 @@ def test_fixture_matches_kernels():
             want["pix_sum"][i],
             want["n_pix"][i],
         )
+
+
+def test_replay_fixture_coverage_guard_fires(spark, tmp_path):
+    """ADVICE r13: at a scale factor whose doc_id space is NOT covered by
+    the committed fixture, the replay must fail LOUDLY (in-plan
+    assert_true) instead of silently shrinking the augment/split/fedavg
+    rows while the ingest counts stay full-corpus."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    spark.createDataFrame(
+        [(10_000_000, "t", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    with pytest.raises(SparkRuntimeException, match="does not cover"):
+        PT.chexpert_twin_replay(spark, str(tmp_path)).collect()
 
 
 def test_replay_equals_twin(spark):

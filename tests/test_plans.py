@@ -886,20 +886,26 @@ def test_chexpert_pipeline_twin_plan_budget(spark, sf_dir):
 
 
 def test_semdedup_prune_plan_budget(spark, sf_dir):
-    """SemDeDup (round 12): the int-scaled vector table is checkpointed
-    once (no parquet rescans across the trajectory + screen), every
-    centroid pass is a broadcast (map-side argmin — the kmeans shape),
-    and the within-cluster screen broadcasts the better-ranked side
-    instead of shuffling on the k-valued cluster key. No cartesian
-    products anywhere."""
+    """SemDeDup (round 14, hierarchical trajectory): the routed vector
+    table is checkpointed once, so the visible plan — fine Lloyd +
+    screen + counts — scans NO parquet and re-derives nothing (the
+    coarse level's own budget is audited at construction by
+    checkpoint_pinned). The fine-level joins key on the CELL — plain
+    equi-joins (SMJ in the static plan; AQE broadcast-converts them
+    while the centroid table is small), never a corpus-proportional
+    centroid broadcast, which is the entire point of the rebuild. The
+    within-cluster screen still broadcasts the better-ranked side, the
+    per-cell kf frame broadcasts, and no cartesian product or
+    single-partition window exists anywhere."""
     df = QS["semdedup_prune_stats"](spark, sf_dir)
     plan = P.physical_plan(df)
     assert plan.count("Scan parquet") == 0, plan
     assert plan.count("CartesianProduct") == 0, plan
-    # centroid crossJoins (init + per-iteration + final assignment) are
-    # all broadcast nested loops; the pair screen is a broadcast join too
-    assert plan.count("BroadcastNestedLoopJoin") >= 3, plan
+    # the flat form's signature — whole-centroid-table broadcast
+    # crossJoins — must be GONE from the visible (post-route) plan
+    assert plan.count("BroadcastNestedLoopJoin") == 0, plan
     assert P.broadcast_join_count(df) >= 4, plan
+    assert P.unpartitioned_window_count(df) == 0, plan
 
 
 def test_dsir_select_plan_budget(spark, sf_dir):

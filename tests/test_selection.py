@@ -193,20 +193,29 @@ def test_ccnet_real_corpus_contract(spark, sf_dir):
 
 
 def test_d4_planted_two_stage_prune(spark):
-    """One cluster where both stages have a known victim: v0 points along
-    the centroid axis so every far member sees cosine 1/sqrt(5) > tau
-    against it (SemDeDup prunes exactly v0, the closest-to-centroid rank
-    loser), and the four surviving members tie in distance, so the
-    prototypicality stage prunes exactly floor(4*25/100) = 1 — the
-    lowest vec_id. Three singleton clusters prune nothing."""
-    from big_data_medical_analysis_spark.operators.similarity import d4_stats
+    """Hierarchical-trajectory plant (round 14): N=8 derives k=4,
+    kc=ceil(sqrt(4))=2 coarse cells (init v0, v1), each cell derives
+    kf=1 fine cluster, so the final clusters ARE the two coarse cells
+    with centroid = cell mean. Cell 0 = {0,4,5,6,7}: v0 points along
+    the shared axis so every far member sees cosine 1/sqrt(5) ≈ 0.447
+    > tau against it while the members pairwise sit at 0.2 < tau —
+    SemDeDup prunes exactly v0 (the closest-to-centroid rank loser),
+    and the four equidistant survivors tie, so the prototypicality
+    stage prunes exactly floor(4*25/100) = 1, the lowest vec_id. Cell
+    1 = {1,2,3}: near-orthogonal members (the +1 in dim 2 pulls v2/v3
+    strictly toward the v1 init without raising any cosine above
+    1e-6), nothing prunes. Global ids: cell*2^20 + fine."""
+    from big_data_medical_analysis_spark.operators.similarity import (
+        SEMDEDUP_CELL_SHIFT,
+        d4_stats,
+    )
 
     M = 1_000_000
     vecs = {
-        0: [M, 0, 0, 0, 0, 0, 0, 0],  # cluster-0 init, the semantic dup
-        1: [0, M, 0, 0, 0, 0, 0, 0],  # singleton inits
-        2: [0, 0, M, 0, 0, 0, 0, 0],
-        3: [0, 0, 0, M, 0, 0, 0, 0],
+        0: [M, 0, 0, 0, 0, 0, 0, 0],  # cell-0 coarse init, the dup
+        1: [0, M, 0, 0, 0, 0, 0, 0],  # cell-1 coarse init
+        2: [0, 1, M, 0, 0, 0, 0, 0],  # strictly nearer cell 1 every round
+        3: [0, 1, 0, M, 0, 0, 0, 0],
         4: [M, 0, 0, 0, 2 * M, 0, 0, 0],  # members: cosine 0.2 pairwise,
         5: [M, 0, 0, 0, 0, 2 * M, 0, 0],  # 1/sqrt(5) ~ 0.447 vs v0
         6: [M, 0, 0, 0, 0, 0, 2 * M, 0],
@@ -217,17 +226,18 @@ def test_d4_planted_two_stage_prune(spark):
         "vec_id long, v array<long>",
     )
     got = {r.cluster: r for r in d4_stats(vm).collect()}
+    assert set(got) == {0, SEMDEDUP_CELL_SHIFT}
     assert got[0].n_members == 5
     assert got[0].n_semdedup_pruned == 1
     assert got[0].n_proto_pruned == 1
     assert got[0].n_kept == 3
-    for c in (1, 2, 3):
-        assert (
-            got[c].n_members,
-            got[c].n_semdedup_pruned,
-            got[c].n_proto_pruned,
-            got[c].n_kept,
-        ) == (1, 0, 0, 1), c
+    c1 = got[SEMDEDUP_CELL_SHIFT]
+    assert (
+        c1.n_members,
+        c1.n_semdedup_pruned,
+        c1.n_proto_pruned,
+        c1.n_kept,
+    ) == (3, 0, 0, 3)
 
 
 def test_d4_consistent_with_semdedup(spark, sf_dir):

@@ -531,8 +531,12 @@ def test_semdedup_prune_invariants(spark, sf_dir):
     members, rate = pruned/members), cover every vector exactly once
     across clusters, and keep at least the rank-1 (farthest-from-centroid)
     representative of every non-empty cluster — the policy's floor."""
+    import math
+
     from big_data_medical_analysis_spark.operators.similarity import (
         KMEANS_K,
+        SEMDEDUP_CELL_SHIFT,
+        SEMDEDUP_TARGET_WIDTH,
         semdedup_prune_stats,
     )
     from big_data_medical_analysis_spark.sources.readers import read_table
@@ -541,8 +545,14 @@ def test_semdedup_prune_invariants(spark, sf_dir):
     n_vecs = read_table(spark, sf_dir, "embeddings").count()
     assert rows, "no clusters"
     assert sum(r.n_members for r in rows) == n_vecs
+    # hierarchical ids (round 14): cluster = cell * SHIFT + fine with
+    # cell < kc = ceil(sqrt(k)) and fine < ceil(N/width) by construction
+    k = max(KMEANS_K, -(-n_vecs // SEMDEDUP_TARGET_WIDTH))
+    kc = math.isqrt(k) + (0 if math.isqrt(k) ** 2 == k else 1)
     for r in rows:
-        assert 0 <= r.cluster < KMEANS_K
+        cell, fine = divmod(r.cluster, SEMDEDUP_CELL_SHIFT)
+        assert 0 <= cell < kc, r.cluster
+        assert 0 <= fine < max(1, -(-n_vecs // SEMDEDUP_TARGET_WIDTH)) + 1
         assert r.n_kept + r.n_pruned == r.n_members
         assert r.n_kept >= 1, "rank-1 member must always survive"
         assert 0.0 <= r.prune_rate <= 1.0
