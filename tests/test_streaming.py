@@ -1412,6 +1412,136 @@ def test_ann_index_stream_probe_then_append(spark, tmp_path):
     assert hits_again == hits
 
 
+def test_adx_index_stream_serve_bits_deepens_mid_stream(spark, tmp_path):
+    """Adaptive-ANN ingest loop (VERDICT r13 task 5): three batches sized
+    so the count-derived serving geometry CROSSES a serve_bits boundary
+    between probes — batch 1 probes 900 accumulated index rows
+    (2^4*64 = 1024 >= 900 -> serve_bits 4), batch 2 probes 1200
+    (> 1024 -> serve_bits 5). Asserts (a) the accumulated index equals
+    the batch banding of all vectors at max resolution, (b) each
+    batch's matches carry the geometry it was served at, with the
+    boundary crossing visible, (c) every batch's hit rows equal an
+    independent batch-twin recompute (band prior vectors, derive
+    serve_bits, masked equi-join — the ann_adaptive_serve shape), and
+    (d) redelivery of an already-committed batch changes nothing."""
+    import random
+
+    from big_data_medical_analysis_spark.operators import similarity as S
+
+    rng = random.Random(991)
+
+    def vec():
+        return [rng.uniform(-1, 1) for _ in range(64)]
+
+    v_dup = vec()
+    b0 = [(i, vec()) for i in range(300)]
+    b0[7] = (7, v_dup)
+    b1 = [(1000, v_dup)] + [(1001 + i, vec()) for i in range(99)]
+    b2 = [(2000 + i, vec()) for i in range(50)]
+
+    indir = str(tmp_path / "adx_in")
+    index_dir = str(tmp_path / "adx_index")
+    matches_dir = str(tmp_path / "adx_matches")
+    ckpt = str(tmp_path / "adx_ckpt")
+
+    def write_batch(name, rows):
+        os.makedirs(indir, exist_ok=True)
+        with open(os.path.join(indir, name + ".tmp"), "w") as f:
+            for vid, emb in rows:
+                f.write(json.dumps({"vec_id": vid, "embedding": emb}) + "\n")
+        os.replace(os.path.join(indir, name + ".tmp"),
+                   os.path.join(indir, name))
+
+    def emb_df(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    for name, rows in (("a.json", b0), ("b.json", b1), ("c.json", b2)):
+        write_batch(name, rows)
+        q = SW.adx_index_stream(
+            spark, indir, index_dir, matches_dir, ckpt, available_now=True
+        )
+        assert q.awaitTermination(180)
+
+    spark.catalog.refreshByPath(index_dir)
+    streamed = {
+        (r.vec_id, int(r.tbl), r.bucket)
+        for r in spark.read.parquet(index_dir)
+        .select("vec_id", "tbl", "bucket").collect()
+    }
+    expected_index = {
+        (r.vec_id, int(r.tbl), r.bucket)
+        for r in S.adx_lsh_buckets(emb_df(b0 + b1 + b2)).collect()
+    }
+    assert streamed == expected_index
+
+    def match_rows(batch_id):
+        spark.catalog.refreshByPath(matches_dir)
+        return {
+            (r.vec_id, r.serve_bits, r.n_tables_hit, r.n_candidates,
+             r.min_cand)
+            for r in spark.read.parquet(matches_dir)
+            .filter(F.col("batch_id") == batch_id).collect()
+        }
+
+    def twin_hits(prior_rows, batch_rows):
+        index = S.adx_lsh_buckets(emb_df(prior_rows)).select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("tbl").cast("int").alias("tbl"),
+            "bucket",
+        )
+        serve = S._adx_serve_bits(index)
+        mask = F.expr("shiftleft(CAST(1 AS BIGINT), serve_bits)")
+        p = (
+            S.adx_lsh_buckets(emb_df(batch_rows))
+            .withColumn("tbl", F.col("tbl").cast("int"))
+            .crossJoin(F.broadcast(serve))
+            .select(
+                "vec_id", "tbl", "serve_bits",
+                (F.col("bucket") % mask).alias("mb"),
+            )
+        )
+        i = index.crossJoin(F.broadcast(serve)).select(
+            "cand_id", "tbl", (F.col("bucket") % mask).alias("mb")
+        )
+        return {
+            (r.vec_id, r.serve_bits, r.n_tables_hit, r.n_candidates,
+             r.min_cand)
+            for r in p.join(i, ["tbl", "mb"])
+            .groupBy("vec_id", "serve_bits")
+            .agg(
+                F.countDistinct("tbl").alias("n_tables_hit"),
+                F.countDistinct("cand_id").alias("n_candidates"),
+                F.min("cand_id").alias("min_cand"),
+            )
+            .collect()
+        }
+
+    m1, m2 = match_rows(1), match_rows(2)
+    # the serving geometry each batch derived, with the boundary crossed
+    assert {r[1] for r in m1} == {4}, sorted(m1)[:3]
+    assert {r[1] for r in m2} == {5}, sorted(m2)[:3]
+    # the planted exact copy collides with its twin in EVERY table
+    dup = [r for r in m1 if r[0] == 1000]
+    assert dup and dup[0][2] == S.ADX_TABLES
+    # stream == batch twin, bit-for-bit rows
+    assert m1 == twin_hits(b0, b1)
+    assert m2 == twin_hits(b0 + b1, b2)
+
+    # redelivery idempotence: the committed batch 1 replays to the same
+    # serve_bits (derived from the SAME prior-only rows) and same outputs
+    SW.make_adx_index_appender(index_dir, matches_dir)(emb_df(b1), 1)
+    assert match_rows(1) == m1
+    spark.catalog.refreshByPath(index_dir)
+    again = {
+        (r.vec_id, int(r.tbl), r.bucket)
+        for r in spark.read.parquet(index_dir)
+        .select("vec_id", "tbl", "bucket").collect()
+    }
+    assert again == streamed
+
+
 def test_scd2_state_stream_matches_batch_across_noop_seams(spark, tmp_path):
     """The streaming SCD2 maintainer must converge to EXACTLY the batch
     builder's versions table over the same change log, with batch seams
