@@ -1509,22 +1509,24 @@ def _semdedup_screen(
     ``d4_prototype_prune`` composes its prototypicality stage on the
     exact same screen; the SQL twin is `_semdedup_screen_ctes`.
 
-    ``pin=True`` localCheckpoints both outputs: D4 consumes each twice
-    (survivor anti-join + the per-cluster counts), and without the pin
-    the quadratic cosine screen executes once per consumer — the r8
-    rescan class. semdedup_prune_stats keeps pin=False: its second
-    consumer is the k-row count, cheaper than a materialization.
-
     Round 14 (VERDICT r13 task 1): the trajectory is the HIERARCHICAL
     ``_hier_assign`` — derived kc = ceil(sqrt(k)) coarse cells route
     every vector, fine clusters (kf = ceil(|cell|/width)) train and
     score cell-gated — killing the flat-Lloyd O(N·k) assignment flops
     and the corpus-proportional centroid broadcast. Cluster ids become
     cell * SEMDEDUP_CELL_SHIFT + fine; the screen algebra below is
-    byte-identical to r13."""
-    assign = _hier_assign(vm)
-    if pin:
-        assign = checkpoint_pinned(assign)
+    byte-identical to r13.
+
+    The assignment is ALWAYS pinned: every caller consumes it at least
+    twice (the screen's ranked side + the per-cluster counts), and
+    re-deriving it now means re-running the whole cell-gated fine
+    trajectory — shuffle-heavy, not the broadcast-cheap chain the flat
+    era's "second consumer is a k-row count" trade assumed (the regen'd
+    PLANS row read 51 shuffles unpinned vs ~20 pinned). ``pin=True``
+    additionally localCheckpoints ``pruned``: D4 consumes it twice
+    (survivor anti-join + per-cluster counts); semdedup consumes it
+    once, so its pruned stays lazy."""
+    assign = checkpoint_pinned(_hier_assign(vm))
     wr = W.partitionBy("cluster").orderBy(F.desc("d"), F.asc("vec_id"))
     ranked = assign.withColumn("r", F.row_number().over(wr)).select(
         "vec_id", "cluster", "r"

@@ -902,10 +902,14 @@ def test_semdedup_prune_plan_budget(spark, sf_dir):
     assert plan.count("Scan parquet") == 0, plan
     assert plan.count("CartesianProduct") == 0, plan
     # the flat form's signature — whole-centroid-table broadcast
-    # crossJoins — must be GONE from the visible (post-route) plan
+    # crossJoins — must be GONE from the visible (post-assign) plan
     assert plan.count("BroadcastNestedLoopJoin") == 0, plan
-    assert P.broadcast_join_count(df) >= 4, plan
+    assert P.broadcast_join_count(df) >= 2, plan
     assert P.unpartitioned_window_count(df) == 0, plan
+    # the assignment pin keeps the visible plan to screen + counts: the
+    # unpinned form re-derived the whole fine trajectory for the second
+    # consumer (51 shuffles in the r14 PLANS regen vs this budget)
+    assert P.exchange_count(df) <= 12, plan
 
 
 def test_dsir_select_plan_budget(spark, sf_dir):
