@@ -262,6 +262,50 @@ def test_d4_consistent_with_semdedup(spark, sf_dir):
         assert r.n_kept == n_surv - r.n_proto_pruned >= 0
 
 
+def test_hier_kc_sqrt_boundary_parity(spark):
+    """Round-14 canary, the `_unigram_nll` sweep's sibling: the
+    hierarchical trajectory's ONE float op is kc = ceil(sqrt(k)). IEEE
+    754 REQUIRES sqrt correctly rounded (unlike log), and the derivation
+    integer-corrects a ±1 drift anyway — this sweep proves both engines
+    agree with exact integer isqrt at every boundary-adjacent k:
+    perfect squares, squares ±1, and huge near-squares where a naive
+    double sqrt WOULD be off by an ulp. A future engine/libm change
+    that broke the invariant fails here, not in a probe run."""
+    import math
+
+    import duckdb
+
+    ks = []
+    for s in [2, 3, 4, 5, 10, 100, 1000, 10**6, 10**7, 94906265]:
+        for dk in (-1, 0, 1):
+            k = s * s + dk
+            if k >= 4:
+                ks.append(k)
+    ks += [4, 6, 7, 12, 2**52 - 1, 2**52 + 1]
+    # the IDENTICAL text both engines run (the _hier_kc_df / cc-CTE
+    # derivation, minus the greatest() floor which is pure integer)
+    sql = (
+        "SELECT k, CASE WHEN s * s < k THEN s + 1 ELSE s END AS kc FROM ("
+        "SELECT k, CASE WHEN s0 * s0 > k THEN s0 - 1 ELSE s0 END AS s "
+        "FROM (SELECT k, CAST(floor(sqrt(CAST(k AS DOUBLE))) AS BIGINT)"
+        " AS s0 FROM t))"
+    )
+    spark.createDataFrame(
+        [(k,) for k in ks], "k long"
+    ).createOrReplaceTempView("t")
+    got = {r.k: r.kc for r in spark.sql(sql).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(k,) for k in ks])
+    want_duck = dict(con.execute(sql).fetchall())
+    assert len(got) == len(want_duck) == len(set(ks))
+    for k in set(ks):
+        s = math.isqrt(k)
+        exact = s + (0 if s * s == k else 1)
+        assert got[k] == exact, (k, got[k], exact)
+        assert want_duck[k] == exact, (k, want_duck[k], exact)
+
+
 def test_unigram_nll_floor_boundary_parity(spark):
     """ADVICE r12 canary: the shared NLL quantization
     floor(ln((cw+1)/(n+vsz)) * 1e12) relies on JVM Math.log and DuckDB
