@@ -306,6 +306,65 @@ def test_hier_kc_sqrt_boundary_parity(spark):
         assert want_duck[k] == exact, (k, want_duck[k], exact)
 
 
+def test_semdedup_oracle_parity_kc3_random_corpus(spark, tmp_path):
+    """Round-14 gap closure: every driver scale factor derives kc = 2
+    (N <= 500 -> k = 4), so the kc = 3 branch of the hierarchical
+    trajectory — three coarse cells, a 3-way routing argmin, per-cell
+    fine counts over unequal cells — had no cross-engine value check.
+    Run the FULL registered query AND its registered DuckDB oracle on a
+    seeded random 600-vector corpus (k = 5, kc = 3, ~2 fine clusters
+    per cell) and require exact row-set equality. Random geometry also
+    exercises ties/drops the hand-planted tests cannot."""
+    import random
+
+    import duckdb
+
+    from big_data_medical_analysis_spark import registry
+
+    rng = random.Random(20240814)
+    rows = [
+        (i, [rng.uniform(-1.0, 1.0) for _ in range(64)], i % 7)
+        for i in range(600)
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(sf_dir + "/embeddings.parquet")
+
+    registry._load_all()
+    q = registry._REGISTRY["semdedup_prune_stats"]
+    got = {
+        (r.cluster, r.n_members, r.n_pruned, r.n_kept, r.prune_rate)
+        for r in q.fn(spark, sf_dir).collect()
+    }
+    # kc = 3 must actually be in play, else this test went vacuous
+    cells = {c >> 20 for c, *_ in got}
+    assert cells == {0, 1, 2}, cells
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')"
+    )
+    want = {
+        (c, m, p, k, rate)
+        for c, m, p, k, rate in con.execute(q.oracle).fetchall()
+    }
+    assert got == want
+
+    # the D4 prototype stage rides the same kc=3 sel — verify it too
+    q4 = registry._REGISTRY["d4_prototype_prune"]
+    got4 = {
+        tuple(r) for r in (
+            (r.cluster, r.n_members, r.n_semdedup_pruned,
+             r.n_proto_pruned, r.n_kept, r.keep_rate)
+            for r in q4.fn(spark, sf_dir).collect()
+        )
+    }
+    want4 = {tuple(r) for r in con.execute(q4.oracle).fetchall()}
+    assert got4 == want4
+
+
 def test_unigram_nll_floor_boundary_parity(spark):
     """ADVICE r12 canary: the shared NLL quantization
     floor(ln((cw+1)/(n+vsz)) * 1e12) relies on JVM Math.log and DuckDB
