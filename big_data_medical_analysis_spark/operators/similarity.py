@@ -838,17 +838,15 @@ def _lloyd_oracle_ctes() -> str:
     HIERARCHICAL trajectory via ``_hier_sel_ctes`` since round 14; the
     round-13 derived-k branch this function carried is retired with
     it.)"""
-    kk = ""
-    init_from = f"FROM vm WHERE vec_id < {KMEANS_K}"
     parts = [
         f"""WITH vm AS (
   SELECT vec_id, list_transform(embedding,
            y -> CAST(round(y::DOUBLE * 1000000) AS BIGINT)) AS v
   FROM embeddings
-){kk},
+),
 c0 AS (
   SELECT CAST(vec_id AS INTEGER) AS cluster, v AS c
-  {init_from}
+  FROM vm WHERE vec_id < {KMEANS_K}
 )"""
     ]
     for it in range(1, KMEANS_ITERS + 1):

@@ -32,7 +32,15 @@ class Query:
     fn: QueryFn
     oracle: str | None  # ANSI SQL for DuckDB, or None → rows-only check
     category: str
-    doc: str = ""
+
+    @property
+    def doc(self) -> str:
+        """The query's docstring, read at ACCESS time — several operators
+        substitute constants into ``__doc__`` after their ``@register``
+        decorator has run (the ``.replace(...)`` lines at module bottom);
+        a decoration-time snapshot would serve those consumers the raw
+        {PLACEHOLDER} text (code-review r14)."""
+        return (self.fn.__doc__ or "").strip()
 
 
 _REGISTRY: dict[str, Query] = {}
@@ -44,7 +52,7 @@ def register(name: str, oracle: str | None = None, category: str = "relational")
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = Query(name, fn, oracle, category, (fn.__doc__ or "").strip())
+        _REGISTRY[name] = Query(name, fn, oracle, category)
         return fn
 
     return deco
@@ -195,13 +203,12 @@ _CODE_CHANGED_ROUND: dict[str, int] = {
     # re-check anyway per the same convention as the probe split above
     "kmeans_lloyd_centroids": 12,
     # round 13 (VERDICT r12 tasks 2 and 4): SemDeDup/D4 moved to the
-    # DERIVED-k trajectory (k = max(4, ceil(N/128)) from the corpus
-    # count; values change at sf0.1, identical at the 500-vector oracle
-    # sfs) with the map-side-combinable argmin; governed_mixture_sample
-    # pinned its banded/token relations (plan change, value-identical —
-    # the triangle_count precedent)
-    "semdedup_prune_stats": 13,
-    "d4_prototype_prune": 13,
+    # DERIVED-k trajectory with the map-side-combinable argmin (their
+    # r13 entries are superseded by the r14 hierarchical entries below —
+    # a dict literal must carry each key ONCE, the kmeans r9/r12
+    # precedent); governed_mixture_sample pinned its banded/token
+    # relations (plan change, value-identical — the triangle_count
+    # precedent)
     "governed_mixture_sample": 13,
     # round 14 ADVICE fixes: the twin replay gained an in-plan
     # fixture-coverage assert (values identical at covered sfs, plan

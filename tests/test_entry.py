@@ -97,6 +97,40 @@ def test_priority_after_window_is_stalest_first():
         assert rounds == sorted(rounds)
 
 
+def test_code_changed_dict_has_no_duplicate_literal_keys():
+    """code-review r14: a dict literal keeps only the LAST occurrence of
+    a repeated key, so a stale earlier entry is silently dead — and any
+    future reorder/merge flips which round wins with no error. Parse the
+    registry source and require each _CODE_CHANGED_ROUND key to appear
+    exactly once (superseded entries are deleted; history lives in the
+    comments)."""
+    import ast
+    import collections
+
+    from big_data_medical_analysis_spark import registry as reg_mod
+
+    src = open(reg_mod.__file__).read()
+    tree = ast.parse(src)
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.AnnAssign)
+            and getattr(node.target, "id", "") == "_CODE_CHANGED_ROUND"
+        ) or (
+            isinstance(node, ast.Assign)
+            and any(
+                getattr(t, "id", "") == "_CODE_CHANGED_ROUND"
+                for t in node.targets
+            )
+        ):
+            keys = [k.value for k in node.value.keys]
+            dupes = [
+                k for k, c in collections.Counter(keys).items() if c > 1
+            ]
+            assert dupes == [], f"duplicate literal keys: {dupes}"
+            return
+    raise AssertionError("_CODE_CHANGED_ROUND literal not found")
+
+
 def test_code_changed_names_are_registered():
     """Same typo-guard as the defer list: an unregistered name in
     _CODE_CHANGED_ROUND silently prioritizes nothing."""

@@ -474,11 +474,11 @@ def heavy_verdict_text(
 def main() -> int:
     mults = [int(a) for a in sys.argv[1:]] or [10, 30]
     pillar_mult = 10
-    # the heavy tier follows the deepest headline tier: a full 10/30/100
+    # the heavy tier follows the deepest headline tiers: a full 10/30/100
     # probe run also prices the dedup/ANN production shapes at 100x —
     # the tier where governed_mixture_sample's near-the-line linearity
-    # (17x at 30x) either holds or breaks
-    heavy_mults = [10, 30] + ([100] if 100 in mults else [])
+    # either holds or breaks (same no-silent-cap rule as sel_mults)
+    heavy_mults = [10, 30] + sorted(m for m in mults if m > 30)
     spark = get_spark("scale_probe")
     results = {1: time_headline(spark, BASE_SF)}
     for m in mults:
@@ -487,9 +487,14 @@ def main() -> int:
     p_results = {1: time_queries(spark, BASE_SF, PILLAR_QUERIES)}
     pd_dir = build_scaled_docs(spark, pillar_mult)
     p_results[pillar_mult] = time_queries(spark, pd_dir, PILLAR_QUERIES)
-    # selection tier (round 13; 100x rung added in round 14 for the
-    # hierarchical assignment): follows the deepest requested tier
-    sel_mults = SELECTION_MULTS + ([100] if 100 in mults else [])
+    # selection tier (round 13; deepened in round 14 for the
+    # hierarchical assignment): follows EVERY requested tier beyond its
+    # base rungs — a literal `100 in mults` check would silently skip a
+    # 60x or 126x request (code-review r14: the exact silent-cap class
+    # the capped-member machinery exists to avoid)
+    sel_mults = SELECTION_MULTS + sorted(
+        m for m in mults if m > max(SELECTION_MULTS)
+    )
     sel_results = {1: time_queries(spark, BASE_SF, SELECTION_QUERIES)}
     for m in sel_mults:
         d = pd_dir if m == pillar_mult else build_scaled_docs(spark, m)
