@@ -579,6 +579,16 @@ def main() -> None:
         else calibration_close
     )
 
+    # Machine-readable heat flag (VERDICT r14 task 4): the documented
+    # hot-box signature is calibration_start factor >= 0.95 (BENCH_NOTES
+    # "heat discipline" — quiet boots clamp to the 0.8 floor, hot runs
+    # read ~0.95-1.05 at start and decay by close). Emitting the start
+    # factor and the derived boolean into BOTH bench artifacts makes a
+    # hot record self-identifying instead of relying on prose
+    # cross-references (the r14 committed bench read +8.7% on unchanged
+    # code and nothing in the JSON said why).
+    hot = calibration_start["factor"] >= 0.95
+
     bad_windows = {
         n: c
         for n, c in window_audit.items()
@@ -630,6 +640,7 @@ def main() -> None:
         "calibration": calibration,
         "calibration_start": calibration_start,
         "calibration_close": calibration_close,
+        "hot": hot,
     }
     with open(os.path.join(os.path.dirname(__file__) or ".",
                            "BENCH_DETAIL.json"), "w") as fh:
@@ -652,6 +663,9 @@ def main() -> None:
                 # divided by the measured slowdown factor vs the pinned
                 # reference probes — the cross-round comparable number
                 "calibration_factor": calibration["factor"],
+                "calibration_start_factor": calibration_start["factor"],
+                "calibration_close_factor": calibration_close["factor"],
+                "hot": hot,
                 "headline_calibrated": round(
                     sum(times[n] for n in HEADLINE if n in times)
                     / calibration["factor"],

@@ -1240,10 +1240,31 @@ def _hier_assign(vm: DataFrame) -> DataFrame:
         vm.join(route, "vec_id").select("vec_id", "cell", "v")
     )
     fa = _hier_fine_assign(vr, _hier_fine_centroids(vr))
+    # In-plan id-collision guard (ADVICE r14): the global id packs
+    # (cell, fine) as cell * SHIFT + fine, sound only while
+    # fine < SEMDEDUP_CELL_SHIFT — i.e. a single routed cell stays under
+    # 2^20 * width ≈ 134M vectors. Implausible but possible at 100 TB
+    # with a degenerate embedding space; before this guard the bound
+    # lived only in a comment and an overflowing fine would SILENTLY
+    # merge clusters across adjacent cells, corrupting the width-bounded
+    # screen. Per-row assert_true folded into the id expression (coalesce
+    # of its NULL keeps the value bit-identical and unprunable) — strictly
+    # cheaper than the max(fine) aggregate form: no extra pass, no
+    # barrier, and it subsumes the max() check row-by-row.
+    guard = F.assert_true(
+        F.col("fine") < F.lit(SEMDEDUP_CELL_SHIFT),
+        F.lit(
+            "hierarchical fine id reached SEMDEDUP_CELL_SHIFT (2^20): a"
+            " hot cell exceeded ~134M routed vectors and packed cluster"
+            " ids would collide across cells — re-shard the coarse level"
+        ),
+    )
     return fa.select(
         "vec_id",
         (
-            F.col("cell").cast("long") * SEMDEDUP_CELL_SHIFT + F.col("fine")
+            F.col("cell").cast("long") * SEMDEDUP_CELL_SHIFT
+            + F.col("fine")
+            + F.coalesce(guard.cast("long"), F.lit(0).cast("long"))
         ).alias("cluster"),
         "d",
     )

@@ -217,14 +217,15 @@ _CODE_CHANGED_ROUND: dict[str, int] = {
     # re-check both per the histogram_incremental_daily precedent
     "chexpert_twin_replay": 14,
     "ann_adaptive_probe": 14,
-    # round 14 (VERDICT r13 task 1): SemDeDup/D4 moved to the
-    # HIERARCHICAL two-level trajectory (derived ceil(sqrt(k)) coarse
-    # cells route vectors; fine Lloyd is cell-gated) — values change
-    # (cluster ids become cell*2^20+fine and the clustering itself is
-    # the two-level one); both full DuckDB oracles replay the new
-    # trajectory bit-for-bit
-    "semdedup_prune_stats": 14,
-    "d4_prototype_prune": 14,
+    # round 15 (ADVICE r14): the hierarchical final assignment gained an
+    # in-plan per-row assert_true that fine < SEMDEDUP_CELL_SHIFT —
+    # value-identical by construction (the guard's NULL is coalesced to
+    # 0 inside the id expression) but the expression changed, so both
+    # trajectory consumers re-check per the histogram_incremental_daily
+    # precedent (their r14 hierarchical-rebuild entries are superseded —
+    # a dict literal carries each key once, the kmeans r9/r12 precedent)
+    "semdedup_prune_stats": 15,
+    "d4_prototype_prune": 15,
 }
 
 # ---------------------------------------------------------------------------

@@ -552,7 +552,11 @@ def test_semdedup_prune_invariants(spark, sf_dir):
     for r in rows:
         cell, fine = divmod(r.cluster, SEMDEDUP_CELL_SHIFT)
         assert 0 <= cell < kc, r.cluster
-        assert 0 <= fine < max(1, -(-n_vecs // SEMDEDUP_TARGET_WIDTH)) + 1
+        # fine ids are 0-based against kf <= ceil(N/width) per cell, so
+        # fine <= ceil(N/width) - 1 strictly (ADVICE r14: the old
+        # `< ceil + 1` was one looser than the construction and would
+        # have passed an off-by-one in the fine init/count)
+        assert 0 <= fine < max(1, -(-n_vecs // SEMDEDUP_TARGET_WIDTH))
         assert r.n_kept + r.n_pruned == r.n_members
         assert r.n_kept >= 1, "rank-1 member must always survive"
         assert 0.0 <= r.prune_rate <= 1.0

@@ -472,13 +472,19 @@ def heavy_verdict_text(
 
 
 def main() -> int:
-    mults = [int(a) for a in sys.argv[1:]] or [10, 30]
+    # dedupe + sort at parse time (ADVICE r14): duplicate argv mults used
+    # to produce duplicated table columns and double corpus builds
+    mults = sorted({int(a) for a in sys.argv[1:]}) or [10, 30]
     pillar_mult = 10
-    # the heavy tier follows the deepest headline tiers: a full 10/30/100
-    # probe run also prices the dedup/ANN production shapes at 100x —
-    # the tier where governed_mixture_sample's near-the-line linearity
-    # either holds or breaks (same no-silent-cap rule as sel_mults)
-    heavy_mults = [10, 30] + sorted(m for m in mults if m > 30)
+    # the heavy tier follows EVERY requested tier, unioned with its base
+    # rungs (ADVICE r14: the old `m > 30` filter silently dropped a
+    # requested intermediate multiplier — e.g. `scale_probe.py 20` was
+    # timed in the headline table but skipped here, the same silent-skip
+    # class the capped-member machinery exists to avoid). A full
+    # 10/30/100 probe run prices the dedup/ANN production shapes at
+    # 100x — the tier where governed_mixture_sample's near-the-line
+    # linearity either holds or breaks.
+    heavy_mults = sorted({10, 30} | set(mults))
     spark = get_spark("scale_probe")
     results = {1: time_headline(spark, BASE_SF)}
     for m in mults:
@@ -488,13 +494,12 @@ def main() -> int:
     pd_dir = build_scaled_docs(spark, pillar_mult)
     p_results[pillar_mult] = time_queries(spark, pd_dir, PILLAR_QUERIES)
     # selection tier (round 13; deepened in round 14 for the
-    # hierarchical assignment): follows EVERY requested tier beyond its
-    # base rungs — a literal `100 in mults` check would silently skip a
-    # 60x or 126x request (code-review r14: the exact silent-cap class
-    # the capped-member machinery exists to avoid)
-    sel_mults = SELECTION_MULTS + sorted(
-        m for m in mults if m > max(SELECTION_MULTS)
-    )
+    # hierarchical assignment): follows EVERY requested tier, unioned
+    # with its base rungs (ADVICE r14: the old `m > max(base)` filter
+    # silently dropped a requested intermediate multiplier from this
+    # tier — the exact silent-skip class the capped-member machinery
+    # exists to avoid)
+    sel_mults = sorted(set(SELECTION_MULTS) | set(mults))
     sel_results = {1: time_queries(spark, BASE_SF, SELECTION_QUERIES)}
     for m in sel_mults:
         d = pd_dir if m == pillar_mult else build_scaled_docs(spark, m)
