@@ -374,6 +374,9 @@ COHORTS: dict[str, list[str]] = {
         "doremi_domain_weights",
         "ccnet_perplexity_buckets",
         "d4_prototype_prune",
+        # round 15: the selection capstone (SemDeDup -> DSIR -> DoReMi
+        # fused as one plan)
+        "curated_corpus_epoch",
     ],
 }
 OPTIONAL = [n for cohort in COHORTS.values() for n in cohort]

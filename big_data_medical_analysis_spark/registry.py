@@ -70,6 +70,7 @@ def _load_all() -> None:
         pipeline_twin,
         quality,
         relational,
+        selection,
         similarity,
         sketches,
         statistics,

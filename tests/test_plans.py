@@ -1023,3 +1023,22 @@ def test_twin_replay_plan_budget(spark, sf_dir):
     assert plan.count("SortMergeJoin") == 0, plan
     assert P.broadcast_join_count(df) >= 10, plan
     assert P.unpartitioned_window_count(df) == 0, plan
+
+
+def test_curated_epoch_plan_budget(spark, sf_dir):
+    """Selection capstone (round 15): the expensive relations — the
+    hierarchical screen's assignment, the DSIR doc×bucket table, the
+    DoReMi token/domain states — are each pinned once by their member
+    cores, so the visible plan is pure composition: the DSIR cut compiles
+    to TakeOrderedAndProject, every scalar/state join is a broadcast of a
+    1-row/K-row aggregate, the race window partitions by source, and
+    nothing cartesian, sort-merge, or single-partition remains."""
+    df = QS["curated_corpus_epoch"](spark, sf_dir)
+    plan = P.physical_plan(df)
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("CartesianProduct") == 0, plan
+    assert plan.count("SortMergeJoin") == 0, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert P.broadcast_join_count(df) >= 4, plan
+    assert P.unpartitioned_window_count(df) == 0, plan
+    assert P.exchange_count(df) <= 20, plan

@@ -432,3 +432,113 @@ def test_unigram_nll_floor_boundary_parity(spark):
     assert len(got) == len(want) >= 39
     diffs = {k: (got[k], want[k]) for k in got if got[k] != want[k]}
     assert diffs == {}, f"libm drift at floor boundaries: {diffs}"
+
+
+# ---------------------------------------------------------------------------
+# Round 15: the published-selection capstone (SemDeDup -> DSIR -> DoReMi)
+# ---------------------------------------------------------------------------
+
+
+def test_curated_epoch_planted_three_stages(spark):
+    """End-to-end plant for ``curated_epoch`` on the d4 8-vector corpus
+    (screen outcome known by construction: cell 0 = {0,4,5,6,7} prunes
+    exactly v0, cell 1 = {1,2,3} prunes nothing). Docs align doc_id =
+    vec_id so every stage's effect is observable in the output:
+
+    - doc 0 carries PERFECT target-vocabulary text but is the semantic
+      duplicate — stage 1 must drop it before DSIR can ever see it;
+    - docs 1-3 are the 'src0' target slice (vocab A), docs 4-5 a
+      target-like domain (vocab A), docs 6-7 an all-unique-token domain
+      (vocab B) — stage 2 must weight vocab-A docs above vocab-B docs;
+    - the unique-token domain is the HARD one (highest unigram NLL), so
+      stage 3's EG step must hand it the largest mixture weight/quota.
+    """
+    from big_data_medical_analysis_spark.operators.selection import (
+        SELECTION_EPOCH,
+        curated_epoch,
+    )
+    from big_data_medical_analysis_spark.operators.text_analysis import (
+        DSIR_TARGET_SOURCE,
+    )
+
+    M = 1_000_000
+    vecs = {
+        0: [M, 0, 0, 0, 0, 0, 0, 0],
+        1: [0, M, 0, 0, 0, 0, 0, 0],
+        2: [0, 1, M, 0, 0, 0, 0, 0],
+        3: [0, 1, 0, M, 0, 0, 0, 0],
+        4: [M, 0, 0, 0, 2 * M, 0, 0, 0],
+        5: [M, 0, 0, 0, 0, 2 * M, 0, 0],
+        6: [M, 0, 0, 0, 0, 0, 2 * M, 0],
+        7: [M, 0, 0, 0, 0, 0, 0, 2 * M],
+    }
+    vm = spark.createDataFrame(
+        [(i, [int(x) for x in v]) for i, v in sorted(vecs.items())],
+        "vec_id long, v array<long>",
+    )
+    vocab_a = " ".join(["alpha", "beta", "gamma", "delta"] * 10)
+    docs_rows = [(0, "src7", "en", vocab_a)]  # pruned dup, target-like text
+    docs_rows += [(i, DSIR_TARGET_SOURCE, "en", vocab_a) for i in (1, 2, 3)]
+    docs_rows += [(i, "easy", "en", vocab_a) for i in (4, 5)]
+    docs_rows += [
+        (i, "hard", "en", " ".join(f"rare{i}_{j}" for j in range(40)))
+        for i in (6, 7)
+    ]
+    docs = spark.createDataFrame(
+        docs_rows, "doc_id long, source string, lang string, text string"
+    )
+    rows = curated_epoch(vm, docs).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    # stage 1: the semantically pruned doc never reaches the epoch, no
+    # matter how target-like its text is
+    assert 0 not in by_doc
+    assert set(by_doc) <= {1, 2, 3, 4, 5, 6, 7}
+    # stage 2: every drawn vocab-A doc outweighs every drawn vocab-B doc
+    a_ws = [r.dsir_weight_micro for r in rows if r.doc_id in (1, 2, 3, 4, 5)]
+    b_ws = [r.dsir_weight_micro for r in rows if r.doc_id in (6, 7)]
+    assert a_ws and b_ws
+    assert min(a_ws) > max(b_ws)
+    # stage 3: the hard (all-unique-token) domain takes the largest
+    # mixture weight; quotas follow the weights and sum to the epoch
+    # within per-domain rounding
+    by_src = {r.source: r for r in rows}
+    assert by_src["hard"].doremi_weight_micro > by_src["easy"].doremi_weight_micro
+    assert (
+        by_src["hard"].doremi_weight_micro
+        > by_src[DSIR_TARGET_SOURCE].doremi_weight_micro
+    )
+    quotas = {r.source: r.quota for r in rows}
+    assert abs(sum(quotas.values()) - SELECTION_EPOCH) <= len(quotas)
+    # the draw contract: per source, ranks are contiguous from 1 and
+    # never exceed the quota
+    for src in quotas:
+        rnks = sorted(r.rnk for r in rows if r.source == src)
+        assert rnks == list(range(1, len(rnks) + 1)), (src, rnks)
+        assert rnks[-1] <= quotas[src], (src, rnks, quotas[src])
+
+
+def test_curated_epoch_real_corpus_contract(spark, sf_dir):
+    """On the real corpus: per-source ranks are contiguous from 1 and
+    bounded by that source's quota, quotas are positive where drawn,
+    doc_ids are distinct, and the total draw never exceeds the epoch
+    plus per-domain rounding slack."""
+    from big_data_medical_analysis_spark.operators.selection import (
+        SELECTION_EPOCH,
+        curated_corpus_epoch,
+    )
+
+    rows = curated_corpus_epoch(spark, sf_dir).collect()
+    assert rows
+    assert len({r.doc_id for r in rows}) == len(rows)
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rnks = sorted(r.rnk for r in rs)
+        assert rnks == list(range(1, len(rnks) + 1)), (src, rnks)
+        quota = {r.quota for r in rs}
+        assert len(quota) == 1 and rnks[-1] <= rs[0].quota > 0, (src, quota)
+        w = {r.doremi_weight_micro for r in rs}
+        assert len(w) == 1, (src, w)
+    n_sources = len(by_src)
+    assert len(rows) <= SELECTION_EPOCH + n_sources

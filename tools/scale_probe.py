@@ -64,7 +64,15 @@ PILLAR_QUERIES = [
 # (total ≈ O(N·sqrt(k))). The tier follows the deepest requested
 # multiplier (100x when the probe of record runs 10 30 100) to verify
 # the measured ratios stay ≤ the multiplier at every rung.
-SELECTION_QUERIES = ["semdedup_prune_stats", "d4_prototype_prune"]
+SELECTION_QUERIES = [
+    "semdedup_prune_stats",
+    "d4_prototype_prune",
+    # round 15 (VERDICT r14 task 3): the fused capstone — hierarchical
+    # SemDeDup keepers -> DSIR cut -> DoReMi quota draw as one plan; its
+    # wall is the screen plus ONE extra corpus scan (the DSIR gram
+    # explode), so its ratio must track the semdedup members'
+    "curated_corpus_epoch",
+]
 # Round 14 (VERDICT r13 task 1): the selection tier follows the deepest
 # requested tier — the hierarchical (coarse-cell-gated) assignment must
 # prove itself at 100x, the rung the flat-Lloyd form was never run at.
