@@ -1908,3 +1908,136 @@ def test_pbshim_version_gap_canary():
         "re-verify the TWS wire protocol end-to-end before widening "
         "tools/pbshim/sitecustomize.py"
     )
+
+
+def test_semdedup_index_stream_kf_growth_mid_stream(spark, tmp_path):
+    """Incremental SemDeDup maintainer (VERDICT r14 task 1): three batches
+    over the d4 8-vector plant prove every moving part —
+
+    (a) the BOOTSTRAP batch reproduces the batch `_semdedup_screen`'s
+        keeper set bit-for-bit (same trajectory, same rank, same screen);
+    (b) a planted exact copy of a persisted keeper is pruned by the
+        PRIOR-keeper screen (first-arrival seniority), and 130 fillers
+        routed into cell 0 are all pruned by prior keepers too (cosine
+        0.447 >= tau against every cell-0 keeper) while still COUNTING
+        toward the cell's routed total;
+    (c) no fine growth happens while prior counts sit under the width
+        (batch 1 appends zero centroids), then batch 2 — whose prior
+        cell-0 count 136 crosses width 128 — derives kf_target 2 > nf 1
+        and APPENDS fine (0, 1) seeded from its first vector, which then
+        assigns to itself and is kept (no cluster-mates), while its
+        batch-mate lands in fine 0 and is pruned by the bootstrap
+        keepers;
+    (d) redelivery of a committed batch rewrites identical outputs (all
+        reads filter ingest_batch < batch_id)."""
+    from big_data_medical_analysis_spark.operators import similarity as S
+
+    M = 1_000_000
+    base = {
+        0: [1.0, 0, 0, 0, 0, 0, 0, 0],
+        1: [0, 1.0, 0, 0, 0, 0, 0, 0],
+        2: [0, 1e-6, 1.0, 0, 0, 0, 0, 0],
+        3: [0, 1e-6, 0, 1.0, 0, 0, 0, 0],
+        4: [1.0, 0, 0, 0, 2.0, 0, 0, 0],
+        5: [1.0, 0, 0, 0, 0, 2.0, 0, 0],
+        6: [1.0, 0, 0, 0, 0, 0, 2.0, 0],
+        7: [1.0, 0, 0, 0, 0, 0, 0, 2.0],
+    }
+    b0 = sorted(base.items())
+    # batch 1: an exact copy of keeper 4 + 130 near-axis fillers, all
+    # routing to cell 0 (close to the coarse centroid's axis), all pruned
+    # by the persisted cell-0 keepers (cosine ~0.447 >= tau 0.25)
+    b1 = [(1000, base[4])] + [
+        (1001 + i, [3.0, (i + 1) * 1e-6, 0, 0, 0, 0, 0, 0]) for i in range(130)
+    ]
+    # batch 2: 2000 seeds the growth centroid (first by vec_id) and keeps;
+    # 2001 assigns to fine 0 and is pruned by bootstrap keeper 4
+    b2 = [(2000, [5.0, 0, 0, 0, 0, 0, 0, 0]),
+          (2001, [1.0, 0, 0, 0, 4.0, 0, 0, 0])]
+
+    indir = str(tmp_path / "sd_in")
+    state_dir = str(tmp_path / "sd_state")
+    stats_dir = str(tmp_path / "sd_stats")
+    ckpt = str(tmp_path / "sd_ckpt")
+
+    def write_batch(name, rows):
+        os.makedirs(indir, exist_ok=True)
+        with open(os.path.join(indir, name + ".tmp"), "w") as f:
+            for vid, emb in rows:
+                f.write(json.dumps({"vec_id": vid,
+                                    "embedding": [float(x) for x in emb]})
+                        + "\n")
+        os.replace(os.path.join(indir, name + ".tmp"),
+                   os.path.join(indir, name))
+
+    def emb_df(rows):
+        return spark.createDataFrame(
+            [(v, [float(x) for x in e]) for v, e in rows],
+            "vec_id long, embedding array<double>",
+        )
+
+    for name, rows in (("a.json", b0), ("b.json", b1), ("c.json", b2)):
+        write_batch(name, rows)
+        q = SW.semdedup_index_stream(
+            spark, indir, state_dir, stats_dir, ckpt, available_now=True
+        )
+        assert q.awaitTermination(300)
+
+    def keepers(batch_id=None):
+        spark.catalog.refreshByPath(os.path.join(state_dir, "keepers"))
+        df = spark.read.parquet(os.path.join(state_dir, "keepers"))
+        if batch_id is not None:
+            df = df.filter(F.col("ingest_batch") == batch_id)
+        return {(r.vec_id, r.cluster, r.d) for r in df.collect()}
+
+    def fines(batch_id=None):
+        spark.catalog.refreshByPath(os.path.join(state_dir, "fines"))
+        df = spark.read.parquet(os.path.join(state_dir, "fines"))
+        if batch_id is not None:
+            df = df.filter(F.col("ingest_batch") == batch_id)
+        return {(r.cell, r.fine) for r in df.collect()}
+
+    def stats(batch_id):
+        spark.catalog.refreshByPath(stats_dir)
+        return spark.read.parquet(stats_dir).filter(
+            F.col("batch_id") == batch_id
+        ).collect()[0]
+
+    # (a) bootstrap == batch twin, bit-for-bit keeper triples
+    vm0 = spark.createDataFrame(
+        [(i, [int(round(x * M)) for x in v]) for i, v in b0],
+        "vec_id long, v array<long>",
+    )
+    assign, pruned = S._semdedup_screen(vm0)
+    twin = {
+        (r.vec_id, r.cluster, r.d)
+        for r in assign.join(pruned, ["cluster", "vec_id"], "left_anti")
+        .collect()
+    }
+    k0 = keepers(0)
+    assert k0 == twin
+    assert {r[0] for r in k0} == {1, 2, 3, 4, 5, 6, 7}  # v0 pruned
+
+    # (b) the exact copy and every filler are pruned by prior keepers
+    assert keepers(1) == set()
+    s1 = stats(1)
+    assert s1.n_routed == 131 and s1.n_kept == 0
+    assert s1.n_pruned_prior == 131  # every batch-1 vector matches a keeper
+    # (c) growth timing: none at batch 1, exactly fine (0, 1) at batch 2
+    assert fines(1) == set()
+    assert fines(2) == {(0, 1)}
+    assert fines() == {(0, 0), (1, 0), (0, 1)}
+    k2 = keepers(2)
+    assert {r[0] for r in k2} == {2000}
+    assert {r[1] for r in k2} == {0 * S.SEMDEDUP_CELL_SHIFT + 1}
+    s2 = stats(2)
+    assert (s2.n_routed, s2.n_pruned_prior, s2.n_kept) == (2, 1, 1)
+
+    # (d) redelivery of committed batch 1: identical outputs
+    before = (keepers(), fines())
+    SW.make_semdedup_maintainer(state_dir, stats_dir)(emb_df(b1), 1)
+    assert (keepers(), fines()) == before
+    s1_again = stats(1)
+    assert (s1_again.n_routed, s1_again.n_pruned_prior, s1_again.n_kept) == (
+        s1.n_routed, s1.n_pruned_prior, s1.n_kept
+    )
