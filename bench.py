@@ -583,14 +583,19 @@ def main() -> None:
     )
 
     # Machine-readable heat flag (VERDICT r14 task 4): the documented
-    # hot-box signature is calibration_start factor >= 0.95 (BENCH_NOTES
+    # hot-box signature is a calibration factor >= 0.95 (BENCH_NOTES
     # "heat discipline" — quiet boots clamp to the 0.8 floor, hot runs
-    # read ~0.95-1.05 at start and decay by close). Emitting the start
-    # factor and the derived boolean into BOTH bench artifacts makes a
-    # hot record self-identifying instead of relying on prose
-    # cross-references (the r14 committed bench read +8.7% on unchanged
-    # code and nothing in the JSON said why).
-    hot = calibration_start["factor"] >= 0.95
+    # read ~0.95-1.05). Keyed to the MAX of the start/close readings so
+    # both heat arrival orders flag: residual heat from a preceding
+    # workload shows at start, a co-tenant landing mid-bench shows at
+    # close (code-review r15). Emitting the factors and the derived
+    # boolean into BOTH bench artifacts makes a hot record
+    # self-identifying instead of relying on prose cross-references (the
+    # r14 committed bench read +8.7% on unchanged code and nothing in
+    # the JSON said why).
+    hot = (
+        max(calibration_start["factor"], calibration_close["factor"]) >= 0.95
+    )
 
     bad_windows = {
         n: c

@@ -1518,12 +1518,22 @@ def make_semdedup_maintainer(state_dir: str, stats_dir: str):
                 lambda y: F.round(y.cast("double") * 1_000_000).cast("long"),
             ).alias("v"),
         ).persist()
-        vr = None
-        fav = None
+        pinned = [vm]
         try:
             bootstrap = not _has_prior(counts_dir, batch_id)
+            if bootstrap and vm.isEmpty():
+                # An empty bootstrap batch must not freeze an EMPTY
+                # codebook (every later batch would route zero vectors,
+                # silently, forever — code-review r15). Write NOTHING: the
+                # next non-empty batch sees no prior counts partition and
+                # bootstraps properly.
+                return
             if bootstrap:
-                codebook = _hier_coarse_centroids(vm)
+                # persist: the write below AND vr's route both consume the
+                # trained codebook — unpersisted, the coarse Lloyd chain
+                # would run once per consumer
+                codebook = _hier_coarse_centroids(vm).persist()
+                pinned.append(codebook)
                 codebook.select(
                     F.col("cluster").cast("integer").alias("cell"), "c"
                 ).write.mode("overwrite").parquet(codebook_dir)
@@ -1536,6 +1546,7 @@ def make_semdedup_maintainer(state_dir: str, stats_dir: str):
                 "vec_id", F.col("cluster").cast("integer").alias("cell")
             )
             vr = vm.join(route, "vec_id").select("vec_id", "cell", "v").persist()
+            pinned.append(vr)
             if bootstrap:
                 ex_fines = spark.createDataFrame(
                     [], "cell int, fine int, c array<bigint>"
@@ -1550,8 +1561,15 @@ def make_semdedup_maintainer(state_dir: str, stats_dir: str):
                 ex_fines = _read_prior(spark, fines_dir, batch_id).select(
                     "cell", "fine", "c"
                 )
+                # nf (capacity) counts centroids; next_fine numbers NEW
+                # ones from max(fine)+1, NOT from the count — Lloyd
+                # training can empty out a fine id mid-trajectory (only
+                # >= 1 survivor per cell is guaranteed), so surviving ids
+                # may be sparse and count-based numbering would collide a
+                # new centroid with a surviving one (code-review r15)
                 nf = ex_fines.groupBy("cell").agg(
-                    F.count(F.lit(1)).cast("long").alias("nf")
+                    F.count(F.lit(1)).cast("long").alias("nf"),
+                    (F.max("fine") + F.lit(1)).cast("long").alias("next_fine"),
                 )
                 w = SEMDEDUP_TARGET_WIDTH
                 grow = (
@@ -1565,6 +1583,7 @@ def make_semdedup_maintainer(state_dir: str, stats_dir: str):
                         f"(coalesce(prior_n, CAST(0 AS BIGINT)) + {w - 1})"
                         f" DIV {w}) AS kf",
                         "coalesce(nf, CAST(0 AS BIGINT)) AS nf",
+                        "coalesce(next_fine, CAST(0 AS BIGINT)) AS next_fine",
                     )
                     .filter(F.col("kf") > F.col("nf"))
                 )
@@ -1575,12 +1594,17 @@ def make_semdedup_maintainer(state_dir: str, stats_dir: str):
                     .filter(F.col("rn") <= F.col("kf") - F.col("nf"))
                     .select(
                         "cell",
-                        (F.col("nf") + F.col("rn") - 1)
+                        (F.col("next_fine") + F.col("rn") - 1)
                         .cast("integer")
                         .alias("fine"),
                         F.col("v").alias("c"),
                     )
                 )
+            # persist: new_fines feeds the assignment union, its own
+            # parquet write, and the stats count — on bootstrap its
+            # lineage is the ENTIRE cell-gated fine Lloyd
+            new_fines = new_fines.persist()
+            pinned.append(new_fines)
             fa = _hier_fine_assign(vr, ex_fines.unionByName(new_fines))
             fav = (
                 fa.join(vm, "vec_id")
@@ -1588,6 +1612,7 @@ def make_semdedup_maintainer(state_dir: str, stats_dir: str):
                 .withColumn("n2", n2_of("v"))
                 .persist()
             )
+            pinned.append(fav)
             if bootstrap:
                 pk = spark.createDataFrame(
                     [], "cell int, fine int, v_k array<bigint>"
@@ -1601,6 +1626,10 @@ def make_semdedup_maintainer(state_dir: str, stats_dir: str):
                 F.lit(0).cast("long"),
                 lambda acc, x: acc + x,
             )
+            # persist both pruned sets (slim vec_id relations): each feeds
+            # the keeper anti-join AND its own stats count — unpersisted,
+            # the (cell, fine)-keyed screen joins would re-execute per
+            # consumer (code-review r15)
             pruned_prior = (
                 fav.join(pk.withColumn("n2_k", n2_of("v_k")), ["cell", "fine"])
                 .filter(
@@ -1608,7 +1637,9 @@ def make_semdedup_maintainer(state_dir: str, stats_dir: str):
                 )
                 .select("vec_id")
                 .distinct()
+                .persist()
             )
+            pinned.append(pruned_prior)
             wr = W.partitionBy("cell", "fine").orderBy(
                 F.desc("d"), F.asc("vec_id")
             )
@@ -1642,8 +1673,24 @@ def make_semdedup_maintainer(state_dir: str, stats_dir: str):
                 )
                 .select(F.col("vec_b").alias("vec_id"))
                 .distinct()
+                .persist()
             )
+            pinned.append(pruned_batch)
             pruned = pruned_prior.unionByName(pruned_batch).distinct()
+            # Same packed-id guard as the batch path's `_hier_assign`
+            # (ADVICE r14): the LONG-LIVED incremental index is the one
+            # surface where fine ids grow without bound (kf_target follows
+            # the accumulated count), so a hot cell crossing ~134M routed
+            # vectors must fail loudly, never silently merge into the
+            # adjacent cell's id space.
+            id_guard = F.assert_true(
+                F.col("fine") < F.lit(SEMDEDUP_CELL_SHIFT),
+                F.lit(
+                    "incremental fine id reached SEMDEDUP_CELL_SHIFT (2^20):"
+                    " a hot cell accumulated ~134M routed vectors and packed"
+                    " cluster ids would collide — re-shard the coarse level"
+                ),
+            )
             keepers = fav.join(pruned, "vec_id", "left_anti").select(
                 "vec_id",
                 "cell",
@@ -1651,6 +1698,7 @@ def make_semdedup_maintainer(state_dir: str, stats_dir: str):
                 (
                     F.col("cell").cast("long") * SEMDEDUP_CELL_SHIFT
                     + F.col("fine")
+                    + F.coalesce(id_guard.cast("long"), F.lit(0).cast("long"))
                 ).alias("cluster"),
                 "d",
                 "v",
@@ -1658,7 +1706,10 @@ def make_semdedup_maintainer(state_dir: str, stats_dir: str):
             keepers.write.mode("overwrite").parquet(
                 os.path.join(keepers_dir, f"ingest_batch={batch_id}")
             )
-            route.groupBy("cell").agg(
+            # counts ride the PERSISTED routed table — grouping the lazy
+            # `route` would re-run the whole routing argmin (and on
+            # bootstrap the coarse Lloyd) once more just for this write
+            vr.groupBy("cell").agg(
                 F.count(F.lit(1)).cast("long").alias("n")
             ).write.mode("overwrite").parquet(
                 os.path.join(counts_dir, f"ingest_batch={batch_id}")
@@ -1693,11 +1744,8 @@ def make_semdedup_maintainer(state_dir: str, stats_dir: str):
                 os.path.join(stats_dir, f"batch_id={batch_id}")
             )
         finally:
-            vm.unpersist()
-            if vr is not None:
-                vr.unpersist()
-            if fav is not None:
-                fav.unpersist()
+            for df in pinned:
+                df.unpersist()
 
     return _merge
 

@@ -4,13 +4,16 @@ state — the same split-wall evidence the pmh/adx loops carry in
 SCALING.md's build/probe table.
 
 Method: bootstrap the incremental SemDeDup state at a SMALL and a LARGE
-corpus size (default 2,000 vs 20,000 vectors — a 10x state gap), then
-fold the SAME fixed-size batch (default 1,000 vectors) into each and time
-the fold (min-of-2 after a warm-up fold with a disposable batch id…
-batch ids: warm fold uses id 1, timed folds use ids 2/3, every fold is a
-per-batch overwrite so re-running a timed id is the maintainer's own
-redelivery path — identical work). The bootstrap walls are also reported:
-they ARE the amortized index build, expected to scale with the corpus.
+corpus size (default 2,000 vs 20,000 vectors — a 10x state gap), warm
+both with one disposable fold, then time folds of the SAME fixed-size
+batch (default 1,000 vectors) INTERLEAVED small/large/small/large
+(min-of-2 per state) — interleaving, not back-to-back blocks, so JVM
+codegen/JIT warmth accrued during one state's folds cannot one-sidedly
+deflate the other's (code-review r15: the sequential form gave the
+large state all of the small run's warmth, biasing the ratio toward the
+flat result the probe exists to prove). The bootstrap walls are also
+reported: they ARE the amortized index build, expected to scale with
+the corpus.
 
 The claim under test: batch-fold wall at 10x state / wall at 1x state
 ~ 1 (flat). Routing is O(batch x kc) with kc growing only as sqrt of the
@@ -55,53 +58,61 @@ def _emb_df(spark, n: int, seed: int, id_base: int = 0):
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
 
-def probe(spark, corpus_n: int, batch_n: int, tag: str) -> dict:
+def build_state(spark, corpus_n: int, batch_n: int, tag: str):
+    """Bootstrap one maintainer state and warm it with one disposable
+    fold; returns (merge_fn, bootstrap_wall)."""
     root = os.path.join(per_user_tmpdir("spark_graft_maintainer"), tag)
     shutil.rmtree(root, ignore_errors=True)
-    state_dir = os.path.join(root, "state")
-    stats_dir = os.path.join(root, "stats")
-    merge = make_semdedup_maintainer(state_dir, stats_dir)
+    merge = make_semdedup_maintainer(
+        os.path.join(root, "state"), os.path.join(root, "stats")
+    )
     boot = _emb_df(spark, corpus_n, seed=42)
     t0 = time.time()
     merge(boot, 0)
     boot_wall = time.time() - t0
-    # warm fold (codegen + shuffle warm-up), then timed folds: every fold
-    # reads only ingest_batch < batch_id, so each timed fold sees the
-    # bootstrap state plus the prior folds' appends — the steady state
-    batch = _emb_df(spark, batch_n, seed=7, id_base=10_000_000)
-    merge(batch, 1)
-    walls = []
-    for bid in (2, 3):
-        t0 = time.time()
-        merge(
-            _emb_df(spark, batch_n, seed=100 + bid, id_base=bid * 20_000_000),
-            bid,
-        )
-        walls.append(time.time() - t0)
-    return {
-        "corpus_n": corpus_n,
-        "batch_n": batch_n,
-        "bootstrap_wall_sec": round(boot_wall, 3),
-        "batch_fold_wall_sec": round(min(walls), 3),
-    }
+    merge(_emb_df(spark, batch_n, seed=7, id_base=10_000_000), 1)
+    return merge, boot_wall
 
 
 def main() -> int:
     args = [int(a) for a in sys.argv[1:]]
     small, large, batch_n = (args + [2_000, 20_000, 1_000])[:3]
     spark = get_spark("maintainer_probe")
-    r_small = probe(spark, small, batch_n, f"s{small}")
-    r_large = probe(spark, large, batch_n, f"l{large}")
+    m_small, boot_small = build_state(spark, small, batch_n, f"s{small}")
+    m_large, boot_large = build_state(spark, large, batch_n, f"l{large}")
+    walls = {"small": [], "large": []}
+    # interleaved timed folds: each state's samples bracket the other's,
+    # so residual warmth is shared, not one-sided; every fold reads only
+    # ingest_batch < batch_id, so re-timing a batch id is the
+    # maintainer's own redelivery path — identical work
+    for bid in (2, 3):
+        for tag, merge in (("small", m_small), ("large", m_large)):
+            t0 = time.time()
+            merge(
+                _emb_df(
+                    spark, batch_n, seed=100 + bid, id_base=bid * 20_000_000
+                ),
+                bid,
+            )
+            walls[tag].append(time.time() - t0)
+    fold_small = min(walls["small"])
+    fold_large = min(walls["large"])
     out = {
         "metric": "semdedup_maintainer_steady_state",
-        "small": r_small,
-        "large": r_large,
+        "small": {
+            "corpus_n": small,
+            "batch_n": batch_n,
+            "bootstrap_wall_sec": round(boot_small, 3),
+            "batch_fold_wall_sec": round(fold_small, 3),
+        },
+        "large": {
+            "corpus_n": large,
+            "batch_n": batch_n,
+            "bootstrap_wall_sec": round(boot_large, 3),
+            "batch_fold_wall_sec": round(fold_large, 3),
+        },
         "state_ratio": round(large / small, 2),
-        "fold_wall_ratio": round(
-            r_large["batch_fold_wall_sec"]
-            / max(r_small["batch_fold_wall_sec"], 1e-9),
-            2,
-        ),
+        "fold_wall_ratio": round(fold_large / max(fold_small, 1e-9), 2),
     }
     print(json.dumps(out))
     return 0
