@@ -2041,3 +2041,65 @@ def test_semdedup_index_stream_kf_growth_mid_stream(spark, tmp_path):
     assert (s1_again.n_routed, s1_again.n_pruned_prior, s1_again.n_kept) == (
         s1.n_routed, s1.n_pruned_prior, s1.n_kept
     )
+
+
+def test_semdedup_maintainer_crash_window_recovery(spark, tmp_path):
+    """The maintainer's commit marker is the COUNTS partition (written
+    after keepers/fines; bootstrap detection and every prior-read key on
+    it), so the two real crash windows are: (1) bootstrap crashed after
+    the codebook + keepers/fines writes but before counts — replay must
+    re-run the BOOTSTRAP path (no prior counts partition) and overwrite
+    deterministically; (2) an incremental batch crashed after keepers
+    but before counts — replay must take the non-bootstrap path off
+    batch 0's counts, see only `ingest_batch < 1` priors (its own
+    orphaned partition is filtered), and rewrite identical outputs.
+    Both recovered states must equal a clean end-to-end run bit-for-bit."""
+    import shutil
+
+    M = 1.0
+    b0 = [(i, [M if j == i % 8 else 0.0 for j in range(8)]) for i in range(8)]
+    b1 = [(100, [M, 0, 0, 0, 2 * M, 0, 0, 0]),
+          (101, [0, M, 0, 0, 0, 2 * M, 0, 0])]
+
+    def emb_df(rows):
+        return spark.createDataFrame(
+            [(v, [float(x) for x in e]) for v, e in rows],
+            "vec_id long, embedding array<double>",
+        )
+
+    def run(tag, crash):
+        state = str(tmp_path / f"{tag}_state")
+        stats = str(tmp_path / f"{tag}_stats")
+        merge = SW.make_semdedup_maintainer(state, stats)
+        merge(emb_df(b0), 0)
+        if crash == "bootstrap":
+            # crash window 1: counts (the commit marker) vanishes after
+            # the bootstrap's other writes landed
+            shutil.rmtree(os.path.join(state, "counts", "ingest_batch=0"))
+            merge(emb_df(b0), 0)  # replay re-bootstraps
+        merge(emb_df(b1), 1)
+        if crash == "batch":
+            shutil.rmtree(os.path.join(state, "counts", "ingest_batch=1"))
+            merge(emb_df(b1), 1)  # replay off batch 0's committed counts
+        out = {}
+        for sub in ("keepers", "counts", "fines"):
+            spark.catalog.refreshByPath(os.path.join(state, sub))
+            df = spark.read.parquet(os.path.join(state, sub))
+            cols = sorted(c for c in df.columns if c not in ("c", "v"))
+            out[sub] = {tuple(r) for r in df.select(*cols).collect()}
+        return out
+
+    clean = run("clean", crash=None)
+    assert run("cb", crash="bootstrap") == clean
+    assert run("ib", crash="batch") == clean
+    # sanity: the clean baseline has committed state at BOTH batch ids —
+    # an accidentally empty baseline would make the equalities vacuous
+    assert clean["keepers"]
+    spark.catalog.refreshByPath(str(tmp_path / "clean_state" / "counts"))
+    batches = {
+        r.ingest_batch
+        for r in spark.read.parquet(
+            str(tmp_path / "clean_state" / "counts")
+        ).collect()
+    }
+    assert batches == {0, 1}
