@@ -686,6 +686,13 @@ def connected_components(
     variant (Kiveris et al.), which this local form degenerates to for the
     shallow graphs dedup produces.
     """
+    # Round 16 note: hash-partitioning `und` by u ahead of the checkpoint
+    # (so each round's join reuses the edge partitioning) was measured and
+    # REVERTED — localCheckpoint pins the partition count, AQE can no
+    # longer coalesce the tiny per-round stages, and the bench's task
+    # count tripled (417 -> 1348) for zero local win. On a cluster the
+    # equivalent is a bucketed/pre-partitioned reliable checkpoint of the
+    # edge list, sized to the data (see OPTIMIZATION_r16.md).
     und = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))

@@ -1280,16 +1280,25 @@ def lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group sort — the deliberate contrast to ``approx_distinct_users``'s
     sketch tier; at 100 TB you reach for ``approx_percentile`` and accept
     the error bound, or pre-bucket into a fixed histogram (both built-in).
-    One shuffle."""
+    One shuffle. Round 16 (optimization, guide §1.2 per-task work): ONE
+    ``percentile(px, array(...))`` aggregate instead of four scalar ones —
+    the four-buffer form built and merged four identical value-count maps
+    per group (4x the per-row aggregate work and 4x the shuffled state);
+    the array form computes all four quantiles from one buffer with
+    bit-identical interpolation."""
     li = read_table(spark, sf_dir, "lineitem")
     px = cents("l_extendedprice")
-    return li.groupBy("l_returnflag").agg(
+    qs = (0.25, 0.50, 0.75, 0.95)
+    pct = F.percentile(
+        px, F.array(*[F.lit(q) for q in qs])
+    ).alias("pcts")
+    agg = li.groupBy("l_returnflag").agg(pct)
+    return agg.select(
+        "l_returnflag",
         *[
-            F.round(
-                F.percentile(px, F.lit(q)) / 100.0, 6
-            ).alias(f"p{int(q * 100)}")
-            for q in (0.25, 0.50, 0.75, 0.95)
-        ]
+            F.round(F.col("pcts")[i] / 100.0, 6).alias(f"p{int(q * 100)}")
+            for i, q in enumerate(qs)
+        ],
     )
 
 

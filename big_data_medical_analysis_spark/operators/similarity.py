@@ -907,46 +907,90 @@ def _kmeans_vm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(checkpoint_pinned)
 
 
-def _lloyd_assign(vm: DataFrame, centroids: DataFrame) -> DataFrame:
-    """One Lloyd assignment pass: exact integer squared distance of every
-    vector against every (broadcast) centroid, argmin tie-broken on
-    cluster id — a map-side argmin, no shuffle of the vectors. Returns
-    (vec_id, cluster, d) for each vector's winning cluster."""
-    d = F.aggregate(
-        F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+def _argmin_struct(cents_col: str, vec_col: str, id_field: str) -> Column:
+    """MAP-SIDE argmin of a row's vector against a row-local ARRAY of
+    centroid structs (id_field, c): exact int64 squared distance per
+    entry, then ``array_min`` over (d, id) structs — field-by-field
+    struct ordering ties on the centroid id exactly like the historical
+    ``min(struct(d, id))`` / ``row_number`` forms, with identical
+    values. The point is the physical shape (guide §2.3/§2.4): the
+    argmin happens inside the row's own projection, so NO scored
+    (N·k)-row relation exists and NO per-vec_id shuffle (window or
+    partial-aggregate) is needed — assignment becomes a pure map over
+    the vector table with the centroid array attached (1-row broadcast
+    for global codebooks, a per-cell equi-join for cell-gated ones)."""
+    d = lambda c: F.aggregate(  # noqa: E731 — local expression builder
+        F.zip_with(vec_col, c, lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    scored = vm.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "cluster", d.alias("d")
+    return F.array_min(
+        F.transform(
+            cents_col,
+            lambda e: F.struct(
+                d(e["c"]).alias("d"), e[id_field].alias(id_field)
+            ),
+        )
     )
-    wn = W.partitionBy("vec_id").orderBy("d", "cluster")
+
+
+def _lloyd_assign(vm: DataFrame, centroids: DataFrame) -> DataFrame:
+    """One Lloyd assignment pass: exact integer squared distance of every
+    vector against every centroid, argmin tie-broken on cluster id.
+    Round 16: the centroids arrive as ONE broadcast row holding the
+    sorted (cluster, c) array and the argmin runs inside the row's
+    projection (``_argmin_struct``) — the scored N·k relation and the
+    per-vec_id window shuffle of the r12 form are gone; values are
+    bit-identical (same distances, same (d, cluster) tie-break).
+    Returns (vec_id, cluster, d) for each vector's winning cluster."""
+    carr = centroids.agg(
+        F.array_sort(F.collect_list(F.struct("cluster", "c"))).alias("cents")
+    )
+    m = _argmin_struct("cents", "v", "cluster")
     return (
-        scored.withColumn("rnk", F.row_number().over(wn))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "cluster", "d")
+        vm.crossJoin(F.broadcast(carr))
+        .select("vec_id", m.alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.cluster").alias("cluster"),
+            F.col("m.d").alias("d"),
+        )
     )
 
 
 def _lloyd_iterations(vm: DataFrame) -> tuple[DataFrame, DataFrame]:
     """{KMEANS_ITERS} Lloyd rounds from the deterministic first-k init.
     Returns (centroids, update): the final (cluster, c) centroid arrays
-    and the final iteration's per-(cluster, dim) update rows."""
+    and the final iteration's per-(cluster, dim) update rows.
+
+    Round 16: the assignment argmin is map-side (``_argmin_struct``), so
+    each member row still CARRIES its vector into the update aggregate —
+    the per-iteration join back to ``vm`` on vec_id (a second shuffle of
+    the vector table per round at scale) is gone; the only shuffle per
+    round is the map-side-combinable (cluster, dim) mean update."""
     centroids = vm.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").cast("integer").alias("cluster"), F.col("v").alias("c")
     )
     update = None
     for _ in range(KMEANS_ITERS):
-        members = _lloyd_assign(vm, centroids).select("vec_id", "cluster")
+        carr = centroids.agg(
+            F.array_sort(F.collect_list(F.struct("cluster", "c"))).alias(
+                "cents"
+            )
+        )
+        m = _argmin_struct("cents", "v", "cluster")
+        members = (
+            vm.crossJoin(F.broadcast(carr))
+            .withColumn("m", m)
+            .select(F.col("m.cluster").alias("cluster"), "v")
+        )
         # posexplode_outer + output null-filter: posexplode's inferred
         # size(v)>0 filter pushes through the join to the embeddings scan
         # with the int-scaling transform substituted (a full second
         # per-row scaling pass each iteration — seen in the plan audit)
-        exploded = (
-            members.join(vm, "vec_id")
-            .select("cluster", F.posexplode_outer("v").alias("pos", "val"))
-            .filter(F.col("pos").isNotNull())
-        )
+        exploded = members.select(
+            "cluster", F.posexplode_outer("v").alias("pos", "val")
+        ).filter(F.col("pos").isNotNull())
         update = exploded.groupBy("cluster", (F.col("pos") + 1).alias("dim")).agg(
             F.round(
                 F.sum("val").cast("double") / F.count(F.lit(1)).cast("double")
@@ -1063,7 +1107,9 @@ def _hier_kc_df(vm: DataFrame) -> DataFrame:
     )
 
 
-def _lloyd_assign_agg(vm: DataFrame, centroids: DataFrame) -> DataFrame:
+def _lloyd_assign_agg(
+    vm: DataFrame, centroids: DataFrame, keep_v: bool = False
+) -> DataFrame:
     """One Lloyd assignment pass in MAP-SIDE-COMBINABLE form: exact
     integer squared distance of every vector against every (broadcast)
     centroid, then argmin as min(struct(d, cluster)) grouped by vec_id —
@@ -1075,26 +1121,31 @@ def _lloyd_assign_agg(vm: DataFrame, centroids: DataFrame) -> DataFrame:
     shuffle carries ~N slim rows regardless of k — the shape that
     matters once counts derive from the corpus. Used by the
     hierarchical SemDeDup/D4 path's COARSE level (Lloyd over
-    kc = ceil(sqrt(k)) cells, then the one routing pass);
-    ``kmeans_lloyd_centroids`` keeps the original driver-checked
-    ``_lloyd_assign`` form untouched (rotation economy: its checked
-    code path does not change)."""
-    d = F.aggregate(
-        F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    kc = ceil(sqrt(k)) cells, then the one routing pass).
+
+    Round 16 (optimization): the argmin is now FULLY map-side
+    (``_argmin_struct`` over a 1-row broadcast centroid ARRAY) — the
+    r14 form still materialized the scored N·k relation and shuffled
+    ~N partial-argmin rows through a groupBy(vec_id) exchange; this
+    form shuffles NOTHING (assignment is a projection), with
+    bit-identical values (same int64 distances, same (d, cluster)
+    struct tie-break). ``keep_v`` additionally carries the vector on
+    the member row so the Lloyd update aggregates it directly instead
+    of re-joining ``vm`` on vec_id — one fewer shuffle of the vector
+    table per iteration (guide §2.4)."""
+    carr = centroids.agg(
+        F.array_sort(F.collect_list(F.struct("cluster", "c"))).alias("cents")
     )
-    return (
-        vm.crossJoin(F.broadcast(centroids))
-        .select("vec_id", d.alias("d"), "cluster")
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("d", "cluster")).alias("m"))
-        .select(
-            "vec_id",
-            F.col("m.cluster").alias("cluster"),
-            F.col("m.d").alias("d"),
-        )
-    )
+    m = _argmin_struct("cents", "v", "cluster")
+    out = vm.crossJoin(F.broadcast(carr)).withColumn("m", m)
+    cols = [
+        "vec_id",
+        F.col("m.cluster").alias("cluster"),
+        F.col("m.d").alias("d"),
+    ]
+    if keep_v:
+        cols.append(F.col("v"))
+    return out.select(*cols)
 
 
 def _hier_coarse_centroids(vm: DataFrame) -> DataFrame:
@@ -1116,12 +1167,14 @@ def _hier_coarse_centroids(vm: DataFrame) -> DataFrame:
         )
     )
     for _ in range(KMEANS_ITERS):
-        members = _lloyd_assign_agg(vm, centroids).select("vec_id", "cluster")
-        exploded = (
-            members.join(vm, "vec_id")
-            .select("cluster", F.posexplode_outer("v").alias("pos", "val"))
-            .filter(F.col("pos").isNotNull())
+        # keep_v: the member row carries its vector into the update —
+        # no join back to vm (round 16, guide §2.4)
+        members = _lloyd_assign_agg(vm, centroids, keep_v=True).select(
+            "cluster", "v"
         )
+        exploded = members.select(
+            "cluster", F.posexplode_outer("v").alias("pos", "val")
+        ).filter(F.col("pos").isNotNull())
         update = exploded.groupBy("cluster", (F.col("pos") + 1).alias("dim")).agg(
             F.round(
                 F.sum("val").cast("double") / F.count(F.lit(1)).cast("double")
@@ -1138,33 +1191,40 @@ def _hier_coarse_centroids(vm: DataFrame) -> DataFrame:
     return centroids
 
 
-def _hier_fine_assign(vr: DataFrame, fc: DataFrame) -> DataFrame:
+def _hier_fine_assign(
+    vr: DataFrame, fc: DataFrame, keep_v: bool = False
+) -> DataFrame:
     """One FINE assignment pass, cell-gated: vectors join their own
     cell's centroids on the cell key (an equi-join — a shuffle join at
     scale, NEVER a corpus-proportional broadcast), exact integer squared
-    distance, then the map-side-combinable argmin as
-    min(struct(d, fine)) per (vec_id, cell) — ties break on fine id
-    exactly like the coarse level's (d, cluster) struct. Returns
-    (vec_id, cell, fine, d). A hot cell skews the join's shuffle
-    partitions; AQE's skew-join split handles that at runtime (the same
-    answer as every banded self-join in the dedup family)."""
-    d = F.aggregate(
-        F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    distance, argmin tie-broken on fine id exactly like the coarse
+    level's (d, cluster) struct. Returns (vec_id, cell, fine, d).
+
+    Round 16 (optimization): the cell's centroids are GROUPED into one
+    (cell, cents-array) row before the join, and the argmin runs inside
+    the joined row's projection (``_argmin_struct``) — the r14 form
+    expanded |cell|·kf scored rows and shuffled ~N partial-argmin rows
+    through a groupBy(vec_id, cell) exchange; this form joins one
+    array row per cell (same bytes as the kf rows, kf is width-bounded
+    by construction) and shuffles nothing after the join. Values are
+    bit-identical (same distances, same (d, fine) tie-break). A hot
+    cell skews the join's shuffle partitions; AQE's skew-join split
+    handles that at runtime (the same answer as every banded self-join
+    in the dedup family)."""
+    fcarr = fc.groupBy("cell").agg(
+        F.array_sort(F.collect_list(F.struct("fine", "c"))).alias("cents")
     )
-    return (
-        vr.join(fc, "cell")
-        .select("vec_id", "cell", d.alias("d"), "fine")
-        .groupBy("vec_id", "cell")
-        .agg(F.min(F.struct("d", "fine")).alias("m"))
-        .select(
-            "vec_id",
-            "cell",
-            F.col("m.fine").alias("fine"),
-            F.col("m.d").alias("d"),
-        )
-    )
+    m = _argmin_struct("cents", "v", "fine")
+    out = vr.join(fcarr, "cell").withColumn("m", m)
+    cols = [
+        "vec_id",
+        "cell",
+        F.col("m.fine").alias("fine"),
+        F.col("m.d").alias("d"),
+    ]
+    if keep_v:
+        cols.append(F.col("v"))
+    return out.select(*cols)
 
 
 def _hier_fine_centroids(vr: DataFrame) -> DataFrame:
@@ -1198,14 +1258,14 @@ def _hier_fine_centroids(vr: DataFrame) -> DataFrame:
         )
     )
     for _ in range(KMEANS_ITERS):
-        members = _hier_fine_assign(vr, fc).select("vec_id", "cell", "fine")
-        exploded = (
-            members.join(vr.select("vec_id", "v"), "vec_id")
-            .select(
-                "cell", "fine", F.posexplode_outer("v").alias("pos", "val")
-            )
-            .filter(F.col("pos").isNotNull())
+        # keep_v: the member row carries its vector into the update —
+        # no join back to vr (round 16, guide §2.4)
+        members = _hier_fine_assign(vr, fc, keep_v=True).select(
+            "cell", "fine", "v"
         )
+        exploded = members.select(
+            "cell", "fine", F.posexplode_outer("v").alias("pos", "val")
+        ).filter(F.col("pos").isNotNull())
         update = exploded.groupBy(
             "cell", "fine", (F.col("pos") + 1).alias("dim")
         ).agg(
@@ -1233,11 +1293,13 @@ def _hier_assign(vm: DataFrame) -> DataFrame:
     the ``_kmeans_vm`` trade) — then train the fine centroids and emit
     the final cell-gated argmin as (vec_id, cluster long, d) with the
     global id cell * {SEMDEDUP_CELL_SHIFT} + fine."""
-    route = _lloyd_assign_agg(vm, _hier_coarse_centroids(vm)).select(
-        "vec_id", F.col("cluster").alias("cell")
-    )
+    # keep_v: the routing pass carries each vector on its routed row, so
+    # vr needs NO join back to vm (round 16 — one fewer shuffle of the
+    # vector table ahead of the pin; the routing argmin itself is a pure
+    # projection over the broadcast coarse codebook)
+    route = _lloyd_assign_agg(vm, _hier_coarse_centroids(vm), keep_v=True)
     vr = checkpoint_pinned(
-        vm.join(route, "vec_id").select("vec_id", "cell", "v")
+        route.select("vec_id", F.col("cluster").alias("cell"), "v")
     )
     fa = _hier_fine_assign(vr, _hier_fine_centroids(vr))
     # In-plan id-collision guard (ADVICE r14): the global id packs
@@ -2224,12 +2286,6 @@ GROUP BY 1, 2"""
     )
 
 
-def _pq_w():
-    """Per-(vector, subspace) argmin window. Built lazily — a module-level
-    WindowSpec would require an active SparkSession at import time."""
-    return W.partitionBy("vec_id", "s").orderBy("d", "cluster")
-
-
 def _pq_sqdist() -> Column:
     """Exact int64 squared distance between subvector ``sv`` and codebook
     entry ``c`` (column names fixed by convention)."""
@@ -2277,24 +2333,26 @@ def _pq_train(svm: DataFrame) -> DataFrame:
         F.col("vec_id").cast("integer").alias("cluster"),
         F.col("sv").alias("c"),
     )
-    d = _pq_sqdist()
     for _ in range(PQ_ITERS):
-        scored = svm.join(F.broadcast(centroids), "s").select(
-            "vec_id", "s", "cluster", d.alias("d")
-        )
+        # Round 16: the per-subspace codebook is grouped into ONE
+        # (s, cents-array) row and the argmin runs inside the joined
+        # row's projection (``_argmin_struct``) — the r7 form expanded
+        # N·PQ_K scored rows and shuffled them through a per-(vec_id, s)
+        # window, then joined back to svm for the update; both shuffles
+        # are gone (the member row carries sv), values bit-identical.
+        carr = _pq_codebook_cells(centroids)
+        m = _argmin_struct("cents", "sv", "cluster")
         members = (
-            scored.withColumn("rnk", F.row_number().over(_pq_w()))
-            .filter(F.col("rnk") == 1)
-            .select("vec_id", "s", "cluster")
+            svm.join(F.broadcast(carr), "s")
+            .withColumn("m", m)
+            .select("s", F.col("m.cluster").alias("cluster"), "sv")
         )
         # posexplode_outer + null-filter: same inferred-generator-filter
         # dodge as kmeans_lloyd_centroids (size(sv)>0 would re-run the
         # slice/scale chain at the scan)
-        exploded = (
-            members.join(svm, ["vec_id", "s"])
-            .select("s", "cluster", F.posexplode_outer("sv").alias("pos", "val"))
-            .filter(F.col("pos").isNotNull())
-        )
+        exploded = members.select(
+            "s", "cluster", F.posexplode_outer("sv").alias("pos", "val")
+        ).filter(F.col("pos").isNotNull())
         update = exploded.groupBy(
             "s", "cluster", (F.col("pos") + 1).alias("dim")
         ).agg(
@@ -2313,14 +2371,30 @@ def _pq_train(svm: DataFrame) -> DataFrame:
     return centroids
 
 
+def _pq_codebook_cells(centroids: DataFrame) -> DataFrame:
+    """Group a (s, cluster, c) codebook into one (s, cents) row per
+    subspace — the array form ``_argmin_struct`` consumes. PQ_K·dim ints
+    per subspace: broadcast-sized by construction."""
+    return centroids.groupBy("s").agg(
+        F.array_sort(F.collect_list(F.struct("cluster", "c"))).alias("cents")
+    )
+
+
 def _pq_assign(svm: DataFrame, centroids: DataFrame) -> DataFrame:
     """Encode: per (vector, subspace) the nearest final-codebook entry —
-    (vec_id, s, cluster, d) at rnk=1, ties on cluster id."""
+    (vec_id, s, cluster, d), ties on cluster id. Round 16: map-side
+    argmin over the grouped codebook array (no scored N·PQ_K relation,
+    no per-(vec_id, s) window shuffle), values bit-identical."""
+    m = _argmin_struct("cents", "sv", "cluster")
     return (
-        svm.join(F.broadcast(centroids), "s")
-        .select("vec_id", "s", "cluster", _pq_sqdist().alias("d"))
-        .withColumn("rnk", F.row_number().over(_pq_w()))
-        .filter(F.col("rnk") == 1)
+        svm.join(F.broadcast(_pq_codebook_cells(centroids)), "s")
+        .withColumn("m", m)
+        .select(
+            "vec_id",
+            "s",
+            F.col("m.cluster").alias("cluster"),
+            F.col("m.d").alias("d"),
+        )
     )
 
 
