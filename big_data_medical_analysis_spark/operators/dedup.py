@@ -560,10 +560,36 @@ def _pmh_bucket_sql(b: int) -> str:
     return f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bucket FROM sig"
 
 
-def pmh_banded_buckets(docs: DataFrame) -> DataFrame:
+def pmh_banded_buckets(
+    docs: DataFrame,
+    carry: tuple[str, ...] = (),
+    with_tsz: bool = False,
+    with_bkts: bool = False,
+) -> DataFrame:
     """(doc_id, band, bucket) on the portable md5 MinHash family — shared by
     the banded-group query and the split-leakage audit. One HOF scan for the
-    16 components, a 4-way band explode, no shuffle."""
+    16 components, a 4-way band explode, no shuffle.
+
+    Round 16 (optimization, guide §2.3/§2.4 — shuffle keys+metadata, remove
+    joins outright): callers that used to JOIN per-doc metadata back onto
+    the banded rows (split flags, token sizes, sources) can now ride it
+    through the one signature projection instead:
+
+    - ``carry``: names of extra ``docs`` columns to keep on every banded
+      row (computed in the same scan — no second corpus pass, no join).
+    - ``with_tsz``: emit ``tsz`` = the distinct-token count, from the SAME
+      ``toks`` array the signature hashes (the size-precondition consumers
+      used to re-tokenize the corpus and shuffle-join it back on doc_id).
+    - ``with_bkts``: emit ``bkts`` = the full 4-entry bucket array next to
+      the exploded (band, bucket). This is what lets a banded self-join
+      emit each colliding pair EXACTLY ONCE — at its first colliding band,
+      ``array_position(zip_with(bkts_a, bkts_b, ==), true) == band + 1`` —
+      so the corpus-pair-sized ``distinct()`` exchange disappears entirely
+      (the set of emitted pairs is exactly the DISTINCT set, because a
+      pair collides in band b iff bkts_a[b] = bkts_b[b]).
+
+    Defaults preserve the historical (doc_id, band, bucket) schema
+    bit-for-bit (the persisted incremental index depends on it)."""
     n_hashes = PMH_BANDS * PMH_ROWS_PER_BAND
     toks = F.array_distinct(F.split(F.col("text"), " "))
 
@@ -578,33 +604,44 @@ def pmh_banded_buckets(docs: DataFrame) -> DataFrame:
             )
         )
 
-    sig = fan_out(docs.select("doc_id", toks.alias("toks")), "doc_id").select(
-        "doc_id", *[_component(j).alias(f"h{j}") for j in range(n_hashes)]
-    )
-    return sig.select(
+    extra = list(carry) + ([F.size("toks").alias("tsz")] if with_tsz else [])
+    sig = fan_out(
+        docs.select("doc_id", toks.alias("toks"), *carry), "doc_id"
+    ).select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).cast("int").alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(
-                                        f"h{b * PMH_ROWS_PER_BAND + r}"
-                                    ).cast("string")
-                                    for r in range(PMH_ROWS_PER_BAND)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(PMH_BANDS)
-                ]
+        *extra,
+        *[_component(j).alias(f"h{j}") for j in range(n_hashes)],
+    )
+    bkts = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"h{b * PMH_ROWS_PER_BAND + r}").cast("string")
+                        for r in range(PMH_ROWS_PER_BAND)
+                    ],
+                )
             )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+            for b in range(PMH_BANDS)
+        ]
+    )
+    carried = list(carry) + (["tsz"] if with_tsz else [])
+    # posexplode_outer + null-filter: the plain generator's inferred
+    # size(bkts) > 0 filter would push the whole md5 chain into a Filter
+    # (the same dodge as the Lloyd update passes in similarity.py); bkts
+    # always has PMH_BANDS entries, so outer+filter is row-identical.
+    exploded = sig.select(
+        "doc_id", *carried, bkts.alias("bkts")
+    ).select(
+        "doc_id",
+        *carried,
+        *(["bkts"] if with_bkts else []),
+        F.posexplode_outer("bkts").alias("band", "bucket"),
+    ).filter(F.col("band").isNotNull())
+    return exploded.select(
+        "doc_id", "band", "bucket", *carried, *(["bkts"] if with_bkts else [])
+    )
 
 
 _PMH_SQL = f"""
@@ -1084,12 +1121,12 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = sp.select(
         "doc_id", "split", F.md5("text").alias("h")
     ).transform(checkpoint_pinned)
-    banded = (
-        pmh_banded_buckets(sp.select("doc_id", "text"))
-        # split comes from the already-materialized hashes table — joining
-        # sp again would re-scan documents a third time just for the flag
-        .join(hashes.select("doc_id", "split"), "doc_id")
-        .transform(checkpoint_pinned)
+    # Round 16: `split` rides the banded rows via the carry projection —
+    # computed in the same signature scan, so the doc_id shuffle-join
+    # against the hashes table (the r9 workaround for the third corpus
+    # rescan) is gone too (guide §2.4).
+    banded = pmh_banded_buckets(sp, carry=("split",)).transform(
+        checkpoint_pinned
     )
     train_h = hashes.filter(F.col("split") == "train").select("h").distinct()
     exact_n = (
@@ -1623,33 +1660,34 @@ def intersource_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     colliding pair is counted exactly.
     """
     docs = read_table(spark, sf_dir, "documents")
-    banded = checkpoint_pinned(pmh_banded_buckets(docs))
+    # Round 16 (guide §2.3/§2.4): `source` rides the banded rows (same
+    # signature scan — the two post-distinct shuffle joins against the
+    # (doc_id, source) projection are gone), and the self-join emits each
+    # pair exactly once at its FIRST colliding band (bkts carried; see
+    # pmh_banded_buckets) — the corpus-pair-sized distinct() exchange,
+    # the measured 100x bottleneck of this family, is gone outright. The
+    # emitted set is exactly the old DISTINCT set.
+    banded = checkpoint_pinned(
+        pmh_banded_buckets(docs, carry=("source",), with_bkts=True)
+    )
     left = banded.select(
-        F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_a")
+        "band", "bucket",
+        F.col("doc_id").alias("doc_a"),
+        F.col("source").alias("sa"),
+        F.col("bkts").alias("bkts_a"),
     )
     right = banded.select(
-        F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_b")
+        "band", "bucket",
+        F.col("doc_id").alias("doc_b"),
+        F.col("source").alias("sb"),
+        F.col("bkts").alias("bkts_b"),
     )
-    pairs = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    src = docs.select("doc_id", "source")
+    first_band = F.array_position(
+        F.zip_with("bkts_a", "bkts_b", lambda x, y: x == y), F.lit(True)
+    ) == F.col("band") + 1
     attributed = (
-        pairs.join(
-            src.select(
-                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
-            ),
-            "doc_a",
-        )
-        .join(
-            src.select(
-                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
-            ),
-            "doc_b",
-        )
+        left.join(right, ["band", "bucket"])
+        .filter((F.col("doc_a") < F.col("doc_b")) & first_band)
         .select(
             F.least("sa", "sb").alias("src_a"),
             F.greatest("sa", "sb").alias("src_b"),
@@ -1817,24 +1855,29 @@ def governed_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("tsz", F.size("toks"))
     # Size prefilter (round 13): |A∩B| <= min(|A|, |B|), so
     # 39·min(tsz) >= 19·(tsz_a + tsz_b) is a NECESSARY condition of the
-    # verify gate below — riding the slim (doc_id, tsz) relation on the
-    # banded rows applies it INSIDE the candidate self-join, before the
-    # pair-dedup shuffle. No output row changes, but the distinct's input
-    # shrinks to the size-compatible collisions (~6% of random pairs at
-    # sf0.1 pass) — the measured 100x bottleneck was exactly the
-    # 633M-candidate distinct (156s of a 177s wall), not the md5 bands.
-    sizes = tokn.select("doc_id", "tsz")
+    # verify gate below — riding tsz on the banded rows applies it
+    # INSIDE the candidate self-join. Round 16 (guide §2.3/§2.4): tsz is
+    # now computed in the SAME projection as the signature
+    # (pmh_banded_buckets with_tsz — the second corpus tokenize and the
+    # doc_id shuffle-join are gone), and the self-join emits each pair
+    # exactly once at its FIRST colliding band (bkts carried), so the
+    # pair-dedup distinct() — the measured 100x bottleneck (633M-pair
+    # distinct, 156s of a 177s wall in r12) — is gone outright, not just
+    # prefiltered. The emitted set is exactly the old DISTINCT set.
     banded = checkpoint_pinned(
-        pmh_banded_buckets(docs).join(sizes, "doc_id")
+        pmh_banded_buckets(docs, with_tsz=True, with_bkts=True)
     )
     left = banded.select(
         "band", "bucket", F.col("doc_id").alias("doc_a"),
-        F.col("tsz").alias("tsz_a"),
+        F.col("tsz").alias("tsz_a"), F.col("bkts").alias("bkts_a"),
     )
     right = banded.select(
         "band", "bucket", F.col("doc_id").alias("doc_b"),
-        F.col("tsz").alias("tsz_b"),
+        F.col("tsz").alias("tsz_b"), F.col("bkts").alias("bkts_b"),
     )
+    first_band = F.array_position(
+        F.zip_with("bkts_a", "bkts_b", lambda x, y: x == y), F.lit(True)
+    ) == F.col("band") + 1
     pairs = (
         left.join(right, ["band", "bucket"])
         .filter(
@@ -1843,9 +1886,9 @@ def governed_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least("tsz_a", "tsz_b") * 39
                 >= (F.col("tsz_a") + F.col("tsz_b")) * 19
             )
+            & first_band
         )
         .select("doc_a", "doc_b", "tsz_a", "tsz_b")
-        .distinct()
     )
     verified = (
         pairs.join(

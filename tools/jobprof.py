@@ -11,6 +11,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -27,12 +28,14 @@ def main() -> None:
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     os.makedirs(LOGDIR, exist_ok=True)
     for f in glob.glob(os.path.join(LOGDIR, "*")):
-        os.remove(f)
+        shutil.rmtree(f) if os.path.isdir(f) else os.remove(f)
     spark = get_spark(
         "jobprof",
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": LOGDIR,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     qs = registry.queries()
@@ -49,7 +52,14 @@ def main() -> None:
 
     jobs: dict[int, dict] = {}
     stage_tasks: dict[int, int] = {}
-    for path in glob.glob(os.path.join(LOGDIR, "*")):
+    paths = []
+    for p in glob.glob(os.path.join(LOGDIR, "*")):
+        paths.extend(
+            glob.glob(os.path.join(p, "*")) if os.path.isdir(p) else [p]
+        )
+    for path in paths:
+        if not os.path.isfile(path):
+            continue
         with open(path) as fh:
             for line in fh:
                 try:
