@@ -1435,12 +1435,18 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_li = _bucket_table_name("bj_lineitem", sf_dir)
     _drop_bucket_table(spark, t_orders)
     _drop_bucket_table(spark, t_li)
-    orders.write.bucketBy(BUCKET_N, "o_orderkey").sortBy("o_orderkey").mode(
-        "overwrite"
-    ).saveAsTable(t_orders)
-    li.write.bucketBy(BUCKET_N, "l_orderkey").sortBy("l_orderkey").mode(
-        "overwrite"
-    ).saveAsTable(t_li)
+    # Round 16: repartition on the bucket key to BUCKET_N before the
+    # bucketed write — repartition's HashPartitioning is the same
+    # pmod(murmur3) the bucket spec uses, so each task writes exactly ONE
+    # bucket file (before: the 1-3 scan tasks each wrote up to BUCKET_N
+    # small files, serializing the write and fragmenting the read;
+    # guide §6 output file sizing). Table contents identical.
+    orders.repartition(BUCKET_N, "o_orderkey").write.bucketBy(
+        BUCKET_N, "o_orderkey"
+    ).sortBy("o_orderkey").mode("overwrite").saveAsTable(t_orders)
+    li.repartition(BUCKET_N, "l_orderkey").write.bucketBy(
+        BUCKET_N, "l_orderkey"
+    ).sortBy("l_orderkey").mode("overwrite").saveAsTable(t_li)
     o = spark.table(t_orders).hint("merge")
     l = spark.table(t_li)
     return (
@@ -1509,12 +1515,14 @@ def bucketed_fact_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_li = _bucket_table_name("bj3_lineitem", sf_dir)
     _drop_bucket_table(spark, t_orders)
     _drop_bucket_table(spark, t_li)
-    orders.write.bucketBy(BUCKET_N, "o_orderkey").sortBy("o_orderkey").mode(
-        "overwrite"
-    ).saveAsTable(t_orders)
-    li.write.bucketBy(BUCKET_N, "l_orderkey").sortBy("l_orderkey").mode(
-        "overwrite"
-    ).saveAsTable(t_li)
+    # Round 16: same one-file-per-bucket parallel write as
+    # bucketed_colocated_join (repartition on the bucket key first).
+    orders.repartition(BUCKET_N, "o_orderkey").write.bucketBy(
+        BUCKET_N, "o_orderkey"
+    ).sortBy("o_orderkey").mode("overwrite").saveAsTable(t_orders)
+    li.repartition(BUCKET_N, "l_orderkey").write.bucketBy(
+        BUCKET_N, "l_orderkey"
+    ).sortBy("l_orderkey").mode("overwrite").saveAsTable(t_li)
     o = spark.table(t_orders)
     l = spark.table(t_li)
     # Dimension first, INSIDE the bucketed leg: BHJ streams the bucketed

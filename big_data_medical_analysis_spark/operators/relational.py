@@ -2520,6 +2520,15 @@ def grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + "))"
     )
+    # Round 16: both sides are explicitly repartitioned on their cell
+    # keys with the session's parallelism — the join's shuffle is a few
+    # MB, so AQE's byte-based coalescing folded it to 8 tasks while the
+    # work (millions of generated candidate distance tests) happens
+    # INSIDE the join stage, invisible to the advisory size. The pinned
+    # user count survives AQE (fan_out contract) and the join reuses
+    # both sides' partitioning, so the stage count is unchanged — only
+    # the candidate compute spreads across the cores.
+    n_par = spark.sparkContext.defaultParallelism
     a = pts.select(
         F.col("id").alias("id_a"),
         F.col("x").alias("xa"),
@@ -2535,14 +2544,14 @@ def grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("ya") / 5000.0).cast("long") + F.col("o.dy")).alias(
             "ncy"
         ),
-    )
+    ).repartition(n_par, "ncx", "ncy")
     b = pts.select(
         F.col("id").alias("id_b"),
         F.col("x").alias("xb"),
         F.col("y").alias("yb"),
         cell("x").alias("cbx"),
         cell("y").alias("cby"),
-    )
+    ).repartition(n_par, "cbx", "cby")
     d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
         F.col("ya") - F.col("yb")
     ) * (F.col("ya") - F.col("yb"))

@@ -12,7 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from big_data_medical_analysis_spark.operators.common import checkpoint_pinned
+from big_data_medical_analysis_spark.operators.common import (
+    checkpoint_pinned,
+    fan_out,
+)
 from big_data_medical_analysis_spark.registry import register
 from big_data_medical_analysis_spark.sources.readers import read_table
 
@@ -237,7 +240,12 @@ def ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence + transform — not the quadratic explode-join): one generate +
     one aggregate shuffle, with the HAVING floor keeping output bounded
     regardless of corpus size."""
-    docs = read_table(spark, sf_dir, "documents")
+    # Round 16: the single-file documents scan ran the tokenize + bigram
+    # HOF build on 3 scan tasks (2 jobs / 3 tasks, 2.5s); the keyless
+    # fan_out spreads the CPU-heavy generate stage across the session's
+    # parallelism ahead of the partial aggregate (guide §2.6 idle
+    # capacity; the exchange moves ~600 KB of (lang, text)).
+    docs = fan_out(read_table(spark, sf_dir, "documents").select("lang", "text"))
     toks = F.split("text", " ")
     bigrams = F.when(
         F.size(toks) >= 2,
