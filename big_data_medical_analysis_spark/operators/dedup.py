@@ -2094,6 +2094,12 @@ def lsh_blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Round 16 (guide §3.3): cand (the full md5 signature + banding
+    # chain) is consumed twice (n_candidates + the caught join) and the
+    # probe×corpus jaccard pass twice (truth's two consumers) — pinned,
+    # each heavy subtree executes once; both are probe-bounded K-row
+    # pair lists (same move as the SNM audits).
+    cand = checkpoint_pinned(cand)
     probe = F.broadcast(
         toks.filter(F.col("doc_id") < N_JACCARD_PROBES).select(
             F.col("doc_id").alias("p_id"), F.col("toks").alias("p_toks")
@@ -2104,8 +2110,10 @@ def lsh_blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.col("p_toks")) + F.size(F.col("toks")) - inter
     )
     pairs = probe.join(toks, F.col("p_id") < F.col("doc_id"))
-    truth = pairs.filter(jac >= JACCARD_THRESHOLD).select(
-        F.col("p_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    truth = checkpoint_pinned(
+        pairs.filter(jac >= JACCARD_THRESHOLD).select(
+            F.col("p_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        )
     )
     n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
@@ -2252,8 +2260,14 @@ def snm_blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = weight_below(key_cells, [], "k", "one").select(
         "k", (F.col("below") + 1).alias("kr")
     )
-    dr = keyd.join(keys, "k").select(
-        "doc_id", "kr", F.floor(F.col("kr") / SNM_WINDOW).alias("blk")
+    # Round 16 (guide §3.3): dr feeds BOTH sides of the neighborhood
+    # self-join — pinned so the rank chain (distinct keys → bucket
+    # window → join back) executes once, not twice (same move as
+    # snm_multipass_blocking_audit).
+    dr = checkpoint_pinned(
+        keyd.join(keys, "k").select(
+            "doc_id", "kr", F.floor(F.col("kr") / SNM_WINDOW).alias("blk")
+        )
     )
     probe_tags = dr.select(
         "doc_id",
@@ -2277,6 +2291,11 @@ def snm_blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Round 16: cand is consumed twice (n_candidates + the caught join)
+    # and the probe×corpus jaccard pass three times (truth×2 + n_all) —
+    # pinned, each heavy subtree executes once; cand/truth are
+    # probe-bounded K-row lists and pairs collapses to its two counts.
+    cand = checkpoint_pinned(cand)
     probe = F.broadcast(
         keyd.filter(F.col("doc_id") < N_JACCARD_PROBES).select(
             F.col("doc_id").alias("p_id"), F.col("toks").alias("p_toks")
@@ -2287,8 +2306,10 @@ def snm_blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.col("p_toks")) + F.size(F.col("toks")) - inter
     )
     pairs = probe.join(keyd, F.col("p_id") < F.col("doc_id"))
-    truth = pairs.filter(jac >= JACCARD_THRESHOLD).select(
-        F.col("p_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    truth = checkpoint_pinned(
+        pairs.filter(jac >= JACCARD_THRESHOLD).select(
+            F.col("p_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        )
     )
     n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
@@ -2449,8 +2470,15 @@ def snm_multipass_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys = weight_below(cells, [], "k", "one").select(
             "k", (F.col("below") + 1).alias("kr")
         )
-        dr = keyd.join(keys, "k").select(
-            "doc_id", "kr", F.floor(F.col("kr") / SNM_WINDOW).alias("blk")
+        # Round 16 (guide §2.4/§3.3): dr feeds BOTH sides of the
+        # neighborhood self-join below — unpinned, the whole rank chain
+        # (distinct keys → bucket window → join back) was planned twice
+        # per pass. The pin materializes it once; it is one slim
+        # (doc_id, kr, blk) row per document.
+        dr = checkpoint_pinned(
+            keyd.join(keys, "k").select(
+                "doc_id", "kr", F.floor(F.col("kr") / SNM_WINDOW).alias("blk")
+            )
         )
         tags = dr.select(
             "doc_id",
@@ -2474,8 +2502,13 @@ def snm_multipass_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    cand_fwd = snm_pass(F.col("fwd"))
-    cand_rev = snm_pass(F.reverse(F.col("fwd")))
+    # Round 16: each pass's candidate set is consumed twice (its own
+    # score row AND the union row) — unpinned, the full pass subtree
+    # re-ran for each consumer (the before plan is 738 operators). The
+    # pins cap the plan at one execution per pass; the candidate lists
+    # are probe-bounded (doc_a < N_JACCARD_PROBES), i.e. K-row.
+    cand_fwd = checkpoint_pinned(snm_pass(F.col("fwd")))
+    cand_rev = checkpoint_pinned(snm_pass(F.reverse(F.col("fwd"))))
     cand_union = cand_fwd.unionByName(cand_rev).distinct()
     probe = F.broadcast(
         keysrc.filter(F.col("doc_id") < N_JACCARD_PROBES).select(

@@ -727,13 +727,24 @@ def hll_incremental_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     day_scope = _HLL_DAILY_SCOPE_SPARK.replace(
         "day", "date_format(ts, 'yyyy-MM-dd')"
     )
+    # Round 16 (guide §2.4): the exact twin ran TWO full event scans,
+    # each with its own count_distinct exchange (per-scope and ALL).
+    # rollup("scope") computes both grouping sets in ONE pass — Spark's
+    # Expand duplicates rows map-side and the partial distinct aggregate
+    # dedupes before the exchange — and the grand-total row (scope NULL,
+    # flagged by grouping()) IS the ALL row. Same exact counts, one scan.
     ex = (
         ev.selectExpr(f"{day_scope} AS scope", "event_id")
-        .groupBy("scope")
-        .agg(F.count_distinct("event_id").alias("exact_distinct"))
-        .unionAll(
-            ev.agg(F.count_distinct("event_id").alias("exact_distinct"))
-            .selectExpr("'ALL' AS scope", "exact_distinct")
+        .rollup("scope")
+        .agg(
+            F.count_distinct("event_id").alias("exact_distinct"),
+            F.grouping("scope").alias("_g"),
+        )
+        .select(
+            F.when(F.col("_g") == 1, F.lit("ALL"))
+            .otherwise(F.col("scope"))
+            .alias("scope"),
+            "exact_distinct",
         )
     )
     z = F.col("z_seen") + (F.lit(HLL_M) - F.col("n_seen"))
@@ -937,19 +948,39 @@ def histogram_incremental_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     day_scope = _HLL_DAILY_SCOPE_SPARK.replace(
         "day", "date_format(ts, 'yyyy-MM-dd')"
     )
-    vals = ev.select(
-        F.expr(day_scope).alias("scope"), cents("value").alias("vc")
-    ).unionAll(
-        ev.select(F.lit("ALL").alias("scope"), cents("value").alias("vc"))
+    # Round 16 (guide §2.3 shuffle fewer bytes): the exact twin used to
+    # union TWO full scans of events and rank every raw row with
+    # row_number() over a per-scope global sort; the k-th smallest value
+    # is equally the unique vc whose per-(scope, vc) cumulative count
+    # straddles k, so ONE scan aggregates to integer-cent value counts
+    # via GROUPING SETS ((scope, vc), (vc)) — the (vc) set IS the ALL
+    # scope (map-side Expand + combinable count, no second scan) — and
+    # the sort shrinks from 2N raw rows to the distinct-cent table.
+    vall = (
+        ev.select(
+            F.expr(day_scope).alias("scope"), cents("value").alias("vc")
+        )
+        .groupingSets([["scope", "vc"], ["vc"]], "scope", "vc")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.grouping("scope").alias("_g"))
+        .select(
+            F.when(F.col("_g") == 1, F.lit("ALL"))
+            .otherwise(F.col("scope"))
+            .alias("scope"),
+            "vc",
+            "cnt",
+        )
     )
-    ranked = vals.withColumn(
-        "rn",
-        F.row_number().over(Window.partitionBy("scope").orderBy("vc")),
+    vcum = vall.withColumn(
+        "cum",
+        F.sum("cnt").over(Window.partitionBy("scope").orderBy("vc")),
     )
     exact = (
         targets.select("scope", "q_pm", "k")
-        .join(ranked, "scope")
-        .filter(F.col("rn") == F.col("k"))
+        .join(vcum, "scope")
+        .filter(
+            (F.col("cum") >= F.col("k"))
+            & (F.col("cum") - F.col("cnt") < F.col("k"))
+        )
         .select(
             "scope",
             "q_pm",

@@ -642,10 +642,40 @@ def fedavg_eval_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     evalrows = shards.crossJoin(F.broadcast(srv.select("s0m", "s1m"))).selectExpr(
         "client", _FEDAVG_EVAL_RESID
     )
-    metrics = [F.expr(e) for e in _FEDAVG_EVAL_METRICS]
-    per_client = evalrows.groupBy("client").agg(*metrics)
-    pooled = evalrows.groupBy(F.lit(-1).alias("client")).agg(*metrics)
-    return per_client.unionAll(pooled)
+    # Round 16 (guide §2.4): the per-client and pooled aggregates both
+    # consumed evalrows — two full lineitem scans + residual passes.
+    # rollup("client") computes the per-client groups AND the grand
+    # total in ONE aggregation (map-side Expand + partial agg — no
+    # second scan, no checkpoint barrier); the total row (client NULL,
+    # flagged by grouping()) IS the pooled client=-1 row, and the
+    # metrics render from exact int64 sufficient statistics with the
+    # same expression shapes as _FEDAVG_EVAL_METRICS — identical values,
+    # one data pass.
+    return (
+        evalrows.rollup("client")
+        .agg(
+            F.count(F.lit(1)).alias("n_l"),
+            F.sum("arc").alias("s_arc"),
+            F.max("arc").alias("mx_arc"),
+            F.sum(
+                F.when(F.col("arc") <= 100000, F.lit(1)).otherwise(F.lit(0))
+            ).alias("w_arc"),
+            F.grouping("client").alias("_g"),
+        )
+        .select(
+            F.when(F.col("_g") == 1, F.lit(-1))
+            .otherwise(F.col("client"))
+            .alias("client"),
+            F.col("n_l").cast("long").alias("n"),
+            F.expr("round(CAST(s_arc AS DOUBLE) / n_l / 100.0, 6)").alias(
+                "mae"
+            ),
+            F.expr("CAST(mx_arc AS DOUBLE) / 100.0").alias("max_abs_err"),
+            F.expr("round(CAST(w_arc AS DOUBLE) / n_l, 6)").alias(
+                "within_1k_rate"
+            ),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -764,15 +794,25 @@ def cogrouped_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the crossing AFTER the filter — the crossing is sized by the answer,
     not the corpus.
     """
-    ev = (
+    # Round 16 (optimization): fan_out pins the cogroup's partition count
+    # — the per-key Python crossing IS the cost (see cost model below),
+    # and AQE's byte-based coalescing was folding the tiny shuffle into
+    # ~4 partitions, serializing the ~thousands of per-key merge calls
+    # onto 4 cores (measured 6 tasks / 4.33s; with the pin, 32-way:
+    # 2.05s). The explicit user count survives AQE (fan_out contract),
+    # and both sides share one HashPartitioning(user_id, n) so the
+    # cogroup itself adds no further exchange.
+    ev = fan_out(
         read_table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
-        .select("user_id", "value")
+        .select("user_id", "value"),
+        "user_id",
     )
-    cust = (
+    cust = fan_out(
         read_table(spark, sf_dir, "customer")
         .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
-        .join(ev.select("user_id"), "user_id", "semi")
+        .join(ev.select("user_id"), "user_id", "semi"),
+        "user_id",
     )
 
     def merge(evs: pd.DataFrame, cs: pd.DataFrame) -> pd.DataFrame:
