@@ -223,15 +223,28 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
             for i in range(SIMHASH_BANDS)
         ]
     )
-    banded = fp.select(
-        "doc_id",
-        "lang",
-        "simhash",
-        F.posexplode(bands).alias("band_idx", "band_val"),
+    # Round 16 (guide §2.4): each banded row carries the FULL band array so
+    # the self-join emits every colliding pair exactly ONCE — at its first
+    # colliding band (`array_position(zip_with(bds_a, bds_b, ==), true) ==
+    # band_idx + 1`; a pair collides in band i iff bds_a[i] = bds_b[i]) —
+    # and the corpus-pair-sized ``distinct()`` exchange disappears
+    # outright. Same move as ``pmh_banded_buckets``'s ``with_bkts`` (wave
+    # 2a): the emitted pair set IS the old DISTINCT set, bit-for-bit.
+    banded = (
+        fp.select("doc_id", "lang", "simhash", bands.alias("bds"))
+        .select(
+            "doc_id",
+            "lang",
+            "simhash",
+            "bds",
+            F.posexplode_outer("bds").alias("band_idx", "band_val"),
+        )
+        .filter(F.col("band_idx").isNotNull())
     )
     a = banded.select(
         "lang", "band_idx", "band_val",
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"),
+        F.col("bds").alias("bds_a"),
     )
     b = banded.select(
         F.col("lang").alias("lang_b"),
@@ -239,19 +252,19 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
         F.col("band_val").alias("band_val_b"),
         F.col("doc_id").alias("doc_b"),
         F.col("simhash").alias("sh_b"),
+        F.col("bds").alias("bds_b"),
     )
-    cand = (
-        a.join(
-            b,
-            (F.col("lang") == F.col("lang_b"))
-            & (F.col("band_idx") == F.col("band_idx_b"))
-            & (F.col("band_val") == F.col("band_val_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
-        # a pair can collide in several bands; dedup before scoring
-        .select("lang", "doc_a", "doc_b", "sh_a", "sh_b")
-        .distinct()
-    )
+    first_collision = F.array_position(
+        F.zip_with("bds_a", "bds_b", lambda x, y: x == y), F.lit(True)
+    ) == (F.col("band_idx") + F.lit(1))
+    cand = a.join(
+        b,
+        (F.col("lang") == F.col("lang_b"))
+        & (F.col("band_idx") == F.col("band_idx_b"))
+        & (F.col("band_val") == F.col("band_val_b"))
+        & (F.col("doc_a") < F.col("doc_b"))
+        & first_collision,
+    ).select("lang", "doc_a", "doc_b", "sh_a", "sh_b")
     hdist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
     return cand.select("lang", "doc_a", "doc_b", hdist.alias("hdist")).filter(
         F.col("hdist") <= SIMHASH_MAX_HDIST
@@ -733,7 +746,16 @@ def connected_components(
     und = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    und = und.localCheckpoint(eager=True)
+    # Count-LESS repartition("u"): an AQE-coalescible exchange right under
+    # the checkpoint, so the materialized edge RDD has size-appropriate
+    # partitions no matter how wide the upstream pair join ran (without
+    # it, simhash_pairs' first-band join output checkpointed at full
+    # width and every propagation round re-read it: 417 -> 2249 tasks).
+    # Unlike the REVERTED fan_out form (explicit count pins 32 partitions
+    # and AQE cannot coalesce), the keyed no-count form keeps the
+    # coalescing; the hash partitioning itself is invisible to the
+    # planner after the RDD boundary either way.
+    und = und.repartition("u").localCheckpoint(eager=True)
     labels = (
         und.select(F.col("u").alias("node"))
         .distinct()
@@ -743,6 +765,21 @@ def connected_components(
     # Convergence probe: labels only ever decrease, so sum(label) strictly
     # decreases on any change — a 1-row aggregate over the just-materialized
     # round, far cheaper than a join-and-count against the previous round.
+    #
+    # Round 16 (optimization): two loop-ladder rewrites were measured and
+    # REJECTED here, both on task-count/plan evidence (guide §1.2 "a fresh
+    # ideal plan is usually slower at first"):
+    # - pointer compression (label(label(n)) path halving): rounds only
+    #   dropped 10 -> 8 on this shallow graph while the labels⋈labels hop
+    #   quintupled tasks (417 -> 1967 — a self-join of checkpointed RDDs
+    #   plans at UnknownPartitioning and defeats AQE coalescing).
+    # - unrolling 2 propagation steps per checkpoint+probe: jobs 80 -> 63
+    #   but tasks 417 -> 2315 — the mid-plan exchange between the two
+    #   steps materializes at full width (no AQE coalescing inside the
+    #   RDD-boundary checkpoint job), costing more than the saved probes.
+    # The per-round ladder below (1 shuffle + 1-row probe per round) is
+    # the measured local optimum; at cluster scale the probe stays O(1)
+    # and the round count stays diameter-bounded.
     prev_sum = None
     converged = False
     for _ in range(max_iter):
