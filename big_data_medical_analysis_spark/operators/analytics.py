@@ -24,6 +24,7 @@ from big_data_medical_analysis_spark.operators.common import (
     cents,
     checkpoint_pinned,
     date_str,
+    explode_nonnull_pinned,
     money_sum,
     ts_str,
 )
@@ -1123,26 +1124,102 @@ def order_next_event_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _brand_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(order, brand) basket table shared by the mining/graph family
-    (copurchase pairs, A-priori triples, triangles, PageRank) — derived
-    once per query and pinned with ``localCheckpoint`` so the 3-6
-    downstream self-join branches reuse ONE materialization. Before this,
-    the executed plans showed 24-36 parquet scans and ZERO ReusedExchange
-    per query: Catalyst re-derived the lineitem⋈part distinct per branch
-    (~1s each at sf0.1 — the dominant repeated cost), because predicate
-    pushdown specializes each branch's copy of the subtree and defeats
-    exchange reuse. Persisting the transaction/edge table is the
-    canonical first step of every distributed mining or graph algorithm;
-    on a cluster this is persist(DISK_ONLY) or a reliable checkpoint —
-    localCheckpoint is the single-box form (same pattern as
-    brand_pagerank's edge list)."""
+    """(ok, bs) basket table — ``bs`` is the order's SORTED DISTINCT brand
+    array — shared by the mining/graph family (copurchase pairs, A-priori
+    triples, triangles, PageRank, clustering coefficient), derived once
+    per query and pinned with ``localCheckpoint`` so the downstream
+    branches reuse ONE materialization (Catalyst re-derived the
+    lineitem⋈part distinct per branch otherwise — predicate pushdown
+    specializes each branch's subtree and defeats exchange reuse).
+
+    Round 16 (guide §2.4/§2.3): the family's former shape was
+    ``distinct(ok, b)`` (exchange 1) followed by a two-sided SELF-JOIN on
+    ok (exchanges 2+3, the planner cannot see the checkpointed RDD's
+    partitioning) to enumerate per-basket brand pairs. One
+    ``groupBy(ok).agg(sort_array(collect_set(b)))`` does the dedup AND
+    the basket grouping in a single exchange (collect_set dedupes in the
+    partial aggregate, map-side), and pair/triple enumeration becomes a
+    pure in-row HOF over the array (``_basket_pairs`` /
+    ``_basket_triples``) — bounded by (brands-per-order choose 2|3) ≤
+    21|35 exactly like the join form, but with zero join exchanges. The
+    emitted multiset of pairs is identical: per basket, each unordered
+    a<b pair appears exactly once either way (sort_array is ascending,
+    so index order IS the a<b orientation for Spark's binary string
+    comparison — the same ordering the join's ``<`` used).
+
+    On a cluster this materialization is persist(DISK_ONLY) or a
+    reliable checkpoint; localCheckpoint is the single-box form."""
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     return (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
-        .distinct()
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("b")).alias("bs"))
         .transform(checkpoint_pinned)
+    )
+
+
+def _basket_pairs(bsk: DataFrame) -> DataFrame:
+    """(a, b) rows: every ordered (a < b) brand pair of every basket,
+    enumerated in-row from the sorted basket array — the map-side
+    replacement for the family's former basket self-join (guide §2.4).
+    One pair per basket per unordered pair, exactly the join's output."""
+    prs = F.flatten(
+        F.transform(
+            "bs",
+            lambda x, i: F.transform(
+                F.slice("bs", i + F.lit(2), F.size("bs")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return explode_nonnull_pinned(
+        bsk.select(prs.alias("prs")), "prs", "pr"
+    ).select(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+
+
+def _basket_triples(bsk: DataFrame) -> DataFrame:
+    """(a, b, c) rows: every ordered (a < b < c) brand triple of every
+    basket, enumerated in-row — replaces the former THREE-way basket
+    self-join of the A-priori support count. Bounded by (brands-per-order
+    choose 3) ≤ 35 per basket, identical to the join form's output."""
+    trs = F.flatten(
+        F.flatten(
+            F.transform(
+                "bs",
+                lambda x, i: F.transform(
+                    F.slice("bs", i + F.lit(2), F.size("bs")),
+                    lambda y, j: F.transform(
+                        F.slice("bs", i + j + F.lit(3), F.size("bs")),
+                        lambda z: F.struct(
+                            x.alias("a"), y.alias("b"), z.alias("c")
+                        ),
+                    ),
+                ),
+            )
+        )
+    )
+    return explode_nonnull_pinned(
+        bsk.select(trs.alias("trs")), "trs", "tr"
+    ).select(
+        F.col("tr.a").alias("a"), F.col("tr.b").alias("b"), F.col("tr.c").alias("c")
+    )
+
+
+def _supported_brand_edges(bsk: DataFrame) -> DataFrame:
+    """Canonical (a < b) co-purchase edges with support ≥ 2% of baskets —
+    the shared edge derivation of the graph trio (triangles, PageRank,
+    clustering coefficient). Support counting combines map-side off the
+    in-row pair enumeration; the basket count is a 1-row broadcast."""
+    nb = bsk.agg(F.count(F.lit(1)).alias("nb"))
+    return (
+        _basket_pairs(bsk)
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .crossJoin(F.broadcast(nb))
+        .filter(F.col("support") * 50 >= F.col("nb"))
+        .select("a", "b")
     )
 
 
@@ -1174,14 +1251,10 @@ def copurchase_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a support-threshold prefilter (heavy_hitter_users shows the
     candidate-pruning pattern).
     """
-    lb = _brand_baskets(spark, sf_dir)
-    a = lb.alias("a")
-    b2 = lb.alias("b2")
+    bsk = _brand_baskets(spark, sf_dir)
     return (
-        a.join(b2, (F.col("a.ok") == F.col("b2.ok")) & (F.col("a.b") < F.col("b2.b")))
-        .groupBy(
-            F.col("a.b").alias("brand_a"), F.col("b2.b").alias("brand_b")
-        )
+        _basket_pairs(bsk)
+        .groupBy(F.col("a").alias("brand_a"), F.col("b").alias("brand_b"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
 
@@ -1227,19 +1300,10 @@ def triangle_count_brand_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     before orientation (hubs get high ids, minimizing wedges); the support
     floor here plays the same fan-out-bounding role.
     """
-    lb = _brand_baskets(spark, sf_dir)
-    n_baskets = lb.select("ok").distinct().agg(F.count(F.lit(1)).alias("nb"))
-    e = (
-        lb.alias("a")
-        .join(lb.alias("b2"), (F.col("a.ok") == F.col("b2.ok")) & (F.col("a.b") < F.col("b2.b")))
-        .groupBy(F.col("a.b").alias("a"), F.col("b2.b").alias("b"))
-        .agg(F.count(F.lit(1)).alias("support"))
-        .crossJoin(F.broadcast(n_baskets))
-        .filter(F.col("support") * 50 >= F.col("nb"))
-        .select("a", "b")
-    )
+    bsk = _brand_baskets(spark, sf_dir)
+    e = _supported_brand_edges(bsk)
     # the supported edge list has SIX consumers (count, node-union, three
-    # triangle-join legs): derive the basket self-join + support filter
+    # triangle-join legs): derive the pair enumeration + support filter
     # once — unpinned, every branch re-ran it (37-shuffle plan, PLANS.md)
     e = checkpoint_pinned(e)
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
@@ -1329,20 +1393,8 @@ def brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeats per round). Undirected degree >= 1 everywhere, so there is no
     dangling-mass term.
     """
-    lb = _brand_baskets(spark, sf_dir)
-    n_baskets = lb.select("ok").distinct().agg(F.count(F.lit(1)).alias("nb"))
-    e0 = (
-        lb.alias("a")
-        .join(
-            lb.alias("b2"),
-            (F.col("a.ok") == F.col("b2.ok")) & (F.col("a.b") < F.col("b2.b")),
-        )
-        .groupBy(F.col("a.b").alias("a"), F.col("b2.b").alias("b"))
-        .agg(F.count(F.lit(1)).alias("support"))
-        .crossJoin(F.broadcast(n_baskets))
-        .filter(F.col("support") * 50 >= F.col("nb"))
-        .select("a", "b")
-    )
+    bsk = _brand_baskets(spark, sf_dir)
+    e0 = _supported_brand_edges(bsk)
     e = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
         e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
@@ -1430,22 +1482,10 @@ def frequent_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
     never reach the aggregate. Two corpus shuffles total (distinct + final
     count), both map-side combinable.
     """
-    lb = _brand_baskets(spark, sf_dir)
-    nb = lb.select("ok").distinct().agg(F.count(F.lit(1)).alias("n"))
-    fp = (
-        lb.alias("a")
-        .join(
-            lb.alias("b2"),
-            (F.col("a.ok") == F.col("b2.ok")) & (F.col("a.b") < F.col("b2.b")),
-        )
-        .groupBy(F.col("a.b").alias("a"), F.col("b2.b").alias("b"))
-        .agg(F.count(F.lit(1)).alias("s"))
-        .crossJoin(F.broadcast(nb))
-        .filter(F.col("s") * 50 >= F.col("n"))
-        .select("a", "b")
-    )
+    bsk = _brand_baskets(spark, sf_dir)
+    fp = _supported_brand_edges(bsk)
     # frequent-pair list feeds the candidate self-join (2 legs) AND the
-    # downward-closure prune (3rd leg): derive the basket self-join once
+    # downward-closure prune (3rd leg): derive the pair support once
     fp = checkpoint_pinned(fp)
     cand = (
         fp.alias("p1")
@@ -1465,26 +1505,18 @@ def frequent_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     triples = (
-        lb.alias("t1")
-        .join(
-            lb.alias("t2"),
-            (F.col("t2.ok") == F.col("t1.ok")) & (F.col("t1.b") < F.col("t2.b")),
-        )
-        .join(
-            lb.alias("t3"),
-            (F.col("t3.ok") == F.col("t1.ok")) & (F.col("t2.b") < F.col("t3.b")),
-        )
+        _basket_triples(bsk)
         .join(
             F.broadcast(cand),
-            (F.col("t1.b") == F.col("ca"))
-            & (F.col("t2.b") == F.col("cb"))
-            & (F.col("t3.b") == F.col("cc")),
+            (F.col("a") == F.col("ca"))
+            & (F.col("b") == F.col("cb"))
+            & (F.col("c") == F.col("cc")),
             "left_semi",
         )
         .groupBy(
-            F.col("t1.b").alias("brand_a"),
-            F.col("t2.b").alias("brand_b"),
-            F.col("t3.b").alias("brand_c"),
+            F.col("a").alias("brand_a"),
+            F.col("b").alias("brand_b"),
+            F.col("c").alias("brand_c"),
         )
         .agg(F.count(F.lit(1)).alias("support"))
     )
@@ -2434,20 +2466,8 @@ def brand_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     query (six consumers, one materialization); everything downstream is
     vertex-/edge-table-sized. Wedge counting is a pure combine over
     exploded edge endpoints — no join."""
-    lb = _brand_baskets(spark, sf_dir)
-    n_baskets = lb.select("ok").distinct().agg(F.count(F.lit(1)).alias("nb"))
-    e = checkpoint_pinned(
-        lb.alias("a")
-        .join(
-            lb.alias("b2"),
-            (F.col("a.ok") == F.col("b2.ok")) & (F.col("a.b") < F.col("b2.b")),
-        )
-        .groupBy(F.col("a.b").alias("a"), F.col("b2.b").alias("b"))
-        .agg(F.count(F.lit(1)).alias("support"))
-        .crossJoin(F.broadcast(n_baskets))
-        .filter(F.col("support") * 50 >= F.col("nb"))
-        .select("a", "b")
-    )
+    bsk = _brand_baskets(spark, sf_dir)
+    e = checkpoint_pinned(_supported_brand_edges(bsk))
     n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     deg = (
         e.select(F.col("a").alias("v"))
