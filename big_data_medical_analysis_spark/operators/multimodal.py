@@ -322,28 +322,40 @@ def image_stats(content: pd.Series, height: pd.Series, width: pd.Series) -> pd.D
 # ---------------------------------------------------------------------------
 
 
+def _synth_image_array(img_id: int) -> np.ndarray:
+    """The deterministic synthetic image recipe, shared by the source UDF
+    and the fused one-crossing query kernels (round 16): low-contrast
+    values 64..191 so equalization must stretch it; content derives only
+    from img_id, so any recompute — or any other engine — reproduces it."""
+    rng = np.random.RandomState(int(img_id) % (2**31))
+    return rng.randint(64, 192, size=(IMG_SIDE, IMG_SIDE)).astype(np.uint8)
+
+
 @pandas_udf(T.BinaryType())
 def _synth_content(img_id: pd.Series) -> pd.Series:
-    side = IMG_SIDE
-    out = []
-    for i in img_id:
-        rng = np.random.RandomState(int(i) % (2**31))
-        # low-contrast image (values 64..191) so equalization must stretch it
-        out.append((rng.randint(64, 192, size=(side, side)).astype(np.uint8)).tobytes())
-    return pd.Series(out)
+    return pd.Series([_synth_image_array(int(i)).tobytes() for i in img_id])
 
 
-def synth_images(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic synthetic grayscale corpus keyed off documents.doc_id:
-    (img_id, label, width, height, content). Content derives only from
-    img_id, so any recompute — or any other engine — reproduces it."""
+def _synth_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fanned-out (img_id) spine of the synthetic corpus — the input of the
+    fused one-crossing query kernels (round 16, guide §4.1: only the 8-byte
+    id crosses INTO Python; image bytes are born, processed, and reduced to
+    stats inside one worker pass instead of transiting synth→JVM→normalize→
+    JVM→stats)."""
     docs = read_table(spark, sf_dir, "documents")
     # fan_out BEFORE the Python-heavy stages: the documents parquet is one
     # small file → one scan partition, which would run every downstream
     # pandas UDF single-threaded. The count must be explicit — a bare
     # repartition("img_id") exchange of 8-byte rows gets AQE-coalesced back
     # to one task, re-serializing the UDF chain it was meant to spread.
-    return fan_out(docs.select(F.col("doc_id").alias("img_id")), "img_id").select(
+    return fan_out(docs.select(F.col("doc_id").alias("img_id")), "img_id")
+
+
+def synth_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic grayscale corpus keyed off documents.doc_id:
+    (img_id, label, width, height, content). Content derives only from
+    img_id, so any recompute — or any other engine — reproduces it."""
+    return _synth_ids(spark, sf_dir).select(
         "img_id",
         (F.col("img_id") % 5).cast("int").alias("label"),
         F.lit(IMG_SIDE).alias("width"),
@@ -416,11 +428,36 @@ def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     must stretch every non-constant image to the full [0, 255] range —
     the reference's test_normalization check (utils/preprocessing_testing_
     utils.py:16-26) as an aggregate over the whole corpus instead of a
-    driver spot-check of row 1."""
-    imgs = normalize_pipeline(synth_images(spark, sf_dir))
-    stats = imgs.withColumn(
-        "s", image_stats("norm_content", "height", "width")
-    ).select("img_id", "label", "s.p_min", "s.p_max", "s.p_mean")
+    driver spot-check of row 1.
+
+    Round 16 (guide §4.1): synth → normalize → stats fused into ONE
+    mapInPandas pass over the 8-byte id spine — the composed form
+    (``_synth_content`` → ``normalize_image`` → ``image_stats``) shipped
+    every image's bytes across the Python boundary five times (out, in,
+    out, in, and the struct back); now only ids cross in and stat rows
+    cross out. Kernels are the SAME functions (``_synth_image_array``,
+    ``equalize_hist``), so values are byte-identical — the
+    ``augment_pipeline`` fusion discipline. The composable operators
+    (``normalize_pipeline``, ``image_stats``) remain the API surface."""
+
+    def _gen(batches):
+        for pdf in batches:
+            out: dict[str, list] = {
+                "img_id": [], "label": [],
+                "p_min": [], "p_max": [], "p_mean": [],
+            }
+            for i in pdf["img_id"]:
+                norm = equalize_hist(_synth_image_array(int(i)))
+                out["img_id"].append(i)
+                out["label"].append(int(i) % 5)
+                out["p_min"].append(int(norm.min()))
+                out["p_max"].append(int(norm.max()))
+                out["p_mean"].append(round(float(norm.mean()), 6))
+            yield pd.DataFrame(out)
+
+    stats = _synth_ids(spark, sf_dir).mapInPandas(
+        _gen, "img_id long, label int, p_min int, p_max int, p_mean double"
+    )
     return (
         stats.groupBy("label")
         .agg(
@@ -450,15 +487,14 @@ def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "img_id": [], "label": [], "png_bytes": [],
                 "p_min": [], "p_max": [], "p_mean": [], "roundtrip_ok": [],
             }
-            for img_id, label, w, h, content in zip(
-                pdf["img_id"], pdf["label"], pdf["width"], pdf["height"],
-                pdf["content"],
-            ):
-                img = decode_gray(content, h, w)
+            for img_id in pdf["img_id"]:
+                # round 16: synthesized IN the pass (guide §4.1) — only the
+                # id crosses in; same _synth_image_array kernel, same values
+                img = _synth_image_array(int(img_id))
                 png = encode_png(img, int(img_id) % 5)
                 back = decode_png(png)
                 out["img_id"].append(img_id)
-                out["label"].append(label)
+                out["label"].append(int(img_id) % 5)
                 out["png_bytes"].append(len(png))
                 out["p_min"].append(int(back.min()))
                 out["p_max"].append(int(back.max()))
@@ -466,7 +502,7 @@ def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["roundtrip_ok"].append(bool(np.array_equal(img, back)))
             yield pd.DataFrame(out)
 
-    stats = synth_images(spark, sf_dir).mapInPandas(
+    stats = _synth_ids(spark, sf_dir).mapInPandas(
         _gen,
         "img_id long, label int, png_bytes int, "
         "p_min int, p_max int, p_mean double, roundtrip_ok boolean",
@@ -508,10 +544,10 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "img_id": [], "quality": [], "jpeg_bytes": [],
                 "max_err": [], "mean_err": [], "within_bound": [],
             }
-            for img_id, w, h, content in zip(
-                pdf["img_id"], pdf["width"], pdf["height"], pdf["content"]
-            ):
-                img = decode_gray(content, h, w)
+            for img_id in pdf["img_id"]:
+                # round 16: synthesized IN the pass (guide §4.1) — only the
+                # id crosses in; same _synth_image_array kernel, same values
+                img = _synth_image_array(int(img_id))
                 quality = qualities[int(img_id) % 4]
                 blob = _enc(img, quality)
                 back = _dec(blob)
@@ -524,7 +560,7 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["within_bound"].append(int(err.max()) <= bounds[quality])
             yield pd.DataFrame(out)
 
-    stats = synth_images(spark, sf_dir).mapInPandas(
+    stats = _synth_ids(spark, sf_dir).mapInPandas(
         _gen,
         "img_id long, quality int, jpeg_bytes int, "
         "max_err int, mean_err double, within_bound boolean",
@@ -568,14 +604,39 @@ def read_png_dir(spark: SparkSession, path: str, glob: str = "*.png") -> DataFra
 def image_augment_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full normalize → augment → explode chain, aggregated per variant:
     every variant must appear exactly n_images times (the reference's 9×
-    augmentation grid, src/preprocessing_pipeline.py:77-98)."""
-    exploded = augment_pipeline(synth_images(spark, sf_dir))
+    augmentation grid, src/preprocessing_pipeline.py:77-98).
+
+    Round 16 (guide §4.1): synthesized and augmented in ONE mapInPandas
+    pass that emits (img_id, variant, aug_bytes) — the augmented BYTES
+    never cross the boundary at all (this query only aggregates their
+    lengths), where the composed form shipped the raw corpus out of synth
+    and all 9 variants' bytes back through augment. Same kernels
+    (``_synth_image_array``, ``equalize_hist``, ``augment_variants``), so
+    the per-variant counts and byte lengths are identical;
+    ``augment_pipeline`` remains the byte-producing API surface."""
+
+    def _gen(batches):
+        for pdf in batches:
+            out: dict[str, list] = {
+                "img_id": [], "variant": [], "aug_bytes": [],
+            }
+            for i in pdf["img_id"]:
+                norm = equalize_hist(_synth_image_array(int(i)))
+                for v, b in enumerate(augment_variants(norm, norm.tobytes())):
+                    out["img_id"].append(i)
+                    out["variant"].append(v)
+                    out["aug_bytes"].append(len(b))
+            yield pd.DataFrame(out)
+
+    exploded = _synth_ids(spark, sf_dir).mapInPandas(
+        _gen, "img_id long, variant int, aug_bytes int"
+    )
     return (
         exploded.groupBy("variant")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.count_distinct("img_id").alias("n_images"),
-            F.avg(F.length("aug_content")).alias("avg_bytes"),
+            F.avg("aug_bytes").alias("avg_bytes"),
         )
     )
 
@@ -818,15 +879,32 @@ def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode → bilinear resize → per-label stats: the reference's
     224×224 resize step as a pure Arrow stage. Rows-only (content is
     numpy-synthesized); mean preservation under resize is property-tested
-    in tests/test_multimodal.py."""
-    imgs = synth_images(spark, sf_dir)
-    resized = imgs.withColumn(
-        "small", resize_image("content", "height", "width")
+    in tests/test_multimodal.py.
+
+    Round 16 (guide §4.1): synth → resize → stats fused into ONE
+    mapInPandas pass — ids in, stat rows out; the composed form shipped
+    raw AND resized bytes across the boundary four times. Same kernels
+    (``_synth_image_array``, ``resize_bilinear``), identical values; the
+    composable ``resize_image`` UDF remains the API surface."""
+
+    def _gen(batches):
+        for pdf in batches:
+            out: dict[str, list] = {
+                "label": [], "p_min": [], "p_max": [], "p_mean": [],
+            }
+            for i in pdf["img_id"]:
+                small = resize_bilinear(
+                    _synth_image_array(int(i)), RESIZE_SIDE, RESIZE_SIDE
+                )
+                out["label"].append(int(i) % 5)
+                out["p_min"].append(int(small.min()))
+                out["p_max"].append(int(small.max()))
+                out["p_mean"].append(round(float(small.mean()), 6))
+            yield pd.DataFrame(out)
+
+    stats = _synth_ids(spark, sf_dir).mapInPandas(
+        _gen, "label int, p_min int, p_max int, p_mean double"
     )
-    stats = resized.withColumn(
-        "s",
-        image_stats("small", F.lit(RESIZE_SIDE), F.lit(RESIZE_SIDE)),
-    ).select("label", "s.p_min", "s.p_max", "s.p_mean")
     return stats.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_images"),
         F.round(F.avg("p_mean"), 4).alias("avg_mean_pixel"),

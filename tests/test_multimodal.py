@@ -76,6 +76,54 @@ def test_decode_stats_full_contrast(spark, sf_dir):
         assert r.n_full_high == r.n_images
 
 
+def test_fused_queries_match_composed_chain(spark, sf_dir):
+    """The round-16 one-crossing fused kernels must equal the composed
+    operator chain they replaced, value for value (the augment_pipeline
+    fusion discipline): image_decode_stats' fused pass vs the
+    synth_images → normalize_pipeline → image_stats chain, and
+    image_augment_fanout's fused pass vs augment_pipeline."""
+    from pyspark.sql import functions as F
+
+    fused = {
+        tuple(r)
+        for r in M.image_decode_stats(spark, sf_dir).collect()
+    }
+    imgs = M.normalize_pipeline(M.synth_images(spark, sf_dir))
+    stats = imgs.withColumn(
+        "s", M.image_stats("norm_content", "height", "width")
+    ).select("label", "s.p_min", "s.p_max", "s.p_mean")
+    composed = {
+        tuple(r)
+        for r in stats.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("p_min").alias("min_pixel"),
+            F.max("p_max").alias("max_pixel"),
+            F.round(F.avg("p_mean"), 4).alias("avg_mean_pixel"),
+            F.sum((F.col("p_min") == 0).cast("long")).alias("n_full_low"),
+            F.sum((F.col("p_max") == 255).cast("long")).alias("n_full_high"),
+        )
+        .collect()
+    }
+    assert fused == composed
+
+    fan = {
+        tuple(r) for r in M.image_augment_fanout(spark, sf_dir).collect()
+    }
+    composed_fan = {
+        tuple(r)
+        for r in M.augment_pipeline(M.synth_images(spark, sf_dir))
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("img_id").alias("n_images"),
+            F.avg(F.length("aug_content")).alias("avg_bytes"),
+        )
+        .collect()
+    }
+    assert fan == composed_fan
+
+
 def test_write_images_sink(spark, sf_dir, tmp_path):
     out = str(tmp_path / "imgs")
     imgs = M.synth_images(spark, sf_dir).limit(10)
