@@ -71,6 +71,7 @@ from big_data_medical_analysis_spark.operators.common import (
 from big_data_medical_analysis_spark.operators.multimodal import (
     IMG_SIDE,
     _synth_content,
+    _synth_image_array,
     augment_variants,
     decode_gray,
     equalize_hist,
@@ -179,6 +180,22 @@ def _attach_images(labels: DataFrame) -> DataFrame:
     )
 
 
+def _attach_image_ids(labels: DataFrame) -> DataFrame:
+    """``_attach_images`` minus the content column — the input of the
+    round-16 fused feature pass, which synthesizes each image INSIDE its
+    own kernel (guide §4.1: the composed form chained an ArrowEvalPython
+    synth worker into the MapInPandas feature worker, piping every
+    image's bytes between two Python processes per task; now only the
+    8-byte ids and labels cross in). ``_attach_images`` stays the
+    byte-producing surface for the composed-parity test."""
+    keyed = labels.select(
+        F.regexp_extract("path", r"patient(\d+)", 1).cast("long").alias("img_id"),
+        F.col("Pneumonia").alias("pneumonia"),
+        F.col("is_eval").cast("int").alias("is_eval"),
+    )
+    return fan_out(keyed, "img_id")
+
+
 def _augment_features(images: DataFrame) -> DataFrame:
     """The fused image pass: decode -> equalize_hist -> 9 deterministic
     augment variants -> per-variant exact int64 pixel features. One
@@ -193,11 +210,21 @@ def _augment_features(images: DataFrame) -> DataFrame:
                 "img_id": [], "pneumonia": [], "is_eval": [], "variant": [],
                 "pix_sum": [], "n_pix": [],
             }
-            for img_id, pneu, ev, w, h, content in zip(
+            # round 16: rows without a content column get their image
+            # synthesized IN the pass (same _synth_image_array kernel the
+            # _synth_content source UDF wraps — values identical); rows
+            # WITH content keep the decode path (the parity test drives it)
+            has_content = "content" in pdf.columns
+            for idx, (img_id, pneu, ev) in enumerate(zip(
                 pdf["img_id"], pdf["pneumonia"], pdf["is_eval"],
-                pdf["width"], pdf["height"], pdf["content"],
-            ):
-                norm = equalize_hist(decode_gray(content, h, w))
+            )):
+                if has_content:
+                    norm = equalize_hist(decode_gray(
+                        pdf["content"].iloc[idx],
+                        pdf["height"].iloc[idx], pdf["width"].iloc[idx],
+                    ))
+                else:
+                    norm = equalize_hist(_synth_image_array(int(img_id)))
                 nbytes = norm.tobytes()
                 for v, b in enumerate(augment_variants(norm, nbytes)):
                     out["img_id"].append(img_id)
@@ -297,7 +324,7 @@ def chexpert_pipeline_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         eval_labels.withColumn("is_eval", F.lit(1))
     )
     all_features = checkpoint_pinned(
-        _augment_features(_attach_images(all_labels))
+        _augment_features(_attach_image_ids(all_labels))
     )
     features = all_features.filter(F.col("is_eval") == 0).withColumn(
         "client", F.expr(_TWIN_CLIENT)
