@@ -40,7 +40,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -1246,21 +1246,43 @@ def image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only by the codec census class (numpy-RNG image content has no
     DuckDB twin); the property pytest pins planted-twin recall = 100%,
     pair canonicalization, and the Hamming bound. Scale: banding is
-    O(N·bands) into an equi-join, the dHash UDF is one Arrow pass."""
-    imgs = synth_images(spark, sf_dir)
-    twins = imgs.filter(F.col("img_id") % DHASH_TWIN_EVERY == 0).select(
-        (F.col("img_id") + 1_000_000).alias("img_id"),
-        "label",
-        "width",
-        "height",
-        _bump_pixel("content").alias("content"),
-    )
+    O(N·bands) into an equi-join, the dHash pass is one Arrow crossing.
+
+    Round 16: (a) synth → twin-bump → dHash fused into ONE mapInPandas
+    pass (ids in, (img_id, h) out — the composed form chained three
+    Python workers and shipped image bytes between them, guide §4.1);
+    (b) the banded self-join emits each colliding pair exactly once at
+    its FIRST colliding band — both sides carry ``h``, so the first
+    collision index is recomputed from the two hashes in the join
+    condition and the corpus-pair-sized ``distinct()`` exchange
+    disappears (the ``simhash_pairs``/``pmh_banded_buckets`` move; the
+    emitted pair set IS the old DISTINCT set). Kernels unchanged
+    (``_synth_image_array``, ``dhash64``, the saturating one-pixel
+    bump), so values are identical."""
+
+    def _gen(batches):
+        for pdf in batches:
+            out: dict[str, list] = {"img_id": [], "h": []}
+            for i in pdf["img_id"]:
+                arr = _synth_image_array(int(i))
+                out["img_id"].append(int(i))
+                out["h"].append(dhash64(arr))
+                if int(i) % DHASH_TWIN_EVERY == 0:
+                    bumped = arr.copy()
+                    bumped[0, 0] = min(int(arr[0, 0]) + 1, 255)
+                    out["img_id"].append(int(i) + 1_000_000)
+                    out["h"].append(dhash64(bumped))
+            yield pd.DataFrame(out)
+
     hashed = checkpoint_pinned(
-        imgs.unionByName(twins).select(
-            "img_id",
-            _dhash_udf("content", "height", "width").alias("h"),
-        )
+        _synth_ids(spark, sf_dir).mapInPandas(_gen, "img_id long, h long")
     )
+
+    def _band_of(h: Column, b: int) -> Column:
+        return F.shiftrightunsigned(h, b * DHASH_BAND_BITS).bitwiseAND(
+            F.lit((1 << DHASH_BAND_BITS) - 1)
+        )
+
     bands = hashed.select(
         "img_id",
         "h",
@@ -1269,23 +1291,33 @@ def image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned(
-                            F.col("h"), b * DHASH_BAND_BITS
-                        ).bitwiseAND(F.lit((1 << DHASH_BAND_BITS) - 1))
-                        .alias("bucket"),
+                        _band_of(F.col("h"), b).alias("bucket"),
                     )
                     for b in range(DHASH_BANDS)
                 ]
             )
         ).alias("bb"),
     ).select("img_id", "h", "bb.band", "bb.bucket")
+    # first colliding band, computed from the two carried hashes: band b
+    # collides iff the b-th slices are equal; keep the row only at the
+    # smallest such b — exactly one emission per colliding pair
+    band_eqs = F.array(
+        *[
+            _band_of(F.col("a.h"), b) == _band_of(F.col("b.h"), b)
+            for b in range(DHASH_BANDS)
+        ]
+    )
+    first_collision = F.array_position(band_eqs, F.lit(True)) == (
+        F.col("a.band") + F.lit(1)
+    )
     cand = (
         bands.alias("a")
         .join(
             bands.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.img_id") < F.col("b.img_id")),
+            & (F.col("a.img_id") < F.col("b.img_id"))
+            & first_collision,
         )
         .select(
             F.col("a.img_id").alias("img_a"),
@@ -1293,7 +1325,6 @@ def image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.h").alias("h_a"),
             F.col("b.h").alias("h_b"),
         )
-        .distinct()
     )
     hdist = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int")
     return cand.select("img_a", "img_b", hdist.alias("hdist")).filter(
