@@ -3020,24 +3020,32 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("cv"),
         F.col("n2").alias("cn2"),
     )
-    l2_d = F.aggregate(
-        F.zip_with("pv", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
     int_dot_vv = F.aggregate(
         F.zip_with("pv", "cv", lambda a, b: a * b),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
     # One scoring pass carries BOTH metrics; reused by the truth ranks and
-    # the LSH rerank join, so it is pinned.
+    # the LSH rerank join, so it is pinned. Round 16 (guide §1.2 per-task
+    # work): ONE dot HOF per pair feeds both metrics through the exact
+    # int64 identity ‖p−c‖² = pn2 + cn2 − 2·p·c — the former separate
+    # zip_with((a−b)²) pass doubled the interpreted-HOF work per pair
+    # (HOFs don't CSE). The keyless fan_out between the dot projection
+    # and the two consumers is the single-evaluation barrier
+    # (CollapseProject would otherwise inline the dot chain into each
+    # output column — the edit_distance_pairs move); keyless because a
+    # probe-keyed exchange would cap the stage at n_probes tasks.
     pairs = checkpoint_pinned(
-        probes.join(cands).select(
+        fan_out(
+            probes.join(cands).select(
+                "probe_id", "cand_id", "pn2", "cn2",
+                int_dot_vv.alias("dot"),
+            )
+        ).select(
             "probe_id",
             "cand_id",
-            cosine(int_dot_vv, F.col("pn2"), F.col("cn2")).alias("cos_sim"),
-            l2_d.alias("l2_d"),
+            cosine(F.col("dot"), F.col("pn2"), F.col("cn2")).alias("cos_sim"),
+            (F.col("pn2") + F.col("cn2") - F.lit(2) * F.col("dot")).alias("l2_d"),
         )
     )
     w_cos = W.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
