@@ -1132,6 +1132,11 @@ def _brand_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem⋈part distinct per branch otherwise — predicate pushdown
     specializes each branch's subtree and defeats exchange reuse).
 
+    PRECONDITION: brand is NON-NULL (TPC-H p_brand is). ``collect_set``
+    silently drops nulls, so a nullable source would lose its (ok, null)
+    rows here where the pre-r16 ``distinct()`` kept them — same self-audit
+    convention as explode_nonnull_pinned.
+
     Round 16 (guide §2.4/§2.3): the family's former shape was
     ``distinct(ok, b)`` (exchange 1) followed by a two-sided SELF-JOIN on
     ok (exchanges 2+3, the planner cannot see the checkpointed RDD's

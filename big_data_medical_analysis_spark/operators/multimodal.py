@@ -331,6 +331,22 @@ def _synth_image_array(img_id: int) -> np.ndarray:
     return rng.randint(64, 192, size=(IMG_SIDE, IMG_SIDE)).astype(np.uint8)
 
 
+def _synth_label(img_id) -> int:
+    """The label recipe of the synthetic corpus — ONE definition shared by
+    every fused kernel (ADVICE r16: the recipe was maintained inline in
+    several kernels, risking silent drift from synth_images' Spark-side
+    projection). Python ``%`` and Spark ``%`` agree only on non-negative
+    ids; doc_id >= 0 is the corpus contract, so ``_synth_label_col`` below
+    is its value-identical Spark twin."""
+    return int(img_id) % 5
+
+
+def _synth_label_col(img_id):
+    """Spark twin of ``_synth_label`` — same recipe, JVM-side expression
+    (identical plan shape to the inline form it replaces)."""
+    return (img_id % 5).cast("int")
+
+
 @pandas_udf(T.BinaryType())
 def _synth_content(img_id: pd.Series) -> pd.Series:
     return pd.Series([_synth_image_array(int(i)).tobytes() for i in img_id])
@@ -357,7 +373,7 @@ def synth_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     img_id, so any recompute — or any other engine — reproduces it."""
     return _synth_ids(spark, sf_dir).select(
         "img_id",
-        (F.col("img_id") % 5).cast("int").alias("label"),
+        _synth_label_col(F.col("img_id")).alias("label"),
         F.lit(IMG_SIDE).alias("width"),
         F.lit(IMG_SIDE).alias("height"),
         _synth_content(F.col("img_id")).alias("content"),
@@ -449,7 +465,7 @@ def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in pdf["img_id"]:
                 norm = equalize_hist(_synth_image_array(int(i)))
                 out["img_id"].append(i)
-                out["label"].append(int(i) % 5)
+                out["label"].append(_synth_label(i))
                 out["p_min"].append(int(norm.min()))
                 out["p_max"].append(int(norm.max()))
                 out["p_mean"].append(round(float(norm.mean()), 6))
@@ -494,7 +510,7 @@ def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 png = encode_png(img, int(img_id) % 5)
                 back = decode_png(png)
                 out["img_id"].append(img_id)
-                out["label"].append(int(img_id) % 5)
+                out["label"].append(_synth_label(img_id))
                 out["png_bytes"].append(len(png))
                 out["p_min"].append(int(back.min()))
                 out["p_max"].append(int(back.max()))
@@ -896,7 +912,7 @@ def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 small = resize_bilinear(
                     _synth_image_array(int(i)), RESIZE_SIDE, RESIZE_SIDE
                 )
-                out["label"].append(int(i) % 5)
+                out["label"].append(_synth_label(i))
                 out["p_min"].append(int(small.min()))
                 out["p_max"].append(int(small.max()))
                 out["p_mean"].append(round(float(small.mean()), 6))

@@ -196,13 +196,32 @@ def _attach_image_ids(labels: DataFrame) -> DataFrame:
     return fan_out(keyed, "img_id")
 
 
-def _augment_features(images: DataFrame) -> DataFrame:
+def _augment_features(images: DataFrame, *, synthesize: bool = False) -> DataFrame:
     """The fused image pass: decode -> equalize_hist -> 9 deterministic
     augment variants -> per-variant exact int64 pixel features. One
     Arrow crossing for the whole chain; output rows are 5 narrow columns
     (no image bytes return to the JVM). Kernels are the SAME functions
     as normalize_pipeline/augment_pipeline — byte parity pinned by
-    tests/test_pipeline_twin.py::test_feature_pass_matches_bytes_stages."""
+    tests/test_pipeline_twin.py::test_feature_pass_matches_bytes_stages.
+
+    ``synthesize=True`` generates each image INSIDE the kernel from its
+    img_id (same ``_synth_image_array`` the ``_synth_content`` source UDF
+    wraps — values identical); ``False`` decodes the ``content`` column.
+    The mode is EXPLICIT (ADVICE r16): inferring it from the input schema
+    let a caller that accidentally projected away ``content`` silently
+    fall back to the synthetic path; now a mode/schema mismatch raises
+    at plan-build time."""
+    has_content = "content" in images.columns
+    if synthesize and has_content:
+        raise ValueError(
+            "_augment_features(synthesize=True) got an input WITH a "
+            "content column — pass _attach_image_ids rows, or decode them"
+        )
+    if not synthesize and not has_content:
+        raise ValueError(
+            "_augment_features(synthesize=False) needs a content column "
+            "— the input was projected away from _attach_images' shape"
+        )
 
     def _gen(batches):
         for pdf in batches:
@@ -210,21 +229,16 @@ def _augment_features(images: DataFrame) -> DataFrame:
                 "img_id": [], "pneumonia": [], "is_eval": [], "variant": [],
                 "pix_sum": [], "n_pix": [],
             }
-            # round 16: rows without a content column get their image
-            # synthesized IN the pass (same _synth_image_array kernel the
-            # _synth_content source UDF wraps — values identical); rows
-            # WITH content keep the decode path (the parity test drives it)
-            has_content = "content" in pdf.columns
             for idx, (img_id, pneu, ev) in enumerate(zip(
                 pdf["img_id"], pdf["pneumonia"], pdf["is_eval"],
             )):
-                if has_content:
+                if synthesize:
+                    norm = equalize_hist(_synth_image_array(int(img_id)))
+                else:
                     norm = equalize_hist(decode_gray(
                         pdf["content"].iloc[idx],
                         pdf["height"].iloc[idx], pdf["width"].iloc[idx],
                     ))
-                else:
-                    norm = equalize_hist(_synth_image_array(int(img_id)))
                 nbytes = norm.tobytes()
                 for v, b in enumerate(augment_variants(norm, nbytes)):
                     out["img_id"].append(img_id)
@@ -324,7 +338,7 @@ def chexpert_pipeline_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         eval_labels.withColumn("is_eval", F.lit(1))
     )
     all_features = checkpoint_pinned(
-        _augment_features(_attach_image_ids(all_labels))
+        _augment_features(_attach_image_ids(all_labels), synthesize=True)
     )
     features = all_features.filter(F.col("is_eval") == 0).withColumn(
         "client", F.expr(_TWIN_CLIENT)

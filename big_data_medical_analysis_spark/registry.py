@@ -161,25 +161,15 @@ _CODE_CHANGED_ROUND: dict[str, int] = {
     "approx_price_quantiles": 9,
     "order_chain_recursion": 9,
     # (kmeans_lloyd_centroids' r9 entry superseded by its r12 entry below —
-    # a dict literal keeps the later key, so the r9 line is removed)
+    # a dict literal keeps the later key, so the r9 line is removed; the
+    # same convention removes the r9/r10/r13/r15 lines for the 11 names
+    # re-listed in the round-16 block at the bottom)
     "null_safe_join_counts": 9,
-    "split_leakage_audit": 9,
     "prefix_filter_jaccard_join": 9,
     "bigram_pmi_collocations": 9,
-    # round 10 edits (ADVICE fixes): intersource matrix semantics changed
-    # (true union-distinct docs), bucketed join table naming, histogram
-    # binning floor semantics (value-identical on current data, re-check
-    # anyway since the binning expression changed):
-    "intersource_dup_matrix": 10,
-    "bucketed_colocated_join": 10,
-    "histogram_incremental_daily": 10,
     # round 10 semantics fix: running-max merge (true session_window
     # gapExpr semantics) replaced the previous-event-only gap test
     "dynamic_gap_sessions": 10,
-    # round 10 plan fix: derived edge/frequent-pair lists pinned (were
-    # re-derived per consumer branch; 37->8 and 22->8 shuffles)
-    "triangle_count_brand_graph": 10,
-    "frequent_triples_apriori": 10,
     # round 11 ADVICE fixes: conformal moved to a TRUE 3-way split (md5
     # mod 3: train/calibrate/test — values change); NDCG oracle now
     # ranks the bm25 list on the 6-dp rounded score like the Spark side
@@ -198,35 +188,70 @@ _CODE_CHANGED_ROUND: dict[str, int] = {
     # that runs)
     "minhash_incremental_probe": 12,
     "ann_incremental_probe": 12,
-    # round 12 (continued): the Lloyd loop factored into shared helpers
-    # (_kmeans_vm/_lloyd_assign/_lloyd_iterations) so semdedup_prune_stats
-    # reuses the identical trajectory — byte-identical expressions,
-    # re-check anyway per the same convention as the probe split above
-    "kmeans_lloyd_centroids": 12,
-    # round 13 (VERDICT r12 tasks 2 and 4): SemDeDup/D4 moved to the
-    # DERIVED-k trajectory with the map-side-combinable argmin (their
-    # r13 entries are superseded by the r14 hierarchical entries below —
-    # a dict literal must carry each key ONCE, the kmeans r9/r12
-    # precedent); governed_mixture_sample pinned its banded/token
-    # relations (plan change, value-identical — the triangle_count
-    # precedent)
-    "governed_mixture_sample": 13,
-    # round 14 ADVICE fixes: the twin replay gained an in-plan
-    # fixture-coverage assert (values identical at covered sfs, plan
-    # changed); the adaptive serve-bits frame dropped its dead
+    # round 14 ADVICE fix: the adaptive serve-bits frame dropped its dead
     # F.max(nl) aggregate (value-identical, expression changed) —
-    # re-check both per the histogram_incremental_daily precedent
-    "chexpert_twin_replay": 14,
+    # re-check per the histogram_incremental_daily precedent
     "ann_adaptive_probe": 14,
-    # round 15 (ADVICE r14): the hierarchical final assignment gained an
-    # in-plan per-row assert_true that fine < SEMDEDUP_CELL_SHIFT —
-    # value-identical by construction (the guard's NULL is coalesced to
-    # 0 inside the id expression) but the expression changed, so both
-    # trajectory consumers re-check per the histogram_incremental_daily
-    # precedent (their r14 hierarchical-rebuild entries are superseded —
-    # a dict literal carries each key once, the kmeans r9/r12 precedent)
-    "semdedup_prune_stats": 15,
-    "d4_prototype_prune": 15,
+    # ------------------------------------------------------------------
+    # round 16 (optimization round 1): ALL 41 queries whose value-producing
+    # code was rewritten by the r16 waves (VERDICT r16 item 1 — the round
+    # itself omitted these entries; added at the r17 open so the driver
+    # window leads with the 31 rewrites that have no driver row on the new
+    # code). The 10 with green r16 rows (ivf_pq_topk, ann_recall_audit,
+    # grid_radius_join, bucketed_fact_chain, snm_multipass/snm/lsh blocking
+    # audits, ann_multiprobe_audit, brand_graph_clustering_coeff,
+    # image_dhash_near_dup) self-expire immediately via latest >= 16.
+    # Wave 1 — map-side argmin Lloyd/PQ family + one-buffer quantiles:
+    "kmeans_lloyd_centroids": 16,
+    "semdedup_prune_stats": 16,
+    "d4_prototype_prune": 16,
+    "curated_corpus_epoch": 16,
+    "pq_codebook_distortion": 16,
+    "pq_adc_topk": 16,
+    "ivf_pq_topk": 16,
+    "ann_recall_audit": 16,
+    "lineitem_price_quantiles": 16,
+    # Wave 2a — first-colliding-band emission (pmh family):
+    "governed_mixture_sample": 16,
+    "intersource_dup_matrix": 16,
+    "split_leakage_audit": 16,
+    "minhash_portable_groups": 16,
+    # Wave 2b — parallelism-starved stages:
+    "cogrouped_user_profile": 16,
+    "ngram_stats": 16,
+    "grid_radius_join": 16,
+    "bucketed_colocated_join": 16,
+    "bucketed_fact_chain": 16,
+    # Waves 3a/3c — blocking-audit subtree pins:
+    "snm_multipass_blocking_audit": 16,
+    "snm_blocking_quality_audit": 16,
+    "lsh_blocking_quality_audit": 16,
+    # Wave 3b — one-pass grouping-sets rewrites:
+    "fedavg_eval_loop": 16,
+    "hll_incremental_daily": 16,
+    "histogram_incremental_daily": 16,
+    # Wave 4a — multiprobe two-tier pins:
+    "ann_multiprobe_audit": 16,
+    # Wave 5a — simhash first-band emission + CC edge repartition:
+    "simhash_near_dup": 16,
+    "edit_distance_pairs": 16,
+    "dedup_components": 16,
+    # Wave 5c — basket-array mining family:
+    "copurchase_brand_pairs": 16,
+    "triangle_count_brand_graph": 16,
+    "brand_pagerank": 16,
+    "frequent_triples_apriori": 16,
+    "brand_graph_clustering_coeff": 16,
+    # Waves 6a/6c — fused one-crossing image kernels:
+    "image_decode_stats": 16,
+    "png_decode_stats": 16,
+    "jpeg_decode_stats": 16,
+    "image_resize_stats": 16,
+    "image_augment_fanout": 16,
+    "image_dhash_near_dup": 16,
+    # Wave 6b — twin synthesizes inside the fused feature pass:
+    "chexpert_pipeline_twin": 16,
+    "chexpert_twin_replay": 16,
 }
 
 # ---------------------------------------------------------------------------
