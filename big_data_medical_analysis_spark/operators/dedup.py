@@ -29,6 +29,8 @@ The tiering is how 100 TB training-data dedup actually works:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -736,31 +738,51 @@ def connected_components(
     variant (Kiveris et al.), which this local form degenerates to for the
     shallow graphs dedup produces.
     """
-    # Round 16 note: hash-partitioning `und` by u ahead of the checkpoint
-    # (so each round's join reuses the edge partitioning) was measured and
-    # REVERTED — localCheckpoint pins the partition count, AQE can no
-    # longer coalesce the tiny per-round stages, and the bench's task
-    # count tripled (417 -> 1348) for zero local win. On a cluster the
-    # equivalent is a bucketed/pre-partitioned reliable checkpoint of the
-    # edge list, sized to the data (see OPTIMIZATION_r16.md).
-    und = edges.select(
+    # Round 17 (VERDICT r16 item 4, guide §2.4/§6): the edge list is
+    # materialized ONCE as a BUCKETED table keyed on u — the storage-level
+    # equivalent of the hash-partitioning the r16 experiments could not
+    # make the planner see through a localCheckpoint (an RDD boundary
+    # plans at UnknownPartitioning, so every round re-exchanged the edge
+    # side of the join). A bucketed scan reports HashPartitioning(u, N)
+    # and per-file sort order, so each propagation round's merge join
+    # reads the edges WITHOUT an exchange or a sort — only the small
+    # per-round label frame shuffles. At cluster scale this is the
+    # "reliable checkpoint of the edge list, sized to the data" the r16
+    # note deferred: the edge list (the query's biggest relation) crosses
+    # the network exactly once, in the bucketed write, instead of once
+    # per round. Bucket count is env-parameterized
+    # ($SPARK_GRAFT_CC_EDGE_BUCKETS): the local default 8 matches the
+    # BUCKET_N layout convention; in production size it to
+    # ceil(edge_bytes / target_task_bytes) as with any bucketed fact.
+    # function-local import: etl does not import dedup, but keeping the
+    # dependency out of module scope makes that forever a non-cycle
+    from big_data_medical_analysis_spark.operators.etl import (
+        _drop_bucket_table,
+    )
+
+    spark = edges.sparkSession
+    und_rows = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    # Count-LESS repartition("u"): an AQE-coalescible exchange right under
-    # the checkpoint, so the materialized edge RDD has size-appropriate
-    # partitions no matter how wide the upstream pair join ran (without
-    # it, simhash_pairs' first-band join output checkpointed at full
-    # width and every propagation round re-read it: 417 -> 2249 tasks).
-    # Unlike the REVERTED fan_out form (explicit count pins 32 partitions
-    # and AQE cannot coalesce), the keyed no-count form keeps the
-    # coalescing; the hash partitioning itself is invisible to the
-    # planner after the RDD boundary either way.
-    und = und.repartition("u").localCheckpoint(eager=True)
+    n_buckets = int(os.environ.get("SPARK_GRAFT_CC_EDGE_BUCKETS", "8"))
+    t_edges = f"cc_edges_{os.getuid()}_{os.getpid()}"
+    _drop_bucket_table(spark, t_edges)
+    # repartition on the bucket key first so each task writes exactly ONE
+    # bucket file (the r16 bucketed-write convention; one file per bucket
+    # is also what lets the scan report the per-bucket sort order)
+    und_rows.repartition(n_buckets, "u").write.bucketBy(
+        n_buckets, "u"
+    ).sortBy("u").mode("overwrite").saveAsTable(t_edges)
+    # merge hint: pin the sort-merge join so the bucketed partitioning is
+    # what every round reuses (the table's real file stats are small at
+    # test scale and would otherwise flip the plan to a broadcast whose
+    # build re-reads the table per round)
+    und = spark.table(t_edges).hint("merge")
     labels = (
         und.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # Convergence probe: labels only ever decrease, so sum(label) strictly
     # decreases on any change — a 1-row aggregate over the just-materialized
@@ -780,23 +802,37 @@ def connected_components(
     # The per-round ladder below (1 shuffle + 1-row probe per round) is
     # the measured local optimum; at cluster scale the probe stays O(1)
     # and the round count stays diameter-bounded.
+    # Round 17: per-round checkpoints are LAZY (eager=False) so the
+    # convergence probe's collect materializes the round's label RDD and
+    # computes the 1-row sum in the SAME job — the per-round jobprof
+    # showed half of dedup_components' wall was inter-job driver gaps,
+    # and an eager checkpoint + separate probe paid that fixed cost
+    # twice per round (guide §1.2: the ladder's cost is jobs, not tasks).
+    # Values are untouched: the first action over a marked-for-checkpoint
+    # RDD persists its blocks exactly as eager=True's dedicated job did.
     prev_sum = None
     converged = False
-    for _ in range(max_iter):
-        nbr = und.join(
-            labels.withColumnRenamed("node", "u"), "u"
-        ).select(F.col("v").alias("node"), "label")
-        labels = (
-            labels.unionAll(nbr)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = cur_sum
+    try:
+        for _ in range(max_iter):
+            nbr = und.join(
+                labels.withColumnRenamed("node", "u"), "u"
+            ).select(F.col("v").alias("node"), "label")
+            labels = (
+                labels.unionAll(nbr)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint(eager=False)
+            )
+            cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+            if cur_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = cur_sum
+    finally:
+        # the final round's probe materialized `labels`, so the edge
+        # table is no longer referenced by the returned plan — clean up
+        # the warehouse dir (also on the no-fixpoint raise below)
+        _drop_bucket_table(spark, t_edges)
     if not converged:
         # Unconverged labels are silently WRONG cluster ids (they surface
         # only as a baffling oracle mismatch downstream) — fail loudly.

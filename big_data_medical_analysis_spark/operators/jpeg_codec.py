@@ -170,32 +170,6 @@ class _BitWriter:
         return bytes(self._buf)
 
 
-class _BitReader:
-    __slots__ = ("_data", "_pos", "_acc", "_nbits")
-
-    def __init__(self, data: bytes) -> None:
-        self._data = data
-        self._pos = 0
-        self._acc = 0
-        self._nbits = 0
-
-    def read_bit(self) -> int:
-        if self._nbits == 0:
-            if self._pos >= len(self._data):
-                raise ValueError("truncated JPEG entropy stream")
-            self._acc = self._data[self._pos]
-            self._pos += 1
-            self._nbits = 8
-        self._nbits -= 1
-        return (self._acc >> self._nbits) & 1
-
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-
 def _magnitude(v: int) -> tuple[int, int]:
     """(category, value-bits) for a DC diff / AC coefficient (spec F.1.2)."""
     if v == 0:
@@ -204,13 +178,6 @@ def _magnitude(v: int) -> tuple[int, int]:
     s = a.bit_length()
     bits = v if v > 0 else v + (1 << s) - 1
     return s, bits
-
-
-def _extend(bits: int, s: int) -> int:
-    """Inverse of _magnitude (spec F.2.2.1 EXTEND)."""
-    if s == 0:
-        return 0
-    return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
 
 
 # ---------------------------------------------------------------------------
@@ -312,28 +279,38 @@ def encode_jpeg(img: np.ndarray, quality: int = 75) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def _build_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol, from a DHT payload."""
-    table: dict[tuple[int, int], int] = {}
+# Round 17 (guide §4.2 per-task work): flat 16-bit lookup decode for the
+# entropy scan. The previous bit-by-bit (length, code)-dict walk cost one
+# dict probe per BIT (~534k read_bit calls per 100 images profiled);
+# peeking 16 bits and indexing a prebuilt (symbol, length) table decodes
+# each Huffman code in O(1). Values are identical by construction — a
+# canonical Huffman code of length L owns exactly the 2^(16-L) table slots
+# prefixed by it. The LUT is a pure function of the DHT payload, memoized
+# process-wide (same footing as the _DCT constant — derived from the input
+# bytes of the CURRENT stream, not from any dataset).
+_LUT_CACHE: dict[tuple[tuple[int, ...], tuple[int, ...]], tuple[list, list]] = {}
+
+
+def _build_lut(bits: list[int], vals: list[int]) -> tuple[list, list]:
+    key = (tuple(bits), tuple(vals))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    syms = [-1] * (1 << 16)
+    lens = [0] * (1 << 16)
     code = 0
     idx = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[idx]
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            syms[lo:hi] = [vals[idx]] * (hi - lo)
+            lens[lo:hi] = [length] * (hi - lo)
             code += 1
             idx += 1
         code <<= 1
-    return table
-
-
-def _read_symbol(rd: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | rd.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code in JPEG stream")
+    _LUT_CACHE[key] = (syms, lens)
+    return syms, lens
 
 
 def decode_jpeg(content: bytes) -> np.ndarray:
@@ -348,7 +325,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
-    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    htables: dict[tuple[int, int], tuple[list, list]] = {}
     h = w = -1
     comp_q = 0
     scan_dc = scan_ac = 0
@@ -398,7 +375,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 bits = list(payload[p + 1 : p + 17])
                 nsym = sum(bits)
                 vals = list(payload[p + 17 : p + 17 + nsym])
-                htables[(tc, th)] = _build_decoder(bits, vals)
+                htables[(tc, th)] = _build_lut(bits, vals)
                 p += 17 + nsym
         elif marker == 0xDD:
             raise ValueError("restart intervals not supported")
@@ -427,15 +404,55 @@ def decode_jpeg(content: bytes) -> np.ndarray:
 
     bh, bw = (h + 7) // 8, (w + 7) // 8
     zz = np.zeros((bh * bw, 64), dtype=np.int64)
-    rd = _BitReader(scan)
+    # LUT entropy decode (see _build_lut): peek 16 bits, resolve the whole
+    # Huffman code in one list index, advance by its length. `_extend` is
+    # inlined (spec F.2.2.1). Truncation parity with the bit-by-bit reader:
+    # a resolved code or value field whose LAST bit lies past the real
+    # stream raises exactly where read_bit would have needed the missing
+    # byte; the 4 padding bytes only ever feed peeks that fail that check.
+    dc_sym, dc_len = dc_tab
+    ac_sym, ac_len = ac_tab
+    scan_p = scan + b"\x00\x00\x00\x00"
+    nbytes = len(scan)
+    bitpos = 0
     prev_dc = 0
     for b in range(bh * bw):
-        s = _read_symbol(rd, dc_tab)
-        prev_dc += _extend(rd.read_bits(s), s)
+        byte = bitpos >> 3
+        off = bitpos & 7
+        peek = (
+            int.from_bytes(scan_p[byte : byte + 3], "big") >> (8 - off)
+        ) & 0xFFFF
+        s = dc_sym[peek]
+        if s < 0:
+            raise ValueError("invalid Huffman code in JPEG stream")
+        if (bitpos + dc_len[peek] - 1) >> 3 >= nbytes:
+            raise ValueError("truncated JPEG entropy stream")
+        bitpos += dc_len[peek]
+        if s:
+            if (bitpos + s - 1) >> 3 >= nbytes:
+                raise ValueError("truncated JPEG entropy stream")
+            byte = bitpos >> 3
+            off = bitpos & 7
+            v = (
+                int.from_bytes(scan_p[byte : byte + 4], "big")
+                >> (32 - off - s)
+            ) & ((1 << s) - 1)
+            bitpos += s
+            prev_dc += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
         zz[b, 0] = prev_dc
         k = 1
         while k < 64:
-            rs = _read_symbol(rd, ac_tab)
+            byte = bitpos >> 3
+            off = bitpos & 7
+            peek = (
+                int.from_bytes(scan_p[byte : byte + 3], "big") >> (8 - off)
+            ) & 0xFFFF
+            rs = ac_sym[peek]
+            if rs < 0:
+                raise ValueError("invalid Huffman code in JPEG stream")
+            if (bitpos + ac_len[peek] - 1) >> 3 >= nbytes:
+                raise ValueError("truncated JPEG entropy stream")
+            bitpos += ac_len[peek]
             r, s = rs >> 4, rs & 0x0F
             if s == 0:
                 if r == 15:  # ZRL
@@ -445,7 +462,16 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             k += r
             if k > 63:
                 raise ValueError("AC coefficient index out of range")
-            zz[b, k] = _extend(rd.read_bits(s), s)
+            if (bitpos + s - 1) >> 3 >= nbytes:
+                raise ValueError("truncated JPEG entropy stream")
+            byte = bitpos >> 3
+            off = bitpos & 7
+            v = (
+                int.from_bytes(scan_p[byte : byte + 4], "big")
+                >> (32 - off - s)
+            ) & ((1 << s) - 1)
+            bitpos += s
+            zz[b, k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
             k += 1
 
     # Vectorized inverse DSP over all blocks at once.

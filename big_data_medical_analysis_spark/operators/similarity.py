@@ -4149,7 +4149,10 @@ def ann_adaptive_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tbl").cast("int").alias("tbl"),
         "bucket",
     )
-    serve = _adx_serve_bits(index)
+    # Round 17 (guide §3.3): `serve` is a 1-row frame consumed by TWO
+    # broadcasts (the probe mask and the index mask) — unpinned, each
+    # broadcast re-ran the index count; pinned, the count runs once.
+    serve = checkpoint_pinned(_adx_serve_bits(index))
     mask = F.expr("shiftleft(CAST(1 AS BIGINT), serve_bits)")
     p = (
         adx_lsh_buckets(emb.filter(F.expr(_ANN_PROBE)))
@@ -4166,8 +4169,11 @@ def ann_adaptive_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("tbl").alias("n_tables_hit"),
         F.countDistinct("cand_id").alias("n_candidates"),
     )
-    normed = emb.select(
-        "vec_id", "embedding", int_norm2("embedding").alias("n2")
+    # Round 17 (guide §3.3): normed feeds BOTH sides of the rerank join —
+    # unpinned, the embeddings scan + n2 projection executed twice (the
+    # ann_recall_audit pinned-normed pattern applied here)
+    normed = checkpoint_pinned(
+        emb.select("vec_id", "embedding", int_norm2("embedding").alias("n2"))
     )
     pairs = hits.select("probe_id", "cand_id").distinct()
     scored = (

@@ -188,10 +188,9 @@ _CODE_CHANGED_ROUND: dict[str, int] = {
     # that runs)
     "minhash_incremental_probe": 12,
     "ann_incremental_probe": 12,
-    # round 14 ADVICE fix: the adaptive serve-bits frame dropped its dead
-    # F.max(nl) aggregate (value-identical, expression changed) —
-    # re-check per the histogram_incremental_daily precedent
-    "ann_adaptive_probe": 14,
+    # (ann_adaptive_probe's r14 entry superseded by its r17 entry below;
+    # dedup_components' r16 entry likewise — dict literal keeps the later
+    # key, the kmeans r9/r12 precedent)
     # ------------------------------------------------------------------
     # round 16 (optimization round 1): ALL 41 queries whose value-producing
     # code was rewritten by the r16 waves (VERDICT r16 item 1 — the round
@@ -235,7 +234,6 @@ _CODE_CHANGED_ROUND: dict[str, int] = {
     # Wave 5a — simhash first-band emission + CC edge repartition:
     "simhash_near_dup": 16,
     "edit_distance_pairs": 16,
-    "dedup_components": 16,
     # Wave 5c — basket-array mining family:
     "copurchase_brand_pairs": 16,
     "triangle_count_brand_graph": 16,
@@ -252,6 +250,17 @@ _CODE_CHANGED_ROUND: dict[str, int] = {
     # Wave 6b — twin synthesizes inside the fused feature pass:
     "chexpert_pipeline_twin": 16,
     "chexpert_twin_replay": 16,
+    # ------------------------------------------------------------------
+    # round 17 (optimization round 2) rewrites:
+    # connected_components: bucketed edge table + probe-fused lazy
+    # checkpoints (value-identical min-label propagation, re-check per
+    # the histogram_incremental_daily precedent)
+    "dedup_components": 17,
+    # serve-bits + normed subtrees pinned (plan change, value-identical)
+    "ann_adaptive_probe": 17,
+    # LUT entropy decode in jpeg_codec (kernel parity proven brute-force,
+    # 400 images + 300 malformed streams old==new; rows-only query)
+    "jpeg_decode_stats": 17,
 }
 
 # ---------------------------------------------------------------------------
