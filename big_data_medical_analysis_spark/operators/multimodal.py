@@ -184,37 +184,60 @@ def decode_png(content: bytes) -> np.ndarray:
     raw = zlib.decompress(b"".join(idat))
     if len(raw) != h * (w + 1):
         raise ValueError("PNG payload size mismatch")
+    # Round 17 (guide §4.2): unfiltering is vectorized by RUNS of equal
+    # filter type (our encoder filters whole images uniformly, so a run is
+    # typically the whole image; the decoder stays general). Types 0/1/2
+    # have closed vector forms — None is a copy, Sub is a per-row modular
+    # prefix sum (cumsum in a wide dtype truncated to uint8 IS the
+    # byte-wise chain of (x + left) & 0xFF), Up is a modular prefix sum
+    # DOWN the rows plus the run's entry row. Average and Paeth stay
+    # per-byte: each output needs the RECONSTRUCTED left neighbor through
+    # a data-dependent predictor, which is spec-sequential in x.
+    mat = np.frombuffer(raw, dtype=np.uint8).reshape(h, w + 1)
+    ftypes = mat[:, 0]
+    lines = mat[:, 1:]
+    if ftypes.max(initial=0) > 4:
+        bad = int(ftypes[ftypes > 4][0])
+        raise ValueError(f"bad PNG filter type {bad}")
     out = np.empty((h, w), dtype=np.uint8)
-    prev = bytes(w)
-    for y in range(h):
-        f = raw[y * (w + 1)]
-        line = bytearray(raw[y * (w + 1) + 1 : (y + 1) * (w + 1)])
+    y = 0
+    while y < h:
+        f = int(ftypes[y])
+        y2 = y + 1
+        while y2 < h and ftypes[y2] == f:
+            y2 += 1
         if f == 0:
-            pass
-        elif f == 1:  # Sub
-            for i in range(1, w):
-                line[i] = (line[i] + line[i - 1]) & 0xFF
-        elif f == 2:  # Up
-            line = bytearray(
-                (np.frombuffer(bytes(line), np.uint8) + np.frombuffer(prev, np.uint8)).tobytes()
-            )
-        elif f == 3:  # Average
-            for i in range(w):
-                left = line[i - 1] if i else 0
-                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(w):
-                a = line[i - 1] if i else 0
-                b = prev[i]
-                c = prev[i - 1] if i else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[i] = (line[i] + pred) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter type {f}")
-        prev = bytes(line)
-        out[y] = np.frombuffer(prev, np.uint8)
+            out[y:y2] = lines[y:y2]
+        elif f == 1:  # Sub: per-row modular prefix sum, rows independent
+            out[y:y2] = np.cumsum(lines[y:y2], axis=1, dtype=np.uint64)
+        elif f == 2:  # Up: modular prefix sum down the rows + entry row
+            acc = np.cumsum(lines[y:y2], axis=0, dtype=np.uint64)
+            if y:
+                acc += out[y - 1]
+            out[y:y2] = acc
+        else:  # Average (3) / Paeth (4): reconstructed-left dependence
+            for yy in range(y, y2):
+                line = bytearray(lines[yy].tobytes())
+                prev = out[yy - 1].tobytes() if yy else bytes(w)
+                if f == 3:
+                    for i in range(w):
+                        left = line[i - 1] if i else 0
+                        line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+                else:
+                    for i in range(w):
+                        a = line[i - 1] if i else 0
+                        b = prev[i]
+                        c = prev[i - 1] if i else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = (
+                            a
+                            if (pa <= pb and pa <= pc)
+                            else (b if pb <= pc else c)
+                        )
+                        line[i] = (line[i] + pred) & 0xFF
+                out[yy] = np.frombuffer(bytes(line), np.uint8)
+        y = y2
     return out
 
 

@@ -261,6 +261,10 @@ _CODE_CHANGED_ROUND: dict[str, int] = {
     # LUT entropy decode in jpeg_codec (kernel parity proven brute-force,
     # 400 images + 300 malformed streams old==new; rows-only query)
     "jpeg_decode_stats": 17,
+    # run-vectorized PNG unfilter (types 0/1/2; parity proven brute-force
+    # on 500 images + mixed-filter streams; rows-only queries)
+    "png_decode_stats": 17,
+    "pkl_png_roundtrip": 17,
 }
 
 # ---------------------------------------------------------------------------
