@@ -240,10 +240,10 @@ _CODE_CHANGED_ROUND: dict[str, int] = {
     "brand_pagerank": 16,
     "frequent_triples_apriori": 16,
     "brand_graph_clustering_coeff": 16,
-    # Waves 6a/6c — fused one-crossing image kernels:
+    # Waves 6a/6c — fused one-crossing image kernels (png/jpeg decode
+    # stats' r16 entries superseded by their r17 codec-kernel entries
+    # below — dict literal keeps the later key, the kmeans precedent):
     "image_decode_stats": 16,
-    "png_decode_stats": 16,
-    "jpeg_decode_stats": 16,
     "image_resize_stats": 16,
     "image_augment_fanout": 16,
     "image_dhash_near_dup": 16,
